@@ -1,0 +1,356 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.operators.{Gold, Imputation}
+
+/** Reference-parity query registry (SURVEY.md §2), mapped onto the harness
+  * tables (FIXTURES.md §B mapping: `events` plays the observations fact,
+  * `customer`+`nation`+`region` the dimension joins, `lineitem`/`orders` the
+  * aggregate/sort/corr/regr carriers).
+  *
+  * Conventions shared with the DuckDB oracle (SURVEY.md §7.4 float-equality):
+  *  - every aggregate of doubles is `round(x, 4)` in BOTH engines;
+  *  - raw double columns pass through unrounded (bit-identical from parquet);
+  *  - all orderings carry explicit tie-breakers so results are deterministic
+  *    under any partitioning;
+  *  - column names are aliased identically on both sides (driver hash
+  *    compares by sorted column name).
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r4(c: org.apache.spark.sql.Column) = round(c, 4)
+
+  val queries: Map[String, Q] = Map(
+    // A1+A6+F5: grouped sums/avgs/count (TPC-H Q1 shape; Weather_API.py:344-349)
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r4(sum("l_quantity")).as("sum_qty"),
+          r4(sum("l_extendedprice")).as("sum_price"),
+          r4(avg("l_quantity")).as("avg_qty"),
+          r4(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // P1+P5+P8: predicate conjunction + projection; filter pushes to scan
+    "q02_filter_project" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_returnflag" === "R" && $"l_discount" > 0.02 &&
+          $"l_quantity".isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    // P2+F6: computed projection (arithmetic expression)
+    "q03_project_compute" -> ((s, d) => {
+      import s.implicits._
+      // No rounding: per-row IEEE double arithmetic in identical order is
+      // bit-identical to the oracle, while round() itself differs between
+      // engines at representation boundaries (Spark BigDecimal HALF_UP vs
+      // DuckDB scaled-double). Round only order-dependent aggregates.
+      Tables.lineitem(s, d).select(
+        $"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+          .as("charge"))
+    }),
+
+    // J1: dimension-enrichment left joins; both dims broadcast
+    "q04_dim_enrich_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+        .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+        .select(c("c_custkey"), c("c_name"), n("n_name"), r("r_name"))
+    }),
+
+    // A1: multi-key grouped averages
+    "q05_group_avg_multikey" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey", "l_returnflag")
+        .agg(
+          r4(avg("l_quantity")).as("avg_qty"),
+          r4(avg("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // I1 (A1+J2+P7): group-average imputation — the Silver layer's core
+    // semantic (Weather_API.py:341-391). Nulls are injected deterministically
+    // (events.value has none) so the imputation arms are exercised.
+    "q06_impute_group_avg" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d).select(
+        $"event_id", $"user_id",
+        when($"event_type" === "error", lit(null).cast("double"))
+          .otherwise($"value").as("v"))
+      Imputation.imputeByGroupAvg(base, "v", Seq("user_id"))
+        .select($"event_id", $"user_id", r4($"v").as("v_imputed"))
+    }),
+
+    // I2: derived-value imputation with terminal default
+    // (coalesce(x, derived, 0) — Weather_API.py:407-413)
+    "q07_impute_derived" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.lineitem(s, d).select(
+        $"l_orderkey", $"l_linenumber",
+        when($"l_linenumber" === 1, lit(null).cast("double"))
+          .otherwise($"l_quantity").as("qty"),
+        when($"l_linenumber" <= 2, lit(null).cast("double"))
+          .otherwise($"l_tax").as("tax2"),
+        $"l_discount")
+      Imputation.imputeDerived(base, "qty", ($"tax2" + $"l_discount") / 2)
+        .select($"l_orderkey", $"l_linenumber", $"qty".as("qty_imputed"))
+    }),
+
+    // I3+F7: constant fill on typed columns
+    "q08_fill_constants" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d).select(
+        $"event_id",
+        when($"value" < 0.1, lit(null).cast("double")).otherwise($"value").as("v"),
+        when($"event_type" === "view", lit(null).cast("string"))
+          .otherwise($"event_type").as("et"))
+      Imputation.fillConstants(base, Map("v" -> -1.0, "et" -> "missing"))
+    }),
+
+    // A4: distinct values
+    "q09_distinct" -> ((s, d) =>
+      Tables.events(s, d).select("event_type").distinct()),
+
+    // A5: full-row dedup over a projection
+    "q10_dedup_rows" -> ((s, d) =>
+      Tables.events(s, d).select("user_id", "event_type").dropDuplicates()),
+
+    // A6: count
+    "q11_count" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
+
+    // A7: Pearson correlation, distributed single pass (Weather_API.py:1171)
+    "q12_corr" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .agg(r4(corr($"l_quantity", $"l_extendedprice")).as("correlation"))
+    }),
+
+    // A2+A8: yearly mean + least-squares trend (np.polyfit deg-1 →
+    // regr_slope/regr_intercept; Weather_API.py:981-993)
+    "q13_regr_trend" -> ((s, d) => {
+      import s.implicits._
+      Gold.yearlyTrend(Tables.orders(s, d), "o_orderdate", "o_totalprice")
+        .select(r4($"slope").as("slope"), r4($"intercept").as("intercept"))
+    }),
+
+    // A9: long→wide pivot over the known vocabulary (no distinct-values job)
+    "q14_pivot" -> ((s, d) => {
+      import s.implicits._
+      // round(sum, 2) not round(avg, 4): value is an exact 2-decimal
+      // quantity, so the true per-cell sum is a 2-decimal rational — never
+      // at a .005 rounding boundary — making the oracle compare exact.
+      // (avg hit a 4th-decimal boundary flip between engines at sf0.01.)
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum($"value"), 2))
+    }),
+
+    // O1+O2: deterministic top-k (TakeOrdered — no global sort materialization)
+    "q15_topk" -> ((s, d) => {
+      import s.implicits._
+      Gold.topK(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        100, $"o_totalprice".desc, $"o_orderkey".asc)
+    }),
+
+    // P7+P10: literal-map value remap + grouped count (Weather_API.py:1033)
+    "q16_case_remap" -> ((s, d) => {
+      import s.implicits._
+      Gold.remap(Tables.events(s, d), "event_type",
+          Map("click" -> "Click", "view" -> "View", "purchase" -> "Purchase"),
+          lit("Other"))
+        .groupBy($"event_type".as("label"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // P11: coercing cast (null on failure) + regexp extraction
+    "q17_cast_coerce" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d).select(
+        $"event_id",
+        expr("try_cast(regexp_extract(props, '([0-9]+)', 1) AS INT)").as("k"))
+    }),
+
+    // F4+A3: date-bucketed aggregation (month-year pattern, Weather_API.py:846)
+    "q18_date_bucket" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+        .agg(r4(avg($"value")).as("avg_value"), count(lit(1)).as("cnt"))
+    }),
+
+    // §2.7: union of two filtered branches
+    "q19_union" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val a = e.filter($"event_type" === "click")
+        .select("event_id", "user_id", "value")
+      val b = e.filter($"event_type" === "view")
+        .select("event_id", "user_id", "value")
+      a.unionByName(b)
+    }),
+
+    // §2.5 extension: rolling average over an ordered per-entity frame
+    "q20_window_rolling" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-6, 0)
+      Tables.events(s, d).select(
+        $"event_id", $"user_id",
+        r4(avg($"value").over(w)).as("rolling_avg"))
+    }),
+
+    // §2.5 extension: top-3 per entity via row_number
+    "q21_window_rank" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"value",
+          row_number().over(w).as("rn"))
+        .filter($"rn" <= 3)
+    }),
+
+    // §2.5 extension: lag delta per entity
+    "q22_window_lag" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d).select(
+        $"event_id",
+        ($"value" - lag($"value", 1).over(w)).as("delta"))
+    }),
+
+    // O1+P5+P1: per-entity ordered series (Weather_API.py:522-527)
+    "q23_entity_series" -> ((s, d) =>
+      Gold.entitySeries(Tables.events(s, d), "user_id", 7, "ts",
+        Seq("event_id", "value")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag='R' AND l_discount>0.02 AND l_quantity IS NOT NULL""".stripMargin,
+    "q03_project_compute" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS charge
+        |FROM lineitem""".stripMargin,
+    "q04_dim_enrich_join" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+        |FROM customer c
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+    "q05_group_avg_multikey" ->
+      """SELECT l_suppkey, l_returnflag,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_suppkey, l_returnflag""".stripMargin,
+    "q06_impute_group_avg" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN event_type='error' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |avgs AS (SELECT user_id, avg(v) AS gavg FROM base GROUP BY user_id)
+        |SELECT b.event_id, b.user_id,
+        |       round(coalesce(b.v, a.gavg, 0),4) AS v_imputed
+        |FROM base b LEFT JOIN avgs a ON b.user_id = a.user_id""".stripMargin,
+    "q07_impute_derived" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_linenumber=1 THEN NULL ELSE l_quantity END AS qty,
+        |         CASE WHEN l_linenumber<=2 THEN NULL ELSE l_tax END AS tax2,
+        |         l_discount
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       coalesce(qty, (tax2+l_discount)/2, 0) AS qty_imputed
+        |FROM base""".stripMargin,
+    "q08_fill_constants" ->
+      """SELECT event_id,
+        | coalesce(CASE WHEN value<0.1 THEN NULL ELSE value END, -1.0) AS v,
+        | coalesce(CASE WHEN event_type='view' THEN NULL ELSE event_type END,
+        |          'missing') AS et
+        |FROM events""".stripMargin,
+    "q09_distinct" -> "SELECT DISTINCT event_type FROM events",
+    "q10_dedup_rows" -> "SELECT DISTINCT user_id, event_type FROM events",
+    "q11_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q12_corr" ->
+      "SELECT round(corr(l_quantity, l_extendedprice),4) AS correlation FROM lineitem",
+    "q13_regr_trend" ->
+      """WITH yearly AS (
+        |  SELECT year(o_orderdate) AS year, avg(o_totalprice) AS yearly_avg
+        |  FROM orders GROUP BY year(o_orderdate))
+        |SELECT round(regr_slope(yearly_avg, year),4) AS slope,
+        |       round(regr_intercept(yearly_avg, year),4) AS intercept
+        |FROM yearly""".stripMargin,
+    "q14_pivot" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type='click' THEN value END),2) AS click,
+        | round(sum(CASE WHEN event_type='error' THEN value END),2) AS error,
+        | round(sum(CASE WHEN event_type='purchase' THEN value END),2) AS purchase,
+        | round(sum(CASE WHEN event_type='signup' THEN value END),2) AS signup,
+        | round(sum(CASE WHEN event_type='view' THEN value END),2) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q15_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q16_case_remap" ->
+      """SELECT CASE WHEN event_type='click' THEN 'Click'
+        |            WHEN event_type='view' THEN 'View'
+        |            WHEN event_type='purchase' THEN 'Purchase'
+        |            ELSE 'Other' END AS label,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "q17_cast_coerce" ->
+      """SELECT event_id,
+        | TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k
+        |FROM events""".stripMargin,
+    "q18_date_bucket" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | round(avg(value),4) AS avg_value, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "q19_union" ->
+      """SELECT event_id, user_id, value FROM events WHERE event_type='click'
+        |UNION ALL
+        |SELECT event_id, user_id, value FROM events WHERE event_type='view'""".stripMargin,
+    "q20_window_rolling" ->
+      """SELECT event_id, user_id,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS rolling_avg
+        |FROM events""".stripMargin,
+    "q21_window_rank" ->
+      """SELECT user_id, event_id, value, rn FROM (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id) AS rn
+        | FROM events) t WHERE rn <= 3""".stripMargin,
+    "q22_window_lag" ->
+      """SELECT event_id,
+        | value - lag(value, 1) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS delta
+        |FROM events""".stripMargin,
+    "q23_entity_series" ->
+      "SELECT event_id, value FROM events WHERE user_id=7 ORDER BY ts"
+  )
+}
