@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction shared by Verify/Bench/tests.
+  *
+  * All engine-level config lives here — at session build time, not inside
+  * loaders (a loader mutating session conf at plan-construction time is
+  * order-dependent global state; VERDICT r1 "what's wrong" #5).
+  *
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the harness `events.ts` is
+  *    parquet TIMESTAMP(NANOS), which Spark 4 otherwise rejects
+  *    (PARQUET_TYPE_ILLEGAL). See [[graft.sources.Tables.events]].
+  *  - shuffle partitions = cores: local-mode right-sizing; on a real
+  *    cluster this would be tuned to ~2-3× total cores or left to AQE
+  *    coalescing. 200 partitions for a 32-thread local run just adds
+  *    scheduling overhead.
+  *  - UTC timezone: pins year()/month()/date_format so results match the
+  *    DuckDB oracle regardless of host timezone (SURVEY.md §7.4).
+  */
+object Sessions {
+  def local(cpus: String, appName: String): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -27,11 +27,13 @@ object Gold {
       df: DataFrame,
       entityCol: String,
       tsCol: String,
-      valueCols: Seq[String]): DataFrame =
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "monthYearSummary needs at least one value column")
     df.groupBy(col(entityCol), date_format(col(tsCol), "yyyy-MM").as("month_year"))
       .agg(
         avg(col(valueCols.head)).as(s"avg_${valueCols.head}"),
         valueCols.tail.map(c => avg(col(c)).as(s"avg_$c")): _*)
+  }
 
   /** A2+A8 — yearly mean then least-squares linear trend over the yearly
     * means (Weather_API.py:981-993 `np.polyfit(year, avg, 1)`), fully

@@ -204,10 +204,12 @@ object CoreQueries {
       a.unionByName(b)
     }),
 
-    // §2.5 extension: rolling average over an ordered per-entity frame
+    // §2.5 extension: rolling average over an ordered per-entity frame.
+    // Ordered by ts_ns (raw nanos), not the µs-truncated ts: same total
+    // order as the oracle's ns-precision timestamp (ADVICE r1).
     "q20_window_rolling" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
         .rowsBetween(-6, 0)
       Tables.events(s, d).select(
         $"event_id", $"user_id",
@@ -224,10 +226,10 @@ object CoreQueries {
         .filter($"rn" <= 3)
     }),
 
-    // §2.5 extension: lag delta per entity
+    // §2.5 extension: lag delta per entity (ns-precision ordering key)
     "q22_window_lag" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
       Tables.events(s, d).select(
         $"event_id",
         ($"value" - lag($"value", 1).over(w)).as("delta"))

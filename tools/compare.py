@@ -65,7 +65,16 @@ def main(sf_dir, out_dir):
             continue
         bad = [(a, b) for a, b in zip(orw, srw) if a != b]
         if bad:
-            print(f"FAIL {name}: {len(bad)} differing rows; first: "
+            # Epsilon diagnostic: flag float cells whose abs diff is tiny —
+            # those are rounding-boundary flips, not logic errors.
+            eps_only = all(
+                all((x == y) or (isinstance(x, float) and isinstance(y, float)
+                                 and abs(x - y) < 1e-6)
+                    for x, y in zip(a, b))
+                for a, b in bad)
+            tag = " [all diffs are <1e-6 float deltas: rounding boundary]" \
+                if eps_only else ""
+            print(f"FAIL {name}: {len(bad)} differing rows{tag}; first: "
                   f"oracle={bad[0][0]} spark={bad[0][1]}")
             n_fail += 1
         else:
