@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** A9 — long→wide pivot (SURVEY.md §2.4, reference Weather_API.py:76-91).
@@ -21,14 +21,19 @@ object Pivot {
 
   /** Pivot `valueCol` over the known `vocabulary` of `pivotCol` values,
     * grouping by `keys`. One output column per vocabulary entry.
+    *
+    * @param agg cell aggregate; defaults to `max` (order-insensitive stand-in
+    *            for the reference's ≤1-value-per-cell "first"). Callers with
+    *            many values per cell pass e.g. `c => round(sum(c), 2)`.
     */
   def longToWide(
       df: DataFrame,
       keys: Seq[String],
       pivotCol: String,
       vocabulary: Seq[String],
-      valueCol: String): DataFrame =
+      valueCol: String,
+      agg: Column => Column = max): DataFrame =
     df.groupBy(keys.map(col): _*)
       .pivot(pivotCol, vocabulary)
-      .agg(max(col(valueCol)))
+      .agg(agg(col(valueCol)))
 }

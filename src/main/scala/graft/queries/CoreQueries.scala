@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{Gold, Imputation}
+import graft.operators.{Gold, Imputation, Pivot}
 
 /** Reference-parity query registry (SURVEY.md §2), mapped onto the harness
   * tables (FIXTURES.md §B mapping: `events` plays the observations fact,
@@ -134,8 +134,8 @@ object CoreQueries {
     // A7: Pearson correlation, distributed single pass (Weather_API.py:1171)
     "q12_corr" -> ((s, d) => {
       import s.implicits._
-      Tables.lineitem(s, d)
-        .agg(r4(corr($"l_quantity", $"l_extendedprice")).as("correlation"))
+      Gold.correlation(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
+        .select(r4($"correlation").as("correlation"))
     }),
 
     // A2+A8: yearly mean + least-squares trend (np.polyfit deg-1 →
@@ -153,10 +153,11 @@ object CoreQueries {
       // quantity, so the true per-cell sum is a 2-decimal rational — never
       // at a .005 rounding boundary — making the oracle compare exact.
       // (avg hit a 4th-decimal boundary flip between engines at sf0.01.)
-      Tables.events(s, d)
-        .groupBy("user_id")
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(round(sum($"value"), 2))
+      Pivot.longToWide(
+        Tables.events(s, d).select("user_id", "event_type", "value"),
+        Seq("user_id"), "event_type",
+        Seq("click", "error", "purchase", "signup", "view"),
+        "value", c => round(sum(c), 2))
     }),
 
     // O1+O2: deterministic top-k (TakeOrdered — no global sort materialization)
@@ -238,7 +239,74 @@ object CoreQueries {
     // O1+P5+P1: per-entity ordered series (Weather_API.py:522-527)
     "q23_entity_series" -> ((s, d) =>
       Gold.entitySeries(Tables.events(s, d), "user_id", 7, "ts",
-        Seq("event_id", "value")))
+        Seq("event_id", "value"))),
+
+    // A3+F2: monthly climatology — avg per (entity, month)
+    // (Weather_API.py:1040-1042, one of the reference's headline Gold
+    // analytics; routes through Gold.monthlyClimatology)
+    "q24_monthly_climatology" -> ((s, d) => {
+      import s.implicits._
+      Gold.monthlyClimatology(
+          Tables.lineitem(s, d), "l_returnflag", "l_shipdate", "l_quantity")
+        .select($"l_returnflag", $"month",
+          r4($"avg_l_quantity").as("avg_l_quantity"))
+    }),
+
+    // F4+A3: month-year bucketed multi-column averages (Weather_API.py:846)
+    "q25_monthyear_summary" -> ((s, d) => {
+      import s.implicits._
+      Gold.monthYearSummary(Tables.lineitem(s, d), "l_returnflag",
+          "l_shipdate", Seq("l_quantity", "l_extendedprice"))
+        .select($"l_returnflag", $"month_year",
+          r4($"avg_l_quantity").as("avg_qty"),
+          r4($"avg_l_extendedprice").as("avg_price"))
+    }),
+
+    // J2+I1 fidelity: composite-key group-average imputation with injected
+    // NULL group keys — the reference's 3-key null-lat/lon fall-through
+    // (Weather_API.py:352-358): `===` join semantics mean null keys never
+    // match, so those rows fall through to the terminal default.
+    "q26_impute_multikey" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d).select(
+        $"event_id",
+        when($"event_id" % 97 === 0, lit(null).cast("string"))
+          .otherwise($"event_type").as("et"),
+        when($"event_id" % 101 === 0, lit(null).cast("long"))
+          .otherwise($"user_id" % 10).as("grp"),
+        when($"event_type" === "error", lit(null).cast("double"))
+          .otherwise($"value").as("v"))
+      Imputation.imputeByGroupAvg(base, "v", Seq("et", "grp"))
+        .select($"event_id", $"et", $"grp", r4($"v").as("v_imputed"))
+    }),
+
+    // F3: to_date with the reference's ISO-'T' format (Weather_API.py:469)
+    "q27_to_date_parse" -> ((s, d) => {
+      import s.implicits._
+      val iso = Tables.events(s, d).select(
+        $"event_id", date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss").as("iso"))
+      iso.select($"event_id", $"iso",
+        to_date($"iso", "yyyy-MM-dd'T'HH:mm:ss").as("d"))
+    }),
+
+    // F8: dropna over a column subset (Weather_API.py:843 et al.)
+    "q28_dropna" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d).select(
+        $"event_id",
+        when($"value" < 0.2, lit(null).cast("double")).otherwise($"value").as("v"),
+        when($"event_type" === "view", lit(null).cast("string"))
+          .otherwise($"event_type").as("et"))
+      base.na.drop(Seq("v", "et"))
+    }),
+
+    // P6: year() as a filter predicate (Weather_API.py:913)
+    "q29_year_filter" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter(year($"o_orderdate") === 1996)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -353,6 +421,42 @@ object CoreQueries {
         |   ORDER BY ts, event_id) AS delta
         |FROM events""".stripMargin,
     "q23_entity_series" ->
-      "SELECT event_id, value FROM events WHERE user_id=7 ORDER BY ts"
+      "SELECT event_id, value FROM events WHERE user_id=7 ORDER BY ts",
+    "q24_monthly_climatology" ->
+      """SELECT l_returnflag, month(l_shipdate) AS month,
+        | round(avg(l_quantity),4) AS avg_l_quantity
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q25_monthyear_summary" ->
+      """SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS month_year,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q26_impute_multikey" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END AS et,
+        |    CASE WHEN event_id % 101 = 0 THEN NULL ELSE user_id % 10 END AS grp,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |avgs AS (SELECT et, grp, avg(v) AS gavg FROM base GROUP BY et, grp)
+        |SELECT b.event_id, b.et, b.grp,
+        |       round(coalesce(b.v, a.gavg, 0),4) AS v_imputed
+        |FROM base b LEFT JOIN avgs a ON b.et = a.et AND b.grp = a.grp""".stripMargin,
+    "q27_to_date_parse" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
+        | CAST(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+        |               '%Y-%m-%dT%H:%M:%S') AS DATE) AS d
+        |FROM events""".stripMargin,
+    "q28_dropna" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CASE WHEN value < 0.2 THEN NULL ELSE value END AS v,
+        |    CASE WHEN event_type = 'view' THEN NULL ELSE event_type END AS et
+        |  FROM events)
+        |SELECT event_id, v, et FROM base
+        |WHERE v IS NOT NULL AND et IS NOT NULL""".stripMargin,
+    "q29_year_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE year(o_orderdate) = 1996""".stripMargin
   )
 }
