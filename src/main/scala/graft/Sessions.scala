@@ -23,6 +23,7 @@ object Sessions {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions installer: exposes the custom codegen
+  * expressions as SQL functions, so `spark.sql("SELECT simhash60(...)")`
+  * and `expr("dot_product(a, b)")` work alongside the typed
+  * [[VectorFunctions]] API.
+  *
+  * Wire up via `SparkSession.builder.withExtensions(GraftExtensions)` (as
+  * [[graft.Sessions]] does) or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.install(ext)
+}
+
+object GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = install(ext)
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def reg(ext: SparkSessionExtensions, name: String, usage: String,
+      builder: FunctionBuilder): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  def install(ext: SparkSessionExtensions): Unit = {
+    reg(ext, "minhash_signature",
+      "minhash_signature(shingles, k) - k seeded-xxhash64 min-hashes",
+      (args: Seq[Expression]) =>
+        MinHashSignatureExpr(args.head, intArg(args(1), "k")))
+    reg(ext, "dot_product",
+      "dot_product(a, b) - double dot product of float/double arrays",
+      (args: Seq[Expression]) => DotProductExpr(args.head, args(1)))
+    reg(ext, "sorted_intersect_count",
+      "sorted_intersect_count(a, b) - common elements of sorted long arrays",
+      (args: Seq[Expression]) => SortedIntersectCountExpr(args.head, args(1)))
+    reg(ext, "simhash60",
+      "simhash60(tokens) - 60-bit md5-derived SimHash of a token set",
+      (args: Seq[Expression]) => SimHash60Expr(args.head))
+  }
+}

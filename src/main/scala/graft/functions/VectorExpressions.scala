@@ -1,0 +1,247 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (with `doGenCode`) for the three hot
+  * kernels of the dedup/similarity families. The built-in higher-order
+  * functions (`transform`/`aggregate`/`zip_with`) are interpreted — every
+  * lambda application allocates and boxes — and `CollapseProject` inlines
+  * a projected array INTO an enclosing lambda, re-evaluating it once per
+  * outer iteration (the k=32 minhash loop re-built the shingle array 32×
+  * per row: 117 s for 5000 docs at sf0.1). These expressions compile to
+  * tight JVM loops inside whole-stage codegen and evaluate their input
+  * exactly once: the same stage runs in under a second.
+  *
+  * Each expression implements BOTH `nullSafeEval` (interpreted fallback —
+  * used off the codegen path, e.g. under `explain` sampling or codegen
+  * bailout) and `doGenCode`, and is exposed as a `Column` via
+  * [[VectorFunctions]].
+  */
+object VectorFunctions {
+  /** k seeded-xxhash64 min-hashes over an array<string> shingle set. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignatureExpr(ExpressionUtils.expression(shingles), k))
+
+  /** Dot product of two float/double arrays, accumulated in double
+    * left-to-right (bit-identical to the zip_with+aggregate formulation
+    * and to the DuckDB oracle's list_sum).
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProductExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Count of common elements of two SORTED distinct long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCountExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** 60-bit md5-derived SimHash over an array<string> token set (value
+    * is oracle-locked: DuckDB reproduces it — see Dedup scaladoc).
+    */
+  def simhash60(tokens: Column): Column =
+    ExpressionUtils.column(SimHash60Expr(ExpressionUtils.expression(tokens)))
+}
+
+/** See [[VectorFunctions.minhashSignature]]. Null array elements are
+  * skipped; an all-null/empty input yields Long.MaxValue signatures
+  * (never matching a band of any non-empty doc).
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    new GenericArrayData(MinHashSignatureExpr.signature(arr, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinHashSignatureExpr.signature($c, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignatureExpr {
+  /** Shared by eval and generated code (static forwarder). */
+  def signature(arr: ArrayData, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
+/** See [[VectorFunctions.dotProduct]]. Arrays must be same-length and
+  * null-free (embedding vectors); accumulation order is index-ascending.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getX = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val getY = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  acc += ((double) $a.$getX($i)) * ((double) $b.$getY($i));
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** See [[VectorFunctions.sortedIntersectCount]]: linear merge over two
+  * ascending-sorted distinct long arrays.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCountExpr.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCountExpr.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCountExpr {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    var i = 0; var j = 0; var c = 0
+    val (na, nb) = (a.numElements(), b.numElements())
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** See [[VectorFunctions.simhash60]]: per bit of a 60-bit md5-derived
+  * token hash, tokens vote ±1; the sign becomes the output bit. The hash
+  * is the first 15 md5 hex digits parsed as a long — identical to
+  * DuckDB's ('0x' || substr(md5(s),1,15))::BIGINT, so the VALUE is
+  * oracle-checkable (unlike the minhash signatures, which are internal).
+  */
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash60"
+
+  protected override def nullSafeEval(input: Any): Any =
+    SimHash60Expr.ofTokens(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60Expr.ofTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60Expr {
+  private val Bits = 60
+
+  /** 60-bit hash: first 15 hex digits of md5 (matches Dedup's portable
+    * hashing convention).
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(bytes)
+    // First 15 hex digits = first 7 bytes + high nibble of the 8th.
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def ofTokens(tokens: ArrayData): Long = {
+    val votes = new Array[Int](Bits)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash60(tokens.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < Bits) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < Bits) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}

@@ -34,23 +34,40 @@ object Imputation {
       valueCol: String,
       groupKeys: Seq[String],
       default: Double = 0.0,
-      broadcastAvgs: Boolean = true): DataFrame = {
-    val avgCol = s"__avg_$valueCol"
+      broadcastAvgs: Boolean = true): DataFrame =
+    imputeByGroupAvg(df, Seq(valueCol), groupKeys, default, broadcastAvgs)
+
+  /** Multi-column variant: one aggregation + one join imputes all
+    * `valueCols` (the reference's single-join shape for avg_wind_speed +
+    * wind_direction_2min, Weather_API.py:344-371) — N columns cost the
+    * same shuffle as one.
+    */
+  def imputeByGroupAvg(
+      df: DataFrame,
+      valueCols: Seq[String],
+      groupKeys: Seq[String],
+      default: Double,
+      broadcastAvgs: Boolean): DataFrame = {
+    require(valueCols.nonEmpty, "imputeByGroupAvg needs at least one value column")
+    def avgCol(c: String) = s"__avg_$c"
     // Rename the aggregate-side keys: the averages derive from `df`, so an
     // unrenamed equi-join would be a self-join with ambiguous columns.
+    val aggs = valueCols.map(c => avg(col(c)).as(avgCol(c)))
     val keyed = df
       .groupBy(groupKeys.map(col): _*)
-      .agg(avg(col(valueCol)).as(avgCol))
-      .select(groupKeys.map(k => col(k).as(s"__key_$k")) :+ col(avgCol): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupKeys.map(k => col(k).as(s"__key_$k")) ++
+        valueCols.map(c => col(avgCol(c))): _*)
     val avgs = if (broadcastAvgs) broadcast(keyed) else keyed
     // `===`, not `<=>`: null group keys must NOT match, so such rows fall
     // through to `default` (reference semantics, Weather_API.py:352-358).
     val joinCond = groupKeys
       .map(k => df(k) === avgs(s"__key_$k"))
       .reduce(_ && _)
-    df.join(avgs, joinCond, "left")
-      .withColumn(valueCol, coalesce(col(valueCol), col(avgCol), lit(default)))
-      .drop(avgCol +: groupKeys.map(k => s"__key_$k"): _*)
+    valueCols.foldLeft(df.join(avgs, joinCond, "left")) { (acc, c) =>
+        acc.withColumn(c, coalesce(col(c), col(avgCol(c)), lit(default)))
+      }
+      .drop(valueCols.map(avgCol) ++ groupKeys.map(k => s"__key_$k"): _*)
   }
 
   /** I2 — derived-value imputation (Weather_API.py:407-413):

@@ -1,0 +1,100 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A media payload: opaque bytes + declared container format. */
+case class MediaBlob(doc_id: Long, media: Array[Byte], format: String)
+
+/** Typed metadata produced by the (stubbed) decoder. */
+case class MediaMeta(doc_id: Long, format: String, n_bytes: Long,
+    content_md5: String, width: Int, height: Int, n_frames: Int)
+
+/** One sampled frame: a byte-range of the payload, fingerprinted. */
+case class MediaFrame(doc_id: Long, frame_idx: Int, frame_len: Int,
+    frame_md5: String)
+
+/** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * `mapPartitions` over a typed `Dataset` is the JVM analogue of
+  * `mapInPandas`: per-partition init (here a reused MessageDigest; in a
+  * real pipeline the codec/model handle) amortized across the batch, rows
+  * streamed through without materializing the partition.
+  *
+  * DECODE IS STUBBED: the container has no image/audio codecs, so
+  * [[fakeDecode]] derives deterministic "decoded" properties (dims, frame
+  * count) from the payload hash. The Spark-side contract — binary column
+  * in, typed Dataset out, no driver collect, partition-parallel — is the
+  * real, tested surface; swap [[fakeDecode]] for a codec call to go live.
+  *
+  * Scale notes: blobs never shuffle here (all ops are per-row map stages
+  * fused into the scan); frame explosion multiplies rows, not bytes
+  * (frames reference sliced ranges). At 100 TB keep blobs in their own
+  * parquet column so pruning skips them unless touched.
+  */
+object Multimodal {
+
+  /** Stage a text column as an opaque binary payload (UTF-8 bytes) with a
+    * declared format — the harness stand-in for reading real media files.
+    */
+  def attachBlob(df: DataFrame, textCol: String = "text",
+      format: String = "raw"): DataFrame =
+    df.withColumn("media", encode(col(textCol), "UTF-8"))
+      .withColumn("format", lit(format))
+
+  private def hex(b: Array[Byte]): String =
+    b.map("%02x".format(_)).mkString
+
+  /** The stub decoder: deterministic pseudo-properties from the payload
+    * md5 (`???`-equivalent, but benchmark-stable and oracle-checkable).
+    */
+  private[operators] def fakeDecode(md5hex: String, nBytes: Long): (Int, Int, Int) = {
+    val width = 320 + (java.lang.Long.parseLong(md5hex.substring(0, 7), 16) % 1600).toInt
+    val height = 180 + (java.lang.Long.parseLong(md5hex.substring(7, 14), 16) % 900).toInt
+    val nFrames = 1 + (nBytes % 30).toInt
+    (width, height, nFrames)
+  }
+
+  /** Batch "decode": binary payloads → typed [[MediaMeta]]. */
+  def decodeMeta(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"), col("format")).as[MediaBlob]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5") // per-partition init
+        it.map { b =>
+          md.reset()
+          val h = hex(md.digest(b.media))
+          val (w, ht, nf) = fakeDecode(h, b.media.length.toLong)
+          MediaMeta(b.doc_id, b.format, b.media.length.toLong, h, w, ht, nf)
+        }
+      }
+      .toDF()
+  }
+
+  /** Sample `frames` evenly-strided byte-range "frames" per payload —
+    * the row-explosion shape of video frame extraction (each output row
+    * carries a fingerprinted slice, not the whole blob).
+    */
+  def sampleFrames(df: DataFrame, frames: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"), col("format")).as[MediaBlob]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { b =>
+          val stride = b.media.length / frames
+          (0 until frames).iterator.map { f =>
+            md.reset()
+            val slice = java.util.Arrays.copyOfRange(
+              b.media, f * stride, f * stride + stride)
+            MediaFrame(b.doc_id, f, stride, hex(md.digest(slice)))
+          }
+        }
+      }
+      .toDF()
+  }
+}

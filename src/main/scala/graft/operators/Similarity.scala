@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`): exact
+  * brute-force cosine top-k as the correctness baseline, and an
+  * IVF-bucketed variant as the scale path.
+  *
+  * Scale design (100 TB):
+  *  - cosine is a pure expression (`zip_with` + `aggregate` in double) —
+  *    no UDF, no collect; the corpus never leaves the executors.
+  *  - brute force broadcasts the (small) query set and streams the corpus
+  *    once: O(|Q|·N) compute, one shuffle (the per-query top-k window).
+  *    Right for |Q| in the hundreds; beyond that, or for corpus-scale
+  *    all-pairs, use [[ivfTopK]]: assign vectors to inverted lists
+  *    (nearest of C centroids), probe only `nprobe` lists per query —
+  *    compute drops to ~O(|Q|·N·nprobe/C) at recall < 1.
+  *  - pre-normalizing vectors once (norm carried alongside) would halve
+  *    the flops for repeated querying; at one-shot query time it's a wash.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, accumulated in double
+    * (left-to-right, same order as the oracle's list_sum — engine-exact
+    * up to final-ulp noise, which the 4-decimal rounding absorbs).
+    */
+  /** Dot product of two float-array columns in double precision, via the
+    * custom codegen'd [[graft.functions.DotProductExpr]] (the equivalent
+    * zip_with+aggregate formulation is interpreted — per-element lambda
+    * dispatch and boxing — and was ~2.5× slower on the sf0.1 all-pairs
+    * query; accumulation order and arithmetic are identical, so oracle
+    * values are unchanged).
+    */
+  def dot(x: Column, y: Column): Column =
+    graft.functions.VectorFunctions.dotProduct(x, y)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    *
+    * @param emb       corpus: (idCol, vecCol)
+    * @param queries   query set: (idCol, vecCol) — small; broadcast
+    * @param k         neighbors per query
+    * @return (query_id, neighbor_id, rank, sim) — rank 1..k by
+    *         (sim desc, neighbor_id asc), self-matches excluded
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__qn")))
+    val sims = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__vn"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(col("__qv"), col("__v")) / (col("__qn") * col("__vn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Embedding-cosine near-dup pairs: all (a < b) pairs with
+    * cosine ≥ threshold. Exact — a blocked self-join, O(N²) compute with
+    * N²/partitions parallelism. Correct at verification scale; at corpus
+    * scale swap in LSH bucketing (random hyperplane signs as band keys —
+    * same bucket-join shape as [[Dedup.minhashNearDupPairs]]).
+    */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // Norms are computed once per vector, not once per pair: sqrt(dot(v,v))
+    // here is bit-identical to computing it inline (same arithmetic), so
+    // the oracle is unaffected while per-pair work drops to one dot.
+    val normed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("n"))
+    val a = normed.select(col("id").as("vec_a"), col("v").as("__va"),
+      col("n").as("__na"))
+    val b = normed.select(col("id").as("vec_b"), col("v").as("__vb"),
+      col("n").as("__nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the scale path.
+    *
+    * Deterministic coarse quantizer: the C lowest-id vectors act as
+    * centroids (k-means would converge better on real data; determinism
+    * matters more here). Every corpus vector is assigned to its nearest
+    * centroid (one broadcast join + `max_by` aggregation); each query
+    * probes its `nprobe` nearest centroids and ranks only those lists.
+    * Recall < 1 by construction — verified by rows/schema, not a value
+    * oracle.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(emb.orderBy(col(idCol).asc).limit(numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("__cv")))
+
+    // Inverted lists: nearest centroid per corpus vector (argmax via
+    // max_by — one pass, no window).
+    val assigned = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .join(cents)
+      .withColumn("__cs", cosine(col("__v"), col("__cv")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cid"), struct(col("__cs"), -col("cid"))).as("cid"),
+        first(col("__v")).as("__v"))
+
+    // Each query probes its nprobe nearest lists.
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qs").desc, col("cid").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(cents)
+      .withColumn("__qs", cosine(col("__qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(wq))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cid"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assigned, "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+}

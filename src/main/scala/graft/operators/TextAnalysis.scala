@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder brief: language-ID, quality scoring, token counting, document
+  * fingerprinting), over a `documents(doc_id, text, ...)` table.
+  *
+  * Everything here is a pure Catalyst `Column` expression — no UDFs — so
+  * the whole family stays inside whole-stage codegen and is embarrassingly
+  * parallel: per-row only, no shuffle, no state. At 100 TB these run at
+  * scan speed with column pruning (only `text` + id are read).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (split("a  b") yields ""). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphabetic runs, single digits, punctuation
+    * runs — the coarse shape of byte-pair tokenizer pretokenization (one
+    * regex pass, no vocabulary needed for a count estimate).
+    */
+  def subtokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"), lit(0)))
+
+  /** Mean token length (null on empty text). */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    val totalChars = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    when(size(t) > 0, totalChars.cast("double") / size(t).cast("double"))
+  }
+
+  /** Fraction of characters that are punctuation (non-word, non-space). */
+  def punctRatio(text: Column): Column =
+    ratio(length(text) - length(regexp_replace(text, "[^\\w\\s]", "")),
+      length(text))
+
+  /** Fraction of characters that are digits. */
+  def digitRatio(text: Column): Column =
+    ratio(length(text) - length(regexp_replace(text, "[0-9]", "")), length(text))
+
+  /** English stopwords used by [[stopwordRatio]] and the quality score. */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "for", "on", "with")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    ratio(size(filter(t, x => x.isin(StopwordsEn: _*))), size(t))
+  }
+
+  private def ratio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double"))
+
+  /** Language-marker vocabulary for the n-gram/stopword language-ID
+    * heuristic. Order is the tie-break priority.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|for)\\b",
+    "es" -> "\\b(el|la|de|que|y|en|los|las|una)\\b",
+    "fr" -> "\\b(le|la|de|et|les|des|une|est)\\b",
+    "de" -> "\\b(der|die|und|das|ist|von|den|ein)\\b")
+
+  /** CJK codepoint marker (character-level — CJK text has no spaces). */
+  val CjkMarker = "[\\u4e00-\\u9fff]"
+
+  /** Heuristic language ID: count marker-word hits per language, pick the
+    * argmax (ties resolve in [[LangMarkers]] priority order), `und` when
+    * nothing matches. One codegen'd expression — no UDF, no shuffle, no
+    * model artifact to ship to executors.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(text, lit(pat), lit(0)))
+    } :+ ("zh" -> size(regexp_extract_all(text, lit(CjkMarker), lit(0))))
+    val top = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(top > 0 && s === top, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Composite quality score in [0,1]: four equal-weight heuristics a
+    * pretraining filter would apply (length band, token-length band,
+    * stopword presence, alphabetic density). Deterministic thresholds so
+    * the DuckDB oracle reproduces it exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val atl = avgTokenLen(text)
+    val alphaRatio =
+      ratio(length(regexp_replace(text, "[^A-Za-z]", "")), nChars)
+    val checks = Seq(
+      nChars >= 100 && nChars <= 10000,
+      atl >= 3.0 && atl <= 10.0,
+      stopwordRatio(text) >= 0.03,
+      alphaRatio >= 0.6)
+    checks.map(c => when(coalesce(c, lit(false)), 0.25).otherwise(0.0))
+      .reduce(_ + _)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Stable content key for exact dedup at scale — grouping by a 128-bit
+    * hash shuffles 16 bytes per row instead of the full document.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Per-document stats projection (the `textStats` operator). */
+  def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      subtokenCount(t).as("n_subtokens"),
+      round(avgTokenLen(t), 4).as("avg_token_len"),
+      round(punctRatio(t), 4).as("punct_ratio"),
+      round(digitRatio(t), 4).as("digit_ratio"),
+      round(stopwordRatio(t), 4).as("stopword_ratio"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{Gold, Imputation, Pivot}
+import graft.operators.{Gold, Imputation, Pivot, Windows}
 
 /** Reference-parity query registry (SURVEY.md §2), mapped onto the harness
   * tables (FIXTURES.md §B mapping: `events` plays the observations fact,
@@ -210,11 +210,10 @@ object CoreQueries {
     // order as the oracle's ns-precision timestamp (ADVICE r1).
     "q20_window_rolling" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
-        .rowsBetween(-6, 0)
-      Tables.events(s, d).select(
-        $"event_id", $"user_id",
-        r4(avg($"value").over(w)).as("rolling_avg"))
+      Windows.rollingAvg(
+          Tables.events(s, d).select("event_id", "user_id", "ts_ns", "value"),
+          "user_id", Seq($"ts_ns", $"event_id"), "value", 7, "rolling_avg")
+        .select($"event_id", $"user_id", r4($"rolling_avg").as("rolling_avg"))
     }),
 
     // §2.5 extension: top-3 per entity via row_number
@@ -306,6 +305,20 @@ object CoreQueries {
       Tables.orders(s, d)
         .filter(year($"o_orderdate") === 1996)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // Skew-hardened rolling average (VERDICT r1 #8): the salted two-phase
+    // variant must produce EXACTLY the plain window's results — its
+    // oracle is the same windowed SQL as q20. chunkSize=32 forces chunk
+    // boundaries at sf0.01 (~67 rows/user) so the tail-patch path is
+    // exercised by the gate, not just by unit tests.
+    "q44_salted_rolling" -> ((s, d) => {
+      import s.implicits._
+      Windows.saltedRollingAvg(
+          Tables.events(s, d).select("event_id", "user_id", "ts_ns", "value"),
+          "user_id", Seq($"ts_ns", $"event_id"), "value", 7, "rolling_avg",
+          chunkSize = 32)
+        .select($"event_id", $"user_id", r4($"rolling_avg").as("rolling_avg"))
     })
   )
 
@@ -457,6 +470,13 @@ object CoreQueries {
         |WHERE v IS NOT NULL AND et IS NOT NULL""".stripMargin,
     "q29_year_filter" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE year(o_orderdate) = 1996""".stripMargin
+        |WHERE year(o_orderdate) = 1996""".stripMargin,
+    // Identical to q20's oracle: the salted variant is an equivalence
+    // claim, and the gate enforces it.
+    "q44_salted_rolling" ->
+      """SELECT event_id, user_id,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS rolling_avg
+        |FROM events""".stripMargin
   )
 }

@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline queries (builder brief: dedup, similarity
+  * search, multimodal columns, text analysis) over the harness
+  * `documents` / `embeddings` tables — the beyond-reference extension
+  * surface (SURVEY.md §7.1 item 6), oracle-gated like everything else.
+  *
+  * Oracle-parity conventions on top of CoreQueries':
+  *  - all content hashing is md5-derived (both engines compute identical
+  *    bytes); the 60-bit integer hash is conv(md5[0,15), 16, 10), which
+  *    DuckDB reproduces as ('0x' || substr(md5(s),1,15))::BIGINT;
+  *  - Jaccard values are ratios of ints (engine-exact doubles);
+  *  - cosine similarities accumulate left-to-right in double on both
+  *    sides and are rounded to 4 decimals;
+  *  - q41 (IVF ANN) is approximate by construction → no value oracle
+  *    (driver records the weaker rows/schema check).
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Documents plus planted exact duplicates (doc_id+100000 for every
+    * 10th doc) — the base table has no exact dups, so dedup queries plant
+    * their own, deterministically.
+    */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ── Text analysis ────────────────────────────────────────────────
+    "q30_text_stats" -> ((s, d) =>
+      TextAnalysis.textStats(Tables.documents(s, d))),
+
+    "q31_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "q32_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "q33_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "q34_token_stats_by_lang" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          round(avg(length(col("text"))), 4).as("avg_chars"))),
+
+    // ── Deduplication ────────────────────────────────────────────────
+    "q35_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(docsWithDups(s, d), "text", "doc_id")),
+
+    "q36_minhash_neardup" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.8)),
+
+    "q37_simhash" -> ((s, d) =>
+      Dedup.withSimhash(Tables.documents(s, d), "text")
+        .select("doc_id", "simhash")),
+
+    "q38_ngram_neardup" -> ((s, d) =>
+      Dedup.ngramNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+        Seq("lang", "source"), threshold = 0.8)),
+
+    // ── Similarity search ────────────────────────────────────────────
+    "q39_embed_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
+
+    "q40_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+
+    // Approximate (recall < 1): rows/schema check only — no oracleSql.
+    "q41_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+
+    // ── Multimodal columns ───────────────────────────────────────────
+    "q42_multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.attachBlob(Tables.documents(s, d)))),
+
+    "q43_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.attachBlob(Tables.documents(s, d))))
+  )
+
+  private val ToksCte =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q30_text_stats" -> (ToksCte +
+      """
+        |SELECT doc_id,
+        | length(text) AS n_chars,
+        | len(toks) AS n_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_subtokens,
+        | round(CASE WHEN len(toks) > 0 THEN
+        |   list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END, 4)
+        |   AS avg_token_len,
+        | round(CASE WHEN length(text) > 0 THEN
+        |   (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+        |   / length(text) END, 4) AS punct_ratio,
+        | round(CASE WHEN length(text) > 0 THEN
+        |   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        |   / length(text) END, 4) AS digit_ratio,
+        | round(CASE WHEN len(toks) > 0 THEN
+        |   len(list_filter(toks, x -> list_contains(
+        |     ['the','a','an','and','of','to','in','is','for','on','with'], x)))::DOUBLE
+        |   / len(toks) END, 4) AS stopword_ratio
+        |FROM t""".stripMargin),
+    "q31_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS s_en,
+        |    len(regexp_extract_all(text, '\b(el|la|de|que|y|en|los|las|una)\b')) AS s_es,
+        |    len(regexp_extract_all(text, '\b(le|la|de|et|les|des|une|est)\b')) AS s_fr,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist|von|den|ein)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+        |       WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM s""".stripMargin,
+    "q32_quality_score" -> (ToksCte +
+      """
+        |, m AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END AS atl,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'], x)))::DOUBLE
+        |      / len(toks) END AS swr,
+        |    CASE WHEN length(text) > 0 THEN
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(text) END AS ar
+        |  FROM t)
+        |SELECT doc_id, 0.25::DOUBLE * (
+        |  coalesce(n BETWEEN 100 AND 10000, false)::INT +
+        |  coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
+        |  coalesce(swr >= 0.03, false)::INT +
+        |  coalesce(ar >= 0.6, false)::INT) AS quality
+        |FROM m""".stripMargin),
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "q34_token_stats_by_lang" ->
+      """WITH t AS (
+        |  SELECT lang, length(text) AS n,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
+        |  FROM documents)
+        |SELECT lang, count(*) AS docs, sum(nt) AS total_tokens,
+        | round(avg(n), 4) AS avg_chars
+        |FROM t GROUP BY lang""".stripMargin,
+    "q35_exact_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        |  FROM base),
+        |c AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f)
+        |SELECT fp.doc_id, c.canonical_id,
+        |       fp.doc_id <> c.canonical_id AS is_dup
+        |FROM fp JOIN c USING (f)""".stripMargin,
+    // Oracle = exact all-pairs ground truth via a shingle inverted index
+    // (pairs sharing ≥1 shingle — complete at any threshold > 0). The
+    // Spark side must find every pair ≥ 0.8 through LSH for the hashes to
+    // match: with k=32, b=8, r=4 a 0.96-similar pair is missed with
+    // p < 1e-7 (see Dedup scaladoc) — deterministic in practice.
+    "q36_minhash_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM ix
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+    "q37_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(t,
+        |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, bits.b AS b,
+        |    sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bits
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+    "q38_ngram_neardup" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang, source,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, source, unnest(CASE WHEN length(s) >= 3 THEN
+        |      list_distinct(list_transform(range(1, length(s) - 1),
+        |        i -> substr(s, i, 3)))
+        |    ELSE [s] END) AS gr
+        |  FROM norm),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM g a JOIN g b ON a.gr = b.gr AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM ix
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+    "q39_embed_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4""".stripMargin,
+    "q40_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(q.qe) + 1),
+        |      i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+        |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q42_multimodal_meta" ->
+      """SELECT doc_id, 'raw' AS format,
+        | length(text) AS n_bytes,
+        | md5(text) AS content_md5,
+        | 320 + ('0x' || substr(md5(text), 1, 7))::BIGINT % 1600 AS width,
+        | 180 + ('0x' || substr(md5(text), 8, 7))::BIGINT % 900 AS height,
+        | 1 + length(text) % 30 AS n_frames
+        |FROM documents""".stripMargin,
+    "q43_frame_sample" ->
+      """SELECT doc_id, f.f AS frame_idx,
+        | length(text) // 4 AS frame_len,
+        | md5(substr(text, f.f * (length(text) // 4) + 1,
+        |            length(text) // 4)) AS frame_md5
+        |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f) f""".stripMargin
+  )
+}

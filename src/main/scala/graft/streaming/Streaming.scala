@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** A streaming event (the `events` table's shape, streamed). */
+case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Per-user running aggregate emitted by [[Streaming.runningUserStats]]. */
+case class UserStats(user_id: Long, events: Long, total_value: Double,
+    last_event_type: String)
+
+/** A closed (or force-flushed) activity session. */
+case class UserSession(user_id: Long, start: Timestamp, end: Timestamp,
+    events: Long, total_value: Double)
+
+private case class SessionState(start: Long, end: Long, events: Long,
+    total: Double)
+
+/** Structured Streaming surface (beyond-reference extension; the
+  * reference is batch-only — SURVEY.md §2.10). The same engine operators
+  * re-expressed over unbounded input: `readStream` → transform →
+  * `writeStream`, with watermarked windows for out-of-order time and
+  * keyed state for sessionization.
+  *
+  * Scale notes: all three ops shuffle once on their grouping key and keep
+  * state per key in the state store (RocksDB-backed on a real cluster).
+  * The watermark bounds state: windows older than it are finalized and
+  * evicted — without it, windowed state grows forever at 100 TB/day.
+  */
+object Streaming {
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * analogue of q18's date-bucket aggregation.
+    */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  /** Running per-user stats via mapGroupsWithState — arbitrary keyed
+    * state, updated per micro-batch (the streaming analogue of the
+    * grouped aggregations A1/A2).
+    */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val evs = batch.toSeq
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0, ""))
+          val last = if (evs.nonEmpty) {
+            evs.maxBy(e => (e.ts.getTime, e.value)).event_type
+          } else prev.last_event_type
+          val next = UserStats(user, prev.events + evs.size,
+            prev.total_value + evs.map(_.value).sum, last)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Gap-based sessionization via flatMapGroupsWithState: events within
+    * `gapMs` of each other extend a session; a longer silence closes it
+    * and emits it. Closed sessions flush on the batch AFTER the gap is
+    * observed (event-time comparison against the batch's own events —
+    * deterministic for tests; production would add an event-time timeout
+    * to flush trailing sessions).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[UserSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                cur = Some(s.copy(end = t, events = s.events + 1,
+                  total = s.total + e.value))
+              case Some(s) =>
+                closed += UserSession(user, new Timestamp(s.start),
+                  new Timestamp(s.end), s.events, s.total)
+                cur = Some(SessionState(t, t, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

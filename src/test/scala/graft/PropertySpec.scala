@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, Imputation}
+
+/** Property tests (SURVEY.md §5 item 3), driven by raw scalacheck
+  * generators with deterministic seeds (the scalatest bridge artifact is
+  * not in the offline cache). Generators stay small — each case runs a
+  * real local Spark job.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 10): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(12), Seed(42L + i)))
+
+  private val rowsGen =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.option(Gen.choose(-5.0, 5.0))))
+
+  test("property: dropDuplicates is idempotent") {
+    samples(rowsGen).foreach { rows =>
+      val once = rows.toDF("k", "v").dropDuplicates()
+      assert(once.dropDuplicates().count() == once.count())
+    }
+  }
+
+  test("property: coalesce-chain ≡ when-chain (I2 equivalence)") {
+    // The reference expresses imputation as chained when(isNotNull);
+    // ours as coalesce. They must agree on every null pattern.
+    val g = Gen.nonEmptyListOf(Gen.zip(Gen.option(Gen.choose(-5.0, 5.0)),
+      Gen.option(Gen.choose(-5.0, 5.0))))
+    samples(g).foreach { rows =>
+      val df = rows.toDF("a", "b")
+      val viaCoalesce = df.select(
+        coalesce($"a", $"b" * 2, lit(0.0)).as("x")).as[Double].collect()
+      val viaWhen = df.select(
+        when($"a".isNotNull, $"a")
+          .when(($"b" * 2).isNotNull, $"b" * 2)
+          .otherwise(lit(0.0)).as("x")).as[Double].collect()
+      assert(viaCoalesce.toSeq == viaWhen.toSeq)
+    }
+  }
+
+  test("property: group-avg imputation preserves row count, kills nulls, keeps values") {
+    samples(rowsGen).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      val out = Imputation.imputeByGroupAvg(df, "v", Seq("k"))
+      assert(out.filter($"v".isNull).count() == 0)
+      assert(out.count() == rows.length)
+      val got = out.as[(Int, Double)].collect().map(_._2).toSet
+      assert(rows.flatMap(_._2).forall(got.contains))
+    }
+  }
+
+  test("property: exact-dedup canonicals are min-id fixpoints") {
+    val g = Gen.nonEmptyListOf(Gen.oneOf("aa bb cc", "dd ee ff", "gg hh ii"))
+    samples(g).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.exactDedup(df, "text", "doc_id")
+        .as[(Long, Long, Boolean)].collect()
+      val canonOf = out.map(r => r._1 -> r._2).toMap
+      out.foreach { case (_, canon, _) =>
+        assert(canonOf(canon) == canon) // canonical rows map to themselves
+      }
+      out.groupBy(_._2).foreach { case (c, members) =>
+        assert(members.map(_._1).min == c) // canonical is the class min id
+      }
+      assert(out.length == texts.length)
+    }
+  }
+
+  test("property: pivot output has one row per distinct key") {
+    val g = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5),
+      Gen.oneOf("A", "B"), Gen.choose(-5.0, 5.0)))
+    samples(g).foreach { rows =>
+      val df = rows.toDF("k", "dt", "v")
+      val out = graft.operators.Pivot.longToWide(
+        df, Seq("k"), "dt", Seq("A", "B"), "v")
+      assert(out.count() == rows.map(_._1).distinct.length)
+    }
+  }
+}

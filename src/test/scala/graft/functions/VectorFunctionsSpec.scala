@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Custom-expression correctness: interpreted eval vs codegen, SQL
+  * registration via GraftExtensions, and parity with the built-in HOF
+  * formulations they replace.
+  */
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotProduct ≡ zip_with+aggregate, bit-for-bit") {
+    val df = Seq((Seq(1.5f, -2f, 3f), Seq(0.5f, 4f, -1f))).toDF("a", "b")
+    val hof = df.select(aggregate(
+      zip_with($"a", $"b", (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)).as[Double].collect()(0)
+    val custom = df.select(VectorFunctions.dotProduct($"a", $"b"))
+      .as[Double].collect()(0)
+    assert(custom == hof)
+    assert(custom == 1.5 * 0.5 + (-2.0) * 4.0 + 3.0 * (-1.0))
+  }
+
+  test("minhashSignature: k mins, stable, permutation-invariant") {
+    val df = Seq(Seq("aa", "bb", "cc"), Seq("cc", "aa", "bb")).toDF("sh")
+    val sigs = df.select(VectorFunctions.minhashSignature($"sh", 8))
+      .as[Seq[Long]].collect()
+    assert(sigs(0).length == 8)
+    assert(sigs(0) == sigs(1)) // set semantics: order must not matter
+  }
+
+  test("sortedIntersectCount: merge semantics") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L))).toDF("a", "b")
+    val out = df.select(VectorFunctions.sortedIntersectCount($"a", $"b"))
+      .as[Int].collect()
+    assert(out.toSeq == Seq(2, 0))
+  }
+
+  test("simhash60 matches the md5-hex definition the oracle uses") {
+    // independent recomputation of the 60-bit md5 hash for one token
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val h = Seq(Seq("tok")).toDF("t")
+      .select(VectorFunctions.simhash60($"t")).as[Long].collect()(0)
+    // single token: simhash = the token's own bit pattern (every bit
+    // votes +1 where set, -1 where clear)
+    assert(h == hash60("tok"))
+  }
+
+  test("SQL registration via GraftExtensions") {
+    val out = spark.sql(
+      """SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                   array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       simhash60(array('tok')) AS s,
+        |       sorted_intersect_count(array(1L, 2L), array(2L, 3L)) AS c,
+        |       size(minhash_signature(array('aa'), 4)) AS m""".stripMargin)
+      .collect()(0)
+    assert(out.getDouble(0) == 11.0)
+    assert(out.getLong(1) != 0L)
+    assert(out.getInt(2) == 1)
+    assert(out.getInt(3) == 4)
+  }
+}

@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PivotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("longToWide: explicit vocabulary, missing cells null, extra dropped") {
+    val df = Seq(
+      ("d1", "TMAX", 10.0), ("d1", "TMIN", 2.0),
+      ("d2", "TMAX", 8.0), ("d2", "ZZZ", 99.0))
+      .toDF("k", "dt", "v")
+    val out = Pivot.longToWide(df, Seq("k"), "dt", Seq("TMAX", "TMIN"), "v")
+      .orderBy("k").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("d1", "d2"))
+    assert(out(0).getDouble(1) == 10.0 && out(0).getDouble(2) == 2.0)
+    assert(out(1).getDouble(1) == 8.0 && out(1).isNullAt(2))
+    // vocabulary defines the schema — ZZZ never becomes a column
+    assert(out(0).schema.fieldNames.toSeq == Seq("k", "TMAX", "TMIN"))
+  }
+
+  test("longToWide: custom cell aggregate") {
+    val df = Seq(("d1", "A", 1.0), ("d1", "A", 2.0)).toDF("k", "dt", "v")
+    val out = Pivot.longToWide(df, Seq("k"), "dt", Seq("A"), "v",
+      c => sum(c)).collect()
+    assert(out(0).getDouble(1) == 3.0)
+  }
+}
+
+class GoldSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("remap: mapped values replaced, unmapped take the default") {
+    val df = Seq("click", "view", "other_thing").toDF("e")
+    val out = Gold.remap(df, "e", Map("click" -> "Click", "view" -> "View"),
+      lit("Other")).orderBy("e").as[String].collect()
+    assert(out.toSeq == Seq("Click", "Other", "View"))
+  }
+
+  test("monthYearSummary: empty valueCols is rejected, not a runtime crash") {
+    val df = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "ts")
+    intercept[IllegalArgumentException] {
+      Gold.monthYearSummary(df, "k", "ts", Seq.empty)
+    }
+  }
+
+  test("monthYearSummary: yyyy-MM buckets, multi-column averages") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("a", ts("2024-01-05 00:00:00"), 1.0, 10.0),
+      ("a", ts("2024-01-25 00:00:00"), 3.0, 30.0),
+      ("a", ts("2024-02-01 00:00:00"), 5.0, 50.0))
+      .toDF("k", "ts", "x", "y")
+    val out = Gold.monthYearSummary(df, "k", "ts", Seq("x", "y"))
+      .orderBy("month_year").collect()
+    assert(out.map(r => (r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+      == Seq(("2024-01", 2.0, 20.0), ("2024-02", 5.0, 50.0)))
+  }
+
+  test("yearlyTrend: exact slope/intercept on a perfect line") {
+    val ts = (y: Int) => java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    // y = 2x - 3000 on yearly averages
+    val df = (2000 to 2010).flatMap(y =>
+      Seq((ts(y), 2.0 * y - 3000 - 5), (ts(y), 2.0 * y - 3000 + 5)))
+      .toDF("ts", "v")
+    val r = Gold.yearlyTrend(df, "ts", "v").collect()(0)
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) + 3000.0) < 1e-6)
+  }
+
+  test("topK: deterministic under ties via tie-break ordering") {
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 1.0))
+      .toDF("id", "v")
+    val out = Gold.topK(df, 2, $"v".desc, $"id".asc).as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 5.0), (2L, 5.0)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: whitespace runs collapse, empties dropped") {
+    val out = Seq("  a  b\tc ").toDF("t")
+      .select(TextAnalysis.tokens($"t")).as[Seq[String]].collect()(0)
+    assert(out == Seq("a", "b", "c"))
+  }
+
+  test("langId: marker heuristics on natural snippets") {
+    val cases = Seq(
+      "the cat sat on the mat and the dog is here" -> "en",
+      "el perro y la casa que es de los gatos" -> "es",
+      "le chien et les maisons des chats est une" -> "fr",
+      "der hund und die katze ist von den bäumen" -> "de",
+      "这是一段中文文本没有空格" -> "zh",
+      "zzz qqq xxx" -> "und")
+    val df = cases.map(_._1).toDF("t")
+      .select($"t", TextAnalysis.langId($"t").as("p"))
+    val got = df.as[(String, String)].collect().toMap
+    cases.foreach { case (t, want) => assert(got(t) == want, s"for: $t") }
+  }
+
+  test("fingerprint: whitespace/case normalization collapses variants") {
+    val df = Seq("Hello  World", "hello world", "hello  WORLD ", "other")
+      .toDF("t").select(TextAnalysis.fingerprint($"t").as("f"))
+    val fps = df.as[String].collect()
+    assert(fps(0) == fps(1) && fps(1) == fps(2) && fps(0) != fps(3))
+  }
+
+  test("qualityScore: bounded [0,1], sensible ordering") {
+    val good = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the field with steady pace for a while longer") // >100 chars, stopwords, alpha
+    val bad = "1234 5678 !!!"
+    val out = Seq(good, bad).toDF("t")
+      .select(TextAnalysis.qualityScore($"t")).as[Double].collect()
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(0) > out(1))
+    assert(out(0) == 1.0)
+  }
+
+  test("token counts: subtokens split punctuation and digits apart") {
+    val out = Seq("ab12cd, efg!").toDF("t")
+      .select(TextAnalysis.tokenCount($"t"), TextAnalysis.subtokenCount($"t"))
+      .as[(Int, Int)].collect()(0)
+    // tokens: [ab12cd,] [efg!]  subtokens: ab|1|2|cd|,|efg|!
+    assert(out == ((2, 7)))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (2L, "completely different content about spark distributed execution engines"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+
+  test("exactDedup: canonical = min id per normalized content") {
+    val out = Dedup.exactDedup(base.toDF("doc_id", "text"), "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq((0L, 0L, false), (1L, 1L, false),
+      (2L, 2L, false), (3L, 0L, true)))
+  }
+
+  test("minhash LSH: catches the near-dup pair, skips unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(
+        base.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // one-word difference
+    assert(pairs.contains((0L, 3L))) // identical
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical texts hash equal; near-dups within small hamming") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h = Dedup.withSimhash(base.toDF("doc_id", "text"), "text")
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(h(0) == h(3))
+    assert(hamming(h(0), h(1)) < 15)
+    assert(hamming(h(0), h(2)) > 15)
+  }
+
+  test("ngram near-dup: blocked pairs above threshold only") {
+    val df = base.toDF("doc_id", "text").withColumn("blk", lit("b0"))
+    val pairs = Dedup.ngramNearDupPairs(df, "text", "doc_id", Seq("blk"),
+        threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)) && pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity, orthogonality, scale invariance") {
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 3f, 0f)),
+      (Seq(1f, 2f, 3f), Seq(2f, 4f, 6f)))
+      .toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1) == 0.0)
+    assert(math.abs(out(2) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: finds the planted nearest neighbor first") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.99f, 0.1f, 0f)), // nearest to 0
+      (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0L), 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out(0) == 1L)
+    assert(out.length == 2)
+  }
+
+  test("ivfTopK: k rows per query, ranks contiguous, no self-matches") {
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat / 11f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 3), 4,
+        numCentroids = 8, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      assert(rows.length == 4)
+    }
+    assert(out.forall(r => r._1 != r._2))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeMeta: deterministic stub metadata from payload bytes") {
+    val text = "some payload text for media"
+    val out = Multimodal.decodeMeta(
+        Multimodal.attachBlob(Seq((1L, text)).toDF("doc_id", "text")))
+      .as[MediaMeta].collect()(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.n_bytes == text.length)
+    assert(out.content_md5 == hex)
+    assert(out.width >= 320 && out.width < 1920)
+    assert(out.height >= 180 && out.height < 1080)
+    assert(out.n_frames == 1 + text.length % 30)
+  }
+
+  test("sampleFrames: evenly-strided slices, fingerprints match slices") {
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 bytes → stride 9
+    val out = Multimodal.sampleFrames(
+        Multimodal.attachBlob(Seq((1L, text)).toDF("doc_id", "text")))
+      .orderBy("frame_idx").as[MediaFrame].collect()
+    assert(out.length == 4)
+    assert(out.forall(_.frame_len == 9))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(text.substring(9, 18).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1).frame_md5 == want)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("windowedCounts: watermarked tumbling windows aggregate per type") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(ts(5), 1, "click", 1.0), Event(ts(10), 1, "click", 2.0),
+      Event(ts(20), 2, "view", 3.0))
+    val q = Streaming.windowedCounts(in.toDF(), "5 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("update").start()
+    drain(q)
+    val rows = spark.table("wc")
+      .select("event_type", "cnt", "total_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+
+  test("runningUserStats: state carries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("rs").outputMode("update").start()
+    in.addData(Event(ts(1), 7, "click", 1.0), Event(ts(2), 7, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(ts(3), 7, "purchase", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends each update; the latest row for
+    // user 7 carries the accumulated state
+    val last = spark.table("rs").as[UserStats].collect()
+      .filter(_.user_id == 7).maxBy(_.events)
+    assert(last == UserStats(7, 3, 7.0, "purchase"))
+  }
+
+  test("sessionize: gap closes a session and emits it; open session stays") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.sessionize(in.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // session 1: 10:01-10:04 (3 events); then 20-min silence → session 2
+    in.addData(Event(ts(1), 9, "click", 1.0), Event(ts(3), 9, "view", 2.0),
+      Event(ts(4), 9, "click", 3.0))
+    q.processAllAvailable()
+    in.addData(Event(ts(24), 9, "click", 10.0)) // closes session 1
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess").as[UserSession].collect()
+    assert(sessions.length == 1)
+    assert(sessions(0) == UserSession(9, ts(1), ts(4), 3, 6.0))
+  }
+}
