@@ -60,14 +60,17 @@ object CoreQueries {
           .as("charge"))
     }),
 
-    // J1: dimension-enrichment left joins; both dims broadcast
+    // J1+P9: dimension-enrichment left joins, disambiguated via
+    // DataFrame aliases (the reference's alias("data")/alias("location")
+    // pattern, Weather_API.py:312-313); both dims broadcast
     "q04_dim_enrich_join" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-      val n = broadcast(Tables.nation(s, d))
-      val r = broadcast(Tables.region(s, d))
-      c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
-        .join(r, n("n_regionkey") === r("r_regionkey"), "left")
-        .select(c("c_custkey"), c("c_name"), n("n_name"), r("r_name"))
+      val c = Tables.customer(s, d).as("c")
+      val n = broadcast(Tables.nation(s, d)).as("n")
+      val r = broadcast(Tables.region(s, d)).as("r")
+      c.join(n, col("c.c_nationkey") === col("n.n_nationkey"), "left")
+        .join(r, col("n.n_regionkey") === col("r.r_regionkey"), "left")
+        .select(col("c.c_custkey"), col("c.c_name"), col("n.n_name"),
+          col("r.r_name"))
     }),
 
     // A1: multi-key grouped averages
