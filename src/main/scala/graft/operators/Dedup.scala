@@ -126,6 +126,49 @@ object Dedup {
     df.withColumn(out, graft.functions.VectorFunctions.simhash60(
       array_distinct(TextAnalysis.tokens(col(textCol)))))
 
+  /** Near-dup CLUSTERS from a near-dup pair list: connected components
+    * labeled by their minimum doc id, via label propagation iterated to
+    * convergence (each sweep: every node takes the min label among
+    * itself and its neighbors; terminates after `diameter` sweeps).
+    *
+    * Scale notes: each sweep is one shuffle join on the (small) pair
+    * graph — near-dup graphs are sparse by construction (LSH emits few
+    * pairs per doc). Labels are persisted per sweep and the previous
+    * iteration unpersisted, so lineage doesn't grow with iterations (the
+    * classic iterative-algorithm failure mode). The convergence check is
+    * one tiny count per sweep.
+    *
+    * @return (id, cluster) for every node appearing in `pairs` —
+    *         compose with a left join + coalesce(cluster, id) for a
+    *         full-corpus canonical mapping (see q45).
+    */
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Blocked character-n-gram Jaccard near-dup pairs: all pairs within a
     * block (e.g. (lang, source)), never across blocks. The block-local
     * cross join is the documented trade-off vs LSH: exact recall inside

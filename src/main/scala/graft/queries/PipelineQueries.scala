@@ -75,6 +75,17 @@ object PipelineQueries {
       Dedup.ngramNearDupPairs(Tables.documents(s, d), "text", "doc_id",
         Seq("lang", "source"), threshold = 0.8)),
 
+    // Near-dup pairs → connected components → full-corpus canonical map.
+    "q45_neardup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 0.8)
+      val clusters = Dedup.nearDupClusters(pairs)
+      docs.select(col("doc_id"))
+        .join(clusters, docs("doc_id") === clusters("id"), "left")
+        .select(docs("doc_id"),
+          coalesce(col("cluster"), docs("doc_id")).as("cluster"))
+    }),
+
     // ── Similarity search ────────────────────────────────────────────
     "q39_embed_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
@@ -255,6 +266,43 @@ object PipelineQueries {
         |JOIN sz sa ON doc_a = sa.doc_id
         |JOIN sz sb ON doc_b = sb.doc_id
         |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+    // Oracle: exact connected components over the exact pair list, via a
+    // recursive transitive-closure CTE (tiny components; closure is fine
+    // at oracle scale). Spark's label propagation must converge to the
+    // same min-label per component.
+    "q45_neardup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM ix
+        |  JOIN sz sa ON doc_a = sa.doc_id
+        |  JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |lbl AS (
+        |  SELECT s AS doc_id, least(s, min(t)) AS cluster
+        |  FROM reach GROUP BY s)
+        |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+        |FROM documents d LEFT JOIN lbl l USING (doc_id)""".stripMargin,
     "q39_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

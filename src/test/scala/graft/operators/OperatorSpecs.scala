@@ -164,6 +164,15 @@ class DedupSpec extends SparkSpec {
     assert(hamming(h(0), h(2)) > 15)
   }
 
+  test("nearDupClusters: chained pairs converge to min-label components") {
+    // component {1,2,3,4} via a chain (diameter 3) + pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("ngram near-dup: blocked pairs above threshold only") {
     val df = base.toDF("doc_id", "text").withColumn("blk", lit("b0"))
     val pairs = Dedup.ngramNearDupPairs(df, "text", "doc_id", Seq("blk"),
