@@ -46,6 +46,26 @@ object VectorFunctions {
     */
   def simhash60(tokens: Column): Column =
     ExpressionUtils.column(SimHash60Expr(ExpressionUtils.expression(tokens)))
+
+  /** Bloom-filter aggregate over pre-hashed (xxhash64) longs — Spark's
+    * internal BloomFilterAggregate (the runtime-filter sketch), exposed
+    * as a library function. Bits sized at 8× items (FPP ≈ 2%).
+    */
+  def bloomFilterAgg(hashedKey: Column, expectedItems: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    ExpressionUtils.column(new BloomFilterAggregate(
+      ExpressionUtils.expression(hashedKey),
+      Literal(expectedItems), Literal(expectedItems * 8)
+    ).toAggregateExpression())
+  }
+
+  /** Membership probe against a [[bloomFilterAgg]] sketch. */
+  def mightContain(bloom: Column, hashedKey: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    ExpressionUtils.column(BloomFilterMightContain(
+      ExpressionUtils.expression(bloom), ExpressionUtils.expression(hashedKey)))
+  }
 }
 
 /** See [[VectorFunctions.minhashSignature]]. Null array elements are

@@ -143,8 +143,12 @@ object Dedup {
     *         full-corpus canonical mapping (see q45).
     */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Persist the pair list BEFORE the bidirectional union: both union
+    // branches reference it, and without the persist the (expensive
+    // upstream, e.g. LSH) pair pipeline materializes once per branch.
+    val p = pairs.persist()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).persist()
@@ -166,6 +170,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 

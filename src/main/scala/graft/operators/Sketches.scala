@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate/sketch aggregates — the operators that replace their
+  * exact counterparts first when data hits the 100 TB wall:
+  *
+  *  - [[approxProfile]]: HLL++ distinct counts and t-digest-style
+  *    quantiles in ONE pass with fixed memory per group, vs the full
+  *    shuffle + sort an exact distinct/percentile needs. Error is
+  *    bounded (rsd for HLL, `accuracy` for percentile_approx) and
+  *    unit-tested; values are engine-specific → rows-only at the
+  *    correctness gate.
+  *  - [[bloomSemiFilter]]: the bloom-filter semi-join — aggregate the
+  *    (small, filtered) build side into a bloom filter, broadcast the
+  *    few-KB sketch, and drop non-matching probe rows at scan speed. No
+  *    false negatives (verified in tests); false positives only widen
+  *    the output, which a downstream exact join removes. The classic
+  *    pre-join reducer when the probe side is 100 TB and the join would
+  *    otherwise shuffle all of it.
+  */
+object Sketches {
+
+  /** One-pass approximate profile per group: HLL++ distinct count of
+    * `distinctCol` (relative std dev `rsd`) + approximate quantiles of
+    * `valueCol`.
+    */
+  def approxProfile(df: DataFrame, groupCols: Seq[String], distinctCol: String,
+      valueCol: String, quantiles: Seq[Double] = Seq(0.5, 0.95),
+      rsd: Double = 0.05, accuracy: Int = 10000): DataFrame = {
+    val qs = quantiles.map(q => lit(q))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        approx_count_distinct(col(distinctCol), rsd).as("approx_distinct"),
+        percentile_approx(col(valueCol), array(qs: _*), lit(accuracy))
+          .as("approx_quantiles"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Bloom-filter semi-join: keep probe rows whose `probeKey` might be in
+    * the build side's `buildKey` set. `expectedItems` sizes the sketch
+    * (bits ≈ 8× items keeps FPP ≈ 2%).
+    */
+  def bloomSemiFilter(probe: DataFrame, probeKey: Column,
+      build: DataFrame, buildKey: Column,
+      expectedItems: Long = 100000L): DataFrame = {
+    // The sketch is a few KB by construction; materializing it to the
+    // driver and inlining it as a literal is the same move Spark's
+    // runtime row-group filtering makes (might_contain requires a
+    // constant bloom). The probe side — the 100 TB side — never moves.
+    val bf = build.agg(
+      graft.functions.VectorFunctions
+        .bloomFilterAgg(xxhash64(buildKey), expectedItems).as("__bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    probe.filter(graft.functions.VectorFunctions
+      .mightContain(lit(bf), xxhash64(probeKey)))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{Gold, Imputation, Pivot, Windows}
+import graft.operators.{Gold, Imputation, Pivot, Sketches, Windows}
 
 /** Reference-parity query registry (SURVEY.md §2), mapped onto the harness
   * tables (FIXTURES.md §B mapping: `events` plays the observations fact,
@@ -310,6 +310,40 @@ object CoreQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // Approximate one-pass profile (HLL++ distinct + approx quantiles):
+    // sketch values are engine-specific → rows-only check (no oracleSql);
+    // error bounds are unit-tested in SketchesSpec.
+    "q46_approx_profile" -> ((s, d) =>
+      Sketches.approxProfile(Tables.events(s, d), Seq("event_type"),
+        "user_id", "value")),
+
+    // Bloom-filter semi-join prefilter: approximate (bounded false
+    // positives, zero false negatives) → rows-only check.
+    "q47_bloom_semi_filter" -> ((s, d) => {
+      import s.implicits._
+      val hot = Tables.orders(s, d).filter($"o_totalprice" > 400000.0)
+      Sketches.bloomSemiFilter(
+        Tables.customer(s, d).select("c_custkey", "c_name"), $"c_custkey",
+        hot.select("o_custkey"), $"o_custkey")
+    }),
+
+    // OLAP rollup/cube (beyond-reference; absent in SURVEY §2.4 but
+    // standard Gold-layer shapes): subtotal grids in one pass — Spark
+    // expands grouping sets map-side instead of N separate scans.
+    "q48_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(r4(sum($"l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+
+    "q49_cube" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .cube($"event_type", ($"user_id" % 10).as("user_mod"))
+        .agg(r4(avg($"value")).as("avg_value"), count(lit(1)).as("cnt"))
+    }),
+
     // Skew-hardened rolling average (VERDICT r1 #8): the salted two-phase
     // variant must produce EXACTLY the plain window's results — its
     // oracle is the same windowed SQL as q20. chunkSize=32 forces chunk
@@ -474,6 +508,17 @@ object CoreQueries {
     "q29_year_filter" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE year(o_orderdate) = 1996""".stripMargin,
+    // q46/q47 intentionally absent (approximate sketches → rows-only).
+    "q48_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q49_cube" ->
+      """SELECT event_type, user_id % 10 AS user_mod,
+        | round(avg(value),4) AS avg_value, count(*) AS cnt
+        |FROM events
+        |GROUP BY CUBE(event_type, user_id % 10)""".stripMargin,
     // Identical to q20's oracle: the salted variant is an equivalence
     // claim, and the gate enforces it.
     "q44_salted_rolling" ->

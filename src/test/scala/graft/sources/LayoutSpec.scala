@@ -18,6 +18,16 @@ class LayoutSpec extends SparkSpec {
     df.queryExecution.executedPlan
 
   test("bucketed tables join without any shuffle exchange") {
+    // a previous JVM's managed-table dir survives while the in-memory
+    // catalog doesn't — clear orphan locations before CTAS
+    for (t <- Seq("bucketed_a", "bucketed_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     val df = (0 until 1000).map(i => (i.toLong % 50, s"v$i")).toDF("k", "v")
     Layout.writeBucketed(df, "bucketed_a", "k", 4)
     Layout.writeBucketed(df, "bucketed_b", "k", 4)
