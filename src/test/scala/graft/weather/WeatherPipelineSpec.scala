@@ -89,6 +89,17 @@ class WeatherPipelineSpec extends SparkSpec {
       .getAs[java.sql.Date]("Date_1").toString == "2024-03-05")
   }
 
+  test("golden: full Silver output matches the checked-in golden CSV (A4)") {
+    val got = silver.collect().map { r =>
+      (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "" else r.get(i).toString).mkString(",")
+    }.sorted
+    val want = scala.io.Source.fromFile(resource("silver_golden.csv"))
+      .getLines().toSeq
+    assert(silver.schema.fieldNames.mkString(",") == want.head)
+    assert(got.toSeq == want.tail.sorted)
+  }
+
   test("F8: dropNull removes rows null in the chosen subset only") {
     val out = Silver.dropNull(silver, Seq("latitude"))
     assert(out.count() == 3) // TEST5 row dropped
