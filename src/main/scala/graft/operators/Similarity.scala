@@ -61,12 +61,18 @@ object Similarity {
       .join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         dot(col("__qv"), col("__v")) / (col("__qn") * col("__vn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim"), 4).as("sim"))
+    // Top-k via the custom bounded-heap aggregate, not sort + window:
+    // each map task ships at most k candidates per query, so the shuffle
+    // is k × partitions rows instead of all N candidates (see
+    // graft.functions.TopKAggregate).
+    sims.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topKBy(col("neighbor_id"), col("sim"), k).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).as("rank"),
+        round(col("__e.score"), 4).as("sim"))
   }
 
   /** Embedding-cosine near-dup pairs: all (a < b) pairs with

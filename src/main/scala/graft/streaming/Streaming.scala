@@ -71,8 +71,9 @@ object Streaming {
     * `gapMs` of each other extend a session; a longer silence closes it
     * and emits it. Closed sessions flush on the batch AFTER the gap is
     * observed (event-time comparison against the batch's own events —
-    * deterministic for tests; production would add an event-time timeout
-    * to flush trailing sessions).
+    * deterministic for tests). Trailing sessions of keys that never see
+    * another event stay open; [[sessionizeEventTime]] adds the
+    * watermark-driven timeout that flushes them.
     */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
@@ -101,6 +102,54 @@ object Streaming {
           }
           cur.foreach(state.update)
           closed.result().iterator
+      }
+  }
+
+  /** [[sessionize]] plus event-time timeout: the input must carry a
+    * watermark on `ts`; when the watermark passes a session's
+    * end + gap, the session flushes even if its key never produces
+    * another event. This is the production-complete form — without the
+    * timeout, idle keys hold state forever (unbounded state at scale).
+    */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(user, new Timestamp(s.start),
+              new Timestamp(s.end), s.events, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, events = s.events + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += UserSession(user, new Timestamp(s.start),
+                    new Timestamp(s.end), s.events, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
       }
   }
 }

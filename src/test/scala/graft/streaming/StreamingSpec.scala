@@ -64,4 +64,24 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.length == 1)
     assert(sessions(0) == UserSession(9, ts(1), ts(4), 3, 6.0))
   }
+
+  test("sessionizeEventTime: watermark timeout flushes idle keys' sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.sessionizeEventTime(in.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_et").outputMode("append").start()
+    // user 20's session ends at 10:03; user 21 keeps the stream moving
+    in.addData(Event(ts(1), 20, "click", 1.0), Event(ts(3), 20, "view", 2.0))
+    q.processAllAvailable()
+    // advance event time well past 10:03 + 5min — only on ANOTHER key;
+    // user 20 never produces again, so only the timeout can flush it
+    in.addData(Event(ts(30), 21, "click", 7.0))
+    q.processAllAvailable()
+    in.addData(Event(ts(40), 21, "view", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val flushed = spark.table("sess_et").as[UserSession].collect()
+      .filter(_.user_id == 20)
+    assert(flushed.toSeq == Seq(UserSession(20, ts(1), ts(3), 2, 3.0)))
+  }
 }
