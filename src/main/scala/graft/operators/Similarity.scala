@@ -142,14 +142,16 @@ object Similarity {
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("__qv"), col("cid"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
     probes.join(assigned, "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("__qv"), col("__v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim"), 4).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topKBy(col("neighbor_id"), col("sim"), k).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).as("rank"),
+        round(col("__e.score"), 4).as("sim"))
   }
 }
