@@ -59,6 +59,21 @@ object PipelineQueries {
           sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
           round(avg(length(col("text"))), 4).as("avg_chars"))),
 
+    // Composite curation report — the end-user shape these operators
+    // exist for: per-source corpus health in one grouped pass.
+    "q50_curation_report" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+      val enriched = t.select(col("source"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.tokenCount(col("text")).as("nt"))
+      enriched.groupBy("source").agg(
+        count(lit(1)).as("docs"),
+        round(avg(col("q")), 4).as("avg_quality"),
+        sum(when(col("q") >= 0.75, 1L).otherwise(0L)).as("high_quality_docs"),
+        countDistinct(col("lang")).as("langs"),
+        round(avg(col("nt")), 4).as("avg_tokens"))
+    }),
+
     // ── Deduplication ────────────────────────────────────────────────
     "q35_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(docsWithDups(s, d), "text", "doc_id")),
@@ -173,6 +188,33 @@ object PipelineQueries {
         |  coalesce(swr >= 0.03, false)::INT +
         |  coalesce(ar >= 0.6, false)::INT) AS quality
         |FROM m""".stripMargin),
+    "q50_curation_report" ->
+      """WITH t AS (
+        |  SELECT source, lang, length(text) AS n,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |    text
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, lang, len(toks) AS nt,
+        |    0.25::DOUBLE * (
+        |      coalesce(n BETWEEN 100 AND 10000, false)::INT +
+        |      coalesce((CASE WHEN len(toks) > 0 THEN
+        |          list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END)
+        |        BETWEEN 3.0 AND 10.0, false)::INT +
+        |      coalesce((CASE WHEN len(toks) > 0 THEN
+        |          len(list_filter(toks, x -> list_contains(
+        |            ['the','a','an','and','of','to','in','is','for','on','with'], x)))::DOUBLE
+        |          / len(toks) END) >= 0.03, false)::INT +
+        |      coalesce((CASE WHEN n > 0 THEN
+        |          length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n END)
+        |        >= 0.6, false)::INT) AS q
+        |  FROM t)
+        |SELECT source, count(*) AS docs,
+        | round(avg(q), 4) AS avg_quality,
+        | sum(CASE WHEN q >= 0.75 THEN 1 ELSE 0 END) AS high_quality_docs,
+        | count(DISTINCT lang) AS langs,
+        | round(avg(nt), 4) AS avg_tokens
+        |FROM m GROUP BY source""".stripMargin,
     "q33_fingerprint" ->
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
