@@ -102,15 +102,49 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Lloyd-iteration k-means refinement of a centroid set, cosine
+    * metric, fully distributed: assign (broadcast centroids + `max_by`
+    * argmax), then recompute means element-wise via `posexplode` →
+    * grouped avg → array reassembly. Deterministic: ties in assignment
+    * break to the lowest centroid id; empty clusters keep their previous
+    * centroid (left join + coalesce).
+    */
+  def kmeansCentroids(
+      emb: DataFrame,
+      init: DataFrame,
+      iterations: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    var cents = init.select(col("cid"), col("__cv"))
+    for (_ <- 1 to iterations) {
+      val assigned = emb.select(col(idCol).as("nid"), col(vecCol).as("__v"))
+        .join(broadcast(cents))
+        .withColumn("__cs", cosine(col("__v"), col("__cv")))
+        .groupBy(col("nid"))
+        .agg(max_by(col("cid"), struct(col("__cs"), -col("cid"))).as("cid"),
+          first(col("__v")).as("__v"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("__nv"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("__nv"), col("__cv")).as("__cv"))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k — the scale path.
     *
-    * Deterministic coarse quantizer: the C lowest-id vectors act as
-    * centroids (k-means would converge better on real data; determinism
-    * matters more here). Every corpus vector is assigned to its nearest
-    * centroid (one broadcast join + `max_by` aggregation); each query
-    * probes its `nprobe` nearest centroids and ranks only those lists.
-    * Recall < 1 by construction — verified by rows/schema, not a value
-    * oracle.
+    * Coarse quantizer: the C lowest-id vectors act as initial centroids,
+    * optionally refined by `kmeansIterations` Lloyd sweeps
+    * ([[kmeansCentroids]]) — deterministic either way. Every corpus
+    * vector is assigned to its nearest centroid (one broadcast join +
+    * `max_by` aggregation); each query probes its `nprobe` nearest
+    * centroids and ranks only those lists. Recall < 1 by construction —
+    * verified by rows/schema, not a value oracle.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -118,10 +152,15 @@ object Similarity {
       k: Int,
       numCentroids: Int = 16,
       nprobe: Int = 4,
+      kmeansIterations: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(emb.orderBy(col(idCol).asc).limit(numCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("__cv")))
+    val init = emb.orderBy(col(idCol).asc).limit(numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("__cv"))
+    val cents = broadcast(
+      if (kmeansIterations > 0)
+        kmeansCentroids(emb, init, kmeansIterations, idCol, vecCol)
+      else init)
 
     // Inverted lists: nearest centroid per corpus vector (argmax via
     // max_by — one pass, no window).

@@ -211,6 +211,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 2)
   }
 
+  test("kmeans-refined IVF recovers planted clusters (nprobe=1, full recall)") {
+    // 4 tight clusters around orthogonal axes; k-means must pull the
+    // centroids onto them, after which probing ONE list suffices.
+    val emb = (0L until 40L).map { i =>
+      val axis = (i % 4).toInt
+      val v = Array.tabulate(8)(j =>
+        (if (j == axis * 2) 10f else 0f) + ((i * 13 + j) % 5) * 0.1f)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 4), 5,
+        numCentroids = 4, nprobe = 1, kmeansIterations = 3)
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    // every neighbor comes from the query's own cluster (i % 4 matches)
+    out.foreach { case (q, n, _, _) => assert(n % 4 == q % 4,
+      s"neighbor $n not in query $q's cluster") }
+    byQ.values.foreach(rows => assert(rows.length == 5))
+  }
+
   test("ivfTopK: k rows per query, ranks contiguous, no self-matches") {
     val emb = (0L until 40L).map(i =>
       (i, Seq.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat / 11f)))
