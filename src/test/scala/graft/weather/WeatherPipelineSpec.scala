@@ -100,6 +100,30 @@ class WeatherPipelineSpec extends SparkSpec {
     assert(got.toSeq == want.tail.sorted)
   }
 
+  test("WeatherGold: the reference's Gold analytics over the fixture") {
+    val series = WeatherGold.stationSeries(silver, "GHCND:TEST1",
+      Seq("Date_1", "avg_temperature_rounded")).collect()
+    assert(series.map(_.getDouble(1)).toSeq == Seq(6.0, 7.4)) // date order
+
+    val clim = WeatherGold.monthlyClimatology(silver, "avg_temperature_rounded")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(clim.contains(("GHCND:TEST1", 1, 6.0)))
+    assert(clim.contains(("GHCND:TEST1", 2, 7.4)))
+
+    val corr = WeatherGold.precipTempCorrelation(silver).collect()(0)
+    assert(corr.isNullAt(0)) // single non-null precipitation row → undefined
+
+    val geo = WeatherGold.monthYearGeoSummary(silver,
+        Seq("avg_wind_speed")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(geo.contains(("GHCND:TEST1", "2024-01", 5.0)))
+
+    val named = WeatherGold.stationDisplayNames(silver,
+        Map("GHCND:TEST1" -> "One", "GHCND:TEST2" -> "Two"))
+      .select("station").collect().map(_.getString(0)).toSet
+    assert(named == Set("One", "Two", "Unknown"))
+  }
+
   test("F8: dropNull removes rows null in the chosen subset only") {
     val out = Silver.dropNull(silver, Seq("latitude"))
     assert(out.count() == 3) // TEST5 row dropped
