@@ -23,6 +23,36 @@ object Bronze {
   def readLongCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").schema(WeatherSchemas.noaaLong).csv(path)
 
+  /** S3, audit-grade: PERMISSIVE parse with malformed lines captured in a
+    * `_corrupt_record` column instead of silently nulled or failing the
+    * job — at ingest scale some malformed lines are a certainty, and the
+    * split lets the pipeline load clean rows while quarantining bad ones
+    * ([[corruptSplit]]).
+    */
+  def readLongCsvAudited(spark: SparkSession, path: String): DataFrame = {
+    val schema = WeatherSchemas.noaaLong
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema)
+      .csv(path)
+  }
+
+  /** Split an audited read into (clean rows, quarantined raw lines). */
+  def corruptSplit(df: DataFrame): (DataFrame, DataFrame) = {
+    // PERMISSIVE + corrupt-column requires caching or a re-read for the
+    // corrupt column to be referable; a persisted split is the documented
+    // Spark pattern.
+    val cached = df.cache()
+    val clean = cached.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = cached.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record")
+    (clean, bad)
+  }
+
   /** S3 — station dimension CSV (Weather_API.py:287-295 shape). */
   def readStationCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").schema(WeatherSchemas.station).csv(path)

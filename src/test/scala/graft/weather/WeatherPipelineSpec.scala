@@ -129,6 +129,16 @@ class WeatherPipelineSpec extends SparkSpec {
     assert(out.count() == 3) // TEST5 row dropped
   }
 
+  test("S3 audited: malformed CSV lines quarantine instead of failing/nulling") {
+    val (clean, bad) = Bronze.corruptSplit(
+      Bronze.readLongCsvAudited(spark, resource("noaa_long_corrupt.csv")))
+    assert(clean.count() == 2) // TMAX + PRCP rows
+    val badLines = bad.collect().map(_.getString(0))
+    assert(badLines.length == 2)
+    assert(badLines.exists(_.contains("not parseable")))
+    assert(badLines.exists(_.contains("not_a_number")))
+  }
+
   test("S4/S5: in-memory table with explicit schema") {
     val rows = Seq(Row("GHCND:X", "NAME", 1.0, 2.0))
     val df = Bronze.fromRows(spark, rows, WeatherSchemas.station)
