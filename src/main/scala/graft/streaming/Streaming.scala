@@ -45,6 +45,17 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("total_value"))
 
+  /** Stream–static enrichment: join the unbounded stream against a
+    * (small) static dimension — planned as a broadcast hash join per
+    * micro-batch, no stream-side state. The streaming analogue of J1
+    * (station enrichment).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events(streamKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
+
   /** Running per-user stats via mapGroupsWithState — arbitrary keyed
     * state, updated per micro-batch (the streaming analogue of the
     * grouped aggregations A1/A2).

@@ -65,6 +65,45 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(0) == UserSession(9, ts(1), ts(4), 3, 6.0))
   }
 
+  test("enrichStream: stream-static broadcast join enriches each micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("uid", "name")
+    val in = MemoryStream[Event]
+    val q = Streaming.enrichStream(in.toDF(), dim, "user_id", "uid")
+      .select("user_id", "event_type", "name")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    in.addData(Event(ts(1), 1, "click", 1.0), Event(ts(2), 3, "view", 2.0))
+    drain(q)
+    val rows = spark.table("enr").as[(Long, String, Option[String])]
+      .collect().toSet
+    assert(rows == Set((1L, "click", Some("alice")), (3L, "view", None)))
+  }
+
+  test("file sink: streaming parquet write with checkpoint survives a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val in = MemoryStream[Event]
+    def start() = Streaming.windowedCounts(in.toDF(), "5 minutes", "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    in.addData(Event(ts(1), 1, "click", 1.0), Event(ts(2), 1, "click", 2.0))
+    q1.processAllAvailable()
+    // advance the watermark past the first window's end (10:30 + delay),
+    // then one more batch so append mode emits the finalized window
+    in.addData(Event(Timestamp.valueOf("2024-01-01 11:30:00"), 2, "view", 9.0))
+    q1.processAllAvailable()
+    in.addData(Event(Timestamp.valueOf("2024-01-01 11:31:00"), 2, "view", 9.0))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // restart from the checkpoint — no reprocessing
+    in.addData(Event(Timestamp.valueOf("2024-01-01 12:30:00"), 2, "view", 1.0))
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(s"$base/out")
+    val clicks = out.filter($"event_type" === "click").collect()
+    assert(clicks.length == 1 && clicks(0).getAs[Long]("cnt") == 2)
+  }
+
   test("sessionizeEventTime: watermark timeout flushes idle keys' sessions") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
