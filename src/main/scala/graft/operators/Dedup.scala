@@ -188,24 +188,39 @@ object Dedup {
       blockCols: Seq[String],
       threshold: Double = 0.8,
       n: Int = 3): DataFrame = {
+    require(threshold > 0.5 && threshold <= 1.0,
+      s"ngram near-dup threshold must be in (0.5, 1], got $threshold")
     // Grams are hashed to longs and SORTED once per doc, so the pairwise
     // intersection is a codegen'd linear merge
     // ([[graft.functions.SortedIntersectCountExpr]]) instead of an
     // interpreted hash-set intersect per pair. Jaccard counts are
     // unchanged (64-bit collisions within a doc pair are ~1e-12 events).
-    // A size prefilter (J ≥ t forces |a|/|b| ≥ t) short-circuits most
-    // pairs before any merge runs.
+    //
+    // Size banding is part of the JOIN KEY, not just a post-filter:
+    // J ≥ t forces min/max gram-count ratio ≥ t, so with log-base 1/t
+    // bands an eligible pair's bands differ by at most 1. One side joins
+    // on its own band; the other replicates to {β-1, β, β+1} — every
+    // eligible pair matches exactly once (on the a-side band) and the
+    // per-bucket fan-out drops by ~#bands/3. The exact ratio check stays
+    // in the condition (banding is necessary, not sufficient).
+    val logB = math.log(1.0 / threshold)
+    def bandOf(sz: Column): Column =
+      floor(log(sz.cast("double")) / logB).cast("long")
     val g = df.select(col(idCol).as("id"),
       struct(blockCols.map(col): _*).as("blk"),
       hashedCharGrams(col(textCol), n).as("g"))
-    val a = g.select(col("blk"), col("id").as("doc_a"), col("g").as("g_a"))
-    val b = g.select(col("blk"), col("id").as("doc_b"), col("g").as("g_b"))
+    val a = g.select(col("blk"), col("id").as("doc_a"), col("g").as("g_a"),
+      bandOf(size(col("g"))).as("band"))
+    val b = g.select(col("blk"), col("id").as("doc_b"), col("g").as("g_b"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("__d"))
+      .withColumn("band", bandOf(size(col("g_b"))) + col("__d"))
+      .drop("__d")
     val sizeOk = least(size(col("g_a")), size(col("g_b"))).cast("double") /
       greatest(size(col("g_a")), size(col("g_b"))).cast("double") >= threshold
     val inter = graft.functions.VectorFunctions
       .sortedIntersectCount(col("g_a"), col("g_b"))
     val union = size(col("g_a")) + size(col("g_b")) - inter
-    a.join(b, Seq("blk")).filter(col("doc_a") < col("doc_b") && sizeOk)
+    a.join(b, Seq("blk", "band")).filter(col("doc_a") < col("doc_b") && sizeOk)
       .withColumn("jaccard", inter.cast("double") / union.cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
