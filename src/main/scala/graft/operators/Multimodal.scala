@@ -16,6 +16,9 @@ case class MediaMeta(doc_id: Long, format: String, n_bytes: Long,
 case class MediaFrame(doc_id: Long, frame_idx: Int, frame_len: Int,
     frame_md5: String)
 
+/** Fixed-width feature vector extracted from a payload. */
+case class MediaFeature(doc_id: Long, feature: Array[Float])
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
@@ -70,6 +73,59 @@ object Multimodal {
           val h = hex(md.digest(b.media))
           val (w, ht, nf) = fakeDecode(h, b.media.length.toLong)
           MediaMeta(b.doc_id, b.format, b.media.length.toLong, h, w, ht, nf)
+        }
+      }
+      .toDF()
+  }
+
+  /** Batch feature extraction: a normalized byte-value histogram as the
+    * deterministic stand-in for an encoder's embedding (`dims` bins over
+    * the 0-255 byte range, L1-normalized). The contract — binary in,
+    * fixed-width float vector out, partition-batched, composable with
+    * [[Similarity]] ANN over the resulting column — is the real surface;
+    * swap the histogram for a model call to go live.
+    */
+  def extractFeatures(df: DataFrame, dims: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"), col("format")).as[MediaBlob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val hist = new Array[Float](dims)
+          var i = 0
+          while (i < b.media.length) {
+            hist(((b.media(i) & 0xff) * dims) >> 8) += 1f
+            i += 1
+          }
+          val n = math.max(1, b.media.length).toFloat
+          var j = 0
+          while (j < dims) { hist(j) /= n; j += 1 }
+          MediaFeature(b.doc_id, hist)
+        }
+      }
+      .toDF()
+  }
+
+  /** "Resize": stride-resample the payload to at most `targetBytes`
+    * bytes (every ceil(len/target)-th byte) — the byte-level stand-in
+    * for image downscaling. Deterministic; output stays a [[MediaBlob]]
+    * so downstream stages ([[decodeMeta]], [[extractFeatures]]) compose.
+    */
+  def resample(df: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"), col("format")).as[MediaBlob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val len = b.media.length
+          if (len <= targetBytes) b
+          else {
+            val stride = (len + targetBytes - 1) / targetBytes
+            val out = new Array[Byte]((len + stride - 1) / stride)
+            var i = 0
+            while (i < out.length) { out(i) = b.media(i * stride); i += 1 }
+            MediaBlob(b.doc_id, out, b.format + s";resampled=$stride")
+          }
         }
       }
       .toDF()

@@ -266,6 +266,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out.n_frames == 1 + text.length % 30)
   }
 
+  test("extractFeatures: L1-normalized byte histogram, ANN-composable shape") {
+    val out = Multimodal.extractFeatures(
+        Multimodal.attachBlob(Seq((1L, "aaaabbbb")).toDF("doc_id", "text")), 16)
+      .as[MediaFeature].collect()(0)
+    assert(out.feature.length == 16)
+    assert(math.abs(out.feature.sum - 1.0f) < 1e-6)
+    // 'a'(97) and 'b'(98) both land in bin (97*16)>>8 = 6
+    assert(out.feature(6) == 1.0f)
+  }
+
+  test("resample: stride subsampling bounds size, short payloads untouched") {
+    val df = Multimodal.attachBlob(
+      Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text"))
+    val out = Multimodal.resample(df, targetBytes = 4)
+      .as[MediaBlob].collect().sortBy(_.doc_id)
+    assert(out(0).media.toSeq == "adgj".getBytes("UTF-8").toSeq) // stride 3
+    assert(out(0).format == "raw;resampled=3")
+    assert(out(1).media.toSeq == "xy".getBytes("UTF-8").toSeq) // unchanged
+    // composes with the decoder
+    assert(Multimodal.decodeMeta(Multimodal.resample(df, 4)).count() == 2)
+  }
+
   test("sampleFrames: evenly-strided slices, fingerprints match slices") {
     val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 bytes → stride 9
     val out = Multimodal.sampleFrames(
