@@ -310,6 +310,17 @@ object CoreQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // Semi-structured JSON column ops: typed from_json projection and
+    // path extraction — both push the parse into codegen'd expressions
+    // (no UDF, schema declared so the parser skips inference).
+    "q51_json_extract" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d).select(
+        $"event_id",
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k_typed"),
+        get_json_object($"props", "$.k").cast("int").as("k_path"))
+    }),
+
     // Approximate one-pass profile (HLL++ distinct + approx quantiles):
     // sketch values are engine-specific → rows-only check (no oracleSql);
     // error bounds are unit-tested in SketchesSpec.
@@ -508,6 +519,11 @@ object CoreQueries {
     "q29_year_filter" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q51_json_extract" ->
+      """SELECT event_id,
+        | CAST(props->>'$.k' AS INT) AS k_typed,
+        | CAST(props->>'$.k' AS INT) AS k_path
+        |FROM events""".stripMargin,
     // q46/q47 intentionally absent (approximate sketches → rows-only).
     "q48_rollup" ->
       """SELECT l_returnflag, l_linestatus,

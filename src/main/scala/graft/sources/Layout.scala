@@ -33,4 +33,17 @@ object Layout {
       buckets: Int): Unit =
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** JSON-lines sink (interchange format; parquet remains the analytic
+    * format — JSON trades 5-10× size for universality).
+    */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSON-lines source with the schema APPLIED — skipping inference
+    * avoids the extra full scan Spark otherwise runs to sample types.
+    */
+  def readJsonLines(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

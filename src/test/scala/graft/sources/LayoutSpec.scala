@@ -42,6 +42,17 @@ class LayoutSpec extends SparkSpec {
     assert(smj.count() == 1000L * 20) // 50 keys × 20×20 matches... sanity
   }
 
+  test("JSON-lines sink/source round-trips with an applied schema") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/j"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    Layout.writeJsonLines(df, dir)
+    val back = Layout.readJsonLines(spark, dir, df.schema)
+    // applied, not inferred (names+types; JSON reads are always nullable)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("partitioned write enables partition pruning at scan") {
     val dir = Files.createTempDirectory("graft_part").toString + "/t"
     val df = Seq((2023, 1L, "a"), (2023, 2L, "b"), (2024, 3L, "c"))
