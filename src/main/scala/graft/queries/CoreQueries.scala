@@ -321,6 +321,30 @@ object CoreQueries {
         get_json_object($"props", "$.k").cast("int").as("k_path"))
     }),
 
+    // Complex-type aggregation: per-entity sorted distinct array — the
+    // array stays distributed end-to-end (built by the aggregate, not
+    // collected) and compares as a value against the oracle's list.
+    "q52_array_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_set($"event_type")).as("types"))
+        .select($"user_id", $"types", size($"types").as("n_types"))
+    }),
+
+    // Generator coverage: explode whitespace tokens (Generate operator),
+    // then re-aggregate — the scatter/gather shape of token-level
+    // corpus statistics.
+    "q53_explode_tokens" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"lang", explode(split($"text", "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"lang", $"tok")
+        .agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 100)
+    }),
+
     // Approximate one-pass profile (HLL++ distinct + approx quantiles):
     // sketch values are engine-specific → rows-only check (no oracleSql);
     // error bounds are unit-tested in SketchesSpec.
@@ -524,6 +548,18 @@ object CoreQueries {
         | CAST(props->>'$.k' AS INT) AS k_typed,
         | CAST(props->>'$.k' AS INT) AS k_path
         |FROM events""".stripMargin,
+    "q52_array_agg" ->
+      """SELECT user_id,
+        | list_sort(list(DISTINCT event_type)) AS types,
+        | len(list(DISTINCT event_type)) AS n_types
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q53_explode_tokens" ->
+      """SELECT lang, u.tok, count(*) AS cnt
+        |FROM (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents) u
+        |GROUP BY lang, u.tok HAVING count(*) >= 100""".stripMargin,
     // q46/q47 intentionally absent (approximate sketches → rows-only).
     "q48_rollup" ->
       """SELECT l_returnflag, l_linestatus,
