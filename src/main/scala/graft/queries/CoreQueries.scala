@@ -345,6 +345,43 @@ object CoreQueries {
         .filter($"cnt" >= 100)
     }),
 
+    // Semi/anti joins: existence checks as dedicated join types — no
+    // duplicate inflation, and the probe side streams (broadcast the
+    // small existence set at scale).
+    "q54_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val hot = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000.0).select("o_custkey")
+      c.join(hot, c("c_custkey") === hot("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    "q55_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val hot = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000.0).select("o_custkey")
+      c.join(hot, c("c_custkey") === hot("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Set operations (absent from the reference — SURVEY §2.7):
+    // INTERSECT/EXCEPT plan as semi/anti joins over distinct inputs.
+    "q56_intersect" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      e.filter($"event_type" === "click").select($"user_id")
+        .intersect(e.filter($"event_type" === "purchase" && $"value" > 200.0)
+          .select($"user_id"))
+    }),
+
+    "q57_except" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      e.filter($"event_type" === "click").select($"user_id")
+        .except(e.filter($"event_type" === "purchase" && $"value" > 200.0)
+          .select($"user_id"))
+    }),
+
     // Approximate one-pass profile (HLL++ distinct + approx quantiles):
     // sketch values are engine-specific → rows-only check (no oracleSql);
     // error bounds are unit-tested in SketchesSpec.
@@ -560,6 +597,24 @@ object CoreQueries {
         |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
         |  FROM documents) u
         |GROUP BY lang, u.tok HAVING count(*) >= 100""".stripMargin,
+    "q54_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
+    "q55_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
+    "q56_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events
+        |WHERE event_type = 'purchase' AND value > 200.0""".stripMargin,
+    "q57_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events
+        |WHERE event_type = 'purchase' AND value > 200.0""".stripMargin,
     // q46/q47 intentionally absent (approximate sketches → rows-only).
     "q48_rollup" ->
       """SELECT l_returnflag, l_linestatus,
