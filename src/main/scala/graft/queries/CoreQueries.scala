@@ -382,6 +382,31 @@ object CoreQueries {
           .select($"user_id"))
     }),
 
+    // Full outer join: both-sides-preserved reconciliation (neither the
+    // reference nor q04's left joins cover it) — supplier keys vs the
+    // keys lineitem actually references.
+    "q58_full_outer" -> ((s, d) => {
+      import s.implicits._
+      val sup = Tables.supplier(s, d).select($"s_suppkey", $"s_name")
+      val used = Tables.lineitem(s, d)
+        .filter($"l_quantity" > 45).groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("heavy_lines"))
+      sup.join(used, sup("s_suppkey") === used("l_suppkey"), "full_outer")
+        .select($"s_suppkey", $"s_name", $"l_suppkey", $"heavy_lines")
+    }),
+
+    // SQL interface + scalar subquery: the engine's spark.sql surface
+    // over registered views, with an uncorrelated scalar subquery the
+    // optimizer turns into a one-row broadcast.
+    "q59_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_v
+          |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_v)
+          |""".stripMargin)
+    }),
+
     // Approximate one-pass profile (HLL++ distinct + approx quantiles):
     // sketch values are engine-specific → rows-only check (no oracleSql);
     // error bounds are unit-tested in SketchesSpec.
@@ -615,6 +640,16 @@ object CoreQueries {
         |EXCEPT
         |SELECT user_id FROM events
         |WHERE event_type = 'purchase' AND value > 200.0""".stripMargin,
+    "q58_full_outer" ->
+      """SELECT s.s_suppkey, s.s_name, u.l_suppkey, u.heavy_lines
+        |FROM (SELECT s_suppkey, s_name FROM supplier) s
+        |FULL OUTER JOIN (
+        |  SELECT l_suppkey, count(*) AS heavy_lines
+        |  FROM lineitem WHERE l_quantity > 45 GROUP BY l_suppkey) u
+        |ON s.s_suppkey = u.l_suppkey""".stripMargin,
+    "q59_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
     // q46/q47 intentionally absent (approximate sketches → rows-only).
     "q48_rollup" ->
       """SELECT l_returnflag, l_linestatus,
