@@ -50,5 +50,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "simhash60",
       "simhash60(tokens) - 60-bit md5-derived SimHash of a token set",
       (args: Seq[Expression]) => SimHash60Expr(args.head))
+    reg(ext, "token_stats",
+      "token_stats(text) - one-pass (n_tokens, token_chars, stopword_hits)",
+      (args: Seq[Expression]) =>
+        TokenStatsExpr(args.head, TokenStatsExpr.DefaultStopwords))
   }
 }

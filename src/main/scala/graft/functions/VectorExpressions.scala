@@ -150,13 +150,18 @@ case class DotProductExpr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // acc must be freshName'd too: with non-nullable children the block
+      // is emitted without enclosing braces, so a second dot_product in
+      // the same codegen stage would redeclare a hardcoded local and fail
+      // compilation (→ silent interpreted fallback).
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += ((double) $a.$getX($i)) * ((double) $b.$getY($i));
+         |  $acc += ((double) $a.$getX($i)) * ((double) $b.$getY($i));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }

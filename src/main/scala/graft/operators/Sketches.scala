@@ -24,18 +24,34 @@ object Sketches {
 
   /** One-pass approximate profile per group: HLL++ distinct count of
     * `distinctCol` (relative std dev `rsd`) + approximate quantiles of
-    * `valueCol`.
+    * `valueCol`, one scalar column per requested quantile (`p50`, `p95`,
+    * `p99_9`, ...). All quantiles still come from ONE
+    * `percentile_approx` sketch pass; they are split into scalars only at
+    * the output boundary (scalar columns sort/compare everywhere arrays
+    * don't, and named percentiles are the nicer API anyway).
     */
   def approxProfile(df: DataFrame, groupCols: Seq[String], distinctCol: String,
       valueCol: String, quantiles: Seq[Double] = Seq(0.5, 0.95),
       rsd: Double = 0.05, accuracy: Int = 10000): DataFrame = {
     val qs = quantiles.map(q => lit(q))
-    df.groupBy(groupCols.map(col): _*)
+    val agged = df.groupBy(groupCols.map(col): _*)
       .agg(
         approx_count_distinct(col(distinctCol), rsd).as("approx_distinct"),
         percentile_approx(col(valueCol), array(qs: _*), lit(accuracy))
-          .as("approx_quantiles"),
+          .as("__q"),
         count(lit(1)).as("cnt"))
+    val qCols = quantiles.zipWithIndex.map { case (q, i) =>
+      element_at(col("__q"), i + 1).as(quantileColName(q))
+    }
+    agged.select(groupCols.map(col) ++
+      (col("approx_distinct") +: qCols :+ col("cnt")): _*)
+  }
+
+  /** "p50", "p95", "p99_9" — column name for a quantile fraction. */
+  private def quantileColName(q: Double): String = {
+    val pct = BigDecimal(q * 100).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
+    "p" + pct.replace(".", "_")
   }
 
   /** Bloom-filter semi-join: keep probe rows whose `probeKey` might be in

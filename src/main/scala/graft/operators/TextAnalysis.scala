@@ -18,8 +18,18 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** One-pass (n_tokens, token_chars, stopword_hits) struct — the
+    * codegen'd kernel every token-derived stat projects from
+    * ([[graft.functions.TextStatsFunctions.tokenStats]]). All consumers
+    * share one deterministic subtree, so codegen subexpression
+    * elimination runs the text walk once per row regardless of how many
+    * stats a query asks for.
+    */
+  private def tokStats(text: Column): Column =
+    graft.functions.TextStatsFunctions.tokenStats(text, StopwordsEn)
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = tokStats(text).getField("n_tokens")
 
   /** BPE-ish subword count: alphabetic runs, single digits, punctuation
     * runs — the coarse shape of byte-pair tokenizer pretokenization (one
@@ -30,9 +40,8 @@ object TextAnalysis {
 
   /** Mean token length (null on empty text). */
   def avgTokenLen(text: Column): Column = {
-    val t = tokens(text)
-    val totalChars = aggregate(t, lit(0), (acc, x) => acc + length(x))
-    when(size(t) > 0, totalChars.cast("double") / size(t).cast("double"))
+    val st = tokStats(text)
+    ratio(st.getField("token_chars"), st.getField("n_tokens"))
   }
 
   /** Fraction of characters that are punctuation (non-word, non-space). */
@@ -45,13 +54,12 @@ object TextAnalysis {
     ratio(length(text) - length(regexp_replace(text, "[0-9]", "")), length(text))
 
   /** English stopwords used by [[stopwordRatio]] and the quality score. */
-  val StopwordsEn: Seq[String] =
-    Seq("the", "a", "an", "and", "of", "to", "in", "is", "for", "on", "with")
+  val StopwordsEn: Seq[String] = graft.functions.TokenStatsExpr.DefaultStopwords
 
   /** Fraction of tokens that are (English) stopwords. */
   def stopwordRatio(text: Column): Column = {
-    val t = tokens(text)
-    ratio(size(filter(t, x => x.isin(StopwordsEn: _*))), size(t))
+    val st = tokStats(text)
+    ratio(st.getField("stopword_hits"), st.getField("n_tokens"))
   }
 
   private def ratio(num: Column, den: Column): Column =

@@ -323,13 +323,16 @@ object CoreQueries {
 
     // Complex-type aggregation: per-entity sorted distinct array — the
     // array stays distributed end-to-end (built by the aggregate, not
-    // collected) and compares as a value against the oracle's list.
+    // collected). The array is serialized to a CSV scalar at the output
+    // boundary only, so the value oracle can hash it (the driver's
+    // comparator can't sort raw array columns).
     "q52_array_agg" -> ((s, d) => {
       import s.implicits._
       Tables.events(s, d)
         .groupBy($"user_id")
-        .agg(sort_array(collect_set($"event_type")).as("types"))
-        .select($"user_id", $"types", size($"types").as("n_types"))
+        .agg(sort_array(collect_set($"event_type")).as("__types"))
+        .select($"user_id", array_join($"__types", ",").as("types"),
+          size($"__types").as("n_types"))
     }),
 
     // Generator coverage: explode whitespace tokens (Generate operator),
@@ -403,7 +406,7 @@ object CoreQueries {
       s.sql(
         """SELECT o_orderkey, o_custkey, o_totalprice
           |FROM orders_v
-          |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_v)
+          |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders_v)
           |""".stripMargin)
     }),
 
@@ -612,7 +615,7 @@ object CoreQueries {
         |FROM events""".stripMargin,
     "q52_array_agg" ->
       """SELECT user_id,
-        | list_sort(list(DISTINCT event_type)) AS types,
+        | array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         | len(list(DISTINCT event_type)) AS n_types
         |FROM events GROUP BY user_id""".stripMargin,
     "q53_explode_tokens" ->
@@ -649,7 +652,7 @@ object CoreQueries {
         |ON s.s_suppkey = u.l_suppkey""".stripMargin,
     "q59_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
     // q46/q47 intentionally absent (approximate sketches → rows-only).
     "q48_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -211,7 +211,7 @@ object PipelineQueries {
         |  FROM t)
         |SELECT source, count(*) AS docs,
         | round(avg(q), 4) AS avg_quality,
-        | sum(CASE WHEN q >= 0.75 THEN 1 ELSE 0 END) AS high_quality_docs,
+        | sum(CASE WHEN q >= 0.75 THEN 1 ELSE 0 END)::BIGINT AS high_quality_docs,
         | count(DISTINCT lang) AS langs,
         | round(avg(nt), 4) AS avg_tokens
         |FROM m GROUP BY source""".stripMargin,
@@ -224,7 +224,7 @@ object PipelineQueries {
         |  SELECT lang, length(text) AS n,
         |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
         |  FROM documents)
-        |SELECT lang, count(*) AS docs, sum(nt) AS total_tokens,
+        |SELECT lang, count(*) AS docs, sum(nt)::BIGINT AS total_tokens,
         | round(avg(n), 4) AS avg_chars
         |FROM t GROUP BY lang""".stripMargin,
     "q35_exact_dedup" ->

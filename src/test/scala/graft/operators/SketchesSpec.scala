@@ -25,7 +25,7 @@ class SketchesSpec extends SparkSpec {
       val ad = row.getAs[Long]("approx_distinct")
       assert(math.abs(ad - ed).toDouble / ed < 0.15,
         s"approx $ad vs exact $ed") // 3× rsd safety margin
-      val med = row.getAs[Seq[Double]]("approx_quantiles").head
+      val med = row.getAs[Double]("p50")
       assert(med >= 0 && med <= 96)
     }
   }
