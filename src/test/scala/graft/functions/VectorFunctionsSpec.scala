@@ -53,6 +53,58 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(h == hash60("tok"))
   }
 
+  test("multiple dot_products in one codegen stage compile cleanly") {
+    // Regression: the codegen accumulator local must be freshName'd —
+    // with NON-NULLABLE children nullSafeCodeGen emits the block without
+    // enclosing braces, so a hardcoded `double acc` would be redeclared
+    // by the second dot in the same stage (generated-code compile error →
+    // silent interpreted fallback). fallback=false turns that into a
+    // test failure; non-foldable non-nullable inputs (range id) keep the
+    // optimizer from constant-folding the dots away.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val a = array(($"id" + 1).cast("float"), lit(2.0f))
+      val b = array(lit(3.0f), lit(4.0f))
+      val row = spark.range(1).select(
+        VectorFunctions.dotProduct(a, b).as("ab"),
+        VectorFunctions.dotProduct(a, a).as("aa"),
+        VectorFunctions.dotProduct(b, b).as("bb")).collect()(0)
+      assert(row.getDouble(0) == 11.0)
+      assert(row.getDouble(1) == 5.0)
+      assert(row.getDouble(2) == 25.0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("token_stats ≡ split/filter/aggregate HOF formulation") {
+    val df = Seq(
+      Some("the quick brown fox"),
+      Some("  leading and trailing  "),
+      Some("tabs\tand\nnewlines\r\nmixedvtab\ffeed"),
+      Some(""), Some(" \t "), Some("single"),
+      Some("unicode: héllo wörld 中文字 🦀 a"),
+      Some("the the the"),
+      Some("With Upper THE case on with"),
+      None).toDF("t")
+    val toks = filter(split($"t", "\\s+"), x => x =!= "")
+    val hof = df.select(
+      size(toks).as("n"),
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("c"),
+      size(filter(toks,
+        x => x.isin(TokenStatsExpr.DefaultStopwords: _*))).as("s"))
+      .collect()
+    val kernel = df.select(TextStatsFunctions.tokenStats($"t").as("st"))
+      .select($"st.n_tokens", $"st.token_chars", $"st.stopword_hits")
+      .collect()
+    hof.zip(kernel).foreach { case (h, k) =>
+      assert(h.isNullAt(0) == k.isNullAt(0))
+      if (!h.isNullAt(0)) {
+        assert(k.getInt(0) == h.getInt(0), s"n_tokens: $k vs $h")
+        assert(k.getLong(1) == h.getLong(1), s"token_chars: $k vs $h")
+        assert(k.getInt(2) == h.getInt(2), s"stopword_hits: $k vs $h")
+      }
+    }
+  }
+
   test("SQL registration via GraftExtensions") {
     val out = spark.sql(
       """SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
