@@ -50,6 +50,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "simhash60",
       "simhash60(tokens) - 60-bit md5-derived SimHash of a token set",
       (args: Seq[Expression]) => SimHash60Expr(args.head))
+    reg(ext, "hyperplane_bands",
+      "hyperplane_bands(vec, bands, rowsPerBand) - banded SRP sign-bit keys",
+      (args: Seq[Expression]) => HyperplaneBandsExpr(args.head,
+        intArg(args(1), "bands"), intArg(args(2), "rowsPerBand"), 42L))
     reg(ext, "token_stats",
       "token_stats(text) - one-pass (n_tokens, token_chars, stopword_hits)",
       (args: Seq[Expression]) =>

@@ -36,6 +36,16 @@ object VectorFunctions {
     ExpressionUtils.column(
       DotProductExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Banded random-hyperplane (SRP) signature of a float/double vector:
+    * `bands` longs, each packing `rowsPerBand` sign bits of seeded ±1
+    * projections — the cosine-LSH bucket keys (see
+    * [[graft.operators.Similarity.hyperplaneNearDupPairs]]).
+    */
+  def hyperplaneBands(vec: Column, bands: Int, rowsPerBand: Int,
+      seed: Long = 42L): Column =
+    ExpressionUtils.column(HyperplaneBandsExpr(
+      ExpressionUtils.expression(vec), bands, rowsPerBand, seed))
+
   /** Count of common elements of two SORTED distinct long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCountExpr(
@@ -169,6 +179,71 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** See [[VectorFunctions.hyperplaneBands]]. Sign-random-projection LSH
+  * (Charikar's SimHash for cosine): bit k is the sign of the dot product
+  * with a deterministic ±1 (Rademacher) hyperplane whose entries come
+  * from xxhash64(k, i); a pair at angle θ agrees on each bit with
+  * p = 1 − θ/π, so a band of r bits collides with p^r and b bands miss a
+  * pair with (1 − p^r)^b. One pass over the vector: elements are read
+  * once and pushed into all `bands·rowsPerBand` accumulators.
+  */
+case class HyperplaneBandsExpr(child: Expression, bands: Int,
+    rowsPerBand: Int, seed: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_bands"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected override def nullSafeEval(input: Any): Any =
+    HyperplaneBandsExpr.bandKeys(input.asInstanceOf[ArrayData], elemIsFloat,
+      bands, rowsPerBand, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneBandsExpr.bandKeys($c, $elemIsFloat, " +
+        s"$bands, $rowsPerBand, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBandsExpr {
+  /** Shared by eval and generated code (static forwarder). */
+  def bandKeys(vec: ArrayData, isFloat: Boolean, bands: Int,
+      rowsPerBand: Int, seed: Long): GenericArrayData = {
+    val bits = bands * rowsPerBand
+    val dim = vec.numElements()
+    val acc = new Array[Double](bits)
+    var i = 0
+    while (i < dim) {
+      val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      var k = 0
+      while (k < bits) {
+        val h = XXH64.hashLong((k.toLong << 32) | (i.toLong & 0xffffffffL), seed)
+        if ((h & 1L) == 0L) acc(k) += v else acc(k) -= v
+        k += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var key = 0L
+      var t = 0
+      while (t < rowsPerBand) {
+        if (acc(j * rowsPerBand + t) >= 0) key |= (1L << t)
+        t += 1
+      }
+      keys(j) = key
+      j += 1
+    }
+    new GenericArrayData(keys)
+  }
 }
 
 /** See [[VectorFunctions.sortedIntersectCount]]: linear merge over two

@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *    similarity s collides with probability 1-(1-s^r)^b: at the default
   *    b=8, r=4 a 0.9-similar pair is caught with p≈0.9997 and a
   *    0.3-similar pair almost never (p≈0.06) — the bucket join stays
-  *    near-linear. Hot buckets (boilerplate docs) are the skew risk; cap
-  *    or salt them on real corpora (see `maxBucket` note below).
+  *    near-linear. Hot buckets (boilerplate docs) are the skew risk;
+  *    `minhashNearDupPairs`' `maxBucket` drops oversized buckets via a
+  *    broadcast anti-join (see its scaladoc for the recall argument).
   *  - All hashing is expression-level md5 (no UDFs, engine-portable);
   *    signatures are k longs per doc, so the LSH shuffle is ~256 bytes
   *    per row.
@@ -85,6 +86,18 @@ object Dedup {
     * on (band index, band signature) → distinct candidate pairs → exact
     * word-shingle Jaccard ≥ `threshold`.
     *
+    * `maxBucket` is the hot-bucket guard for real corpora: buckets with
+    * more than `maxBucket` docs (boilerplate/templated content — the
+    * quadratic skew risk in the self-join) are dropped from candidate
+    * generation. The hot-bucket list is tiny by construction (few keys
+    * exceed any sane cap), so it broadcasts as an anti-join — no extra
+    * shuffle on the band rows. Recall impact is bounded: a true
+    * near-dup pair collides in several of the b bands w.h.p., so losing
+    * its hottest bucket still leaves the pair discoverable (equivalence
+    * asserted in DedupSpec); pairs that existed ONLY in a hot bucket are
+    * template-overlap pairs, which the exact-Jaccard verify would
+    * discard anyway at near-dup thresholds.
+    *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     * to 4 decimals (i/u of two ints — engine-exact).
     */
@@ -94,8 +107,10 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.8,
       k: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val r = k / bands
     val sh = df.select(col(idCol).as("id"),
         wordShingles(col(textCol)).as("sh"))
@@ -103,10 +118,19 @@ object Dedup {
 
     // One row per (doc, band); the band key is the r-minhash slice
     // serialized to a string (grouping key only — never leaves the join).
-    val bandRows = sh.select(col("id"), posexplode(
+    val allBandRows = sh.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         j => concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
           h => h.cast("string"))))).as(Seq("band", "key")))
+
+    val bandRows =
+      if (maxBucket == Int.MaxValue) allBandRows
+      else {
+        val hot = allBandRows.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+          .select(col("band"), col("key"))
+        allBandRows.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      }
 
     val a = bandRows.as("a"); val b = bandRows.as("b")
     val candidates = a.join(b,

@@ -77,9 +77,9 @@ object Similarity {
 
   /** Embedding-cosine near-dup pairs: all (a < b) pairs with
     * cosine ≥ threshold. Exact — a blocked self-join, O(N²) compute with
-    * N²/partitions parallelism. Correct at verification scale; at corpus
-    * scale swap in LSH bucketing (random hyperplane signs as band keys —
-    * same bucket-join shape as [[Dedup.minhashNearDupPairs]]).
+    * N²/partitions parallelism. This is the correctness baseline / ground
+    * truth; at corpus scale use [[hyperplaneNearDupPairs]], the bucketed
+    * LSH path (gated against this operator's output in q60).
     */
   def cosineNearDupPairs(
       emb: DataFrame,
@@ -96,6 +96,57 @@ object Similarity {
     val b = normed.select(col("id").as("vec_b"), col("v").as("__vb"),
       col("n").as("__nb"))
     a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Hyperplane-LSH (sign-random-projection) embedding near-dup pairs —
+    * the bucketed scale path for [[cosineNearDupPairs]]. Same shape as
+    * [[Dedup.minhashNearDupPairs]]: signature → banded bucket join →
+    * distinct candidates → EXACT cosine verify ≥ `threshold`; only the
+    * hash family differs (±1 hyperplane sign bits, cosine-sensitive,
+    * instead of min-hashes, Jaccard-sensitive).
+    *
+    * Collision math (Charikar): a pair at cosine s agrees on one bit
+    * with p = 1 − acos(s)/π, collides in an r-bit band with p^r, and is
+    * missed entirely with (1 − p^r)^b. At the defaults (r=12, b=8) a
+    * 0.997-similar pair is missed with p ≈ 2.5e-5 while a 0.3-similar
+    * background pair becomes a candidate with p ≈ 1.7% — near-linear
+    * bucket join, never all-pairs. Recall < 1 by construction at loose
+    * thresholds: sign-LSH cannot separate 0.40 from 0.39 (the p-gap per
+    * bit is ~1%), so size r·b for the similarity of the dups you hunt
+    * (0.95+ for true near-dups), not the verify threshold. At 100 TB,
+    * grow r with log N to bound bucket sizes and cap/salt hot buckets —
+    * the same hardening as the MinHash path.
+    */
+  def hyperplaneNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 12,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sig = emb.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.hyperplaneBands(
+        col(vecCol), bands, rowsPerBand, seed).as("bk"))
+    val bandRows = sig.select(col("id"),
+      posexplode(col("bk")).as(Seq("band", "key")))
+    val a = bandRows.as("a"); val b = bandRows.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+      .distinct()
+    val normed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("n"))
+    val va = normed.select(col("id").as("vec_a"), col("v").as("__va"),
+      col("n").as("__na"))
+    val vb = normed.select(col("id").as("vec_b"), col("v").as("__vb"),
+      col("n").as("__nb"))
+    candidates.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("sim",
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("sim") >= threshold)

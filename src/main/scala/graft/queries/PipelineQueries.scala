@@ -35,6 +35,22 @@ object PipelineQueries {
         .withColumn("doc_id", col("doc_id") + 100000))
   }
 
+  /** Embeddings plus planted near-duplicates (vec_id+100000, elements
+    * shifted by +0.01f, cosine ≈ 0.997 to the original) for every 20th
+    * vector — the base table's pair similarities top out at ~0.51, so
+    * near-dup queries plant their own dups, deterministically (the same
+    * convention as [[docsWithDups]]). Float arithmetic is IEEE-single on
+    * both engines (DuckDB's double-add of two floats rounds to the same
+    * float), so the planted vectors are bit-identical to the oracle's.
+    */
+  private def embWithDups(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    emb.unionByName(
+      emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.01f)).as("embedding")))
+  }
+
   val queries: Map[String, Q] = Map(
     // ── Text analysis ────────────────────────────────────────────────
     "q30_text_stats" -> ((s, d) =>
@@ -105,15 +121,26 @@ object PipelineQueries {
     "q39_embed_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
 
+    // LSH-bucketed near-dup — the scale path for q39's exact all-pairs.
+    // Oracle = the exact all-pairs ground truth over the same planted
+    // table: the banded hyperplane signatures must catch every ≥0.9 pair
+    // (q36's full-recall contract, cosine edition; miss p ≈ 2.5e-5 per
+    // pair at the planted ~0.997 similarity, deterministic seed).
+    "q60_hyperplane_neardup" -> ((s, d) =>
+      Similarity.hyperplaneNearDupPairs(embWithDups(s, d), 0.9)),
+
     "q40_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
 
     // Approximate (recall < 1): rows/schema check only — no oracleSql.
+    // kmeansIterations = 2 exercises the Lloyd refinement path
+    // (kmeansCentroids) at the gate, not just in unit tests.
     "q41_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
+        kmeansIterations = 2)
     }),
 
     // ── Multimodal columns ───────────────────────────────────────────
@@ -356,6 +383,25 @@ object PipelineQueries {
         |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4""".stripMargin,
+    "q60_hyperplane_neardup" ->
+      """WITH dup AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> (x + 0.01::FLOAT)::FLOAT)
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM dup),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.9""".stripMargin,
     "q40_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -173,6 +173,33 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("minhash LSH maxBucket: hot buckets capped, true-pair recall unchanged") {
+    // A 30-doc boilerplate cluster: shared template + a one-token unique
+    // tail gives pairwise Jaccard ≈ 0.88 — high enough that the cluster
+    // floods its band buckets (18+ docs per key, over the cap), but
+    // UNDER the 0.9 near-dup threshold, so every boilerplate candidate
+    // is verify-rejected dead weight. The planted identical pair (0, 3)
+    // collides in all 8 bands, so losing hot buckets can't lose it: the
+    // capped output must EQUAL the uncapped output.
+    val template = "all rights reserved contact us terms of service " +
+      "privacy policy cookies settings navigation home about"
+    val boiler = (100L until 130L).map(i => (i, s"$template page number $i"))
+    val df = (base ++ boiler).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDupPairs(df, "text", "doc_id", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.minhashNearDupPairs(df, "text", "doc_id", 0.9,
+        maxBucket = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.exists(p => p._1 == 0L && p._2 == 3L))
+    assert(capped == uncapped, "cap must not change the verified pairs")
+    // the cluster really does share buckets (the cap fires, it isn't
+    // vacuous): at a threshold below its similarity the pairs surface
+    val loose = Dedup.minhashNearDupPairs(df, "text", "doc_id", 0.85)
+      .as[(Long, Long, Double)].collect()
+    assert(loose.count(p => p._1 >= 100L) > 100,
+      "boilerplate cluster must collide in LSH buckets")
+  }
+
   test("ngram near-dup: blocked pairs above threshold only") {
     val df = base.toDF("doc_id", "text").withColumn("blk", lit("b0"))
     val pairs = Dedup.ngramNearDupPairs(df, "text", "doc_id", Seq("blk"),
@@ -231,6 +258,28 @@ class SimilaritySpec extends SparkSpec {
     byQ.values.foreach(rows => assert(rows.length == 5))
   }
 
+  test("hyperplaneNearDupPairs ≡ exact cosineNearDupPairs on planted dups") {
+    // Deterministic random base vectors (seeded PRNG per id — background
+    // pair sims stay well under the threshold, like the gate corpus) + a
+    // +0.005f-shifted copy of every 5th (cosine ≈ 0.9999): at the gated
+    // parameters (r=12, b=8) the LSH output must EQUAL the exact
+    // all-pairs ground truth — the q60 full-recall contract, exercised
+    // here without the harness.
+    val base = (0L until 60L).map { i =>
+      val rnd = new java.util.Random(i * 12345L + 6789L)
+      (i, Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val planted = base.filter(_._1 % 5 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(_ + 0.005f)) }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(emb, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.hyperplaneNearDupPairs(emb, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "planted dups must clear the threshold")
+    assert(lsh == exact, s"LSH missed ${(exact -- lsh).mkString(",")}")
+  }
+
   test("ivfTopK: k rows per query, ranks contiguous, no self-matches") {
     val emb = (0L until 40L).map(i =>
       (i, Seq.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat / 11f)))
@@ -246,6 +295,24 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.length == 4)
     }
     assert(out.forall(r => r._1 != r._2))
+  }
+
+  test("ivfTopK at the q41 gate parameters: recall vs brute force") {
+    // Unclustered (worst-case) deterministic vectors, the gate's exact
+    // parameters (C=16, nprobe=4, 2 Lloyd sweeps, k=5, 10 queries):
+    // deterministic data + deterministic algorithm = a fixed recall;
+    // the floor guards against the probe or refinement path regressing.
+    val emb = (0L until 200L).map(i =>
+      (i, Seq.tabulate(16)(j => (((i * 37 + j * 13) % 991).toFloat / 991f) - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, 5,
+        numCentroids = 16, nprobe = 4, kmeansIterations = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall below floor at gate parameters")
   }
 }
 
