@@ -186,20 +186,27 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).persist()
+    // The frame whose cache backs `labels` (labels itself, or the sweep
+    // frame it projects from) — unpersisted once the NEXT sweep is
+    // materialized, so lineage never grows and nothing recomputes.
+    var backing = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
+      // Old and new labels ride in ONE persisted frame, so the
+      // convergence count is a filter over it — not a second join back
+      // to the previous labels (one shuffle per sweep instead of two).
+      val step = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = step.filter(col("cluster") =!= col("__old")).count()
+      backing.unpersist()
+      labels = step.select(col("id"), col("cluster"))
+      backing = step
       converged = changed == 0
       i += 1
     }

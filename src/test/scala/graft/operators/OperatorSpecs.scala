@@ -146,6 +146,22 @@ class DedupSpec extends SparkSpec {
       (2L, 2L, false), (3L, 0L, true)))
   }
 
+  test("exactDedup plan: one source scan, one fingerprint evaluation") {
+    // Regression for the agg+join-back shape that rescanned the corpus
+    // 4× and re-evaluated normalize+md5 up to 8×/doc (14.4 s at sf0.1):
+    // the window-min form must read the source once and compute the
+    // fingerprint in one projection.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString + "/d"
+    base.toDF("doc_id", "text").write.parquet(dir)
+    val out = Dedup.exactDedup(spark.read.parquet(dir), "text", "doc_id")
+    // AQE wraps the plan (AdaptiveSparkPlan), so assert on the plan text
+    val plan = out.queryExecution.executedPlan.toString
+    val scanCount = "FileScan".r.findAllIn(plan).length
+    assert(scanCount == 1, s"expected ONE scan, got $scanCount:\n$plan")
+    val md5Count = "md5\\(".r.findAllIn(plan).length
+    assert(md5Count == 1, s"fingerprint must be computed once, got $md5Count:\n$plan")
+  }
+
   test("minhash LSH: catches the near-dup pair, skips unrelated docs") {
     val pairs = Dedup.minhashNearDupPairs(
         base.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
