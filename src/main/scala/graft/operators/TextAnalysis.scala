@@ -118,6 +118,24 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Top-k tokens per group by (count desc, token asc — deterministic).
+    * The corpus-sized stage is the exploded token count, which
+    * partial-aggregates map-side; the top-k window then runs over the
+    * (group, token) AGGREGATE — vocabulary-sized, not corpus-sized — so
+    * a row_number sort is the right tool here (contrast
+    * [[graft.functions.TopKAggregate]], which exists for top-k over
+    * unaggregated candidate streams).
+    */
+  def topTokens(df: DataFrame, groupCol: String, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("tok").asc)
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-document stats projection (the `textStats` operator). */
   def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

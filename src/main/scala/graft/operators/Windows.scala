@@ -29,6 +29,23 @@ object Windows {
     df.withColumn(out, avg(col(value)).over(w))
   }
 
+  /** Batch sessionization: per-entity session index (1-based) that
+    * increments whenever the gap between consecutive rows exceeds
+    * `maxGap` (same semantics as the streaming
+    * `Streaming.sessionize` family, expressed relationally: a lag to
+    * measure the gap, then a running sum over the session-start flag).
+    * Both windows share one (entity)-keyed shuffle + sort; the skew
+    * exposure and its remedy are the same as [[rollingAvg]]'s.
+    */
+  def sessionize(df: DataFrame, entity: String, order: Seq[Column],
+      timeCol: String, maxGap: Long, out: String = "session_idx"): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(order: _*)
+    val gap = col(timeCol) - lag(col(timeCol), 1).over(w)
+    val isNew = when(gap.isNull || gap > maxGap, 1L).otherwise(0L)
+    df.withColumn(out, sum(isNew).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Skew-hardened rolling average, equivalent to [[rollingAvg]] for any
     * `chunkSize >= frame`.
     *

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{Gold, Imputation, Pivot, Sketches, Windows}
+import graft.operators.{AsOfJoin, Gold, Imputation, Pivot, Sketches, Windows}
 
 /** Reference-parity query registry (SURVEY.md §2), mapped onto the harness
   * tables (FIXTURES.md §B mapping: `events` plays the observations fact,
@@ -410,6 +410,33 @@ object CoreQueries {
           |""".stripMargin)
     }),
 
+    // Batch sessionization: gap > 30 min starts a new session — lag +
+    // running sum stacked on ONE entity-keyed window shuffle (ns-long
+    // order key per the ts_ns convention).
+    "q63_sessionize" -> ((s, d) => {
+      import s.implicits._
+      Windows.sessionize(
+        Tables.events(s, d).select("event_id", "user_id", "ts_ns"),
+        "user_id", Seq($"ts_ns", $"event_id"), "ts_ns",
+        maxGap = 30L * 60 * 1000000000L)
+        .select("event_id", "user_id", "session_idx")
+    }),
+
+    // Backward as-of join: each click attributed to the user's most
+    // recent prior-or-simultaneous purchase (union-tag + running window —
+    // one shuffle, no range-join replication).
+    "q64_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val clicks = e.filter($"event_type" === "click")
+        .select("event_id", "user_id", "ts_ns")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_ns", $"event_id".as("purchase_id"))
+      AsOfJoin.asOfBackward(clicks, purchases, "user_id", "ts_ns",
+          Seq("purchase_id"))
+        .select("event_id", "user_id", "purchase_id")
+    }),
+
     // Approximate one-pass profile (HLL++ distinct + approx quantiles):
     // sketch values are engine-specific → rows-only check (no oracleSql);
     // error bounds are unit-tested in SketchesSpec.
@@ -653,6 +680,26 @@ object CoreQueries {
     "q59_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+    // epoch_ns(ts) == the ts_ns long: the parquet ns values are
+    // µs-aligned, so DuckDB's µs TIMESTAMP truncation is lossless here.
+    "q63_sessionize" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tns,
+        |    epoch_ns(ts) - lag(epoch_ns(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  sum(CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+        |FROM g""".stripMargin,
+    "q64_asof_join" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS purchase_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     // q46/q47 intentionally absent (approximate sketches → rows-only).
     "q48_rollup" ->
       """SELECT l_returnflag, l_linestatus,

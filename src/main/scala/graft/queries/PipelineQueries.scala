@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (builder brief: dedup, similarity
@@ -89,6 +89,19 @@ object PipelineQueries {
         countDistinct(col("lang")).as("langs"),
         round(avg(col("nt")), 4).as("avg_tokens"))
     }),
+
+    // Corpus vocabulary: top tokens per language — heavy stage is the
+    // map-side-combined token count; the rank window only sees the
+    // vocabulary-sized aggregate.
+    "q61_top_tokens" -> ((s, d) =>
+      TextAnalysis.topTokens(Tables.documents(s, d), "lang", 5)),
+
+    // Deterministic hash train/val/test split — reproducible, shuffle-
+    // free, append-stable (a row's split never changes as the corpus
+    // grows); md5 bucket convention shared with the oracle.
+    "q62_deterministic_split" -> ((s, d) =>
+      Sampling.deterministicSplit(Tables.documents(s, d), "doc_id")
+        .select("doc_id", "bucket", "split")),
 
     // ── Deduplication ────────────────────────────────────────────────
     "q35_exact_dedup" -> ((s, d) =>
@@ -242,6 +255,28 @@ object PipelineQueries {
         | count(DISTINCT lang) AS langs,
         | round(avg(nt), 4) AS avg_tokens
         |FROM m GROUP BY source""".stripMargin,
+    "q61_top_tokens" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, cnt,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok)
+        |    AS rank
+        |  FROM c)
+        |SELECT lang, tok, cnt, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q62_deterministic_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     "q33_fingerprint" ->
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp

@@ -332,6 +332,57 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfBackward: most recent build row, inclusive boundary, null when none") {
+    val probe = Seq((1L, 10L, "p10"), (1L, 20L, "p20"), (1L, 4L, "p4"),
+      (2L, 50L, "q50")).toDF("k", "t", "tag")
+    val build = Seq((1L, 5L, "b5"), (1L, 20L, "b20"), (3L, 1L, "b1"))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asOfBackward(probe, build, "k", "t", Seq("v"))
+      .select("tag", "v").as[(String, Option[String])].collect().toMap
+    assert(out("p4").isEmpty)          // no build row at or before t=4
+    assert(out("p10").contains("b5"))  // 5 <= 10, most recent
+    assert(out("p20").contains("b20")) // equal time is INCLUSIVE
+    assert(out("q50").isEmpty)         // key 2 has no build rows at all
+  }
+
+  test("asOfBackward: payload name collision rejected") {
+    val df = Seq((1L, 1L, "x")).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfBackward(df, df, "k", "t", Seq("v"))
+    }
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministicSplit: exhaustive, reproducible, append-stable, ~proportional") {
+    val ids = (0L until 2000L).toDF("id")
+    val once = Sampling.deterministicSplit(ids, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(once.size == 2000)
+    // reproducible: a second run and a half-corpus run agree row-by-row
+    val again = Sampling.deterministicSplit(ids.filter($"id" < 1000L), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    again.foreach { case (id, s) => assert(once(id) == s) }
+    // roughly proportional (md5 is uniform; 2000 draws, generous bounds)
+    val frac = once.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    assert(frac("train") > 0.85 && frac("train") < 0.95)
+    assert(frac("val") > 0.02 && frac("val") < 0.08)
+    assert(frac("test") > 0.02 && frac("test") < 0.08)
+  }
+
+  test("deterministicSplit: percents must sum to 100") {
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSplit(Seq(1L).toDF("id"),
+        "id", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 

@@ -31,4 +31,24 @@ class WindowsSpec extends SparkSpec {
         chunkSize = 3)
     }
   }
+
+  test("sessionize: gap over threshold starts a new session, per entity") {
+    // entity 1: times 0,10,15 | 100,105 | 300  (maxGap = 20)
+    // entity 2: times 0, 25                    (25 > 20 → two sessions)
+    val df = Seq((1, 0L), (1, 10L), (1, 15L), (1, 100L), (1, 105L),
+      (1, 300L), (2, 0L), (2, 25L))
+      .toDF("e", "t")
+    val out = Windows.sessionize(df, "e", Seq($"t"), "t", maxGap = 20L)
+      .select("e", "t", "session_idx").as[(Int, Long, Long)].collect().toSet
+    assert(out == Set((1, 0L, 1L), (1, 10L, 1L), (1, 15L, 1L),
+      (1, 100L, 2L), (1, 105L, 2L), (1, 300L, 3L),
+      (2, 0L, 1L), (2, 25L, 2L)))
+  }
+
+  test("sessionize: gap exactly at maxGap stays in the session") {
+    val df = Seq((1, 0L), (1, 20L)).toDF("e", "t")
+    val out = Windows.sessionize(df, "e", Seq($"t"), "t", maxGap = 20L)
+      .select("session_idx").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
 }
