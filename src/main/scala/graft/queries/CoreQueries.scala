@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Gold, Imputation, Pivot, Sketches, Windows}
+import graft.operators.{AsOfJoin, Gold, Imputation, Pivot, RangeJoin, Sketches, Windows}
 
 /** Reference-parity query registry (SURVEY.md §2), mapped onto the harness
   * tables (FIXTURES.md §B mapping: `events` plays the observations fact,
@@ -437,6 +437,30 @@ object CoreQueries {
         .select("event_id", "user_id", "purchase_id")
     }),
 
+    // Keyless range join: heavy shipments counted into sampled orders'
+    // synthetic fulfillment windows [o_orderdate, +(o_orderkey%3+1)
+    // days] — the bucketed equi-join form of a containment join Spark
+    // would otherwise plan as a nested loop. Both sides are filtered
+    // ~10% and windows kept short so the TRUE pair cardinality (points ×
+    // intervals × window/timespan) stays bounded as sf grows — with
+    // dense windows the result itself is quadratic and no join
+    // algorithm saves you; that's workload design, not operator design.
+    "q65_range_join" -> ((s, d) => {
+      import s.implicits._
+      val intervals = Tables.orders(s, d)
+        .filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey",
+          unix_timestamp($"o_orderdate").as("w_start"),
+          (unix_timestamp($"o_orderdate") +
+            ($"o_orderkey" % 3 + 1) * 86400L).as("w_end"))
+      val points = Tables.lineitem(s, d).filter($"l_quantity" > 45)
+        .select(unix_timestamp($"l_shipdate").as("p_ts"))
+      RangeJoin.pointInInterval(points, intervals,
+          "p_ts", "w_start", "w_end", bucketSize = 4L * 86400L)
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("ships_in_window"))
+    }),
+
     // Approximate one-pass profile (HLL++ distinct + approx quantiles):
     // sketch values are engine-specific → rows-only check (no oracleSql);
     // error bounds are unit-tested in SketchesSpec.
@@ -700,6 +724,17 @@ object CoreQueries {
         |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
         |                WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q65_range_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS w_start,
+        |    epoch(o_orderdate)::BIGINT + (o_orderkey % 3 + 1) * 86400
+        |      AS w_end
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |p AS (SELECT epoch(l_shipdate)::BIGINT AS p_ts FROM lineitem
+        |      WHERE l_quantity > 45)
+        |SELECT o_orderkey, count(*) AS ships_in_window
+        |FROM o JOIN p ON p.p_ts BETWEEN o.w_start AND o.w_end
+        |GROUP BY o_orderkey""".stripMargin,
     // q46/q47 intentionally absent (approximate sketches → rows-only).
     "q48_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -356,6 +356,41 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pointInInterval: containment-exact, boundaries inclusive, multi-bucket intervals") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 31L), (5L, 99L))
+      .toDF("pid", "p")
+    // iv1 [0,10] spans buckets 0-1 at bucketSize=10; iv2 [10,30] buckets
+    // 1-3; iv3 [50,60] matches nothing
+    val intervals = Seq((10L, 0L, 10L), (20L, 10L, 30L), (30L, 50L, 60L))
+      .toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", 10L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 10L),            // 5 in [0,10]
+      (2L, 10L), (2L, 20L), // 10 = both ends — inclusive both sides
+      (3L, 20L)))           // 25 in [10,30]; 31 and 99 match nothing
+  }
+
+  test("pointInInterval ≡ brute-force inequality join on random data") {
+    val rnd = new java.util.Random(7L)
+    val points = (0L until 300L).map(i => (i, rnd.nextInt(1000).toLong))
+      .toDF("pid", "p")
+    val intervals = (0L until 80L).map { i =>
+      val s = rnd.nextInt(950).toLong
+      (i, s, s + rnd.nextInt(120).toLong)
+    }.toDF("iid", "s", "e")
+    val bucketed = RangeJoin
+      .pointInInterval(points, intervals, "p", "s", "e", 64L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val brute = points.join(intervals, $"p" >= $"s" && $"p" <= $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(bucketed == brute)
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
