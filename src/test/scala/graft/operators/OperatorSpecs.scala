@@ -348,6 +348,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("q50").isEmpty)         // key 2 has no build rows at all
   }
 
+  test("asOfBackward plan: ONE shuffle, no join") {
+    // the whole point vs the range-join/correlated formulations: union +
+    // one keyed window — a single hashpartitioning exchange, no
+    // BroadcastNestedLoop/Cartesian anywhere
+    val probe = Seq((1L, 10L, "p")).toDF("k", "t", "tag")
+    val build = Seq((1L, 5L, "b")).toDF("k", "t", "v")
+    val plan = AsOfJoin.asOfBackward(probe, build, "k", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
   test("asOfBackward: payload name collision rejected") {
     val df = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     intercept[IllegalArgumentException] {

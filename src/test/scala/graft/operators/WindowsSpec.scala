@@ -51,4 +51,11 @@ class WindowsSpec extends SparkSpec {
       .select("session_idx").as[Long].collect().toSet
     assert(out == Set(1L))
   }
+
+  test("sessionize plan: lag and running sum share ONE shuffle") {
+    val plan = Windows.sessionize(mk(50, 3), "e", Seq($"seq"), "seq", 5L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"both windows must reuse one entity-keyed exchange:\n$plan")
+  }
 }
