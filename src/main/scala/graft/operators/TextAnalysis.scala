@@ -136,6 +136,35 @@ object TextAnalysis {
     counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Top-k characteristic terms per document by TF-IDF
+    * (tf · ln(N/df), deterministic ties by term asc). Every stage is
+    * distributed: token counts partial-aggregate map-side, document
+    * frequency is a second aggregate over the (doc, token) frame, the
+    * corpus size N joins in as a broadcast 1-row aggregate (no
+    * driver-side count), and the final rank window partitions by
+    * document — group size is a document's vocabulary, never the corpus.
+    */
+  def tfidfTopTerms(df: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") /
+          col("df").cast("double")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
   /** Per-document stats projection (the `textStats` operator). */
   def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

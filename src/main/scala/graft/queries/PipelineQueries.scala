@@ -96,6 +96,12 @@ object PipelineQueries {
     "q61_top_tokens" -> ((s, d) =>
       TextAnalysis.topTokens(Tables.documents(s, d), "lang", 5)),
 
+    // Characteristic terms per document (TF-IDF top-3): rank window is
+    // rounded-value-ordered with a term tie-break, so ranks are
+    // deterministic cross-engine.
+    "q66_tfidf_terms" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)),
+
     // Deterministic hash train/val/test split — reproducible, shuffle-
     // free, append-stable (a row's split never changes as the corpus
     // grows); md5 bucket convention shared with the oracle.
@@ -266,6 +272,22 @@ object PipelineQueries {
         |    AS rank
         |  FROM c)
         |SELECT lang, tok, cnt, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q66_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * ln(n.n::DOUBLE / dfreq.df::DOUBLE), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 3""".stripMargin,
     "q62_deterministic_split" ->
       """WITH b AS (
         |  SELECT doc_id,
