@@ -56,6 +56,34 @@ object Streaming {
       events(streamKey) === dim(dimKey), "left")
       .drop(dim(dimKey))
 
+  /** Stream–stream interval join: attribute each click to purchases by
+    * the same user within `attributionWindow` BEFORE the click (inner,
+    * time-range condition). Both sides carry watermarks, and the range
+    * condition bounds buffered state on BOTH sides: a purchase can be
+    * evicted once the watermark passes purchase_ts + window (no click
+    * can match it anymore), a click once its own event time passes —
+    * the two constraints Spark requires to plan a stream–stream join
+    * with finite state. Without the time bound the join would buffer
+    * both streams forever.
+    */
+  def attributeClicks(clicks: DataFrame, purchases: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      attributionWindow: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("ts").as("click_ts"),
+        col("user_id").as("click_user"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases.select(col("ts").as("purchase_ts"),
+        col("user_id").as("purchase_user"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(p,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $attributionWindow"))
+      .select(col("click_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("click_value"), col("purchase_value"))
+  }
+
   /** Running per-user stats via mapGroupsWithState — arbitrary keyed
     * state, updated per micro-batch (the streaming analogue of the
     * grouped aggregations A1/A2).

@@ -65,6 +65,29 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(0) == UserSession(9, ts(1), ts(4), 3, 6.0))
   }
 
+  test("attributeClicks: stream-stream interval join within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streaming.attributeClicks(clicks.toDF(), purchases.toDF(),
+        watermarkDelay = "5 minutes", attributionWindow = "30 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    // user 1: purchase at 10:05 attributes the 10:20 click (15 min gap);
+    // the 10:01 click precedes the purchase → no match.
+    // user 2: purchase at 10:01 is 49 min before the 10:50 click → outside
+    // the 30-min window → no match.
+    purchases.addData(Event(ts(5), 1, "purchase", 100.0),
+      Event(ts(1), 2, "purchase", 200.0))
+    clicks.addData(Event(ts(1), 1, "click", 1.0),
+      Event(ts(20), 1, "click", 2.0),
+      Event(ts(50), 2, "click", 3.0))
+    drain(q)
+    val rows = spark.table("attr")
+      .select("user_id", "click_value", "purchase_value")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(rows == Set((1L, 2.0, 100.0)))
+  }
+
   test("enrichStream: stream-static broadcast join enriches each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "alice"), (2L, "bob")).toDF("uid", "name")

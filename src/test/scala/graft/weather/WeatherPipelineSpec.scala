@@ -122,6 +122,12 @@ class WeatherPipelineSpec extends SparkSpec {
         Map("GHCND:TEST1" -> "One", "GHCND:TEST2" -> "Two"))
       .select("station").collect().map(_.getString(0)).toSet
     assert(named == Set("One", "Two", "Unknown"))
+
+    // single-year fixture: the least-squares slope over one x value is
+    // undefined (null), intercept degenerates to the yearly mean — the
+    // null path np.polyfit would crash on (Weather_API.py:991)
+    val trend = WeatherGold.yearlyTemperatureTrend(silver).collect()(0)
+    assert(trend.isNullAt(trend.fieldIndex("slope")))
   }
 
   test("F8: dropNull removes rows null in the chosen subset only") {
