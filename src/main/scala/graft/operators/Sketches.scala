@@ -54,6 +54,30 @@ object Sketches {
     "p" + pct.replace(".", "_")
   }
 
+  /** Quantile bucketing without a global sort — the scale path for
+    * `ntile(n) OVER (ORDER BY v)`, which funnels the entire dataset
+    * through ONE task's sort at 100 TB. Instead: one
+    * `percentile_approx` sketch pass computes n-1 cutpoints (a few
+    * doubles, collected and inlined as a literal array — the same
+    * collect-a-sketch-and-broadcast move as [[bloomSemiFilter]]), and
+    * bucket assignment is a per-row binary-search-free comparison at
+    * scan speed. Bucket POPULATIONS are approximate (cutpoint error ≤
+    * the sketch accuracy); bucket ORDER and determinism are exact —
+    * every run assigns a given row the same bucket for the same input.
+    */
+  def approxQuantileBuckets(df: DataFrame, valueCol: String, buckets: Int,
+      accuracy: Int = 10000, out: String = "bucket"): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = df.agg(percentile_approx(col(valueCol),
+        array(qs.map(lit): _*), lit(accuracy)).as("c"))
+      .collect()(0).getAs[scala.collection.Seq[Double]]("c").toSeq
+    val assign = cuts.zipWithIndex.foldRight(lit(buckets): Column) {
+      case ((cut, i), els) => when(col(valueCol) <= cut, lit(i + 1)).otherwise(els)
+    }
+    df.withColumn(out, assign)
+  }
+
   /** Bloom-filter semi-join: keep probe rows whose `probeKey` might be in
     * the build side's `buildKey` set. `expectedItems` sizes the sketch
     * (bits ≈ 8× items keeps FPP ≈ 2%).

@@ -30,6 +30,28 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("approxQuantileBuckets: ordered, near-uniform, deterministic, no global sort") {
+    val out = Sketches.approxQuantileBuckets(df, "v", 4)
+    val rows = out.select($"v", $"bucket").as[(Double, Int)].collect()
+    // order-consistent: a higher value never lands in a lower bucket
+    val maxPerBucket = rows.groupBy(_._2).view.mapValues(_.map(_._1).max)
+    (1 to 3).foreach { b =>
+      assert(maxPerBucket(b) <= rows.filter(_._2 == b + 1).map(_._1).min)
+    }
+    // near-uniform populations (exact quartiles would be 1250 each)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.size)
+    (1 to 4).foreach(b => assert(sizes(b) > 1000 && sizes(b) < 1500,
+      s"bucket $b size ${sizes(b)}"))
+    // deterministic across runs
+    val again = Sketches.approxQuantileBuckets(df, "v", 4)
+      .select($"v", $"bucket").as[(Double, Int)].collect()
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // the assignment plan is scan-only — no exchange, no sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Sort"),
+      s"bucket assignment must be a per-row projection:\n$plan")
+  }
+
   test("bloomSemiFilter: zero false negatives; FPs bounded") {
     val build = df.filter($"k" < 100).select($"k".as("bk"))
     val out = Sketches.bloomSemiFilter(
