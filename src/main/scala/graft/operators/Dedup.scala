@@ -219,8 +219,9 @@ object Dedup {
     * block (e.g. (lang, source)), never across blocks. The block-local
     * cross join is the documented trade-off vs LSH: exact recall inside
     * blocks, quadratic in block size — use when blocks are bounded
-    * (partition-date buckets, per-source shards); use MinHash-LSH when
-    * they are not.
+    * (partition-date buckets, per-source shards). When they are not, use
+    * [[ngramNearDupPairsPrefix]] (exact, near-linear candidates) or
+    * MinHash-LSH (probabilistic).
     */
   def ngramNearDupPairs(
       df: DataFrame,
@@ -262,6 +263,87 @@ object Dedup {
       .sortedIntersectCount(col("g_a"), col("g_b"))
     val union = size(col("g_a")) + size(col("g_b")) - inter
     a.join(b, Seq("blk", "band")).filter(col("doc_a") < col("doc_b") && sizeOk)
+      .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Prefix-filtered character-n-gram Jaccard near-dup pairs — EXACT
+    * (same output as [[ngramNearDupPairs]] over the same blocks) with
+    * near-linear candidate generation instead of block-quadratic: the
+    * AllPairs/PPJoin prefix filter.
+    *
+    * Theorem (lossless): with both gram sets sorted in one global order
+    * (ours: ascending 64-bit gram hash), J(A,B) ≥ t forces
+    * |A∩B| ≥ ceil(t·|A|), so the smallest COMMON gram must sit among the
+    * first |A| − ceil(t·|A|) + 1 grams of A — and symmetrically for B.
+    * Hence only each doc's prefix enters the inverted index, and the
+    * prefix-to-prefix self-join finds every qualifying pair; candidates
+    * are then verified with the exact merge-intersect Jaccard.
+    *
+    * Scale shape: index size is (1−t)·grams + 1 per doc (5× smaller at
+    * t=0.8), and join fan-out is per shared PREFIX gram, not per block
+    * member — no quadratic block term, `blockCols` optional (empty =
+    * whole corpus). The global order is what controls the hot keys:
+    * with `frequencyOrdered` (default, the PPJoin ordering) grams sort
+    * by ascending document frequency, so prefixes hold each doc's
+    * RAREST grams and a shared prefix gram is strong evidence of a
+    * match — one extra corpus pass (gram-df aggregate + per-doc rank
+    * window) buys near-match-only candidates. `frequencyOrdered=false`
+    * skips that pass and uses hash order: correct but weakly selective
+    * when docs share most of their vocabulary (boilerplate corpora).
+    * Either order is a consistent global total order, so the filter
+    * stays lossless.
+    */
+  def ngramNearDupPairsPrefix(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCols: Seq[String] = Nil,
+      threshold: Double = 0.8,
+      n: Int = 3,
+      frequencyOrdered: Boolean = true): DataFrame = {
+    require(threshold > 0.5 && threshold <= 1.0,
+      s"ngram near-dup threshold must be in (0.5, 1], got $threshold")
+    val blkExpr =
+      if (blockCols.isEmpty) lit(0) else struct(blockCols.map(col): _*)
+    val g = df.select(col(idCol).as("id"), blkExpr.as("blk"),
+      hashedCharGrams(col(textCol), n).as("g"))
+    val sz = size(col("g"))
+    val prefixLen = (sz - ceil(sz.cast("double") * threshold) + 1).cast("int")
+    val idx =
+      if (!frequencyOrdered) {
+        // hash order: the gram arrays are already hash-sorted
+        g.select(col("blk"), col("id"),
+          explode(slice(col("g"), lit(1), prefixLen)).as("gr"))
+      } else {
+        val exploded = g.select(col("blk"), col("id"), sz.as("__sz"),
+          explode(col("g")).as("gr"))
+        val gramDf = exploded.groupBy(col("gr"))
+          .agg(count(lit(1)).as("__df"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("__df").asc, col("gr").asc)
+        exploded.join(gramDf, "gr")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <=
+            (col("__sz") - ceil(col("__sz").cast("double") * threshold) + 1)
+              .cast("int"))
+          .select(col("blk"), col("id"), col("gr"))
+      }
+    val a = idx.as("a"); val b = idx.as("b")
+    val candidates = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.gr") === col("b.gr") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val ga = g.select(col("id").as("doc_a"), col("g").as("g_a"))
+    val gb = g.select(col("id").as("doc_b"), col("g").as("g_b"))
+    val sizeOk = least(size(col("g_a")), size(col("g_b"))).cast("double") /
+      greatest(size(col("g_a")), size(col("g_b"))).cast("double") >= threshold
+    val inter = graft.functions.VectorFunctions
+      .sortedIntersectCount(col("g_a"), col("g_b"))
+    val union = size(col("g_a")) + size(col("g_b")) - inter
+    candidates.join(ga, "doc_a").join(gb, "doc_b").filter(sizeOk)
       .withColumn("jaccard", inter.cast("double") / union.cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))

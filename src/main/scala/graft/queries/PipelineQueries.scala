@@ -125,6 +125,12 @@ object PipelineQueries {
       Dedup.ngramNearDupPairs(Tables.documents(s, d), "text", "doc_id",
         Seq("lang", "source"), threshold = 0.8)),
 
+    // Prefix-filtered variant — EXACT same contract as q38 (identical
+    // oracle), near-linear candidates instead of block-quadratic.
+    "q67_ngram_prefix_neardup" -> ((s, d) =>
+      Dedup.ngramNearDupPairsPrefix(Tables.documents(s, d), "text", "doc_id",
+        Seq("lang", "source"), threshold = 0.8)),
+
     // Near-dup pairs → connected components → full-corpus canonical map.
     "q45_neardup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -169,6 +175,34 @@ object PipelineQueries {
     "q43_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.attachBlob(Tables.documents(s, d))))
   )
+
+  /** Exact blocked char-3-gram Jaccard ground truth — shared by q38 (the
+    * block-local all-pairs operator) and q67 (the prefix-filtered
+    * operator): the filter is lossless, so both must match it exactly.
+    */
+  private val NgramOracle =
+    """WITH norm AS (
+      |  SELECT doc_id, lang, source,
+      |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang, source, unnest(CASE WHEN length(s) >= 3 THEN
+      |      list_distinct(list_transform(range(1, length(s) - 1),
+      |        i -> substr(s, i, 3)))
+      |    ELSE [s] END) AS gr
+      |  FROM norm),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |ix AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM g a JOIN g b ON a.gr = b.gr AND a.lang = b.lang
+      |    AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM ix
+      |JOIN sz sa ON doc_a = sa.doc_id
+      |JOIN sz sb ON doc_b = sb.doc_id
+      |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin
 
   private val ToksCte =
     """WITH t AS (
@@ -369,29 +403,10 @@ object PipelineQueries {
         |SELECT doc_id,
         |  sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
-    "q38_ngram_neardup" ->
-      """WITH norm AS (
-        |  SELECT doc_id, lang, source,
-        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, lang, source, unnest(CASE WHEN length(s) >= 3 THEN
-        |      list_distinct(list_transform(range(1, length(s) - 1),
-        |        i -> substr(s, i, 3)))
-        |    ELSE [s] END) AS gr
-        |  FROM norm),
-        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-        |ix AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM g a JOIN g b ON a.gr = b.gr AND a.lang = b.lang
-        |    AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |       round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
-        |FROM ix
-        |JOIN sz sa ON doc_a = sa.doc_id
-        |JOIN sz sb ON doc_b = sb.doc_id
-        |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+    "q38_ngram_neardup" -> NgramOracle,
+    // The prefix filter is lossless, so q67 must reproduce q38's exact
+    // ground truth — same oracle.
+    "q67_ngram_prefix_neardup" -> NgramOracle,
     // Oracle: exact connected components over the exact pair list, via a
     // recursive transitive-closure CTE (tiny components; closure is fine
     // at oracle scale). Spark's label propagation must converge to the

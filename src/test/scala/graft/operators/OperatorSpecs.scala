@@ -216,6 +216,26 @@ class DedupSpec extends SparkSpec {
       "boilerplate cluster must collide in LSH buckets")
   }
 
+  test("prefix-filtered ngram near-dup ≡ blocked all-pairs (lossless filter)") {
+    // blockless prefix variant vs single-block all-pairs over the same
+    // corpus (base + a boilerplate cluster at ~0.88 similarity): the
+    // prefix filter must lose NOTHING at any threshold above 0.5
+    val template = "all rights reserved contact us terms of service " +
+      "privacy policy cookies settings navigation home about"
+    val boiler = (100L until 115L).map(i => (i, s"$template page number $i"))
+    val df = (base ++ boiler).toDF("doc_id", "text")
+    for (t <- Seq(0.6, 0.8, 0.9); freqOrdered <- Seq(true, false)) {
+      val full = Dedup.ngramNearDupPairs(
+          df.withColumn("blk", lit("b0")), "text", "doc_id", Seq("blk"), t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = Dedup.ngramNearDupPairsPrefix(df, "text", "doc_id",
+          Nil, t, frequencyOrdered = freqOrdered)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == full, s"at threshold $t, freqOrdered=$freqOrdered")
+      assert(full.nonEmpty, s"vacuous at threshold $t")
+    }
+  }
+
   test("ngram near-dup: blocked pairs above threshold only") {
     val df = base.toDF("doc_id", "text").withColumn("blk", lit("b0"))
     val pairs = Dedup.ngramNearDupPairs(df, "text", "doc_id", Seq("blk"),
