@@ -46,6 +46,21 @@ object VectorFunctions {
     ExpressionUtils.column(HyperplaneBandsExpr(
       ExpressionUtils.expression(vec), bands, rowsPerBand, seed))
 
+  /** GENERATOR form of [[hyperplaneBands]]: one (band, key) row per band,
+    * signature computed exactly once per input row. Use this (not
+    * `posexplode(hyperplaneBands(...))`) to build the LSH index:
+    * `InferFiltersFromGenerate` rewrites an explode over an expression
+    * into `Filter(size(e) > 0) + Generate(e)` and pushes the filter into
+    * the scan — evaluating the full 96-projection signature TWICE per
+    * row. The rule only fires for ExplodeBase/Inline, so a custom
+    * generator sidesteps it; with `bands` output rows per input the
+    * per-element generator overhead is negligible next to the signature.
+    */
+  def hyperplaneBandRows(vec: Column, bands: Int, rowsPerBand: Int,
+      seed: Long = 42L): Column =
+    ExpressionUtils.column(HyperplaneBandRowsExpr(
+      ExpressionUtils.expression(vec), bands, rowsPerBand, seed))
+
   /** Count of common elements of two SORTED distinct long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCountExpr(
@@ -207,6 +222,37 @@ case class HyperplaneBandsExpr(child: Expression, bands: Int,
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HyperplaneBandsExpr.bandKeys($c, $elemIsFloat, " +
         s"$bands, $rowsPerBand, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** See [[VectorFunctions.hyperplaneBandRows]]. */
+case class HyperplaneBandRowsExpr(child: Expression, bands: Int,
+    rowsPerBand: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("key", LongType, nullable = false)))
+  override def prettyName: String = "hyperplane_band_rows"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val keys = HyperplaneBandsExpr.bandKeys(v.asInstanceOf[ArrayData],
+        elemIsFloat, bands, rowsPerBand, seed)
+      (0 until bands).map(j =>
+        org.apache.spark.sql.catalyst.InternalRow(j, keys.getLong(j)))
+    }
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

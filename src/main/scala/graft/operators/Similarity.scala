@@ -129,11 +129,12 @@ object Similarity {
       seed: Long = 42L,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val sig = emb.select(col(idCol).as("id"),
-      graft.functions.VectorFunctions.hyperplaneBands(
-        col(vecCol), bands, rowsPerBand, seed).as("bk"))
-    val bandRows = sig.select(col("id"),
-      posexplode(col("bk")).as(Seq("band", "key")))
+    // Generator form, not posexplode(hyperplaneBands(...)): the inferred
+    // size(e)>0 generate-filter would push the signature into the scan
+    // and evaluate it twice per row (see VectorFunctions scaladoc).
+    val bandRows = emb.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.hyperplaneBandRows(
+        col(vecCol), bands, rowsPerBand, seed).as(Seq("band", "key")))
     val a = bandRows.as("a"); val b = bandRows.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
