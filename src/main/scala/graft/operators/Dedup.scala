@@ -80,6 +80,40 @@ object Dedup {
         (col(idCol) =!= col("canonical_id")).as("is_dup"))
   }
 
+  /** Incremental exact dedup — the daily-ingest composition: dedup a NEW
+    * batch internally ([[exactDedup]] semantics) and mark which of its
+    * documents already exist in the corpus, where the corpus is
+    * represented only by its stored fingerprint table (16 bytes/doc,
+    * written once at ingest).
+    *
+    * Scale shape: the corpus fingerprint table (billions of rows) is
+    * never shuffled — it is scanned once through a bloom prefilter built
+    * from the (small) batch ([[Sketches.bloomSemiFilter]]'s
+    * collect-and-broadcast move), and only the ~batch-sized survivors
+    * (plus the bloom's bounded false positives) reach the exact join
+    * that removes those false positives. The batch side does one
+    * fingerprint window, same as [[exactDedup]].
+    *
+    * @param corpusFps existing corpus fingerprints, column `fpCol`
+    * @return batch rows: (idCol, canonical_id, is_dup — duplicate within
+    *         the batch, is_known — fingerprint already in the corpus)
+    */
+  def incrementalExactDedup(newDocs: DataFrame, corpusFps: DataFrame,
+      textCol: String, idCol: String, fpCol: String = "fp"): DataFrame = {
+    val fp = newDocs.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val w = Window.partitionBy(col("__fp"))
+    val batch = fp.withColumn("canonical_id", min(col(idCol)).over(w))
+    val known = Sketches
+      .bloomSemiFilter(corpusFps, col(fpCol), fp, col("__fp"))
+      .select(col(fpCol).as("__fp")).distinct()
+      .withColumn("__known", lit(true))
+    batch.join(known, Seq("__fp"), "left")
+      .select(col(idCol), col("canonical_id"),
+        (col(idCol) =!= col("canonical_id")).as("is_dup"),
+        coalesce(col("__known"), lit(false)).as("is_known"))
+  }
+
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
     *
     * shingle → k-minhash signature → b bands of r=k/b rows → bucket join

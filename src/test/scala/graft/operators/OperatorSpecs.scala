@@ -162,6 +162,23 @@ class DedupSpec extends SparkSpec {
     assert(md5Count == 1, s"fingerprint must be computed once, got $md5Count:\n$plan")
   }
 
+  test("incrementalExactDedup: batch dups and corpus membership flagged exactly") {
+    // corpus knows doc 0's content; the batch re-ingests it (10), has an
+    // internal dup pair (1, 3 share content? no — 0 and 3 share), and a
+    // fresh doc (2)
+    val corpus = Seq("the quick brown fox jumps over the lazy dog near the river bank today")
+      .toDF("t").select(TextAnalysis.fingerprint($"t").as("fp"))
+    val out = Dedup.incrementalExactDedup(
+        base.toDF("doc_id", "text"), corpus, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, false, true),   // canonical in batch, already in corpus
+      (1L, 1L, false, false),  // near-dup text ≠ exact dup → fresh
+      (2L, 2L, false, false),  // fresh
+      (3L, 0L, true, true)))   // batch-internal dup of 0, also known
+  }
+
   test("minhash LSH: catches the near-dup pair, skips unrelated docs") {
     val pairs = Dedup.minhashNearDupPairs(
         base.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
