@@ -163,9 +163,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("incrementalExactDedup: batch dups and corpus membership flagged exactly") {
-    // corpus knows doc 0's content; the batch re-ingests it (10), has an
-    // internal dup pair (1, 3 share content? no — 0 and 3 share), and a
-    // fresh doc (2)
+    // corpus knows doc 0's content; the batch contains that same content
+    // twice (docs 0 and 3), a near-dup that is NOT an exact dup (1), and
+    // a fresh doc (2)
     val corpus = Seq("the quick brown fox jumps over the lazy dog near the river bank today")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("fp"))
     val out = Dedup.incrementalExactDedup(
