@@ -353,8 +353,13 @@ object Dedup {
       } else {
         val exploded = g.select(col("blk"), col("id"), sz.as("__sz"),
           explode(col("g")).as("gr"))
-        val gramDf = exploded.groupBy(col("gr"))
-          .agg(count(lit(1)).as("__df"))
+        // gram vocabularies are charset-bounded (|alphabet|^n distinct
+        // n-grams at most — tens of thousands for real text), so the
+        // document-frequency table broadcasts: the 7.5M-row exploded
+        // side streams through a hash join instead of shuffling+sorting
+        // for a sort-merge join.
+        val gramDf = broadcast(exploded.groupBy(col("gr"))
+          .agg(count(lit(1)).as("__df")))
         val w = Window.partitionBy(col("id"))
           .orderBy(col("__df").asc, col("gr").asc)
         exploded.join(gramDf, "gr")
