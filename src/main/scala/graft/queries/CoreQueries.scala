@@ -410,6 +410,22 @@ object CoreQueries {
           |""".stripMargin)
     }),
 
+    // Multiple DISTINCT aggregates alongside plain ones in one grouped
+    // pass — Catalyst rewrites this with one Expand (one row replica per
+    // distinct group) + two aggregation levels instead of N separate
+    // scans ("Building Advanced SQL Analytics From Low-Level Plan
+    // Operators", SIGMOD 2021, covers exactly this rewrite class).
+    "q68_multi_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct($"user_id").as("users"),
+          countDistinct(to_date(timestamp_micros(
+            ($"ts_ns" / 1000).cast("long")))).as("active_days"),
+          r4(sum($"value")).as("total_value"))
+    }),
+
     // Batch sessionization: gap > 30 min starts a new session — lag +
     // running sum stacked on ONE entity-keyed window shuffle (ns-long
     // order key per the ts_ns convention).
@@ -704,6 +720,12 @@ object CoreQueries {
     "q59_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+    "q68_multi_distinct" ->
+      """SELECT event_type, count(*) AS cnt,
+        | count(DISTINCT user_id) AS users,
+        | count(DISTINCT ts::DATE) AS active_days,
+        | round(sum(value), 4) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
     // epoch_ns(ts) == the ts_ns long: the parquet ns values are
     // µs-aligned, so DuckDB's µs TIMESTAMP truncation is lossless here.
     "q63_sessionize" ->
