@@ -58,5 +58,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       "token_stats(text) - one-pass (n_tokens, token_chars, stopword_hits)",
       (args: Seq[Expression]) =>
         TokenStatsExpr(args.head, TokenStatsExpr.DefaultStopwords))
+    reg(ext, "winnow_fingerprints",
+      "winnow_fingerprints(text, k, w) - winnowing rolling-hash fingerprints",
+      (args: Seq[Expression]) => WinnowExpr(args.head,
+        intArg(args(1), "k"), intArg(args(2), "w")))
   }
 }

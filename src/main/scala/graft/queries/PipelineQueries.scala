@@ -68,6 +68,19 @@ object PipelineQueries {
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // Winnowing (rolling-hash) fingerprints: the PARTIAL-overlap
+    // primitive — a shared character run of >= w+k-1 chars guarantees a
+    // shared fingerprint, which whole-doc hashing (q33) cannot see. The
+    // fingerprint set is serialized to a CSV scalar at the boundary
+    // (q52 convention); cast-then-join, never transform(__fp, ...) —
+    // CollapseProject would inline the kernel per element.
+    "q69_winnow_fingerprints" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.WinnowFunctions.winnowFingerprints(col("text"))
+            .as("__fp"))
+        .select(col("doc_id"), size(col("__fp")).as("n_fps"),
+          array_join(col("__fp").cast("array<string>"), ",").as("fps"))),
+
     "q34_token_stats_by_lang" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang")
@@ -337,6 +350,32 @@ object PipelineQueries {
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    // Same rolling polynomial hash (B=257, M=2^31-1) via explicit power
+    // weights — all intermediates < 2^55, safe in DuckDB's checked
+    // BIGINT arithmetic. Spark computes it Horner-style; identical mod M.
+    "q69_winnow_fingerprints" ->
+      """WITH c AS (
+        |  SELECT doc_id, text AS s,
+        |    least(8, length(text)) AS kk, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |h AS (
+        |  SELECT doc_id, kk,
+        |    list_transform(range(1, n - kk + 2), j ->
+        |      list_sum(list_transform(range(0, kk), t ->
+        |        (unicode(substr(s, (j + t)::INT, 1))::BIGINT *
+        |         ([1, 257, 66049, 16974593, 67503107, 168429323,
+        |           336663071, 623063367])[(kk - t)::INT]) % 2147483647))
+        |      % 2147483647) AS hl
+        |  FROM c),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hl) <= 4 THEN [list_min(hl)]
+        |         ELSE list_transform(range(1, len(hl) - 2), j ->
+        |           list_min(list_slice(hl, j, j + 3)))
+        |    END AS mins
+        |  FROM h)
+        |SELECT doc_id, len(fps) AS n_fps, array_to_string(fps, ',') AS fps
+        |FROM (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)""".stripMargin,
     "q34_token_stats_by_lang" ->
       """WITH t AS (
         |  SELECT lang, length(text) AS n,

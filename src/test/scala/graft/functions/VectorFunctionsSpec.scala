@@ -105,6 +105,25 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("winnow fingerprints: shared run guarantees a shared fingerprint") {
+    // guarantee: any common character run of length >= w+k-1 (= 11 at
+    // k=8, w=4) yields at least one common fingerprint
+    val shared = "thequickbrownfoxjumpedoverthelazydog" // 36-char run
+    val df = Seq(
+      "AAAA " + shared + " BBBB",
+      "xyzzy 12345 " + shared,
+      "completely unrelated content with nothing in common at all here")
+      .toDF("t")
+      .select(WinnowFunctions.winnowFingerprints($"t").as("fp"))
+    val fps = df.as[Seq[Long]].collect()
+    assert((fps(0).toSet & fps(1).toSet).nonEmpty,
+      "docs sharing a long run must share a fingerprint")
+    assert((fps(0).toSet & fps(2).toSet).isEmpty,
+      "unrelated docs should not collide at these sizes")
+    // deterministic, sorted, distinct
+    assert(fps(0) == fps(0).distinct.sorted)
+  }
+
   test("SQL registration via GraftExtensions") {
     val out = spark.sql(
       """SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
