@@ -136,6 +136,54 @@ object TextAnalysis {
     counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Partial-overlap (clone) pairs via winnowing fingerprints: docs
+    * whose fingerprint CONTAINMENT — |A∩B| / min(|A|,|B|) — reaches
+    * `minContainment`
+    * ([[graft.functions.WinnowFunctions.winnowFingerprints]]).
+    * Containment, not Jaccard, is the excerpt metric: a 200-char excerpt
+    * of a 2000-char doc has tiny global Jaccard/cosine (every
+    * whole-document similarity operator misses it by construction) but
+    * near-total containment, because shared runs ≥ w+k−1 chars always
+    * fingerprint-collide.
+    *
+    * Scale shape: inverted-index self-join on the fingerprint value —
+    * fan-out is per shared fingerprint, never all-pairs — with the
+    * hot-key hardening BUILT IN: fingerprints appearing in more than
+    * `maxDocFreq` documents are boilerplate, carry no attribution
+    * signal, and would each contribute O(df²) candidate pairs, so they
+    * are dropped before the join (the IDF move; same spirit as
+    * `Dedup.minhashNearDupPairs.maxBucket`). Containment is then
+    * measured over the surviving DISCRIMINATIVE fingerprints — an
+    * absolute cap, so per-fingerprint fan-out stays ≤ maxDocFreq²/2 no
+    * matter how large the corpus grows. The containment threshold also
+    * absorbs 2^31-space chance collisions.
+    */
+  def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+      minContainment: Double = 0.8, maxDocFreq: Int = 20,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val fpAll = df.select(col(idCol).as("id"), explode(
+      graft.functions.WinnowFunctions.winnowFingerprints(col(textCol), k, w))
+      .as("f"))
+    // fingerprint doc-frequency (fps are distinct per doc); the keep
+    // list is vocabulary-sized → broadcastable
+    val keep = broadcast(fpAll.groupBy(col("f"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDocFreq)
+      .select(col("f")))
+    val fp = fpAll.join(keep, "f")
+    val sz = fp.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val szed = fp.join(sz, "id")
+    val a = szed.select(col("id").as("doc_a"), col("n").as("__na"), col("f"))
+    val b = szed.select(col("id").as("doc_b"), col("n").as("__nb"), col("f"))
+    a.join(b, Seq("f")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .withColumn("__c", col("shared_fps").cast("double") /
+        least(col("__na"), col("__nb")).cast("double"))
+      .filter(col("__c") >= minContainment) // raw int ratio: engine-exact
+      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+        round(col("__c"), 4).as("containment"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF
     * (tf · ln(N/df), deterministic ties by term asc). Every stage is
     * distributed: token counts partial-aggregate map-side, document

@@ -106,6 +106,20 @@ object PipelineQueries {
     // Corpus vocabulary: top tokens per language — heavy stage is the
     // map-side-combined token count; the rank window only sees the
     // vocabulary-sized aggregate.
+    // Partial-overlap detection over planted 200-char excerpts: every
+    // eligible 25th doc contributes an excerpt copy; the overlap query
+    // must attribute each excerpt to its source — whole-doc similarity
+    // (q35-q38) structurally misses these (global Jaccard ~0.2).
+    "q70_winnow_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          substring(col("text"), 41, 200).as("text"))
+      TextAnalysis.winnowOverlapPairs(docs.unionByName(planted),
+        "text", "doc_id")
+    }),
+
     "q61_top_tokens" -> ((s, d) =>
       TextAnalysis.topTokens(Tables.documents(s, d), "lang", 5)),
 
@@ -376,6 +390,47 @@ object PipelineQueries {
         |  FROM h)
         |SELECT doc_id, len(fps) AS n_fps, array_to_string(fps, ',') AS fps
         |FROM (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)""".stripMargin,
+    "q70_winnow_overlap" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, substr(text, 41, 200) FROM documents
+        |  WHERE doc_id % 25 = 0 AND length(text) >= 300),
+        |c AS (
+        |  SELECT doc_id, text AS s,
+        |    least(8, length(text)) AS kk, length(text) AS n
+        |  FROM base WHERE length(text) > 0),
+        |h AS (
+        |  SELECT doc_id, kk,
+        |    list_transform(range(1, n - kk + 2), j ->
+        |      list_sum(list_transform(range(0, kk), t ->
+        |        (unicode(substr(s, (j + t)::INT, 1))::BIGINT *
+        |         ([1, 257, 66049, 16974593, 67503107, 168429323,
+        |           336663071, 623063367])[(kk - t)::INT]) % 2147483647))
+        |      % 2147483647) AS hl
+        |  FROM c),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hl) <= 4 THEN [list_min(hl)]
+        |         ELSE list_transform(range(1, len(hl) - 2), j ->
+        |           list_min(list_slice(hl, j, j + 3)))
+        |    END AS mins
+        |  FROM h),
+        |f0 AS (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM m),
+        |fdf AS (SELECT f, count(*) AS c FROM f0 GROUP BY f),
+        |f AS (SELECT f0.doc_id, f0.f FROM f0 JOIN fdf USING (f)
+        |      WHERE c <= 20),
+        |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM f a JOIN f b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, i AS shared_fps,
+        |       round(i::DOUBLE / least(sa.n, sb.n), 4) AS containment
+        |FROM p
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE i::DOUBLE / least(sa.n, sb.n) >= 0.8""".stripMargin,
     "q34_token_stats_by_lang" ->
       """WITH t AS (
         |  SELECT lang, length(text) AS n,

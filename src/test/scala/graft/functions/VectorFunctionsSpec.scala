@@ -124,6 +124,24 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(fps(0) == fps(0).distinct.sorted)
   }
 
+  test("winnowOverlapPairs: excerpt attributed to its source, nothing else") {
+    // doc 3 is mostly a verbatim excerpt of doc 1 → high CONTAINMENT
+    // even though its global Jaccard vs doc 1 is mediocre
+    val src = "the quick brown fox jumps over the lazy dog while the " +
+      "rain falls steadily on the quiet village rooftops all night long"
+    val docs = Seq(
+      (1L, src),
+      (2L, "totally different material about distributed query engines " +
+        "and their optimizers running on large clusters of machines"),
+      (3L, src.substring(20, 90) + " tail"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.TextAnalysis
+      .winnowOverlapPairs(docs, "text", "doc_id", minContainment = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)),
+      s"excerpt must pair with its source only, got $pairs")
+  }
+
   test("SQL registration via GraftExtensions") {
     val out = spark.sql(
       """SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
