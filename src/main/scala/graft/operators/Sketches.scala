@@ -78,6 +78,38 @@ object Sketches {
     df.withColumn(out, assign)
   }
 
+  /** EXACT heavy hitters (values with frequency > `support` of all rows)
+    * without a full-cardinality aggregation — the two-pass sketch
+    * pattern:
+    *
+    *  1. `freqItems` (Spark's Karp/Misra-Gries-family sketch) finds a
+    *     candidate SUPERSET in bounded memory — it can over-report but
+    *     never misses a value above `support`, and the candidate list is
+    *     at most ~1/support entries (collected + inlined, the
+    *     [[bloomSemiFilter]] move);
+    *  2. one exact counting pass over candidate rows only — aggregation
+    *     state is |candidates|, not |distinct values|, which is the
+    *     difference between a bounded hash map and an OOM when the
+    *     column is open-vocabulary (tokens, URLs, user agents) at 100 TB.
+    *
+    * Output is exact (count > support · N, N via a broadcast 1-row
+    * aggregate) — false positives from pass 1 die in pass 2's filter.
+    */
+  def exactHeavyHitters(df: DataFrame, valueCol: String,
+      support: Double): DataFrame = {
+    require(support >= 1e-4 && support < 1.0,
+      s"support must be in [1e-4, 1), got $support")
+    val cands = df.stat.freqItems(Array(valueCol), support)
+      .collect()(0).getSeq[Any](0)
+    val t = df.agg(count(lit(1)).as("__total"))
+    df.filter(col(valueCol).isin(cands: _*))
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(t))
+      .filter(col("cnt").cast("double") >
+        lit(support) * col("__total").cast("double"))
+      .select(col(valueCol), col("cnt"))
+  }
+
   /** Bloom-filter semi-join: keep probe rows whose `probeKey` might be in
     * the build side's `buildKey` set. `expectedItems` sizes the sketch
     * (bits ≈ 8× items keeps FPP ≈ 2%).

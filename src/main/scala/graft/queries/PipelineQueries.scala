@@ -103,6 +103,15 @@ object PipelineQueries {
         round(avg(col("nt")), 4).as("avg_tokens"))
     }),
 
+    // Exact heavy-hitter tokens (> 1% of all token occurrences) via the
+    // bounded-memory two-pass sketch: candidate superset from freqItems,
+    // then exact counts for candidates only.
+    "q71_heavy_hitters" -> ((s, d) =>
+      graft.operators.Sketches.exactHeavyHitters(
+        Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        "tok", support = 0.01)),
+
     // Corpus vocabulary: top tokens per language — heavy stage is the
     // map-side-combined token count; the rank window only sees the
     // vocabulary-sized aggregate.
@@ -322,6 +331,18 @@ object PipelineQueries {
         | count(DISTINCT lang) AS langs,
         | round(avg(nt), 4) AS avg_tokens
         |FROM m GROUP BY source""".stripMargin,
+    // Threshold arithmetic is 0.01 * N in IEEE double on BOTH engines
+    // (same parse, same product), so the strict > is cross-engine exact.
+    "q71_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |t AS (SELECT count(*) AS n FROM tok)
+        |SELECT tok, count(*) AS cnt
+        |FROM tok CROSS JOIN t
+        |GROUP BY tok, t.n
+        |HAVING count(*) > 0.01 * t.n""".stripMargin,
     "q61_top_tokens" ->
       """WITH tok AS (
         |  SELECT lang, unnest(list_filter(

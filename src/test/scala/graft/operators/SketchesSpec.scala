@@ -52,6 +52,19 @@ class SketchesSpec extends SparkSpec {
       s"bucket assignment must be a per-row projection:\n$plan")
   }
 
+  test("exactHeavyHitters ≡ brute-force full aggregation") {
+    // skewed synthetic: value v appears ~1000/(v+1) times
+    val rows = (0 until 200).flatMap(v => Seq.fill(1000 / (v + 1))(v))
+    val skew = rows.toDF("v")
+    val out = Sketches.exactHeavyHitters(skew, "v", support = 0.02)
+      .as[(Int, Long)].collect().toMap
+    val n = rows.size
+    val brute = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c.toDouble > 0.02 * n }.toMap
+    assert(out == brute)
+    assert(out.nonEmpty && out.size < 20) // sketch path actually prunes
+  }
+
   test("bloomSemiFilter: zero false negatives; FPs bounded") {
     val build = df.filter($"k" < 100).select($"k".as("bk"))
     val out = Sketches.bloomSemiFilter(
