@@ -66,9 +66,16 @@ object Streaming {
     * with finite state. Without the time bound the join would buffer
     * both streams forever.
     */
+  /** @param joinType "inner", or "left_outer" to ALSO emit unattributed
+    *                  clicks (null purchase columns) — outer rows flush
+    *                  only once the watermark proves no matching purchase
+    *                  can still arrive, which is why the watermark is
+    *                  mandatory on both sides
+    */
   def attributeClicks(clicks: DataFrame, purchases: DataFrame,
       watermarkDelay: String = "10 minutes",
-      attributionWindow: String = "30 minutes"): DataFrame = {
+      attributionWindow: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("ts").as("click_ts"),
         col("user_id").as("click_user"), col("value").as("click_value"))
       .withWatermark("click_ts", watermarkDelay)
@@ -79,7 +86,8 @@ object Streaming {
     c.join(p,
       col("click_user") === col("purchase_user") &&
         col("purchase_ts") <= col("click_ts") &&
-        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $attributionWindow"))
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $attributionWindow"),
+      joinType)
       .select(col("click_user").as("user_id"), col("click_ts"),
         col("purchase_ts"), col("click_value"), col("purchase_value"))
   }

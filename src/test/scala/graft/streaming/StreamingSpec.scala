@@ -88,6 +88,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 2.0, 100.0)))
   }
 
+  test("attributeClicks left_outer: unmatched click flushes after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streaming.attributeClicks(clicks.toDF(), purchases.toDF(),
+        watermarkDelay = "1 minutes", attributionWindow = "10 minutes",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("attr_lo")
+      .outputMode("append").start()
+    // user 5's click at 10:02 has no purchase; user 6's click matches
+    clicks.addData(Event(ts(2), 5, "click", 1.0),
+      Event(ts(2), 6, "click", 2.0))
+    purchases.addData(Event(ts(1), 6, "purchase", 50.0))
+    q.processAllAvailable()
+    // advance the watermark far past click_ts + window so the engine can
+    // prove no purchase for user 5 can still arrive, flushing the outer row
+    clicks.addData(Event(ts(59), 99, "click", 0.0))
+    purchases.addData(Event(ts(59), 99, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_lo")
+      .select("user_id", "purchase_value")
+      .as[(Long, Option[Double])].collect()
+    assert(rows.collect { case (6L, v) => v }.flatten.toSet == Set(50.0))
+    assert(rows.exists { case (u, v) => u == 5L && v.isEmpty },
+      "unmatched click must flush as an outer row with null purchase")
+  }
+
   test("enrichStream: stream-static broadcast join enriches each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "alice"), (2L, "bob")).toDF("uid", "name")
