@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Gold, Imputation, Pivot, RangeJoin, Sketches, Windows}
+import graft.operators.{AsOfJoin, Gold, Imputation, Pivot, RangeJoin, Sketches, SkewJoin, Windows}
 
 /** Reference-parity query registry (SURVEY.md §2), mapped onto the harness
   * tables (FIXTURES.md §B mapping: `events` plays the observations fact,
@@ -410,6 +410,20 @@ object CoreQueries {
           |""".stripMargin)
     }),
 
+    // Salted equi-join equivalence at the gate (the q44-for-joins): the
+    // skew-hardened join feeding an aggregation must reproduce the plain
+    // join's oracle exactly — salting redistributes rows, never changes
+    // them.
+    "q72_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_suppkey", $"l_quantity")
+      val sup = Tables.supplier(s, d)
+        .select($"s_suppkey".as("l_suppkey"), $"s_name")
+      SkewJoin.saltedEquiJoin(li, sup, "l_suppkey", saltFactor = 8)
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("lines"), r4(sum($"l_quantity")).as("qty"))
+    }),
+
     // Multiple DISTINCT aggregates alongside plain ones in one grouped
     // pass — Catalyst rewrites this with one Expand (one row replica per
     // distinct group) + two aggregation levels instead of N separate
@@ -720,6 +734,11 @@ object CoreQueries {
     "q59_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+    "q72_salted_join" ->
+      """SELECT s_name, count(*) AS lines,
+        | round(sum(l_quantity), 4) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
     "q68_multi_distinct" ->
       """SELECT event_type, count(*) AS cnt,
         | count(DISTINCT user_id) AS users,
