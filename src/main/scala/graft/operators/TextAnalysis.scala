@@ -151,8 +151,13 @@ object TextAnalysis {
     * hot-key hardening BUILT IN: fingerprints appearing in more than
     * `maxDocFreq` documents are boilerplate, carry no attribution
     * signal, and would each contribute O(df²) candidate pairs, so they
-    * are dropped before the join (the IDF move; same spirit as
-    * `Dedup.minhashNearDupPairs.maxBucket`). Containment is then
+    * are dropped before the join via a broadcast `left_anti` against
+    * the HOT fingerprint list (`df > maxDocFreq`) — the SAME move as
+    * `Dedup.minhashNearDupPairs.maxBucket`. The hot list is tiny by
+    * construction (boilerplate is rare in the vocabulary even when it
+    * dominates row counts), so the broadcast is bounded no matter the
+    * corpus size; broadcasting the complement (all rare fingerprints)
+    * would grow linearly with the corpus. Containment is then
     * measured over the surviving DISCRIMINATIVE fingerprints — an
     * absolute cap, so per-fingerprint fan-out stays ≤ maxDocFreq²/2 no
     * matter how large the corpus grows. The containment threshold also
@@ -164,12 +169,13 @@ object TextAnalysis {
     val fpAll = df.select(col(idCol).as("id"), explode(
       graft.functions.WinnowFunctions.winnowFingerprints(col(textCol), k, w))
       .as("f"))
-    // fingerprint doc-frequency (fps are distinct per doc); the keep
-    // list is vocabulary-sized → broadcastable
-    val keep = broadcast(fpAll.groupBy(col("f"))
-      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDocFreq)
+    // fingerprint doc-frequency (fps are distinct per doc); only the
+    // HOT tail (df > maxDocFreq) is materialized and broadcast — it is
+    // bounded by the boilerplate vocabulary, not the corpus
+    val hot = broadcast(fpAll.groupBy(col("f"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDocFreq)
       .select(col("f")))
-    val fp = fpAll.join(keep, "f")
+    val fp = fpAll.join(hot, Seq("f"), "left_anti")
     val sz = fp.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val szed = fp.join(sz, "id")
     val a = szed.select(col("id").as("doc_a"), col("n").as("__na"), col("f"))

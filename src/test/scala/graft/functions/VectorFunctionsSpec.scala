@@ -142,6 +142,46 @@ class VectorFunctionsSpec extends SparkSpec {
       s"excerpt must pair with its source only, got $pairs")
   }
 
+  test("winnowOverlapPairs: df-cap drops boilerplate via broadcast HOT anti-join") {
+    // 25 docs share a boilerplate header (df = 25 > maxDocFreq = 20);
+    // docs 100/101 additionally share a genuine long excerpt. With the
+    // cap on, boilerplate fingerprints are anti-joined away, so ONLY
+    // the genuine pair survives; with the cap effectively off, the
+    // boilerplate alone links every header-carrying pair.
+    val header = "this message and any attachments are confidential and " +
+      "intended solely for the use of the individual addressed herein"
+    val excerpt = "meanwhile the migration of the wildebeest across the " +
+      "serengeti follows the seasonal rains in a great clockwise loop"
+    val boiler = (1L to 25L).map { i =>
+      // per-doc body is a run of one UNIQUE letter — no cross-doc runs
+      val c = ('a' + i.toInt).toChar.toString
+      (i, header + " " + c * 30)
+    }
+    val docs = (boiler ++ Seq(
+      (100L, "intro words first " + excerpt),
+      (101L, excerpt + " trailing commentary afterwards")))
+      .toDF("doc_id", "text")
+
+    val capped = graft.operators.TextAnalysis
+      .winnowOverlapPairs(docs, "text", "doc_id",
+        minContainment = 0.5, maxDocFreq = 20)
+    // the hot list rides a broadcast LEFT ANTI join (never a
+    // corpus-sized broadcast of the rare-fingerprint complement)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected broadcast anti-join:\n$plan")
+    val cappedPairs =
+      capped.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cappedPairs == Set((100L, 101L)),
+      s"df-cap must keep only the genuine excerpt pair, got $cappedPairs")
+
+    val uncapped = graft.operators.TextAnalysis
+      .winnowOverlapPairs(docs, "text", "doc_id",
+        minContainment = 0.5, maxDocFreq = 1000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((100L, 101L)) && uncapped.size > 1,
+      s"without the cap boilerplate must link header pairs, got $uncapped")
+  }
+
   test("SQL registration via GraftExtensions") {
     val out = spark.sql(
       """SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
