@@ -25,7 +25,11 @@ object Bench {
       catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
 
+    // dev aid: SPARK_GRAFT_ONLY=q67,q36 restricts to matching prefixes
+    // (unset for the driver's full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     names.foreach(run) // warmup, untimed
 
     val timed = names.map { name =>

@@ -259,19 +259,66 @@ case class HyperplaneBandRowsExpr(child: Expression, bands: Int,
 }
 
 object HyperplaneBandsExpr {
+  /** Packed ±1 hyperplane sign matrix: bit (i·bits + k) set ⟺ dimension
+    * i contributes +v to accumulator k. The signs are data-independent —
+    * xxhash64 of (k, i) under the seed — but were previously recomputed
+    * for every (bit, dim) pair on EVERY ROW (dim × bits hashes per row,
+    * ≈147k/row for 1536-dim embeddings at b=8, r=12), dominating the
+    * signature cost. Built once per (bits, seed) and grown if a wider
+    * vector appears; i-major packing keeps the inner k-loop on
+    * consecutive bits of the same words.
+    */
+  private final class SignMatrix(val dim: Int, bits: Int, seed: Long) {
+    val words: Array[Long] = {
+      val w = new Array[Long](((dim * bits + 63) >>> 6) + 1)
+      var i = 0
+      while (i < dim) {
+        var k = 0
+        while (k < bits) {
+          val h = XXH64.hashLong((k.toLong << 32) | (i.toLong & 0xffffffffL), seed)
+          if ((h & 1L) == 0L) {
+            val b = i * bits + k
+            w(b >>> 6) |= (1L << (b & 63))
+          }
+          k += 1
+        }
+        i += 1
+      }
+      w
+    }
+  }
+
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), SignMatrix]()
+
+  private def signs(bits: Int, seed: Long, dim: Int): SignMatrix = {
+    val key = (bits, seed)
+    val cur = signCache.get(key)
+    if (cur != null && cur.dim >= dim) cur
+    else {
+      // idempotent under races: any winner encodes the same hash bits
+      val m = new SignMatrix(math.max(dim, if (cur == null) 0 else cur.dim),
+        bits, seed)
+      signCache.put(key, m)
+      m
+    }
+  }
+
   /** Shared by eval and generated code (static forwarder). */
   def bandKeys(vec: ArrayData, isFloat: Boolean, bands: Int,
       rowsPerBand: Int, seed: Long): GenericArrayData = {
     val bits = bands * rowsPerBand
     val dim = vec.numElements()
     val acc = new Array[Double](bits)
+    val sm = signs(bits, seed, dim).words
     var i = 0
     while (i < dim) {
       val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      val base = i * bits
       var k = 0
       while (k < bits) {
-        val h = XXH64.hashLong((k.toLong << 32) | (i.toLong & 0xffffffffL), seed)
-        if ((h & 1L) == 0L) acc(k) += v else acc(k) -= v
+        val b = base + k
+        if ((sm(b >>> 6) & (1L << (b & 63))) != 0L) acc(k) += v else acc(k) -= v
         k += 1
       }
       i += 1

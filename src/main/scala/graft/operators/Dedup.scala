@@ -315,6 +315,21 @@ object Dedup {
     * prefix-to-prefix self-join finds every qualifying pair; candidates
     * are then verified with the exact merge-intersect Jaccard.
     *
+    * The POSITIONAL filter (the second half of PPJoin, Xiao et al.
+    * WWW'08) prunes inside the candidate join: a shared gram at sorted
+    * position i of A and j of B bounds the overlap by
+    * k + min(|A|−i, |B|−j), where k counts shared grams at-or-before
+    * this one. Every intersection element smaller than a shared PREFIX
+    * gram is itself a shared prefix gram of both docs (positions only
+    * decrease), so for a qualifying pair the k = 1 match — the
+    * smallest shared gram — always satisfies
+    * 1 + min(|A|−i, |B|−j) ≥ α, with α = ceil(t/(1+t)·(|A|+|B|)) the
+    * overlap form of J ≥ t. Filtering every match row by that bound
+    * (and by the size-ratio check, also decided by prefix-row fields
+    * alone) is therefore lossless: a qualifying pair survives via its
+    * smallest shared gram, while suffix-heavy coincidental matches die
+    * before the DISTINCT and the verify join ever see them.
+    *
     * Scale shape: index size is (1−t)·grams + 1 per doc (5× smaller at
     * t=0.8), and join fan-out is per shared PREFIX gram, not per block
     * member — no quadratic block term, `blockCols` optional (empty =
@@ -345,34 +360,51 @@ object Dedup {
       hashedCharGrams(col(textCol), n).as("g"))
     val sz = size(col("g"))
     val prefixLen = (sz - ceil(sz.cast("double") * threshold) + 1).cast("int")
+    // idx schema: (blk, id, gr, pos, sz) — pos is the gram's 1-based
+    // position in the doc's gram list under the chosen global order,
+    // sz the doc's total gram count; both feed the positional filter.
     val idx =
       if (!frequencyOrdered) {
         // hash order: the gram arrays are already hash-sorted
-        g.select(col("blk"), col("id"),
-          explode(slice(col("g"), lit(1), prefixLen)).as("gr"))
+        g.select(col("blk"), col("id"), sz.as("sz"),
+          posexplode(slice(col("g"), lit(1), prefixLen)))
+          .select(col("blk"), col("id"), col("col").as("gr"),
+            (col("pos") + 1).as("pos"), col("sz"))
       } else {
-        val exploded = g.select(col("blk"), col("id"), sz.as("__sz"),
+        val exploded = g.select(col("blk"), col("id"), sz.as("sz"),
           explode(col("g")).as("gr"))
-        // gram vocabularies are charset-bounded (|alphabet|^n distinct
-        // n-grams at most — tens of thousands for real text), so the
-        // document-frequency table broadcasts: the 7.5M-row exploded
-        // side streams through a hash join instead of shuffling+sorting
-        // for a sort-merge join.
-        val gramDf = broadcast(exploded.groupBy(col("gr"))
-          .agg(count(lit(1)).as("__df")))
+        // Gram vocabularies are charset-bounded: at most |alphabet|^n
+        // distinct n-grams — ~1e6 for printable-ASCII 3-grams, tens of
+        // thousands in real text — so for small n the document-frequency
+        // table broadcasts and the corpus-sized exploded side streams
+        // through a hash join. The bound is EXPONENTIAL in n, so above
+        // n = 3 the hint comes off and the join is left to the planner
+        // (AQE still broadcasts if the measured vocabulary is small).
+        val dfAgg = exploded.groupBy(col("gr")).agg(count(lit(1)).as("__df"))
+        val gramDf =
+          if (math.pow(96, n) <= 1e6) broadcast(dfAgg) else dfAgg
         val w = Window.partitionBy(col("id"))
           .orderBy(col("__df").asc, col("gr").asc)
         exploded.join(gramDf, "gr")
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <=
-            (col("__sz") - ceil(col("__sz").cast("double") * threshold) + 1)
+          .withColumn("pos", row_number().over(w))
+          .filter(col("pos") <=
+            (col("sz") - ceil(col("sz").cast("double") * threshold) + 1)
               .cast("int"))
-          .select(col("blk"), col("id"), col("gr"))
+          .select(col("blk"), col("id"), col("gr"), col("pos"), col("sz"))
       }
     val a = idx.as("a"); val b = idx.as("b")
+    // overlap form of the Jaccard threshold: O(A,B) ≥ α ⟺ J ≥ t
+    val alpha = ceil((col("a.sz") + col("b.sz")).cast("double") *
+      (threshold / (1.0 + threshold)))
+    val positionalOk =
+      (lit(1) + least(col("a.sz") - col("a.pos"),
+        col("b.sz") - col("b.pos"))) >= alpha
+    val candSizeOk =
+      least(col("a.sz"), col("b.sz")).cast("double") /
+        greatest(col("a.sz"), col("b.sz")).cast("double") >= threshold
     val candidates = a.join(b,
         col("a.blk") === col("b.blk") && col("a.gr") === col("b.gr") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") && candSizeOk && positionalOk)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     val ga = g.select(col("id").as("doc_a"), col("g").as("g_a"))

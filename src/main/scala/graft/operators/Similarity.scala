@@ -168,6 +168,15 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     var cents = init.select(col("cid"), col("__cv"))
+    // Each sweep MATERIALIZES its centroids (the collect-a-sketch move:
+    // numCentroids × dim values — a few KB, the same size class as the
+    // broadcast the assign step already ships). Without this, sweep i's
+    // lazy plan re-executes all sweeps < i — every Lloyd iteration
+    // re-scans `emb` once per PRIOR iteration, quadratic re-execution
+    // that is invisible at 2 sweeps and ruinous at 20. Collecting to a
+    // LocalRelation (rather than persist/unpersist juggling) keeps the
+    // per-sweep plan at exactly one `emb` scan + one local build side,
+    // independent of the iteration count.
     for (_ <- 1 to iterations) {
       val assigned = emb.select(col(idCol).as("nid"), col(vecCol).as("__v"))
         .join(broadcast(cents))
@@ -182,8 +191,10 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("__nv"))
-      cents = cents.join(means, Seq("cid"), "left")
+      val next = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("__nv"), col("__cv")).as("__cv"))
+      cents = emb.sparkSession.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     cents
   }

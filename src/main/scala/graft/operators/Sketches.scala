@@ -64,18 +64,29 @@ object Sketches {
     * scan speed. Bucket POPULATIONS are approximate (cutpoint error ≤
     * the sketch accuracy); bucket ORDER and determinism are exact —
     * every run assigns a given row the same bucket for the same input.
+    *
+    * NULL values of `valueCol` get a NULL bucket (they are unrankable;
+    * note this diverges from `ntile` over `ORDER BY v`, which sorts
+    * nulls first into bucket 1). An empty or all-null input yields no
+    * cutpoints and every non-null row — there are none — would land in
+    * the top bucket; the guard keeps the sketch row's NULL from NPEing.
     */
   def approxQuantileBuckets(df: DataFrame, valueCol: String, buckets: Int,
       accuracy: Int = 10000, out: String = "bucket"): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val cuts = df.agg(percentile_approx(col(valueCol),
+    // sketch on a double cast so integer-typed value columns work too
+    val row = df.agg(percentile_approx(col(valueCol).cast("double"),
         array(qs.map(lit): _*), lit(accuracy)).as("c"))
-      .collect()(0).getAs[scala.collection.Seq[Double]]("c").toSeq
+      .collect()(0)
+    val cuts =
+      if (row.isNullAt(0)) Seq.empty[Double]
+      else row.getAs[scala.collection.Seq[Double]]("c").toSeq
     val assign = cuts.zipWithIndex.foldRight(lit(buckets): Column) {
       case ((cut, i), els) => when(col(valueCol) <= cut, lit(i + 1)).otherwise(els)
     }
-    df.withColumn(out, assign)
+    df.withColumn(out,
+      when(col(valueCol).isNull, lit(null).cast("int")).otherwise(assign))
   }
 
   /** EXACT heavy hitters (values with frequency > `support` of all rows)

@@ -435,8 +435,11 @@ object CoreQueries {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("cnt"),
           countDistinct($"user_id").as("users"),
+          // integer division: ts_ns ~1.7e18 exceeds double's 2^53 exact
+          // range, so `/` (double division) can be off by 1 µs at a
+          // midnight boundary vs the oracle's ts::DATE
           countDistinct(to_date(timestamp_micros(
-            ($"ts_ns" / 1000).cast("long")))).as("active_days"),
+            expr("ts_ns div 1000")))).as("active_days"),
           r4(sum($"value")).as("total_value"))
     }),
 

@@ -51,6 +51,41 @@ object PipelineQueries {
           transform(col("embedding"), x => x + lit(0.01f)).as("embedding")))
   }
 
+  /** Documents plus planted char-n-gram NEAR-duplicates (doc_id+200000,
+    * a ~40-char boilerplate suffix appended) for every 15th doc of ≥300
+    * chars: the suffix adds ≤ ~42 new distinct 3-grams, so the planted
+    * pair's gram Jaccard lands at ~0.82–0.98 — above the q38/q67
+    * threshold — while same-lang/source strangers stay far below it.
+    * Keeps (lang, source) so the pair shares its block.
+    */
+  private def docsWithNgramDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(
+      docs.filter(col("doc_id") % 15 === 0 && length(col("text")) >= 300)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text",
+          concat(col("text"), lit(" shared boilerplate footer appended here"))),
+      allowMissingColumns = false)
+  }
+
+  /** Documents + exact dups + a 60-doc boilerplate cluster (shared
+    * template, one-token unique tail → pairwise shingle-Jaccard ≈ 0.88)
+    * — the hot-bucket fixture for [[Dedup.minhashNearDupPairs]]'s
+    * `maxBucket` guard (q73). Deterministic on both engines.
+    */
+  private val ClusterTemplate = "all rights reserved contact us terms of " +
+    "service privacy policy cookies settings navigation home about page number "
+
+  private def docsWithHotCluster(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val cluster = s.range(60).select(
+      (col("id") + 500000).as("doc_id"),
+      concat(lit(ClusterTemplate), col("id").cast("string")).as("text"))
+    docs.unionByName(dups).unionByName(cluster)
+  }
+
   val queries: Map[String, Q] = Map(
     // ── Text analysis ────────────────────────────────────────────────
     "q30_text_stats" -> ((s, d) =>
@@ -158,14 +193,37 @@ object PipelineQueries {
         .select("doc_id", "simhash")),
 
     "q38_ngram_neardup" -> ((s, d) =>
-      Dedup.ngramNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+      Dedup.ngramNearDupPairs(docsWithNgramDups(s, d), "text", "doc_id",
         Seq("lang", "source"), threshold = 0.8)),
 
     // Prefix-filtered variant — EXACT same contract as q38 (identical
     // oracle), near-linear candidates instead of block-quadratic.
     "q67_ngram_prefix_neardup" -> ((s, d) =>
-      Dedup.ngramNearDupPairsPrefix(Tables.documents(s, d), "text", "doc_id",
+      Dedup.ngramNearDupPairsPrefix(docsWithNgramDups(s, d), "text", "doc_id",
         Seq("lang", "source"), threshold = 0.8)),
+
+    // The hot-bucket cap under the oracle: a planted 60-doc boilerplate
+    // cluster (pairwise shingle-Jaccard ≈ 0.88 — floods its LSH band
+    // buckets far past maxBucket = 20, but sits UNDER the 0.9 verify
+    // threshold, so every cluster candidate is verify-rejected dead
+    // weight either way) + exact dups (Jaccard 1.0, all 8 bands collide
+    // pairwise → cap-immune). Full-recall contract ⇒ the oracle is the
+    // same exact ground truth as q36's, over the planted base — the
+    // gate now exercises the hot-bucket anti-join path end-to-end.
+    "q73_minhash_capped" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(docsWithHotCluster(s, d), "text", "doc_id",
+        threshold = 0.9, maxBucket = 20)),
+
+    // Incremental ingest dedup: the batch (documents + planted exact
+    // dups) against a stored-fingerprint corpus covering every 3rd base
+    // doc. Exact by construction → full value oracle.
+    "q74_incremental_dedup" -> ((s, d) => {
+      val corpusFps = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      Dedup.incrementalExactDedup(docsWithDups(s, d), corpusFps,
+        "text", "doc_id")
+    }),
 
     // Near-dup pairs → connected components → full-corpus canonical map.
     "q45_neardup_clusters" -> ((s, d) => {
@@ -209,7 +267,28 @@ object PipelineQueries {
       Multimodal.decodeMeta(Multimodal.attachBlob(Tables.documents(s, d)))),
 
     "q43_frame_sample" -> ((s, d) =>
-      Multimodal.sampleFrames(Multimodal.attachBlob(Tables.documents(s, d))))
+      Multimodal.sampleFrames(Multimodal.attachBlob(Tables.documents(s, d)))),
+
+    // Sketch-cutpoint bucketing — cutpoints are engine-specific
+    // (percentile_approx) → rows/schema check only, like q46.
+    "q75_quantile_buckets" -> ((s, d) =>
+      graft.operators.Sketches.approxQuantileBuckets(
+        Tables.documents(s, d)
+          .select(col("doc_id"), length(col("text")).as("n_chars")),
+        "n_chars", buckets = 10)),
+
+    // Multimodal feature extraction / resample: float-vector and binary
+    // outputs have no portable SQL rendering → rows/schema check only;
+    // value semantics are unit-tested (MultimodalSpec).
+    "q76_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.attachBlob(Tables.documents(s, d)))),
+
+    "q77_media_resample" -> ((s, d) =>
+      Multimodal.resample(
+          Multimodal.attachBlob(Tables.documents(s, d)), targetBytes = 64)
+        .select(col("doc_id"), length(col("media")).as("n_bytes"),
+          col("format")))
   )
 
   /** Exact blocked char-3-gram Jaccard ground truth — shared by q38 (the
@@ -217,10 +296,16 @@ object PipelineQueries {
     * operator): the filter is lossless, so both must match it exactly.
     */
   private val NgramOracle =
-    """WITH norm AS (
+    """WITH base AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, lang, source,
+      |         text || ' shared boilerplate footer appended here'
+      |  FROM documents WHERE doc_id % 15 = 0 AND length(text) >= 300),
+      |norm AS (
       |  SELECT doc_id, lang, source,
       |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
-      |  FROM documents),
+      |  FROM base),
       |g AS (
       |  SELECT doc_id, lang, source, unnest(CASE WHEN length(s) >= 3 THEN
       |      list_distinct(list_transform(range(1, length(s) - 1),
@@ -409,8 +494,10 @@ object PipelineQueries {
         |           list_min(list_slice(hl, j, j + 3)))
         |    END AS mins
         |  FROM h)
-        |SELECT doc_id, len(fps) AS n_fps, array_to_string(fps, ',') AS fps
-        |FROM (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)""".stripMargin,
+        |, f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
+        |SELECT d.doc_id, coalesce(len(f.fps), 0) AS n_fps,
+        |       coalesce(array_to_string(f.fps, ','), '') AS fps
+        |FROM documents d LEFT JOIN f USING (doc_id)""".stripMargin,
     "q70_winnow_overlap" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents
@@ -500,6 +587,58 @@ object PipelineQueries {
         |JOIN sz sa ON doc_a = sa.doc_id
         |JOIN sz sb ON doc_b = sb.doc_id
         |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+    // q73 = q36's exact shingle ground truth over the planted base
+    // (docs + exact dups + boilerplate cluster) at threshold 0.9: the
+    // cap has full recall, so the oracle ignores it entirely.
+    "q73_minhash_capped" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT i + 500000,
+        |    'all rights reserved contact us terms of service privacy ' ||
+        |    'policy cookies settings navigation home about page number ' || i
+        |  FROM (SELECT unnest(range(60)) AS i)),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM ix
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.9""".stripMargin,
+    "q74_incremental_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        |  FROM base),
+        |corpus AS (
+        |  SELECT DISTINCT
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |c AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f)
+        |SELECT fp.doc_id, c.canonical_id,
+        |       fp.doc_id <> c.canonical_id AS is_dup,
+        |       corpus.f IS NOT NULL AS is_known
+        |FROM fp JOIN c USING (f) LEFT JOIN corpus USING (f)""".stripMargin,
     "q37_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, list_distinct(

@@ -9,6 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 /** A streaming event (the `events` table's shape, streamed). */
 case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** A document arriving on an ingest stream (the `documents` table's
+  * shape, streamed: event time + id + content).
+  */
+case class StreamDoc(ts: Timestamp, doc_id: Long, text: String)
+
 /** Per-user running aggregate emitted by [[Streaming.runningUserStats]]. */
 case class UserStats(user_id: Long, events: Long, total_value: Double,
     last_event_type: String)
@@ -32,6 +37,41 @@ private case class SessionState(start: Long, end: Long, events: Long,
   * evicted — without it, windowed state grows forever at 100 TB/day.
   */
 object Streaming {
+
+  /** Streaming ingest dedup — the unbounded twin of
+    * [[graft.operators.Dedup.incrementalExactDedup]]: a continuously
+    * running `dropDuplicates` on the content fingerprint
+    * ([[graft.operators.TextAnalysis.fingerprint]] — the same
+    * normalized-md5 key the batch operators shuffle on), backed by the
+    * state store. First occurrence of each fingerprint passes; repeats
+    * are suppressed.
+    *
+    * Two state disciplines, selected by `withinWatermark`:
+    *
+    *  - `true` (default — the production path): Spark's
+    *    `dropDuplicatesWithinWatermark` guarantees dedup only among
+    *    events whose times fall within `watermarkDelay` of each other,
+    *    in exchange for BOUNDED state — a fingerprint's entry is
+    *    evicted once the watermark passes its expiry, so a daily-ingest
+    *    pipeline holds a window of fingerprints, not the corpus. Pair
+    *    it with a periodic batch
+    *    [[graft.operators.Dedup.incrementalExactDedup]] pass against
+    *    the stored corpus fingerprint table for cross-window exactness
+    *    (stream bounds the state; batch owns history).
+    *  - `false`: plain `dropDuplicates("fp")` — EXACT global dedup,
+    *    but the subset carries no event-time column, so state holds one
+    *    entry per distinct fingerprint forever (16 bytes/doc; viable
+    *    for bounded corpora, unbounded at 100 TB/day — the scaladoc'd
+    *    trade, not a default).
+    */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "10 minutes",
+      textCol: String = "text", withinWatermark: Boolean = true): DataFrame = {
+    val fp = docs
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark("ts", watermarkDelay)
+    if (withinWatermark) fp.dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp")
+  }
 
   /** Watermarked tumbling-window counts per event type — the streaming
     * analogue of q18's date-bucket aggregation.

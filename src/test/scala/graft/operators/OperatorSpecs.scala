@@ -311,6 +311,30 @@ class SimilaritySpec extends SparkSpec {
     byQ.values.foreach(rows => assert(rows.length == 5))
   }
 
+  test("kmeansCentroids: per-sweep materialization keeps lineage flat at 5 iterations") {
+    // Regression: without per-sweep materialization, sweep i's lazy
+    // plan re-executes all sweeps < i (re-scanning emb each time) —
+    // plan size grows superlinearly in iterations. With each sweep
+    // collected to a LocalRelation, the returned frame's plan is a
+    // constant-size local build, independent of the iteration count.
+    val emb = (0L until 24L).map(i =>
+      (i, Seq.tabulate(4)(j => ((i * 5 + j) % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val init = emb.orderBy($"vec_id".asc).limit(3)
+      .select($"vec_id".as("cid"), $"embedding".as("__cv"))
+    def planSize(n: Int): Int =
+      Similarity.kmeansCentroids(emb, init, n)
+        .queryExecution.optimizedPlan.toString.linesIterator.length
+    val p2 = planSize(2)
+    val p5 = planSize(5)
+    assert(p5 == p2,
+      s"plan must not grow with iterations: 2 sweeps -> $p2 lines, " +
+        s"5 sweeps -> $p5 lines")
+    assert(p5 <= 10, s"returned plan must be a local build, got $p5 lines")
+    // and the refinement still yields one centroid row per init row
+    assert(Similarity.kmeansCentroids(emb, init, 5).count() == 3)
+  }
+
   test("hyperplaneNearDupPairs ≡ exact cosineNearDupPairs on planted dups") {
     // Deterministic random base vectors (seeded PRNG per id — background
     // pair sims stay well under the threshold, like the gate corpus) + a

@@ -52,6 +52,31 @@ class SketchesSpec extends SparkSpec {
       s"bucket assignment must be a per-row projection:\n$plan")
   }
 
+  test("approxQuantileBuckets: null values get null buckets; empty and int inputs survive") {
+    // nulls are unrankable → null bucket (documented divergence from
+    // ntile's nulls-first), and they must not perturb the cutpoints
+    val withNulls = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null, null)
+      .toDF("v")
+    val out = Sketches.approxQuantileBuckets(withNulls, "v", 2)
+      .select($"v", $"bucket").collect()
+    out.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1), "null value → null bucket")
+      else assert(!r.isNullAt(1))
+    }
+    // empty input: sketch row is NULL — must not NPE
+    val empty = Sketches.approxQuantileBuckets(
+      withNulls.filter($"v" > 100), "v", 3)
+    assert(empty.count() == 0)
+    // all-null input: same guard, rows survive with null buckets
+    val allNull = Sketches.approxQuantileBuckets(
+      withNulls.filter($"v".isNull), "v", 3)
+    assert(allNull.count() == 2 && allNull.filter($"bucket".isNull).count() == 2)
+    // integer-typed value column (the q75 gate shape) buckets fine
+    val ints = Sketches.approxQuantileBuckets(
+      (1 to 100).toDF("n"), "n", 4)
+    assert(ints.filter($"bucket".between(1, 4)).count() == 100)
+  }
+
   test("exactHeavyHitters ≡ brute-force full aggregation") {
     // skewed synthetic: value v appears ~1000/(v+1) times
     val rows = (0 until 200).flatMap(v => Seq.fill(1000 / (v + 1))(v))

@@ -16,6 +16,57 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
   }
 
+  test("dedupStream: in-stream and cross-batch dups suppressed, state evicted past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val q = Streaming.dedupStream(in.toDF(), watermarkDelay = "10 minutes")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    // batch 1: doc 2 duplicates doc 1's content IN the same batch
+    in.addData(StreamDoc(ts(0), 1, "alpha beta gamma"),
+      StreamDoc(ts(0), 2, "alpha beta gamma"),
+      StreamDoc(ts(1), 3, "something else entirely"))
+    q.processAllAvailable()
+    // batch 2: doc 4 repeats doc 1's content ACROSS batches, inside the
+    // watermark window (watermark after batch 1 ≈ 10:01 - 10min) → suppressed
+    in.addData(StreamDoc(ts(2), 4, "alpha beta gamma"))
+    q.processAllAvailable()
+    assert(spark.table("dd").as[Long].collect().toSet == Set(1L, 3L),
+      "first occurrence per fingerprint only")
+    // advance the watermark far past doc 1's expiry (10:00 + 10min):
+    // an event at 10:40 moves the watermark to ~10:30
+    in.addData(StreamDoc(ts(40), 5, "watermark advancer"))
+    q.processAllAvailable()
+    // doc 6 repeats the content AFTER eviction → re-emitted (the
+    // documented within-watermark contract: dedup is guaranteed only
+    // inside the delay; cross-window exactness belongs to the batch
+    // incrementalExactDedup pass)
+    in.addData(StreamDoc(ts(45), 6, "alpha beta gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dd").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 5L, 6L),
+      s"evicted fingerprint must re-emit, got $ids")
+  }
+
+  test("dedupStream exact variant: dup suppressed regardless of watermark distance") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val q = Streaming.dedupStream(in.toDF(), watermarkDelay = "10 minutes",
+        withinWatermark = false)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("dde").outputMode("append").start()
+    in.addData(StreamDoc(ts(0), 1, "alpha beta gamma"))
+    q.processAllAvailable()
+    in.addData(StreamDoc(ts(40), 2, "watermark advancer"))
+    q.processAllAvailable()
+    in.addData(StreamDoc(ts(45), 3, "alpha beta gamma")) // far past watermark
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dde").as[Long].collect().toSet == Set(1L, 2L),
+      "exact variant holds fingerprint state forever")
+  }
+
   test("windowedCounts: watermarked tumbling windows aggregate per type") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
