@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / split assignment for training-data curation.
@@ -35,5 +36,66 @@ object Sampling {
           when(col("bucket") < cum, lit(name)).otherwise(els)
       }
     df.withColumn("bucket", bucket).withColumn(out, assign)
+  }
+
+  /** Sequence-packing planner — concat-and-chunk semantics, the layout
+    * step an LLM training pipeline runs between curation and
+    * tokenization: documents are laid out end-to-end in deterministic
+    * `idCol` order within each `partitionCols` shard, and the token
+    * stream is chunked every `budget` tokens. Each document is assigned
+    * the pack its FIRST token falls in (`pack_id`) and its offset inside
+    * that pack (`pack_offset`); a document longer than the remaining
+    * room simply spills into the next chunk, exactly like the standard
+    * concat-then-chunk loader. Pure arithmetic on a running sum — no
+    * driver state, reproducible across engines and retries.
+    *
+    * Scale shape: ONE shuffle (the per-shard window). `partitionCols`
+    * must bound per-shard volume — shard by (split, source) or a date
+    * bucket, never pack the whole corpus through one key: a window over
+    * a single partition funnels 100 TB through one task's sort, the
+    * same trap [[Sketches.approxQuantileBuckets]] exists to avoid.
+    * Integer `div`/`%` throughout — cumulative token counts overflow
+    * double's 2^53 exact range long before they overflow a long.
+    */
+  def packSequences(df: DataFrame, tokenCol: String, budget: Long,
+      partitionCols: Seq[String], idCol: String): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    require(partitionCols.nonEmpty,
+      "packSequences needs at least one shard column (a global window " +
+        "would single-task the corpus)")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(idCol).asc)
+    df.withColumn("__first",
+        sum(col(tokenCol).cast("long")).over(w) - col(tokenCol))
+      .withColumn("pack_id", expr(s"__first div $budget"))
+      .withColumn("pack_offset", col("__first") % budget)
+      .drop("__first")
+  }
+
+  /** Deterministic uniform k-per-group sample (eval-set carving,
+    * per-source inspection samples): rank rows by the md5-derived hash
+    * of their id and keep each group's k smallest — a pure function of
+    * the ids, so the sample is reproducible and append-stable the same
+    * way [[deterministicSplit]] is.
+    *
+    * Scale shape: NO per-group window sort — the bounded-heap
+    * [[graft.functions.TopKAggregate]] keeps k candidates per group per
+    * map task and merges partials, so a group's cost is O(k), not
+    * O(group size log group size). The hash rides the aggregate as a
+    * (negated) score; ties (impossible for distinct ids at 60 hash
+    * bits, but defined anyway) break to the lower id.
+    */
+  def deterministicGroupSample(df: DataFrame, groupCols: Seq[String],
+      k: Int, idCol: String): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKAggregate
+        .topKBy(col(idCol), -h.cast("double"), k).as("__top"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
+      .select(groupCols.map(col) ++ Seq(col("__e.id").as(idCol),
+        (col("__pos") + 1).as("rank")): _*)
   }
 }

@@ -180,6 +180,20 @@ object PipelineQueries {
       Sampling.deterministicSplit(Tables.documents(s, d), "doc_id")
         .select("doc_id", "bucket", "split")),
 
+    // Sequence-packing planner: concat-and-chunk layout per language
+    // shard, 2048-token packs — pure window arithmetic, engine-exact.
+    "q78_pack_sequences" -> ((s, d) =>
+      Sampling.packSequences(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", budget = 2048L, Seq("lang"), "doc_id")),
+
+    // Deterministic k-per-group sample via the bounded-heap aggregate
+    // (no per-group sort); md5-hash order, engine-exact.
+    "q79_group_sample" -> ((s, d) =>
+      Sampling.deterministicGroupSample(
+        Tables.documents(s, d), Seq("lang"), k = 8, "doc_id")),
+
     // ── Deduplication ────────────────────────────────────────────────
     "q35_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(docsWithDups(s, d), "text", "doc_id")),
@@ -466,6 +480,34 @@ object PipelineQueries {
         |       WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "q78_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS f
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |       f // 2048 AS pack_id, f % 2048 AS pack_offset
+        |FROM c""".stripMargin,
+    // ORDER BY the DOUBLE cast of the hash (then id) mirrors the Spark
+    // side's TopKAggregate score exactly, including any 2^53 rounding.
+    "q79_group_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(hv AS DOUBLE) ASC, doc_id ASC) AS rank
+        |  FROM h)
+        |SELECT lang, doc_id, rank FROM r WHERE rank <= 8""".stripMargin,
     "q33_fingerprint" ->
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp

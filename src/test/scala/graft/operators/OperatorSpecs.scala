@@ -490,6 +490,49 @@ class SamplingSpec extends SparkSpec {
         "id", Seq("a" -> 50, "b" -> 40))
     }
   }
+
+  test("packSequences: concat-and-chunk brute-force equivalence per shard") {
+    // shard A: token counts 5,5,5,5 at budget 8 → firsts 0,5,10,15 →
+    // packs 0,0,1,1; a 20-token doc then spans packs (first=20 → pack 2)
+    val docs = Seq(
+      (1L, "a", 5), (2L, "a", 5), (3L, "a", 5), (4L, "a", 5), (5L, "a", 20),
+      (6L, "b", 3), (7L, "b", 9))
+      .toDF("doc_id", "shard", "n_tokens")
+    val got = Sampling.packSequences(docs, "n_tokens", 8L, Seq("shard"), "doc_id")
+      .select("doc_id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == Map(
+      1L -> (0L, 0L), 2L -> (0L, 5L), 3L -> (1L, 2L), 4L -> (1L, 7L),
+      5L -> (2L, 4L), // first token position 20 → pack 2, offset 4
+      6L -> (0L, 0L), 7L -> (0L, 3L)))
+  }
+
+  test("deterministicGroupSample: k smallest hashes per group, append-stable") {
+    val docs = (0L until 300L).map(i => (i, (i % 3).toString))
+      .toDF("doc_id", "grp")
+    val out = Sampling.deterministicGroupSample(docs, Seq("grp"), 5, "doc_id")
+      .as[(String, Long, Int)].collect()
+    assert(out.length == 15)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 5)) }
+    // brute-force: the chosen ids really are the k hash-smallest per group
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = (0L until 300L).groupBy(_ % 3).map { case (g, ids) =>
+      g.toString -> ids.sortBy(i => (h(i), i)).take(5).toSet }
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.map(_._2).toSet == expect(g), s"group $g") }
+    // append-stable: a member of the sample stays while its hash ranks
+    val fewer = Sampling.deterministicGroupSample(
+        docs.filter($"doc_id" < 150L), Seq("grp"), 5, "doc_id")
+      .as[(String, Long, Int)].collect()
+    assert(fewer.length == 15)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
