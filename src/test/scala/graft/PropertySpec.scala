@@ -74,6 +74,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: PPJoin prefix+positional filter is lossless on random corpora") {
+    // Random word-soup docs from a tiny vocabulary (maximizes gram
+    // collisions — the adversarial case for candidate pruning), random
+    // threshold: the filtered variant must reproduce blocked all-pairs
+    // EXACTLY, in both prefix orders.
+    val word = Gen.oneOf("aab", "abb", "bba", "bab", "abc", "cab")
+    val docGen = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    val corpusGen = for {
+      docs <- Gen.listOfN(12, docGen)
+      t <- Gen.choose(0.55, 0.95)
+    } yield (docs, t)
+    samples(corpusGen, n = 6).foreach { case (docs, t) =>
+      val df = docs.zipWithIndex
+        .map { case (txt, i) => (i.toLong, txt) }
+        .toDF("doc_id", "text").withColumn("blk", lit("b"))
+      val full = Dedup.ngramNearDupPairs(df, "text", "doc_id", Seq("blk"), t)
+        .as[(Long, Long, Double)].collect().toSet
+      for (freqOrdered <- Seq(true, false)) {
+        val pruned = Dedup.ngramNearDupPairsPrefix(df, "text", "doc_id",
+            Nil, t, frequencyOrdered = freqOrdered)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(pruned == full,
+          s"threshold $t freqOrdered=$freqOrdered: " +
+            s"missing=${full -- pruned} extra=${pruned -- full}")
+      }
+    }
+  }
+
   test("property: pivot output has one row per distinct key") {
     val g = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5),
       Gen.oneOf("A", "B"), Gen.choose(-5.0, 5.0)))
