@@ -180,6 +180,18 @@ object PipelineQueries {
       Sampling.deterministicSplit(Tables.documents(s, d), "doc_id")
         .select("doc_id", "bucket", "split")),
 
+    // Benchmark decontamination: the corpus screened against an eval
+    // set (here: planted 200-char excerpts of every 25th doc, the q70
+    // planting convention) — excerpt SOURCES share 8-token shingles
+    // with the benchmark and must flag contaminated.
+    "q80_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select(substring(col("text"), 41, 200).as("text"))
+      graft.operators.Decontaminate.flagContaminated(docs, bench, n = 8)
+    }),
+
     // Sequence-packing planner: concat-and-chunk layout per language
     // shard, 2048-token packs — pure window arithmetic, engine-exact.
     "q78_pack_sequences" -> ((s, d) =>
@@ -480,6 +492,32 @@ object PipelineQueries {
         |       WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "q80_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT substr(text, 41, 200) AS text FROM documents
+        |  WHERE doc_id % 25 = 0 AND length(text) >= 300),
+        |bt AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |    AS t FROM bench),
+        |bg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM bt),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM dt),
+        |hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g))
+        |SELECT d.doc_id, hit.doc_id IS NOT NULL AS contaminated
+        |FROM documents d LEFT JOIN hit USING (doc_id)""".stripMargin,
     "q78_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

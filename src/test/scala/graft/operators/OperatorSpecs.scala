@@ -535,6 +535,43 @@ class SamplingSpec extends SparkSpec {
   }
 }
 
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "completely different material about distributed query engines and optimizers"),
+    (3L, "prefix words then the quick brown fox jumps over the lazy dog appears here too"),
+    (4L, "short doc"))
+  private val bench = Seq(
+    Tuple1("exam question the quick brown fox jumps over the lazy dog answer below"))
+
+  test("flagContaminated: shared n-gram flags the doc, others stay clean") {
+    val flags = graft.operators.Decontaminate.flagContaminated(
+        corpus.toDF("doc_id", "text"), bench.toDF("text"), n = 8)
+      .as[(Long, Boolean)].collect().toMap
+    // docs 1 and 3 contain the benchmark's 9-token run → share an
+    // 8-token shingle; 2 shares nothing; 4 is shorter than n (whole-text
+    // shingle, no match)
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  test("removeContaminated is the anti-join complement of the flag") {
+    val kept = graft.operators.Decontaminate.removeContaminated(
+        corpus.toDF("doc_id", "text"), bench.toDF("text"), n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("flagContaminated: corpus side joins the benchmark via broadcast") {
+    val plan = graft.operators.Decontaminate.flagContaminated(
+        corpus.toDF("doc_id", "text"), bench.toDF("text"), n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark shingles must broadcast:\n$plan")
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
