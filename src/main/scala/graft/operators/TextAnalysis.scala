@@ -118,6 +118,69 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Gopher/FineWeb-style repetition signals — the quality-filter class
+    * that catches template/spam/generated text which the [[qualityScore]]
+    * band checks miss:
+    *
+    *  - `top_word_frac`: occurrences of the most frequent token / all
+    *    tokens (Gopher rejects > 0.2 at its scale);
+    *  - `dup_2gram_frac` / `dup_3gram_frac`: fraction of n-gram
+    *    OCCURRENCES that repeat an earlier one, 1 − distinct/total
+    *    (0 = no repetition, → 1 = loops).
+    *
+    * Scale shape: the n-gram stats are PER-ROW (the codegen'd distinct
+    * shingle kernel sized against simple arithmetic — no explode); only
+    * the top-word stat aggregates, and it map-side-combines on
+    * (doc, token) then (doc) — state per task is the doc's vocabulary,
+    * never the corpus's. Fractions null out below the defining length
+    * (no tokens / no n-grams).
+    */
+  def repetitionStats(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val perRow = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"),
+      size(graft.functions.ShingleFunctions.wordShingles(col(textCol), 2))
+        .as("__d2"),
+      size(graft.functions.ShingleFunctions.wordShingles(col(textCol), 3))
+        .as("__d3"))
+    val topWord = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__mx"))
+    perRow.join(topWord, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("__mx").cast("double") / col("n_tokens"), 4))
+          .as("top_word_frac"),
+        when(col("n_tokens") > 1,
+          round(lit(1.0) -
+            col("__d2").cast("double") / (col("n_tokens") - 1), 4))
+          .as("dup_2gram_frac"),
+        when(col("n_tokens") > 2,
+          round(lit(1.0) -
+            col("__d3").cast("double") / (col("n_tokens") - 2), 4))
+          .as("dup_3gram_frac"))
+  }
+
+  /** PII patterns redacted by [[redactPii]], applied in order (emails
+    * before IPs before phone runs, so a broader pattern never eats a
+    * narrower one's remains). Chosen from the common-subset regex
+    * dialect (no lookaround, no backrefs) so Java and RE2-family
+    * engines — and the DuckDB oracle — agree character-for-character.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}\\b" -> "<PHONE>")
+
+  /** Redacted copy of `text`: every [[PiiPatterns]] match replaced by
+    * its tag. Pure per-row regexp_replace chain — scan speed, no
+    * shuffle; pair with a `text =!= redacted` flag to count incidence.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
   /** Top-k tokens per group by (count desc, token asc — deterministic).
     * The corpus-sized stage is the exploded token count, which
     * partial-aggregates map-side; the top-k window then runs over the

@@ -180,6 +180,26 @@ object PipelineQueries {
       Sampling.deterministicSplit(Tables.documents(s, d), "doc_id")
         .select("doc_id", "bucket", "split")),
 
+    // Gopher/FineWeb repetition quality signals: per-row distinct-
+    // shingle arithmetic + one map-side-combined top-word aggregate.
+    "q81_repetition_stats" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d))),
+
+    // PII redaction over planted PII (every 10th doc gets an email, an
+    // IPv4, and a phone number appended on BOTH engines): output is the
+    // md5 of the redacted text — character-exact parity or nothing.
+    "q82_redact_pii" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com from 10.0.0.77 call 555-123-4567")))
+          .otherwise(col("text")).as("text"))
+      base.select(col("doc_id"),
+        (TextAnalysis.redactPii(col("text")) =!= col("text")).as("has_pii"),
+        md5(TextAnalysis.redactPii(col("text"))).as("red_fp"))
+    }),
+
     // Benchmark decontamination: the corpus screened against an eval
     // set (here: planted 200-char excerpts of every 25th doc, the q70
     // planting convention) — excerpt SOURCES share 8-token shingles
@@ -492,6 +512,47 @@ object PipelineQueries {
         |       WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "q81_repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(cnt) AS mx FROM c GROUP BY 1),
+        |g AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS d2,
+        |    len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS d3
+        |  FROM t)
+        |SELECT g.doc_id, g.n AS n_tokens,
+        |  CASE WHEN g.n > 0 THEN round(m.mx::DOUBLE / g.n, 4) END
+        |    AS top_word_frac,
+        |  CASE WHEN g.n > 1 THEN round(1.0 - d2::DOUBLE / (g.n - 1), 4) END
+        |    AS dup_2gram_frac,
+        |  CASE WHEN g.n > 2 THEN round(1.0 - d3::DOUBLE / (g.n - 2), 4) END
+        |    AS dup_3gram_frac
+        |FROM g LEFT JOIN m USING (doc_id)""".stripMargin,
+    "q82_redact_pii" ->
+      """WITH base AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN
+        |      text || ' contact user' || doc_id ||
+        |      '@example.com from 10.0.0.77 call 555-123-4567'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+?\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS red
+        |  FROM base)
+        |SELECT doc_id, red <> text AS has_pii, md5(red) AS red_fp
+        |FROM r""".stripMargin,
     "q80_decontaminate" ->
       """WITH bench AS (
         |  SELECT substr(text, 41, 200) AS text FROM documents

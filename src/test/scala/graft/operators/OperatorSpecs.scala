@@ -127,6 +127,41 @@ class TextAnalysisSpec extends SparkSpec {
     // tokens: [ab12cd,] [efg!]  subtokens: ab|1|2|cd|,|efg|!
     assert(out == ((2, 7)))
   }
+
+  test("repetitionStats: hand-checked fractions, edge lengths null out") {
+    val docs = Seq(
+      (1L, "a a a b"),      // top a=3/4; 2grams: aa,aa,ab→2 distinct of 3;
+                            // 3grams: aaa,aab→2 distinct of 2
+      (2L, "w x y z"),      // no repetition anywhere
+      (3L, "solo"),         // 1 token: no n-grams
+      (4L, ""))             // empty: all null
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs).orderBy("doc_id").collect()
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    assert(out(0).getInt(1) == 4 && d(out(0), 2).contains(0.75))
+    assert(math.abs(d(out(0), 3).get - (1.0 - 2.0 / 3)) < 1e-3)
+    assert(d(out(0), 4).contains(0.0))
+    assert(d(out(1), 2).contains(0.25) && d(out(1), 3).contains(0.0)
+      && d(out(1), 4).contains(0.0))
+    assert(out(2).getInt(1) == 1 && d(out(2), 2).contains(1.0)
+      && d(out(2), 3).isEmpty && d(out(2), 4).isEmpty)
+    assert(out(3).getInt(1) == 0 && d(out(3), 2).isEmpty)
+  }
+
+  test("redactPii: emails, IPs, phone runs replaced; clean text untouched") {
+    val cases = Seq(
+      "mail me at jane.doe+x@sub.example.org today" ->
+        "mail me at <EMAIL> today",
+      "server 192.168.0.1 responded" -> "server <IP> responded",
+      "call 555-123-4567 or +1 555 123 4567" ->
+        "call <PHONE> or +1 <PHONE>",
+      "no pii in this sentence at all" -> "no pii in this sentence at all")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.redactPii($"t")).as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"got: $g") }
+  }
 }
 
 class DedupSpec extends SparkSpec {
