@@ -58,6 +58,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       "token_stats(text) - one-pass (n_tokens, token_chars, stopword_hits)",
       (args: Seq[Expression]) =>
         TokenStatsExpr(args.head, TokenStatsExpr.DefaultStopwords))
+    reg(ext, "top_token_count",
+      "top_token_count(tokens) - max multiplicity of any array element",
+      (args: Seq[Expression]) => TopTokenCountExpr(args.head))
     reg(ext, "winnow_fingerprints",
       "winnow_fingerprints(text, k, w) - winnowing rolling-hash fingerprints",
       (args: Seq[Expression]) => WinnowExpr(args.head,

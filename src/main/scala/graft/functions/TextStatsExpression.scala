@@ -35,6 +35,56 @@ object TextStatsFunctions {
       stopwords: Seq[String] = TokenStatsExpr.DefaultStopwords): Column =
     ExpressionUtils.column(
       TokenStatsExpr(ExpressionUtils.expression(text), stopwords))
+
+  /** Max multiplicity of any element of a string array (0 for empty) —
+    * the per-row kernel behind the top-word repetition signal: one hash
+    * pass per row inside the scan stage, where the explode → two-level
+    * groupBy → join-back formulation shuffles every (doc, token) pair.
+    */
+  def topTokenCount(tokens: Column): Column =
+    ExpressionUtils.column(
+      TopTokenCountExpr(ExpressionUtils.expression(tokens)))
+}
+
+/** See [[TextStatsFunctions.topTokenCount]]. */
+case class TopTokenCountExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "top_token_count"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TopTokenCountExpr.topCount(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TopTokenCountExpr.topCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TopTokenCountExpr {
+  /** Shared by eval and generated code (static forwarder). */
+  def topCount(a: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = a.numElements()
+    if (n == 0) return 0
+    val m = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val t = a.getUTF8String(i)
+        val prev = m.get(t)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        m.put(t, c)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
+  }
 }
 
 /** See [[TextStatsFunctions.tokenStats]]. */

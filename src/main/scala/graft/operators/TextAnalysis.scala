@@ -128,25 +128,25 @@ object TextAnalysis {
     *    OCCURRENCES that repeat an earlier one, 1 − distinct/total
     *    (0 = no repetition, → 1 = loops).
     *
-    * Scale shape: the n-gram stats are PER-ROW (the codegen'd distinct
-    * shingle kernel sized against simple arithmetic — no explode); only
-    * the top-word stat aggregates, and it map-side-combines on
-    * (doc, token) then (doc) — state per task is the doc's vocabulary,
-    * never the corpus's. Fractions null out below the defining length
-    * (no tokens / no n-grams).
+    * Scale shape: ENTIRELY per-row — the n-gram stats are the codegen'd
+    * distinct-shingle kernel sized against simple arithmetic, and the
+    * top-word multiplicity is the
+    * [[graft.functions.TextStatsFunctions.topTokenCount]] kernel (one
+    * hash pass per row). No explode, no aggregate, no join: the whole
+    * operator fuses into the scan stage, where the textbook
+    * explode → groupBy(doc, token) → groupBy(doc) → join-back
+    * formulation shuffles every (doc, token) pair twice. Fractions null
+    * out below the defining length (no tokens / no n-grams).
     */
   def repetitionStats(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val perRow = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"),
-      size(graft.functions.ShingleFunctions.wordShingles(col(textCol), 2))
-        .as("__d2"),
-      size(graft.functions.ShingleFunctions.wordShingles(col(textCol), 3))
-        .as("__d3"))
-    val topWord = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
-      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol)).agg(max(col("__c")).as("__mx"))
-    perRow.join(topWord, Seq(idCol), "left")
+    df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"),
+        size(graft.functions.ShingleFunctions.wordShingles(col(textCol), 2))
+          .as("__d2"),
+        size(graft.functions.ShingleFunctions.wordShingles(col(textCol), 3))
+          .as("__d3"),
+        graft.functions.TextStatsFunctions
+          .topTokenCount(tokens(col(textCol))).as("__mx"))
       .select(col(idCol), col("n_tokens"),
         when(col("n_tokens") > 0,
           round(col("__mx").cast("double") / col("n_tokens"), 4))

@@ -149,6 +149,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3).getInt(1) == 0 && d(out(3), 2).isEmpty)
   }
 
+  test("repetitionStats: per-row plan (no exchange) and top-count ≡ explode/groupBy") {
+    val docs = (0L until 50L)
+      .map(i => (i, s"w${i % 7} x y w${i % 7} z " * ((i % 4) + 1).toInt))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetitionStats must fuse into the scan stage:\n$plan")
+    // the codegen'd top-token kernel ≡ the shuffling textbook form
+    val viaExpr = out.select($"doc_id",
+      round($"top_word_frac" * $"n_tokens").cast("int").as("mx"))
+      .as[(Long, Int)].collect().toMap
+    val viaAgg = docs
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").cast("int").as("mx"))
+      .as[(Long, Int)].collect().toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("redactPii: emails, IPs, phone runs replaced; clean text untouched") {
     val cases = Seq(
       "mail me at jane.doe+x@sub.example.org today" ->
