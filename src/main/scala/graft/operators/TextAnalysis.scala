@@ -282,6 +282,37 @@ object TextAnalysis {
         col("tfidf"), col("rank"))
   }
 
+  /** Per-group token-distribution divergence vs the whole corpus —
+    * KL(group ‖ corpus) over unigram frequencies, the domain-shift /
+    * source-drift diagnostic a curation pipeline runs per source or per
+    * ingest date. No smoothing is needed: every group token exists in
+    * the corpus distribution, so q > 0 wherever p > 0.
+    *
+    * Scale shape: one exploded pass partial-aggregates map-side into the
+    * (group, token) frame — vocabulary×groups-sized, not corpus-sized —
+    * and everything downstream (group totals, corpus totals, the
+    * divergence sum) aggregates or joins on that frame; the 1-row grand
+    * total broadcasts. The KL sum is order-dependent in its last ulps,
+    * so it is rounded to 4 decimals (the repo convention for
+    * order-dependent aggregates).
+    */
+  def tokenDivergence(df: DataFrame, groupCol: String,
+      textCol: String = "text"): DataFrame = {
+    val gc = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(groupCol), col("__t")).agg(count(lit(1)).as("__cnt"))
+    val gn = gc.groupBy(col(groupCol)).agg(sum(col("__cnt")).as("__ng"))
+    val ct = gc.groupBy(col("__t")).agg(sum(col("__cnt")).as("__ct"))
+    val n = ct.agg(sum(col("__ct")).as("__n"))
+    val p = col("__cnt").cast("double") / col("__ng").cast("double")
+    val q = col("__ct").cast("double") / col("__n").cast("double")
+    gc.join(gn, Seq(groupCol)).join(ct, Seq("__t")).crossJoin(broadcast(n))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        round(sum(p * log(p / q)), 4).as("kl_vs_corpus"))
+  }
+
   /** Per-document stats projection (the `textStats` operator). */
   def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

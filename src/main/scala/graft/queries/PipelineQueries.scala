@@ -180,6 +180,11 @@ object PipelineQueries {
       Sampling.deterministicSplit(Tables.documents(s, d), "doc_id")
         .select("doc_id", "bucket", "split")),
 
+    // Per-source unigram KL divergence vs the corpus — domain-shift
+    // diagnostics; vocabulary-sized aggregates only.
+    "q83_token_divergence" -> ((s, d) =>
+      TextAnalysis.tokenDivergence(Tables.documents(s, d), "source")),
+
     // Gopher/FineWeb repetition quality signals: per-row distinct-
     // shingle arithmetic + one map-side-combined top-word aggregate.
     "q81_repetition_stats" -> ((s, d) =>
@@ -512,6 +517,22 @@ object PipelineQueries {
         |       WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "q83_token_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |gc AS (SELECT source, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |gn AS (SELECT source, sum(cnt) AS ng FROM gc GROUP BY 1),
+        |ct AS (SELECT t, sum(cnt) AS c FROM gc GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM ct)
+        |SELECT source,
+        |  sum(cnt)::BIGINT AS n_tokens,
+        |  count(*) AS distinct_tokens,
+        |  round(sum((cnt::DOUBLE / ng) *
+        |    ln((cnt::DOUBLE / ng) / (c::DOUBLE / n.n))), 4) AS kl_vs_corpus
+        |FROM gc JOIN gn USING (source) JOIN ct USING (t) CROSS JOIN n
+        |GROUP BY source""".stripMargin,
     "q81_repetition_stats" ->
       """WITH t AS (
         |  SELECT doc_id,

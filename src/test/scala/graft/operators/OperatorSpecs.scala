@@ -169,6 +169,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaExpr == viaAgg)
   }
 
+  test("tokenDivergence: zero for a lone group, ln(n/ng) for disjoint vocabularies") {
+    // one group ⇒ group distribution IS the corpus distribution ⇒ KL 0
+    val lone = TextAnalysis.tokenDivergence(
+        Seq((1L, "a", "x y z x"), (2L, "a", "y z")).toDF("doc_id", "source", "text"),
+        "source")
+      .select("kl_vs_corpus").as[Double].collect()
+    assert(lone.toSeq == Seq(0.0))
+    // disjoint vocabularies: every group token has q = p·(ng/n), so
+    // KL(g‖corpus) = ln(n/ng) exactly — 6 tokens total, 2 vs 4
+    val disj = TextAnalysis.tokenDivergence(
+        Seq((1L, "a", "x y"), (2L, "b", "p q r s")).toDF("doc_id", "source", "text"),
+        "source")
+      .select("source", "kl_vs_corpus").as[(String, Double)].collect().toMap
+    assert(math.abs(disj("a") - math.log(6.0 / 2)) < 1e-3, disj.toString)
+    assert(math.abs(disj("b") - math.log(6.0 / 4)) < 1e-3, disj.toString)
+  }
+
   test("redactPii: emails, IPs, phone runs replaced; clean text untouched") {
     val cases = Seq(
       "mail me at jane.doe+x@sub.example.org today" ->
