@@ -22,20 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Every document id with a `contaminated` flag. */
-  def flagContaminated(docs: DataFrame, benchmark: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id",
-      n: Int = 13): DataFrame = {
+  /** Ids of documents sharing ≥ 1 shingle with the benchmark — the
+    * contamination-sized frame both public forms build on.
+    */
+  private def contaminatedIds(docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"shingle length must be >= 1, got $n")
     val bench = benchmark
       .select(explode(graft.functions.ShingleFunctions
         .wordShingles(col(textCol), n)).as("__g"))
       .distinct()
-    val hits = docs
+    docs
       .select(col(idCol), explode(graft.functions.ShingleFunctions
         .wordShingles(col(textCol), n)).as("__g"))
       .join(broadcast(bench), Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()
+  }
+
+  /** Every document id with a `contaminated` flag. */
+  def flagContaminated(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 13): DataFrame = {
+    val hits = contaminatedIds(docs, benchmark, textCol, idCol, n)
       .withColumn("__c", lit(true))
     docs.select(col(idCol))
       .join(hits, Seq(idCol), "left")
@@ -43,14 +51,14 @@ object Decontaminate {
   }
 
   /** The corpus with contaminated documents REMOVED (all original
-    * columns kept) — [[flagContaminated]]'s anti-join form for
-    * pipelines that drop rather than label.
+    * columns kept) — the anti-join form for pipelines that drop rather
+    * than label. Joins `docs` against the contamination-sized id frame
+    * directly (no flag-then-filter round trip through a second
+    * corpus-wide join).
     */
   def removeContaminated(docs: DataFrame, benchmark: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      n: Int = 13): DataFrame = {
-    val contaminated = flagContaminated(docs, benchmark, textCol, idCol, n)
-      .filter(col("contaminated")).select(col(idCol))
-    docs.join(contaminated, Seq(idCol), "left_anti")
-  }
+      n: Int = 13): DataFrame =
+    docs.join(contaminatedIds(docs, benchmark, textCol, idCol, n),
+      Seq(idCol), "left_anti")
 }

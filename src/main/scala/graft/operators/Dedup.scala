@@ -359,7 +359,17 @@ object Dedup {
     val g = df.select(col(idCol).as("id"), blkExpr.as("blk"),
       hashedCharGrams(col(textCol), n).as("g"))
     val sz = size(col("g"))
-    val prefixLen = (sz - ceil(sz.cast("double") * threshold) + 1).cast("int")
+    // All ceils below are EPS-GUARDED: ceil of a double PRODUCT can land
+    // one above the exact rational value when the product is an exact
+    // integer in rationals but rounds up in binary (e.g. 63 · 0.8/1.8 =
+    // 28 exactly, but doubles give 28.000000000000004 → ceil 29), which
+    // would over-shorten prefixes / over-tighten the positional bound
+    // and silently drop EXACT-threshold pairs — breaking the lossless
+    // contract. Subtracting 1e-9 first can only under-ceil (prefix one
+    // longer, bound one looser): still lossless, never lossy.
+    def ceilEps(x: Column): Column = ceil(x - 1e-9)
+    val prefixLen =
+      (sz - ceilEps(sz.cast("double") * threshold) + 1).cast("int")
     // idx schema: (blk, id, gr, pos, sz) — pos is the gram's 1-based
     // position in the doc's gram list under the chosen global order,
     // sz the doc's total gram count; both feed the positional filter.
@@ -388,13 +398,13 @@ object Dedup {
         exploded.join(gramDf, "gr")
           .withColumn("pos", row_number().over(w))
           .filter(col("pos") <=
-            (col("sz") - ceil(col("sz").cast("double") * threshold) + 1)
+            (col("sz") - ceilEps(col("sz").cast("double") * threshold) + 1)
               .cast("int"))
           .select(col("blk"), col("id"), col("gr"), col("pos"), col("sz"))
       }
     val a = idx.as("a"); val b = idx.as("b")
     // overlap form of the Jaccard threshold: O(A,B) ≥ α ⟺ J ≥ t
-    val alpha = ceil((col("a.sz") + col("b.sz")).cast("double") *
+    val alpha = ceilEps((col("a.sz") + col("b.sz")).cast("double") *
       (threshold / (1.0 + threshold)))
     val positionalOk =
       (lit(1) + least(col("a.sz") - col("a.pos"),

@@ -63,8 +63,14 @@ object Sampling {
     require(partitionCols.nonEmpty,
       "packSequences needs at least one shard column (a global window " +
         "would single-task the corpus)")
+    // explicit ROWS frame: the default RANGE frame includes ORDER-BY
+    // peers, so duplicate ids in a shard would double-book pack space;
+    // with ROWS, duplicate-id rows get consecutive (arbitrary-order but
+    // non-overlapping) slots. Layout is fully deterministic when idCol
+    // is unique per shard — the documented contract.
     val w = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__first",
         sum(col(tokenCol).cast("long")).over(w) - col(tokenCol))
       .withColumn("pack_id", expr(s"__first div $budget"))
@@ -88,11 +94,18 @@ object Sampling {
   def deterministicGroupSample(df: DataFrame, groupCols: Seq[String],
       k: Int, idCol: String): DataFrame = {
     require(k >= 1, s"sample size must be >= 1, got $k")
+    // TopKAggregate carries long ids; integral id columns are widened,
+    // anything else is rejected up front (not a runtime ClassCastException)
+    val idType = df.schema(idCol).dataType
+    require(Seq("bigint", "int", "smallint", "tinyint")
+      .contains(idType.simpleString),
+      s"deterministicGroupSample needs an integral id column, " +
+        s"got $idCol: ${idType.simpleString}")
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     df.groupBy(groupCols.map(col): _*)
       .agg(graft.functions.TopKAggregate
-        .topKBy(col(idCol), -h.cast("double"), k).as("__top"))
+        .topKBy(col(idCol).cast("long"), -h.cast("double"), k).as("__top"))
       .select(groupCols.map(col) :+
         posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
       .select(groupCols.map(col) ++ Seq(col("__e.id").as(idCol),

@@ -65,10 +65,11 @@ object Streaming {
     *    trade, not a default).
     */
   def dedupStream(docs: DataFrame, watermarkDelay: String = "10 minutes",
-      textCol: String = "text", withinWatermark: Boolean = true): DataFrame = {
+      textCol: String = "text", tsCol: String = "ts",
+      withinWatermark: Boolean = true): DataFrame = {
     val fp = docs
       .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
-      .withWatermark("ts", watermarkDelay)
+      .withWatermark(tsCol, watermarkDelay)
     if (withinWatermark) fp.dropDuplicatesWithinWatermark("fp")
     else fp.dropDuplicates("fp")
   }

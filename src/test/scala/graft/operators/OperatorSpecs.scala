@@ -325,6 +325,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix variant keeps EXACT-threshold pairs (ceil boundary regression)") {
+    // 37 distinct chars → every char-3-gram distinct; A = B's first 30
+    // chars, so A's 28 grams ⊂ B's 35 grams and J = 28/35 = 0.8 EXACTLY.
+    // With naive double ceil, α = ceil(63·0.8/1.8) over-rounds 28 → 29
+    // and the positional filter silently drops the pair; the prefix-len
+    // ceil has the same failure mode at other (t, size) pairs.
+    val b = ('a' to 'z').mkString + "0123456789~"
+    assert(b.length == 37)
+    val df = Seq((1L, b.substring(0, 30)), (2L, b))
+      .toDF("doc_id", "text").withColumn("blk", lit("x"))
+    val full = Dedup.ngramNearDupPairs(df, "text", "doc_id", Seq("blk"), 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == Set((1L, 2L, 0.8)), s"exact-threshold pair: $full")
+    for (freqOrdered <- Seq(true, false)) {
+      val pruned = Dedup.ngramNearDupPairsPrefix(df, "text", "doc_id",
+          Nil, 0.8, frequencyOrdered = freqOrdered)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pruned == full, s"freqOrdered=$freqOrdered lost the boundary pair")
+    }
+  }
+
   test("ngram near-dup: blocked pairs above threshold only") {
     val df = base.toDF("doc_id", "text").withColumn("blk", lit("b0"))
     val pairs = Dedup.ngramNearDupPairs(df, "text", "doc_id", Seq("blk"),
@@ -578,6 +599,27 @@ class SamplingSpec extends SparkSpec {
       1L -> (0L, 0L), 2L -> (0L, 5L), 3L -> (1L, 2L), 4L -> (1L, 7L),
       5L -> (2L, 4L), // first token position 20 → pack 2, offset 4
       6L -> (0L, 0L), 7L -> (0L, 3L)))
+  }
+
+  test("packSequences: duplicate ids get non-overlapping slots (ROWS frame)") {
+    // two rows share id 1 — the default RANGE frame would give both
+    // __first = 5 (double-booked pack space); ROWS hands out {0, 5}
+    val docs = Seq((1L, "a", 5), (1L, "a", 5), (2L, "a", 3))
+      .toDF("doc_id", "shard", "n_tokens")
+    val offs = Sampling.packSequences(docs, "n_tokens", 8L, Seq("shard"), "doc_id")
+      .select("pack_id", "pack_offset").as[(Long, Long)].collect().toSeq.sorted
+    assert(offs == Seq((0L, 0L), (0L, 5L), (1L, 2L)), offs.toString)
+  }
+
+  test("deterministicGroupSample: int ids widen, non-integral ids rejected") {
+    val ints = Sampling.deterministicGroupSample(
+      (0 until 40).map(i => (i, (i % 2).toString)).toDF("id", "g"),
+      Seq("g"), 3, "id")
+    assert(ints.count() == 6)
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicGroupSample(
+        Seq(("x", "g1")).toDF("id", "g"), Seq("g"), 3, "id")
+    }
   }
 
   test("deterministicGroupSample: k smallest hashes per group, append-stable") {
