@@ -45,9 +45,13 @@ object AsOfJoin {
     val payload = struct(payloadCols.map(col): _*)
     val payloadType = build.select(payload.as("p")).schema("p").dataType
 
-    val b = build.select(col(keyCol).as("__k"), col(timeCol).as("__t"),
-      lit(0).as("__tag"), payload.as("__p"),
-      lit(null).cast(probeRowType).as("__row"))
+    // A build row with a NULL time can never satisfy t_b <= t_p, but
+    // nulls sort FIRST ascending, so unfiltered it would sit at the top
+    // of every key's window and fabricate a match for every probe row.
+    val b = build.filter(col(timeCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+        lit(0).as("__tag"), payload.as("__p"),
+        lit(null).cast(probeRowType).as("__row"))
     val p = probe.select(col(keyCol).as("__k"), col(timeCol).as("__t"),
       lit(1).as("__tag"), lit(null).cast(payloadType).as("__p"),
       probeRow.as("__row"))

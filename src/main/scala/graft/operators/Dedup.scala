@@ -98,14 +98,23 @@ object Dedup {
     * @return batch rows: (idCol, canonical_id, is_dup — duplicate within
     *         the batch, is_known — fingerprint already in the corpus)
     */
+  /** @param expectedBatchItems sizes the bloom prefilter — set it to the
+    *                            (approximate) batch row count; an
+    *                            undersized bloom saturates and the
+    *                            prefilter degrades to passing the whole
+    *                            corpus (correct, but the scale contract
+    *                            collapses)
+    */
   def incrementalExactDedup(newDocs: DataFrame, corpusFps: DataFrame,
-      textCol: String, idCol: String, fpCol: String = "fp"): DataFrame = {
+      textCol: String, idCol: String, fpCol: String = "fp",
+      expectedBatchItems: Long = 100000L): DataFrame = {
     val fp = newDocs.select(col(idCol),
       TextAnalysis.fingerprint(col(textCol)).as("__fp"))
     val w = Window.partitionBy(col("__fp"))
     val batch = fp.withColumn("canonical_id", min(col(idCol)).over(w))
     val known = Sketches
-      .bloomSemiFilter(corpusFps, col(fpCol), fp, col("__fp"))
+      .bloomSemiFilter(corpusFps, col(fpCol), fp, col("__fp"),
+        expectedBatchItems)
       .select(col(fpCol).as("__fp")).distinct()
       .withColumn("__known", lit(true))
     batch.join(known, Seq("__fp"), "left")
@@ -134,6 +143,14 @@ object Dedup {
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     * to 4 decimals (i/u of two ints — engine-exact).
+    *
+    * Cost note: the shingle kernel runs once for the banding pass and
+    * once per verify side (~3 corpus passes) — the deliberate trade
+    * against persisting a corpus-wide array-per-doc frame, which at the
+    * operator's target scale costs more in cache/spill than the extra
+    * scans (shingling is a per-row codegen'd pass at scan speed; the
+    * verify sides additionally prune to candidate doc ids before the
+    * arrays are compared).
     */
   def minhashNearDupPairs(
       df: DataFrame,
@@ -201,10 +218,16 @@ object Dedup {
     *
     * Scale notes: each sweep is one shuffle join on the (small) pair
     * graph — near-dup graphs are sparse by construction (LSH emits few
-    * pairs per doc). Labels are persisted per sweep and the previous
-    * iteration unpersisted, so lineage doesn't grow with iterations (the
-    * classic iterative-algorithm failure mode). The convergence check is
-    * one tiny count per sweep.
+    * pairs per doc). Each sweep's labels are `localCheckpoint`ed:
+    * persist alone bounds RECOMPUTE but not the logical plan, which
+    * references the previous labels ~3× per sweep and grows ~3^sweeps —
+    * deep chains OOM the driver just RENDERING the plan around a dozen
+    * iterations. Checkpointing truncates the plan to a materialized leaf
+    * per sweep (constant size). localCheckpoint trades fault tolerance
+    * for not needing a checkpoint directory — an executor loss mid-run
+    * fails the job and the caller reruns; swap in `checkpoint()` with a
+    * configured checkpoint dir if that matters at your scale. The
+    * convergence check is one tiny count per sweep.
     *
     * @return (id, cluster) for every node appearing in `pairs` —
     *         compose with a left join + coalesce(cluster, id) for a
@@ -219,33 +242,37 @@ object Dedup {
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).persist()
-    // The frame whose cache backs `labels` (labels itself, or the sweep
-    // frame it projects from) — unpersisted once the NEXT sweep is
-    // materialized, so lineage never grows and nothing recomputes.
-    var backing = labels
+      .withColumn("cluster", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      // Old and new labels ride in ONE persisted frame, so the
+      // Old and new labels ride in ONE materialized frame, so the
       // convergence count is a filter over it — not a second join back
       // to the previous labels (one shuffle per sweep instead of two).
       val step = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
-        .persist()
+        .localCheckpoint() // eager: materializes AND truncates the plan
       val changed = step.filter(col("cluster") =!= col("__old")).count()
-      backing.unpersist()
       labels = step.select(col("id"), col("cluster"))
-      backing = step
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
     p.unpersist()
+    // Min-label propagation advances one hop per sweep, so a component
+    // with diameter > maxIterations would exit this loop SPLIT (members
+    // carrying different labels) — fail loudly instead of returning
+    // silently wrong clusters. Near-dup graphs have tiny diameters in
+    // practice; a legitimate long chain just needs a higher cap.
+    if (!converged) {
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIterations sweeps — a " +
+          "component's diameter exceeds the cap; raise maxIterations")
+    }
     labels
   }
 

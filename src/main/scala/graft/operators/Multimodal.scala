@@ -112,6 +112,7 @@ object Multimodal {
     * so downstream stages ([[decodeMeta]], [[extractFeatures]]) compose.
     */
   def resample(df: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("media"), col("format")).as[MediaBlob]
@@ -133,17 +134,21 @@ object Multimodal {
 
   /** Sample `frames` evenly-strided byte-range "frames" per payload —
     * the row-explosion shape of video frame extraction (each output row
-    * carries a fingerprinted slice, not the whole blob).
+    * carries a fingerprinted slice, not the whole blob). Payloads with
+    * fewer than `frames` bytes emit one frame per byte (never
+    * zero-length duplicate slices); empty payloads emit no rows.
     */
   def sampleFrames(df: DataFrame, frames: Int = 4): DataFrame = {
+    require(frames >= 1, s"frames must be >= 1, got $frames")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("media"), col("format")).as[MediaBlob]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
         it.flatMap { b =>
-          val stride = b.media.length / frames
-          (0 until frames).iterator.map { f =>
+          val eff = math.min(frames, b.media.length)
+          val stride = if (eff == 0) 0 else b.media.length / eff
+          (0 until eff).iterator.map { f =>
             md.reset()
             val slice = java.util.Arrays.copyOfRange(
               b.media, f * stride, f * stride + stride)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed range (interval-containment) join: pair every point with
@@ -36,11 +36,24 @@ object RangeJoin {
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
     val clash = points.columns.toSet.intersect(intervals.columns.toSet)
     require(clash.isEmpty, s"point/interval column names collide: $clash")
-    val pb = points.withColumn("__b",
-      floor(col(pointCol) / bucketSize).cast("long"))
+    // Bucket id = floor division. For integral axes this must be INTEGER
+    // arithmetic: `/` is double division, and above 2^53 (epoch
+    // nanoseconds ≈ 1.7e18) the rounding can push a point's bucket across
+    // an edge its interval's replication never crosses — a silent false
+    // negative. floor-div with sign correction (`div` truncates toward
+    // zero); fractional axes keep the double floor path.
+    def bucketOf(df: DataFrame, c: String): Column = {
+      val integral = df.schema(c).dataType.simpleString match {
+        case "bigint" | "int" | "smallint" | "tinyint" => true
+        case _ => false
+      }
+      if (integral)
+        expr(s"(($c - pmod($c, ${bucketSize}L)) div ${bucketSize}L)")
+      else floor(col(c) / bucketSize).cast("long")
+    }
+    val pb = points.withColumn("__b", bucketOf(points, pointCol))
     val ib = intervals.withColumn("__b", explode(sequence(
-      floor(col(startCol) / bucketSize).cast("long"),
-      floor(col(endCol) / bucketSize).cast("long"))))
+      bucketOf(intervals, startCol), bucketOf(intervals, endCol))))
     pb.join(ib, Seq("__b"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__b")

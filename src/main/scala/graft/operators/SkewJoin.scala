@@ -32,6 +32,14 @@ object SkewJoin {
       joinType: String = "inner",
       saltCols: Seq[String] = Seq.empty): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    // right/full joins would emit every UNMATCHED small-side row once per
+    // salt replica (saltFactor duplicates) — reject rather than corrupt
+    require(Seq("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti", "semi", "anti")
+      .contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedEquiJoin supports inner/left/semi/anti join types; " +
+        s"'$joinType' would duplicate unmatched small-side rows " +
+        s"$saltFactor times")
     val saltSrc: Seq[Column] =
       if (saltCols.nonEmpty) saltCols.map(col) else big.columns.map(col).toSeq
     val b = big.withColumn("__salt", pmod(xxhash64(saltSrc: _*), lit(saltFactor)))

@@ -79,12 +79,16 @@ object TextAnalysis {
 
   /** Heuristic language ID: count marker-word hits per language, pick the
     * argmax (ties resolve in [[LangMarkers]] priority order), `und` when
-    * nothing matches. One codegen'd expression — no UDF, no shuffle, no
-    * model artifact to ship to executors.
+    * nothing matches. Marker matching is case-insensitive (the text is
+    * lowercased first — Title-Case and ALL-CAPS prose would otherwise
+    * score zero on every marker and fall out as `und`). One codegen'd
+    * expression — no UDF, no shuffle, no model artifact to ship to
+    * executors.
     */
   def langId(text: Column): Column = {
+    val lowered = lower(text)
     val scores = LangMarkers.map { case (lang, pat) =>
-      lang -> size(regexp_extract_all(text, lit(pat), lit(0)))
+      lang -> size(regexp_extract_all(lowered, lit(pat), lit(0)))
     } :+ ("zh" -> size(regexp_extract_all(text, lit(CjkMarker), lit(0))))
     val top = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, s), els) =>
@@ -111,12 +115,14 @@ object TextAnalysis {
       .reduce(_ + _)
   }
 
-  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
-    * Stable content key for exact dedup at scale — grouping by a 128-bit
-    * hash shuffles 16 bytes per row instead of the full document.
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text
+    * ([[graft.operators.Dedup.normalize]] — the ONE definition of the
+    * exact-dedup equivalence class; the md5 and char-gram pipelines key
+    * off the same normalizer so they can never desynchronize). Stable
+    * content key for exact dedup at scale — grouping by a 128-bit hash
+    * shuffles 16 bytes per row instead of the full document.
     */
-  def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+  def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
 
   /** Gopher/FineWeb-style repetition signals — the quality-filter class
     * that catches template/spam/generated text which the [[qualityScore]]

@@ -98,8 +98,14 @@ object Windows {
       .agg(sum(col("__t_v")).as("__tailSum"),
         count(col("__t_v")).as("__tailCnt"))
       .withColumn(out,
-        (col("__localSum") + coalesce(col("__tailSum"), lit(0.0))) /
-          (col("__localCnt") + col("__tailCnt")))
+        // both partial sums need the null→0 coalesce (an all-null local
+        // window yields a NULL sum that would poison the average), and a
+        // zero combined count must yield NULL — exactly what the plain
+        // window's avg() returns over an all-null frame
+        when(col("__localCnt") + col("__tailCnt") > 0,
+          (coalesce(col("__localSum"), lit(0.0)) +
+            coalesce(col("__tailSum"), lit(0.0))) /
+            (col("__localCnt") + col("__tailCnt"))))
 
     val interior = local
       .filter(col("__pos") >= frame - 1 || col("__chunk") === 0)

@@ -406,10 +406,10 @@ object PipelineQueries {
     "q31_langid" ->
       """WITH s AS (
         |  SELECT doc_id, lang,
-        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS s_en,
-        |    len(regexp_extract_all(text, '\b(el|la|de|que|y|en|los|las|una)\b')) AS s_es,
-        |    len(regexp_extract_all(text, '\b(le|la|de|et|les|des|une|est)\b')) AS s_fr,
-        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist|von|den|ein)\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|las|una)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|une|est)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|von|den|ein)\b')) AS s_de,
         |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
         |  FROM documents)
         |SELECT doc_id, lang,

@@ -102,6 +102,13 @@ class TextAnalysisSpec extends SparkSpec {
     cases.foreach { case (t, want) => assert(got(t) == want, s"for: $t") }
   }
 
+  test("langId: case-insensitive markers (headlines don't fall out as und)") {
+    val got = Seq("THE CAT AND THE DOG IS IN THE HOUSE",
+      "The Cat And The Dog Is In The House").toDF("t")
+      .select(TextAnalysis.langId($"t")).as[String].collect()
+    assert(got.toSeq == Seq("en", "en"))
+  }
+
   test("fingerprint: whitespace/case normalization collapses variants") {
     val df = Seq("Hello  World", "hello world", "hello  WORLD ", "other")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("f"))
@@ -267,6 +274,19 @@ class DedupSpec extends SparkSpec {
     assert(h(0) == h(3))
     assert(hamming(h(0), h(1)) < 15)
     assert(hamming(h(0), h(2)) > 15)
+  }
+
+  test("nearDupClusters: throws rather than returning split components at the cap") {
+    // chain of diameter 12 > maxIterations 3: silent partial labels
+    // would be wrong clusters — the operator must fail loudly
+    val chain = (1L until 13L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(chain, maxIterations = 3).collect()
+    }
+    // and a sufficient cap resolves the same chain to one component
+    val ok = Dedup.nearDupClusters(chain, maxIterations = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L))
   }
 
   test("nearDupClusters: chained pairs converge to min-label components") {
@@ -515,6 +535,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
   }
 
+  test("asOfBackward: null build times never fabricate a match") {
+    // a null-time build row sorts first ascending — unfiltered it would
+    // attach its payload to EVERY probe row of the key
+    val probe = Seq((1L, 10L, "p10")).toDF("k", "t", "tag")
+    val build = Seq((1L, Option.empty[Long], "poison"),
+      (1L, Some(4L), "b4")).toDF("k", "t", "v")
+    val out = AsOfJoin.asOfBackward(probe, build, "k", "t", Seq("v"))
+      .select("tag", "v").as[(String, Option[String])].collect().toMap
+    assert(out("p10").contains("b4"))
+    // and with ONLY the null-time row, the probe gets no match at all
+    val onlyNull = Seq((1L, Option.empty[Long], "poison")).toDF("k", "t", "v")
+    val out2 = AsOfJoin.asOfBackward(probe, onlyNull, "k", "t", Seq("v"))
+      .select("tag", "v").as[(String, Option[String])].collect().toMap
+    assert(out2("p10").isEmpty)
+  }
+
   test("asOfBackward: payload name collision rejected") {
     val df = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     intercept[IllegalArgumentException] {
@@ -539,6 +575,21 @@ class RangeJoinSpec extends SparkSpec {
       (1L, 10L),            // 5 in [0,10]
       (2L, 10L), (2L, 20L), // 10 = both ends — inclusive both sides
       (3L, 20L)))           // 25 in [10,30]; 31 and 99 match nothing
+  }
+
+  test("pointInInterval: exact at nanosecond magnitudes (beyond double's 2^53)") {
+    // ~1.7e18 axis values: double bucket division rounds by ~hundreds,
+    // which can misplace a point's bucket relative to its interval's
+    // replication range — integer floor-div must keep this exact
+    val base = 1700000000000000000L
+    val points = Seq((1L, base + 999L), (2L, base + 1000L), (3L, base - 1L))
+      .toDF("pid", "p")
+    val intervals = Seq((10L, base, base + 999L)).toDF("iid", "s", "e")
+    val out = RangeJoin
+      .pointInInterval(points, intervals, "p", "s", "e", 1000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)),
+      s"inclusive [base, base+999] must catch exactly pid=1, got $out")
   }
 
   test("pointInInterval ≡ brute-force inequality join on random data") {
@@ -736,5 +787,21 @@ class MultimodalSpec extends SparkSpec {
     val want = md.digest(text.substring(9, 18).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     assert(out(1).frame_md5 == want)
+  }
+
+  test("sampleFrames: short and empty payloads clamp instead of degenerating") {
+    // 2-byte payload at frames=4: one frame per byte, never zero-length
+    // duplicate slices; empty payload emits no rows; frames=0 rejected
+    val out = Multimodal.sampleFrames(
+        Multimodal.attachBlob(Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")))
+      .as[MediaFrame].collect()
+    val byDoc = out.groupBy(_.doc_id)
+    assert(byDoc(1L).length == 2 && byDoc(1L).forall(_.frame_len == 1))
+    assert(byDoc(1L).map(_.frame_md5).distinct.length == 2)
+    assert(!byDoc.contains(2L))
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(
+        Multimodal.attachBlob(Seq((1L, "x")).toDF("doc_id", "text")), 0)
+    }
   }
 }

@@ -30,4 +30,14 @@ class SkewJoinSpec extends SparkSpec {
       .collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, "a", Some("one")), (7L, "nomatch", None)))
   }
+
+  test("saltedEquiJoin rejects right/full joins (salt would duplicate rows)") {
+    val big = Seq((1L, "a")).toDF("k", "bv")
+    val small = Seq((2L, "unmatched")).toDF("k", "sv")
+    for (jt <- Seq("right", "full", "full_outer")) {
+      intercept[IllegalArgumentException] {
+        SkewJoin.saltedEquiJoin(big, small, "k", 4, jt)
+      }
+    }
+  }
 }

@@ -25,6 +25,31 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("saltedRollingAvg ≡ plain rollingAvg with nulls at chunk boundaries") {
+    // rows whose local (within-chunk) window is ALL NULL: the boundary
+    // formula must coalesce the null local sum instead of poisoning the
+    // patched average, and an all-null combined frame must yield null —
+    // matching the plain window's avg semantics exactly
+    val df = (0 until 60).map { i =>
+      val v: Option[Double] =
+        if (i % 10 <= 2) None else Some((i * 7 % 13).toDouble)
+      (1, i.toLong, v)
+    }.toDF("e", "seq", "v")
+    val plain = Windows.rollingAvg(df, "e", Seq($"seq"), "v", 4, "ra")
+      .select("seq", "ra").as[(Long, Option[Double])].collect().toMap
+    val salted = Windows.saltedRollingAvg(df, "e", Seq($"seq"), "v", 4, "ra",
+        chunkSize = 10)
+      .select("seq", "ra").as[(Long, Option[Double])].collect().toMap
+    assert(salted.keySet == plain.keySet)
+    plain.foreach { case (s, pv) =>
+      (pv, salted(s)) match {
+        case (None, None) =>
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"seq $s")
+        case other => fail(s"null-pattern mismatch at seq $s: $other")
+      }
+    }
+  }
+
   test("saltedRollingAvg: chunkSize < frame is rejected") {
     intercept[IllegalArgumentException] {
       Windows.saltedRollingAvg(mk(10, 1), "e", Seq($"seq"), "v", 7, "ra",
