@@ -65,5 +65,22 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       "winnow_fingerprints(text, k, w) - winnowing rolling-hash fingerprints",
       (args: Seq[Expression]) => WinnowExpr(args.head,
         intArg(args(1), "k"), intArg(args(2), "w")))
+    reg(ext, "word_shingles",
+      "word_shingles(text, n) - distinct word n-gram shingles",
+      (args: Seq[Expression]) =>
+        WordShinglesExpr(args.head, intArg(args(1), "n")))
+    reg(ext, "hashed_char_grams",
+      "hashed_char_grams(text, n) - sorted distinct hashed char n-grams",
+      (args: Seq[Expression]) =>
+        HashedCharGramsExpr(args.head, intArg(args(1), "n")))
+    reg(ext, "hyperplane_band_rows",
+      "hyperplane_band_rows(vec, bands, rowsPerBand) - generator form: " +
+        "one (band, key) row per band",
+      (args: Seq[Expression]) => HyperplaneBandRowsExpr(args.head,
+        intArg(args(1), "bands"), intArg(args(2), "rowsPerBand"), 42L))
+    reg(ext, "topk_by",
+      "topk_by(id, score, k) - bounded-heap grouped top-k aggregate",
+      (args: Seq[Expression]) =>
+        TopKByExpr(args.head, args(1), intArg(args(2), "k")))
   }
 }

@@ -39,9 +39,13 @@ object ShingleFunctions {
 }
 
 case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_shingles n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "word_shingles"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.string(prettyName, child.dataType)
 
   protected override def nullSafeEval(input: Any): Any =
     WordShinglesExpr.shingles(input.asInstanceOf[UTF8String], n)
@@ -87,9 +91,13 @@ object WordShinglesExpr {
 
 case class HashedCharGramsExpr(child: Expression, n: Int)
     extends UnaryExpression {
+  require(n >= 1, s"hashed_char_grams n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hashed_char_grams"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.string(prettyName, child.dataType)
 
   protected override def nullSafeEval(input: Any): Any =
     HashedCharGramsExpr.grams(input.asInstanceOf[UTF8String], n)

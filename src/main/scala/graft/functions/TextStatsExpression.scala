@@ -52,6 +52,9 @@ case class TopTokenCountExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "top_token_count"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.stringArray(prettyName, child.dataType)
 
   protected override def nullSafeEval(input: Any): Any =
     TopTokenCountExpr.topCount(
@@ -94,6 +97,9 @@ case class TokenStatsExpr(child: Expression, stopwords: Seq[String])
   override def dataType: DataType = TokenStatsExpr.Schema
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "token_stats"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.string(prettyName, child.dataType)
 
   @transient private lazy val stopBytes: Array[Array[Byte]] =
     stopwords.map(_.getBytes("UTF-8")).toArray

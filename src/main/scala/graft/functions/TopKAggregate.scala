@@ -42,8 +42,16 @@ private[functions] final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   val scores = new Array[Double](k)
 
-  private def beats(s: Double, id: Long, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && id < ids(i))
+  // java.lang.Double.compare, NOT </==: IEEE comparisons are all false
+  // against NaN, which made a NaN entry at the buffer tail block every
+  // later insert — results depended on arrival/merge order. compare()
+  // totally orders doubles with NaN largest, the same ordering Spark's
+  // sort (and the oracle's ORDER BY score DESC) uses, so NaN scores
+  // rank first deterministically instead of corrupting the buffer.
+  private def beats(s: Double, id: Long, i: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(i))
+    c > 0 || (c == 0 && id < ids(i))
+  }
 
   def insert(id: Long, s: Double): Unit = {
     if (n < k || beats(s, id, n - 1)) {

@@ -100,9 +100,14 @@ object VectorFunctions {
 case class MinHashSignatureExpr(child: Expression, k: Int)
     extends UnaryExpression {
 
+  require(k >= 1, s"minhash_signature k must be >= 1, got $k")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_signature"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.stringArray(prettyName, child.dataType)
 
   protected override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -148,6 +153,10 @@ case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.both(TypeChecks.vector(prettyName, left.dataType),
+      TypeChecks.vector(prettyName, right.dataType))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
 
@@ -207,7 +216,15 @@ case class DotProductExpr(left: Expression, right: Expression)
 case class HyperplaneBandsExpr(child: Expression, bands: Int,
     rowsPerBand: Int, seed: Long) extends UnaryExpression {
 
+  require(bands >= 1, s"hyperplane_bands bands must be >= 1, got $bands")
+  require(rowsPerBand >= 1 && rowsPerBand <= 64,
+    s"hyperplane_bands rowsPerBand must be in [1, 64] (band keys are " +
+      s"64-bit; shifts past 64 silently alias bits), got $rowsPerBand")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.vector(prettyName, child.dataType)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_bands"
 
@@ -234,10 +251,17 @@ case class HyperplaneBandRowsExpr(child: Expression, bands: Int,
     with org.apache.spark.sql.catalyst.expressions.Generator
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
+  require(bands >= 1, s"hyperplane_band_rows bands must be >= 1, got $bands")
+  require(rowsPerBand >= 1 && rowsPerBand <= 64,
+    s"hyperplane_band_rows rowsPerBand must be in [1, 64], got $rowsPerBand")
+
   override def elementSchema: StructType = StructType(Seq(
     StructField("band", IntegerType, nullable = false),
     StructField("key", LongType, nullable = false)))
   override def prettyName: String = "hyperplane_band_rows"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.vector(prettyName, child.dataType)
 
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -346,6 +370,10 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.both(TypeChecks.longArray(prettyName, left.dataType),
+      TypeChecks.longArray(prettyName, right.dataType))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_count"
 
@@ -385,6 +413,9 @@ object SortedIntersectCountExpr {
 case class SimHash60Expr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.stringArray(prettyName, child.dataType)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash60"
 

@@ -35,9 +35,17 @@ object WinnowFunctions {
 case class WinnowExpr(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
+  require(k >= 1, s"winnow_fingerprints k must be >= 1, got $k")
+  require(w >= 1,
+    s"winnow_fingerprints w must be >= 1 (w <= 0 would emit the " +
+      s"Long.MaxValue sentinel for every document), got $w")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "winnow_fingerprints"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.string(prettyName, child.dataType)
 
   protected override def nullSafeEval(input: Any): Any =
     WinnowExpr.fingerprints(input.asInstanceOf[UTF8String], k, w)

@@ -58,6 +58,18 @@ private class PaginatedTable(options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
+  // required options checked by name at planning time — a missing or
+  // misspelled option must fail with a message naming it, not as a bare
+  // NullPointerException (driver-side here, or worse, executor-side in
+  // Class.forName(null))
+  private def required(key: String): String = {
+    val v = options.get(key)
+    require(v != null && v.nonEmpty,
+      s"paginated_source requires option '$key' " +
+        "(required: stations, startYear, endYear, fetcher)")
+    v
+  }
+
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
@@ -65,15 +77,15 @@ private class PaginatedTable(options: CaseInsensitiveStringMap)
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
-        val stations = options.get("stations").split(",").map(_.trim).toSeq
-        val startYear = options.get("startYear").toInt
-        val endYear = options.get("endYear").toInt
+        val stations = required("stations").split(",").map(_.trim).toSeq
+        val startYear = required("startYear").toInt
+        val endYear = required("endYear").toInt
         (for (s <- stations; y <- startYear to endYear)
           yield StationYearPartition(s, y): InputPartition).toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        PaginatedReaderFactory(options.get("fetcher"),
+        PaginatedReaderFactory(required("fetcher"),
           options.getInt("pageSize", 1000))
     }
 }

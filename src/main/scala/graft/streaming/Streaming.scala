@@ -18,6 +18,14 @@ case class StreamDoc(ts: Timestamp, doc_id: Long, text: String)
 case class UserStats(user_id: Long, events: Long, total_value: Double,
     last_event_type: String)
 
+/** Internal state for [[Streaming.runningUserStats]]: carries the
+  * latest event's (time, value) key so a late event in a later
+  * micro-batch cannot overwrite `last_event_type` — "last" means last by
+  * EVENT TIME across the whole stream, not last-arrived.
+  */
+private case class RunningStatsState(events: Long, total: Double,
+    lastTs: Long, lastValue: Double, lastType: String)
+
 /** A closed (or force-flushed) activity session. */
 case class UserSession(user_id: Long, start: Timestamp, end: Timestamp,
     events: Long, total_value: Double)
@@ -142,16 +150,25 @@ object Streaming {
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+        (user: Long, batch: Iterator[Event],
+            state: GroupState[RunningStatsState]) =>
           val evs = batch.toSeq
-          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0, ""))
-          val last = if (evs.nonEmpty) {
-            evs.maxBy(e => (e.ts.getTime, e.value)).event_type
-          } else prev.last_event_type
-          val next = UserStats(user, prev.events + evs.size,
-            prev.total_value + evs.map(_.value).sum, last)
+          val prev = state.getOption
+            .getOrElse(RunningStatsState(0L, 0.0, Long.MinValue, 0.0, ""))
+          // "last" = max by (event time, value) across STATE and batch:
+          // a late event arriving in a later micro-batch must not
+          // overwrite a newer event already recorded in state
+          val next0 = prev.copy(events = prev.events + evs.size,
+            total = prev.total + evs.map(_.value).sum)
+          val next = evs.foldLeft(next0) { (s, e) =>
+            val t = e.ts.getTime
+            if (t > s.lastTs || (t == s.lastTs && e.value >= s.lastValue))
+              s.copy(lastTs = t, lastValue = e.value,
+                lastType = e.event_type)
+            else s
+          }
           state.update(next)
-          next
+          UserStats(user, next.events, next.total, next.lastType)
       }
   }
 
@@ -178,7 +195,12 @@ object Streaming {
             val t = e.ts.getTime
             cur match {
               case Some(s) if t - s.end <= gapMs =>
-                cur = Some(s.copy(end = t, events = s.events + 1,
+                // min/max, not overwrite: a LATE cross-batch event (t
+                // inside the stored session) must widen the session at
+                // most — never move `end` backwards (end < start) or
+                // corrupt later gap decisions
+                cur = Some(s.copy(start = math.min(s.start, t),
+                  end = math.max(s.end, t), events = s.events + 1,
                   total = s.total + e.value))
               case Some(s) =>
                 closed += UserSession(user, new Timestamp(s.start),
@@ -222,7 +244,9 @@ object Streaming {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = t, events = s.events + 1,
+                  // min/max, not overwrite — see [[sessionize]]
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), events = s.events + 1,
                     total = s.total + e.value))
                 case Some(s) =>
                   closed += UserSession(user, new Timestamp(s.start),

@@ -182,6 +182,64 @@ class VectorFunctionsSpec extends SparkSpec {
       s"without the cap boilerplate must link header pairs, got $uncapped")
   }
 
+  test("topKBy: NaN scores rank first deterministically (match sort semantics)") {
+    // IEEE comparisons are all false vs NaN — the buffer previously let
+    // a tail NaN block every later insert, making results depend on
+    // arrival order. Double.compare orders NaN largest, like ORDER BY
+    // score DESC. Run the same data through both row orders.
+    import graft.functions.TopKAggregate
+    for (rows <- Seq(
+      Seq((2L, 0.9), (1L, Double.NaN), (3L, 0.95)),
+      Seq((3L, 0.95), (2L, 0.9), (1L, Double.NaN)))) {
+      val got = rows.toDF("id", "s").repartition(1)
+        .agg(TopKAggregate.topKBy($"id", $"s", 2).as("t"))
+        .select(expr("transform(t, x -> x.id)")).as[Seq[Long]].collect()(0)
+      assert(got == Seq(1L, 3L), s"order $rows gave $got")
+    }
+  }
+
+  test("custom expressions reject wrong input types at analysis time") {
+    // every SQL-registered kernel must fail with a message naming the
+    // function, not a ClassCastException inside eval/codegen
+    val bad = Seq(
+      "dot_product(1, 2)" -> "dot_product",
+      "simhash60('x')" -> "simhash60",
+      "sorted_intersect_count(array('a'), array('b'))" -> "sorted_intersect_count",
+      "minhash_signature(7, 4)" -> "minhash_signature",
+      "token_stats(array('x'))" -> "token_stats",
+      "top_token_count('x')" -> "top_token_count",
+      "winnow_fingerprints(array(1L), 8, 4)" -> "winnow_fingerprints",
+      "word_shingles(5, 3)" -> "word_shingles")
+    bad.foreach { case (sql, name) =>
+      val e = intercept[Exception](spark.sql(s"SELECT $sql").collect())
+      assert(e.getMessage.contains(name) ||
+        e.getMessage.toLowerCase.contains("requires"),
+        s"$sql: ${e.getMessage.take(200)}")
+    }
+    // and invalid scalar parameters are rejected with a clear require
+    intercept[Exception](
+      spark.sql("SELECT winnow_fingerprints('abc', 8, 0)").collect())
+    intercept[Exception](
+      spark.sql("SELECT hyperplane_bands(array(1.0), 4, 72)").collect())
+  }
+
+  test("newly registered SQL surface: shingles, grams, band rows, topk_by") {
+    val row = spark.sql(
+      """SELECT size(word_shingles('a b c d', 3)) AS ws,
+        |       size(hashed_char_grams('abcd', 3)) AS hg""".stripMargin)
+      .collect()(0)
+    assert(row.getInt(0) == 2 && row.getInt(1) == 2)
+    val bands = spark.sql(
+      """SELECT hyperplane_band_rows(array(CAST(1.0 AS FLOAT),
+        |  CAST(0.5 AS FLOAT)), 4, 8)""".stripMargin).collect()
+    assert(bands.length == 4)
+    val topk = spark.sql(
+      """SELECT topk_by(id, s, 2) AS t FROM VALUES
+        |  (1L, 0.5D), (2L, 0.9D), (3L, 0.7D) AS v(id, s)""".stripMargin)
+      .selectExpr("transform(t, x -> x.id)").as[Seq[Long]].collect()(0)
+    assert(topk == Seq(2L, 3L))
+  }
+
   test("SQL registration via GraftExtensions") {
     val out = spark.sql(
       """SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),

@@ -99,6 +99,44 @@ class StreamingSpec extends SparkSpec {
     assert(last == UserStats(7, 3, 7.0, "purchase"))
   }
 
+  test("sessionize: a late cross-batch event widens the session, never end < start") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.sessionize(in.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessl").outputMode("append").start()
+    in.addData(Event(ts(10), 5, "click", 1.0))
+    q.processAllAvailable()
+    // late event at 10:08 (before the stored end 10:10, within gap)
+    in.addData(Event(ts(8), 5, "view", 2.0))
+    q.processAllAvailable()
+    // 10:20 closes nothing (10 min gap from end=10:10 is > 5 min... it
+    // is: 10 min > 5 min, so the first session closes and must carry
+    // start=10:08, end=10:10 — NOT end=10:08
+    in.addData(Event(ts(20), 5, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val s = spark.table("sessl").as[UserSession].collect()
+    assert(s.length == 1)
+    assert(s(0) == UserSession(5, ts(8), ts(10), 2, 3.0),
+      s"late event must widen, got ${s(0)}")
+  }
+
+  test("runningUserStats: a late event does not overwrite last_event_type") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("rsl").outputMode("update").start()
+    in.addData(Event(ts(10), 8, "purchase", 5.0))
+    q.processAllAvailable()
+    in.addData(Event(ts(2), 8, "click", 1.0)) // late by event time
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("rsl").as[UserStats].collect()
+      .filter(_.user_id == 8).maxBy(_.events)
+    assert(last == UserStats(8, 2, 6.0, "purchase"),
+      s"last-by-EVENT-TIME must win, got $last")
+  }
+
   test("sessionize: gap closes a session and emits it; open session stays") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
