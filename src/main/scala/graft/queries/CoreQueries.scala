@@ -403,10 +403,14 @@ object CoreQueries {
     // optimizer turns into a one-row broadcast.
     "q59_scalar_subquery" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      // the avg is rounded to 4 decimals BEFORE the comparison (file
+      // convention): an unrounded order-dependent double aggregate as a
+      // filter threshold is boundary-unstable across engines
       s.sql(
         """SELECT o_orderkey, o_custkey, o_totalprice
           |FROM orders_v
-          |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders_v)
+          |WHERE o_totalprice >
+          |  1.5 * (SELECT round(avg(o_totalprice), 4) FROM orders_v)
           |""".stripMargin)
     }),
 
@@ -435,11 +439,10 @@ object CoreQueries {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("cnt"),
           countDistinct($"user_id").as("users"),
-          // integer division: ts_ns ~1.7e18 exceeds double's 2^53 exact
-          // range, so `/` (double division) can be off by 1 µs at a
-          // midnight boundary vs the oracle's ts::DATE
-          countDistinct(to_date(timestamp_micros(
-            expr("ts_ns div 1000")))).as("active_days"),
+          // Tables.events already materializes ts = the exact µs
+          // timestamp (integer `div`, never double division — 2^53);
+          // derive the date from it rather than re-deriving from ts_ns
+          countDistinct(to_date($"ts")).as("active_days"),
           r4(sum($"value")).as("total_value"))
     }),
 
@@ -736,7 +739,8 @@ object CoreQueries {
         |ON s.s_suppkey = u.l_suppkey""".stripMargin,
     "q59_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+        |WHERE o_totalprice >
+        |  1.5 * (SELECT round(avg(o_totalprice), 4) FROM orders)""".stripMargin,
     "q72_salted_join" ->
       """SELECT s_name, count(*) AS lines,
         | round(sum(l_quantity), 4) AS qty

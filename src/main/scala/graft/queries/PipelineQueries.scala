@@ -147,9 +147,6 @@ object PipelineQueries {
           .select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
         "tok", support = 0.01)),
 
-    // Corpus vocabulary: top tokens per language — heavy stage is the
-    // map-side-combined token count; the rank window only sees the
-    // vocabulary-sized aggregate.
     // Partial-overlap detection over planted 200-char excerpts: every
     // eligible 25th doc contributes an excerpt copy; the overlap query
     // must attribute each excerpt to its source — whole-doc similarity
@@ -164,6 +161,9 @@ object PipelineQueries {
         "text", "doc_id")
     }),
 
+    // Corpus vocabulary: top tokens per language — heavy stage is the
+    // map-side-combined token count; the rank window only sees the
+    // vocabulary-sized aggregate.
     "q61_top_tokens" -> ((s, d) =>
       TextAnalysis.topTokens(Tables.documents(s, d), "lang", 5)),
 
@@ -314,11 +314,21 @@ object PipelineQueries {
     }),
 
     // ── Multimodal columns ───────────────────────────────────────────
+    // The operators are BYTE-semantic (media = UTF-8 bytes; multibyte
+    // behavior unit-tested in MultimodalSpec), but DuckDB cannot slice
+    // BLOBs, so the gate scopes both engines to the byte/char-identical
+    // subset (octet_length = char length ⟺ pure ASCII — currently the
+    // whole fixture) where char-based oracle SQL is byte-exact. q43
+    // additionally guards length ≥ frames so the oracle's fixed
+    // 4-rows-per-doc shape matches the operator's short-payload clamp.
     "q42_multimodal_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(Multimodal.attachBlob(Tables.documents(s, d)))),
+      Multimodal.decodeMeta(Multimodal.attachBlob(Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")))))),
 
     "q43_frame_sample" -> ((s, d) =>
-      Multimodal.sampleFrames(Multimodal.attachBlob(Tables.documents(s, d)))),
+      Multimodal.sampleFrames(Multimodal.attachBlob(Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 4)))),
 
     // Sketch-cutpoint bucketing — cutpoints are engine-specific
     // (percentile_approx) → rows/schema check only, like q46.
@@ -917,12 +927,15 @@ object PipelineQueries {
         | 320 + ('0x' || substr(md5(text), 1, 7))::BIGINT % 1600 AS width,
         | 180 + ('0x' || substr(md5(text), 8, 7))::BIGINT % 900 AS height,
         | 1 + length(text) % 30 AS n_frames
-        |FROM documents""".stripMargin,
+        |FROM documents
+        |WHERE octet_length(encode(text)) = length(text)""".stripMargin,
     "q43_frame_sample" ->
       """SELECT doc_id, f.f AS frame_idx,
         | length(text) // 4 AS frame_len,
         | md5(substr(text, f.f * (length(text) // 4) + 1,
         |            length(text) // 4)) AS frame_md5
-        |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f) f""".stripMargin
+        |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f) f
+        |WHERE octet_length(encode(text)) = length(text)
+        |  AND length(text) >= 4""".stripMargin
   )
 }

@@ -40,11 +40,16 @@ object Bronze {
       .csv(path)
   }
 
-  /** Split an audited read into (clean rows, quarantined raw lines). */
+  /** Split an audited read into (clean rows, quarantined raw lines).
+    *
+    * The INPUT frame is cached (PERMISSIVE's corrupt column is only
+    * referable from a cached/re-read plan — the documented Spark
+    * pattern) and stays cached: the caller owns the lifecycle and
+    * releases it with `df.unpersist()` on the handle they passed once
+    * both splits are consumed — otherwise the raw parse stays pinned in
+    * storage memory for the application lifetime.
+    */
   def corruptSplit(df: DataFrame): (DataFrame, DataFrame) = {
-    // PERMISSIVE + corrupt-column requires caching or a re-read for the
-    // corrupt column to be referable; a persisted split is the documented
-    // Spark pattern.
     val cached = df.cache()
     val clean = cached.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
@@ -78,6 +83,10 @@ object Bronze {
     val deduped = raw
       .dropDuplicates()
       .filter(col("datatype").isin(WeatherSchemas.datatypeVocabulary: _*))
+      // null grouping keys would survive the pivot but vanish at the
+      // null-rejecting coords join below — drop them EXPLICITLY here so
+      // the loss is a documented filter, not a silent join artifact
+      .filter(col("date").isNotNull && col("station").isNotNull)
     val wide = Pivot.longToWide(
       deduped.select("date", "station", "datatype", "value"),
       Seq("date", "station"), "datatype",

@@ -28,7 +28,11 @@ import graft.operators.Imputation
   */
 object Silver {
 
-  /** J1 — enrich with station dimension coords/name. */
+  /** J1 — enrich with the station dimension's COORDS (the display name
+    * is dropped with the join key — reference keeps only lat/lon at
+    * this stage; [[WeatherGold.stationDisplayNames]] re-attaches names
+    * where the Gold output wants them).
+    */
   def enrichStations(obs: DataFrame, stations: DataFrame): DataFrame = {
     val dim = broadcast(stations)
     obs.drop("latitude", "longitude")
@@ -40,7 +44,14 @@ object Silver {
     * applies year() to the string column, Weather_API.py:341).
     */
   def withYear(obs: DataFrame): DataFrame =
-    obs.withColumn("year", year(to_date(substring(col("date"), 1, 10))))
+    // try_to_date: the date arrives as a raw external CSV string that
+    // Bronze's corrupt-record audit cannot vet (a syntactically valid
+    // CSV line with a malformed date parses "clean"); plain to_date
+    // THROWS under Spark's default ANSI mode and would abort the whole
+    // pipeline on one bad row — malformed dates become null years and
+    // flow to the dropna/quarantine stages instead
+    obs.withColumn("year",
+      year(expr("try_to_date(substring(date, 1, 10))")))
 
   /** I1 — group-average wind imputation over (year, lat, lon). */
   def imputeWind(obs: DataFrame): DataFrame =
@@ -59,9 +70,12 @@ object Silver {
     Imputation.fillConstants(obs,
       Map("fastest_2min_wind" -> 0.0, "weather_type_1" -> 0.0))
 
-  /** F3 — parse the ISO-'T' date string to DateType. */
+  /** F3 — parse the ISO-'T' date string to DateType (try_to_date: see
+    * [[withYear]] — ANSI mode makes plain to_date throw on dirty rows).
+    */
   def parseDate(obs: DataFrame): DataFrame =
-    obs.withColumn("Date_1", to_date(col("date"), "yyyy-MM-dd'T'HH:mm:ss"))
+    obs.withColumn("Date_1",
+      expr("try_to_date(date, \"yyyy-MM-dd'T'HH:mm:ss\")"))
 
   /** F5+P4 — round temperature to 2 dp, drop the raw column. */
   def roundTemperature(obs: DataFrame): DataFrame =

@@ -789,6 +789,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).frame_md5 == want)
   }
 
+  test("decodeMeta is BYTE-semantic: multibyte text reports UTF-8 byte length") {
+    // the q42/q43 gate scopes to ASCII (DuckDB can't slice blobs);
+    // byte semantics for multibyte payloads are pinned here instead
+    val text = "héllo 世界" // 8 chars, 13 UTF-8 bytes (é=2, CJK=3 each)
+    val out = Multimodal.decodeMeta(
+        Multimodal.attachBlob(Seq((1L, text)).toDF("doc_id", "text")))
+      .as[MediaMeta].collect()(0)
+    assert(out.n_bytes == text.getBytes("UTF-8").length)
+    assert(out.n_bytes == 13 && text.length == 8)
+    assert(out.n_frames == 1 + 13 % 30)
+  }
+
   test("sampleFrames: short and empty payloads clamp instead of degenerating") {
     // 2-byte payload at frames=4: one frame per byte, never zero-length
     // duplicate slices; empty payload emits no rows; frames=0 rejected
