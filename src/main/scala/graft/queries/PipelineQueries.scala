@@ -340,10 +340,16 @@ object PipelineQueries {
 
     // Multimodal feature extraction / resample: float-vector and binary
     // outputs have no portable SQL rendering → rows/schema check only;
-    // value semantics are unit-tested (MultimodalSpec).
+    // value semantics are unit-tested (MultimodalSpec). The gate projects
+    // the vector to scalars (dims + L1 peak) — the driver's comparator
+    // sorts rows in pandas and chokes on array cells (r4: q76 err'd on
+    // "unhashable type: numpy.ndarray" before even counting rows).
     "q76_media_features" -> ((s, d) =>
       Multimodal.extractFeatures(
-        Multimodal.attachBlob(Tables.documents(s, d)))),
+          Multimodal.attachBlob(Tables.documents(s, d)))
+        .select(col("doc_id"), size(col("feature")).as("dims"),
+          round(array_max(col("feature")).cast("double"), 4)
+            .as("peak_bucket_share"))),
 
     "q77_media_resample" -> ((s, d) =>
       Multimodal.resample(
@@ -610,6 +616,10 @@ object PipelineQueries {
         |hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g))
         |SELECT d.doc_id, hit.doc_id IS NOT NULL AS contaminated
         |FROM documents d LEFT JOIN hit USING (doc_id)""".stripMargin,
+    // The running sum is HUGEINT in DuckDB (sum over BIGINT) — without
+    // the ::BIGINT casts pandas renders pack_id/pack_offset as float64
+    // and the driver's value hash diverges from Spark's int64 (r4 gate
+    // red row; values were cell-identical).
     "q78_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -618,9 +628,9 @@ object PipelineQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, lang, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-        |      AS f
+        |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens)::BIGINT AS f
         |  FROM t)
         |SELECT doc_id, lang, n_tokens,
         |       f // 2048 AS pack_id, f % 2048 AS pack_offset
