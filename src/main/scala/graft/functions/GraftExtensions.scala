@@ -55,7 +55,8 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HyperplaneBandsExpr(args.head,
         intArg(args(1), "bands"), intArg(args(2), "rowsPerBand"), 42L))
     reg(ext, "token_stats",
-      "token_stats(text) - one-pass (n_tokens, token_chars, stopword_hits)",
+      "token_stats(text) - one-pass (n_tokens, token_chars, " +
+        "stopword_hits, alpha_tokens)",
       (args: Seq[Expression]) =>
         TokenStatsExpr(args.head, TokenStatsExpr.DefaultStopwords))
     reg(ext, "top_token_count",
@@ -69,6 +70,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       "word_shingles(text, n) - distinct word n-gram shingles",
       (args: Seq[Expression]) =>
         WordShinglesExpr(args.head, intArg(args(1), "n")))
+    reg(ext, "token_chunks",
+      "token_chunks(text, size) - consecutive size-token chunks",
+      (args: Seq[Expression]) =>
+        TokenChunksExpr(args.head, intArg(args(1), "size")))
     reg(ext, "hashed_char_grams",
       "hashed_char_grams(text, n) - sorted distinct hashed char n-grams",
       (args: Seq[Expression]) =>

@@ -36,6 +36,14 @@ object ShingleFunctions {
   def hashedCharGrams(normalized: Column, n: Int): Column =
     ExpressionUtils.column(
       HashedCharGramsExpr(ExpressionUtils.expression(normalized), n))
+
+  /** Consecutive non-overlapping `size`-token chunks (array<string>,
+    * space-joined; trailing partial chunk kept; empty array on token-free
+    * text) — the unit of chunk-level dedup. Token semantics identical to
+    * [[wordShingles]]'s (= whitespace split, empties dropped).
+    */
+  def tokenChunks(text: Column, size: Int): Column =
+    ExpressionUtils.column(TokenChunksExpr(ExpressionUtils.expression(text), size))
 }
 
 case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
@@ -86,6 +94,53 @@ object WordShinglesExpr {
       while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
       new GenericArrayData(out)
     }
+  }
+}
+
+case class TokenChunksExpr(child: Expression, size: Int)
+    extends UnaryExpression {
+  require(size >= 1, s"token_chunks size must be >= 1, got $size")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_chunks"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.string(prettyName, child.dataType)
+
+  protected override def nullSafeEval(input: Any): Any =
+    TokenChunksExpr.chunks(input.asInstanceOf[UTF8String], size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenChunksExpr.chunks($c, $size)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenChunksExpr {
+  private val Whitespace = Pattern.compile("\\s+")
+
+  def chunks(text: UTF8String, size: Int): GenericArrayData = {
+    val toks = Whitespace.split(text.toString).filter(_.nonEmpty)
+    if (toks.length == 0) return new GenericArrayData(Array.empty[Any])
+    val n = (toks.length + size - 1) / size
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder(64)
+    var c = 0
+    while (c < n) {
+      sb.setLength(0)
+      var j = c * size
+      val end = math.min(j + size, toks.length)
+      while (j < end) {
+        if (j > c * size) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

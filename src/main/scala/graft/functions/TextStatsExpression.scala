@@ -30,7 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB's); stopword matching is exact token equality.
   */
 object TextStatsFunctions {
-  /** Struct column (n_tokens INT, token_chars BIGINT, stopword_hits INT). */
+  /** Struct column (n_tokens INT, token_chars BIGINT, stopword_hits INT,
+    * alpha_tokens INT).
+    */
   def tokenStats(text: Column,
       stopwords: Seq[String] = TokenStatsExpr.DefaultStopwords): Column =
     ExpressionUtils.column(
@@ -128,7 +130,11 @@ object TokenStatsExpr {
   val Schema: StructType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("token_chars", LongType, nullable = false),
-    StructField("stopword_hits", IntegerType, nullable = false)))
+    StructField("stopword_hits", IntegerType, nullable = false),
+    // tokens containing >= 1 ASCII letter — the Gopher "fraction of
+    // words with an alphabetic character" rule's numerator. ASCII-only
+    // by declared contract (matches the oracle's [A-Za-z] regex).
+    StructField("alpha_tokens", IntegerType, nullable = false)))
 
   /** Shared by eval and generated code (static forwarder): one walk over
     * the UTF-8 bytes — whitespace-run tokenization, per-token code-point
@@ -142,24 +148,28 @@ object TokenStatsExpr {
     var nTokens = 0
     var chars = 0L
     var hits = 0
+    var alphaToks = 0
     while (i < nBytes) {
       if (isWs(Platform.getByte(base, off + i))) {
         i += 1
       } else {
         val start = i
         var tokChars = 0
+        var hasAlpha = false
         var b = Platform.getByte(base, off + i)
         while (i < nBytes && !isWs(b)) {
           if ((b & 0xc0) != 0x80) tokChars += 1
+          if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) hasAlpha = true
           i += 1
           if (i < nBytes) b = Platform.getByte(base, off + i)
         }
         nTokens += 1
         chars += tokChars
+        if (hasAlpha) alphaToks += 1
         if (matchesStop(base, off + start, i - start, stops)) hits += 1
       }
     }
-    new GenericInternalRow(Array[Any](nTokens, chars, hits))
+    new GenericInternalRow(Array[Any](nTokens, chars, hits, alphaToks))
   }
 
   // Java regex \s (as used by split/string_split_regex): ASCII-only.

@@ -123,6 +123,45 @@ object Dedup {
         coalesce(col("__known"), lit(false)).as("is_known"))
   }
 
+  /** Chunk-level exact dedup stats — the sub-document twin of
+    * [[exactDedup]] (C4-style span dedup: boilerplate/excerpt passages
+    * repeat across documents that are NOT whole-document duplicates).
+    * Documents are cut into consecutive non-overlapping `chunkTokens`
+    * chunks (the codegen'd
+    * [[graft.functions.ShingleFunctions.tokenChunks]] kernel — the
+    * declarative `transform(sequence, slice)` formulation re-splits the
+    * text once per chunk under CollapseProject), each chunk keyed by its
+    * md5, and a chunk is DUPLICATED when its fingerprint occurs more than
+    * once corpus-wide (cross-doc or repeated within one doc).
+    *
+    * Returns one row per input document: (idCol, n_chunks,
+    * n_dup_chunks); token-free documents report (0, 0).
+    *
+    * Scale shape: the shuffles carry (16-byte fp, id) pairs only — the
+    * text never moves past the chunking projection. Chunk-fp occurrence
+    * counts are map-side-combined (a grouped count), the dup flag joins
+    * back on the SAME fp key (no re-partitioning between the aggregate
+    * and the join), and the final per-doc rollup shuffles one small row
+    * per chunk. No collect, no window over an unbounded partition.
+    */
+  def duplicatedChunkStats(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val ch = df.select(col(idCol),
+        explode(graft.functions.ShingleFunctions
+          .tokenChunks(col(textCol), chunkTokens)).as("__chunk"))
+      .select(col(idCol), md5(col("__chunk")).as("__fp"))
+    val occ = ch.groupBy("__fp").agg(count(lit(1)).as("__occ"))
+    val perDoc = ch.join(occ, Seq("__fp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+  }
+
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
     *
     * shingle → k-minhash signature → b bands of r=k/b rows → bucket join

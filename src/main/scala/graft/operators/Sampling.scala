@@ -38,6 +38,36 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn(out, assign)
   }
 
+  /** Per-stratum-rate sampling — the data-MIXING primitive ([[
+    * deterministicSplit]]'s sibling): each stratum keeps its own fraction
+    * of rows (down-weight boilerplate sources, up-weight scarce
+    * languages), deterministically. Keep/drop is a pure function of the
+    * id — append-stable, retry-safe, engine-reproducible — via the
+    * repo's md5-bucket convention at 1/10000 granularity (rates are
+    * quantized to basis points; a rate's threshold is
+    * `round(rate * 10000)`).
+    *
+    * Scale shape: a per-row projection + filter, zero shuffle; the rate
+    * map rides the plan as a literal when-chain (strata counts are
+    * config-sized, not data-sized).
+    */
+  def sampleByStrata(df: DataFrame, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      idCol: String): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1], got $r"))
+    def thr(r: Double): Int = math.round(r * 10000).toInt
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10000
+    // sorted for a deterministic plan (Map iteration order is not)
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(thr(defaultRate)): Column) { case ((k, r), els) =>
+        when(col(strataCol) === k, lit(thr(r))).otherwise(els)
+      }
+    df.filter(bucket < threshold)
+  }
+
   /** Sequence-packing planner — concat-and-chunk semantics, the layout
     * step an LLM training pipeline runs between curation and
     * tokenization: documents are laid out end-to-end in deterministic

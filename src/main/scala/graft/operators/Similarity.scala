@@ -154,6 +154,43 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Semantic dedup (the SemDeDup idea — Abbas et al. 2023 — with an
+    * exact-verify LSH candidate stage instead of a k-means partition):
+    * embedding-space near-duplicate GROUPS, one kept representative per
+    * group. Composes [[hyperplaneNearDupPairs]] (banded SRP buckets →
+    * exact cosine >= `threshold`) with [[Dedup.nearDupClusters]]
+    * (connected components via label propagation), then keeps the
+    * minimum id of each component as its canonical.
+    *
+    * Returns one row per input vector: (idCol, canonical, kept) —
+    * `kept` = this vector is its group's representative; filtering on it
+    * is the dedup action, keeping the full mapping is the lineage record.
+    *
+    * Scale notes inherit from the two parts: candidate generation is
+    * bucket-join-bounded (never all-pairs) and clustering is one
+    * shuffle per sweep with checkpointed lineage. Same recall contract
+    * as [[hyperplaneNearDupPairs]]: size bands x rowsPerBand for the
+    * similarity of the dups being hunted (0.95+), not the threshold.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      threshold: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 12,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = hyperplaneNearDupPairs(emb, threshold, bands, rowsPerBand,
+        seed, idCol, vecCol)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val clusters = Dedup.nearDupClusters(pairs)
+    emb.select(col(idCol))
+      .join(clusters, col(idCol) === clusters("id"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("canonical"))
+      .withColumn("kept", col(idCol) === col("canonical"))
+  }
+
   /** Lloyd-iteration k-means refinement of a centroid set, cosine
     * metric, fully distributed: assign (broadcast centroids + `max_by`
     * argmax), then recompute means element-wise via `posexplode` →

@@ -124,6 +124,52 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
 
+  /** Gopher document-level stop list (Rae et al. 2021, appendix A1.1):
+    * a page must contain at least two of these to pass the rule filter.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule filter (Rae et al. 2021, appendix A1.1) — the published
+    * heuristic battery a pretraining pipeline applies before any learned
+    * quality model. Returns a struct of per-rule booleans plus the
+    * conjunction (`pass`), so a curation report can show WHICH rule
+    * rejected a document, not just that one did:
+    *
+    *  - `word_count_ok`: 50 <= tokens <= 100,000;
+    *  - `mean_word_len_ok`: mean token length in [3, 10];
+    *  - `symbol_ratio_ok`: (# signs + "..." runs) / tokens <= 0.1;
+    *  - `alpha_ratio_ok`: >= 80% of tokens contain an ASCII letter;
+    *  - `stopword_ok`: >= 2 [[GopherStops]] occurrences.
+    *
+    * The paper's line-level rules (bullet-start / ellipsis-end fractions)
+    * need multi-line documents and are deliberately out of scope here.
+    * All five rules project off ONE [[graft.functions.TokenStatsExpr]]
+    * walk over the lowercased text (stopword matching is case-insensitive
+    * per the paper; lowercasing changes no token boundary, ASCII-letter
+    * flag, or code-point count on the declared ASCII contract), plus two
+    * regex passes for the symbol counts — per-row, codegen'd, scan-speed.
+    * Empty/token-free text fails every ratio rule (null-safe false).
+    */
+  def gopherRules(text: Column): Column = {
+    val lt = lower(text)
+    val st = graft.functions.TextStatsFunctions.tokenStats(lt, GopherStops)
+    val n = st.getField("n_tokens")
+    val mwl = ratio(st.getField("token_chars"), n)
+    val symbols = (length(lt) - length(regexp_replace(lt, "#", ""))) +
+      size(regexp_extract_all(lt, lit("\\.{3}"), lit(0)))
+    val passFalse = (c: Column) => coalesce(c, lit(false))
+    val rules = Seq(
+      "word_count_ok" -> (n >= 50 && n <= 100000),
+      "mean_word_len_ok" -> passFalse(mwl >= 3.0 && mwl <= 10.0),
+      "symbol_ratio_ok" -> passFalse(ratio(symbols, n) <= 0.1),
+      "alpha_ratio_ok" ->
+        passFalse(ratio(st.getField("alpha_tokens"), n) >= 0.8),
+      "stopword_ok" -> (st.getField("stopword_hits") >= 2))
+    struct(rules.map { case (name, c) => c.as(name) } :+
+      rules.map(_._2).reduce(_ && _).as("pass"): _*)
+  }
+
   /** Gopher/FineWeb-style repetition signals — the quality-filter class
     * that catches template/spam/generated text which the [[qualityScore]]
     * band checks miss:

@@ -68,6 +68,24 @@ object PipelineQueries {
       allowMissingColumns = false)
   }
 
+  /** Documents plus planted chunk-level partial copies (doc_id+600000,
+    * the first 40 tokens of every 12th >= 40-token doc + a unique tail):
+    * the planted doc shares its first two 20-token chunks with its source
+    * but is NOT a whole-document duplicate — the fixture chunk-level
+    * dedup (q86) exists to catch and whole-doc dedup misses.
+    */
+  private def docsWithChunkDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val planted = docs
+      .filter(col("doc_id") % 12 === 0 && size(toks) >= 40)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(array_join(slice(toks, 1, 40), " "),
+          lit(" planted unique chunk tail marker "),
+          col("doc_id").cast("string")).as("text"))
+    docs.unionByName(planted)
+  }
+
   /** Documents + exact dups + a 60-doc boilerplate cluster (shared
     * template, one-token unique tail → pairwise shingle-Jaccard ≈ 0.88)
     * — the hot-bucket fixture for [[Dedup.minhashNearDupPairs]]'s
@@ -98,6 +116,16 @@ object PipelineQueries {
     "q32_quality_score" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // Gopher rule battery (Rae et al. 2021 A1.1): per-rule booleans +
+    // the conjunction, all projected off one token-kernel walk.
+    "q84_gopher_rules" -> ((s, d) => {
+      val g = TextAnalysis.gopherRules(col("text"))
+      val fields = Seq("word_count_ok", "mean_word_len_ok",
+        "symbol_ratio_ok", "alpha_ratio_ok", "stopword_ok", "pass")
+      Tables.documents(s, d).select(
+        col("doc_id") +: fields.map(f => g.getField(f).as(f)): _*)
+    }),
 
     "q33_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -287,6 +315,20 @@ object PipelineQueries {
           coalesce(col("cluster"), docs("doc_id")).as("cluster"))
     }),
 
+    // Chunk-level exact dedup over planted partial copies: the planted
+    // doc shares exactly its first two 20-token chunks with its source.
+    "q86_chunk_dedup" -> ((s, d) =>
+      Dedup.duplicatedChunkStats(docsWithChunkDups(s, d), "text", "doc_id",
+        chunkTokens = 20)),
+
+    // Per-stratum-rate sampling (data mixing): en halved, fr quartered,
+    // zh at 5%, everything else 10% — deterministic md5-bucket keep.
+    "q87_stratified_sample" -> ((s, d) =>
+      Sampling.sampleByStrata(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", Map("en" -> 0.5, "fr" -> 0.25, "zh" -> 0.05),
+        defaultRate = 0.1, idCol = "doc_id")),
+
     // ── Similarity search ────────────────────────────────────────────
     "q39_embed_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
@@ -298,6 +340,13 @@ object PipelineQueries {
     // pair at the planted ~0.997 similarity, deterministic seed).
     "q60_hyperplane_neardup" -> ((s, d) =>
       Similarity.hyperplaneNearDupPairs(embWithDups(s, d), 0.9)),
+
+    // Semantic dedup end-to-end: q60's pairs -> connected components ->
+    // one kept representative per embedding-space group. Oracle = exact
+    // all-pairs ground truth + recursive closure (q45's convention),
+    // under q60's full-recall contract at the planted ~0.997 similarity.
+    "q88_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(embWithDups(s, d), 0.9)),
 
     "q40_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -456,6 +505,46 @@ object PipelineQueries {
         |  coalesce(swr >= 0.03, false)::INT +
         |  coalesce(ar >= 0.6, false)::INT) AS quality
         |FROM m""".stripMargin),
+    // Mirrors gopherRules exactly: lowercased tokenization, Gopher stop
+    // list, ASCII-letter alpha flag, '#'-char + '...'-run symbol count;
+    // every ratio is an int/int double division (engine-exact), and
+    // token-free text nulls to FALSE on both sides.
+    "q84_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(tk) AS n,
+        |    coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+        |      AS chars,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x)))
+        |      AS stops,
+        |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS alpha,
+        |    length(lt) - length(replace(lt, '#', ''))
+        |      + len(regexp_extract_all(lt, '\.{3}')) AS sym
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id,
+        |    n >= 50 AND n <= 100000 AS word_count_ok,
+        |    coalesce(CASE WHEN n > 0 THEN chars::DOUBLE / n >= 3.0
+        |      AND chars::DOUBLE / n <= 10.0 END, FALSE)
+        |      AS mean_word_len_ok,
+        |    coalesce(CASE WHEN n > 0 THEN sym::DOUBLE / n <= 0.1 END,
+        |      FALSE) AS symbol_ratio_ok,
+        |    coalesce(CASE WHEN n > 0 THEN alpha::DOUBLE / n >= 0.8 END,
+        |      FALSE) AS alpha_ratio_ok,
+        |    stops >= 2 AS stopword_ok
+        |  FROM s)
+        |SELECT doc_id, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+        |  alpha_ratio_ok, stopword_ok,
+        |  word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+        |    AND alpha_ratio_ok AND stopword_ok AS pass
+        |FROM r""".stripMargin,
+
     "q50_curation_report" ->
       """WITH t AS (
         |  SELECT source, lang, length(text) AS n,
@@ -910,6 +999,86 @@ object PipelineQueries {
         |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.9""".stripMargin,
+    // q60's exact pair ground truth + q45's recursive-closure convention
+    // + min-id canonical per component, over every vector in the planted
+    // union. count casts: see q78 (HUGEINT -> float64 in pandas).
+    "q88_semantic_dedup" ->
+      """WITH RECURSIVE dup AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> (x + 0.01::FLOAT)::FLOAT)
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM dup),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT vec_a, vec_b FROM p WHERE sim >= 0.9),
+        |edges AS (
+        |  SELECT vec_a AS s, vec_b AS t FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |lbl AS (
+        |  SELECT s AS vec_id, least(s, min(t)) AS canonical
+        |  FROM reach GROUP BY s)
+        |SELECT u.vec_id,
+        |  coalesce(l.canonical, u.vec_id) AS canonical,
+        |  u.vec_id = coalesce(l.canonical, u.vec_id) AS kept
+        |FROM u LEFT JOIN lbl l USING (vec_id)""".stripMargin,
+    // Chunk fingerprints mirror token_chunks exactly: ceil(n/20) slices,
+    // space-joined, md5'd; "duplicated" = corpus-wide occurrence > 1.
+    "q86_chunk_dedup" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000,
+        |    array_to_string(list_slice(t, 1, 40), ' ')
+        |      || ' planted unique chunk tail marker ' || doc_id
+        |  FROM tk0 WHERE doc_id % 12 = 0 AND len(t) >= 40),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM base),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, (len(t) + 19) // 20), i ->
+        |      md5(array_to_string(list_slice(t, i*20 + 1, i*20 + 20), ' '))))
+        |      AS fp
+        |  FROM t),
+        |occ AS (SELECT fp, count(*) AS occ FROM ch GROUP BY fp),
+        |per AS (
+        |  SELECT ch.doc_id, count(*) AS n_chunks,
+        |    sum(CASE WHEN occ.occ > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+        |  FROM ch JOIN occ USING (fp) GROUP BY ch.doc_id)
+        |SELECT b.doc_id,
+        |  coalesce(per.n_chunks, 0)::BIGINT AS n_chunks,
+        |  coalesce(per.n_dup_chunks, 0)::BIGINT AS n_dup_chunks
+        |FROM base b LEFT JOIN per USING (doc_id)""".stripMargin,
+    // Mirrors sampleByStrata: md5-bucket mod 10000 under a per-stratum
+    // basis-point threshold.
+    "q87_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+        |      AS b,
+        |    CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500
+        |      WHEN 'zh' THEN 500 ELSE 1000 END AS thr
+        |  FROM documents)
+        |WHERE b < thr""".stripMargin,
     "q40_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -90,10 +90,12 @@ class VectorFunctionsSpec extends SparkSpec {
       size(toks).as("n"),
       aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("c"),
       size(filter(toks,
-        x => x.isin(TokenStatsExpr.DefaultStopwords: _*))).as("s"))
+        x => x.isin(TokenStatsExpr.DefaultStopwords: _*))).as("s"),
+      size(filter(toks, x => x.rlike("[A-Za-z]"))).as("al"))
       .collect()
     val kernel = df.select(TextStatsFunctions.tokenStats($"t").as("st"))
-      .select($"st.n_tokens", $"st.token_chars", $"st.stopword_hits")
+      .select($"st.n_tokens", $"st.token_chars", $"st.stopword_hits",
+        $"st.alpha_tokens")
       .collect()
     hof.zip(kernel).foreach { case (h, k) =>
       assert(h.isNullAt(0) == k.isNullAt(0))
@@ -101,6 +103,7 @@ class VectorFunctionsSpec extends SparkSpec {
         assert(k.getInt(0) == h.getInt(0), s"n_tokens: $k vs $h")
         assert(k.getLong(1) == h.getLong(1), s"token_chars: $k vs $h")
         assert(k.getInt(2) == h.getInt(2), s"stopword_hits: $k vs $h")
+        assert(k.getInt(3) == h.getInt(3), s"alpha_tokens: $k vs $h")
       }
     }
   }
@@ -209,7 +212,8 @@ class VectorFunctionsSpec extends SparkSpec {
       "token_stats(array('x'))" -> "token_stats",
       "top_token_count('x')" -> "top_token_count",
       "winnow_fingerprints(array(1L), 8, 4)" -> "winnow_fingerprints",
-      "word_shingles(5, 3)" -> "word_shingles")
+      "word_shingles(5, 3)" -> "word_shingles",
+      "token_chunks(5, 3)" -> "token_chunks")
     bad.foreach { case (sql, name) =>
       val e = intercept[Exception](spark.sql(s"SELECT $sql").collect())
       assert(e.getMessage.contains(name) ||
@@ -238,6 +242,30 @@ class VectorFunctionsSpec extends SparkSpec {
         |  (1L, 0.5D), (2L, 0.9D), (3L, 0.7D) AS v(id, s)""".stripMargin)
       .selectExpr("transform(t, x -> x.id)").as[Seq[Long]].collect()(0)
     assert(topk == Seq(2L, 3L))
+    val chunks = spark.sql("SELECT token_chunks('a b c d e', 2)")
+      .as[Seq[String]].collect()(0)
+    assert(chunks == Seq("a b", "c d", "e"))
+  }
+
+  test("token_chunks: exact cover, partial tail, whitespace runs, empty") {
+    val out = Seq(
+      "a b c d",          // exact multiple: 2 chunks
+      "a b c d e",        // partial tail chunk
+      "  a \t b  ",       // whitespace runs and padding collapse
+      "solo",             // shorter than one chunk
+      "")                 // token-free: empty array
+      .toDF("t").select(ShingleFunctions.tokenChunks($"t", 2))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b", "c d"))
+    assert(out(1) == Seq("a b", "c d", "e"))
+    assert(out(2) == Seq("a b"))
+    assert(out(3) == Seq("solo"))
+    assert(out(4) == Seq())
+    // concatenating the chunks reproduces the token stream exactly
+    val round = Seq("x1 x2 x3 x4 x5 x6 x7").toDF("t")
+      .select(array_join(ShingleFunctions.tokenChunks($"t", 3), " "))
+      .as[String].collect()(0)
+    assert(round == "x1 x2 x3 x4 x5 x6 x7")
   }
 
   test("SQL registration via GraftExtensions") {

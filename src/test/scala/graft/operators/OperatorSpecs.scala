@@ -135,6 +135,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == ((2, 7)))
   }
 
+  test("gopherRules: each rule flips on its own trigger; empty text fails") {
+    // 120 tokens, mean length (60*3 + 531-180)/120 = 4.4, 60 stopwords
+    val passing = (1 to 60).map(i => s"the word$i").mkString(" ")
+    val docs = Seq(
+      (1L, passing),                            // all five rules pass
+      (2L, "The " + ("word " * 60).trim),       // case-insensitive stops: 1 'the'
+                                                //   only -> stopword_ok false
+      (3L, ("xx " * 30) + passing),             // 2-char noise keeps mean in band
+      (4L, passing + " " + ("#" * 999)),        // symbol run: 999 hashes / 121 toks
+      (5L, passing.replace("word1 ", "... ")),  // one ellipsis: 1/120 <= 0.1 ok
+      (6L, (1 to 120).map(i => s"$i").mkString(" ")), // digits: alpha_ratio 0
+      (7L, "the of to"),                        // 3 words < 50
+      (8L, ""))                                 // token-free: ratios all false
+      .toDF("doc_id", "text")
+    val rows = docs.select($"doc_id",
+        TextAnalysis.gopherRules($"text").as("g"))
+      .select($"doc_id", $"g.word_count_ok", $"g.mean_word_len_ok",
+        $"g.symbol_ratio_ok", $"g.alpha_ratio_ok", $"g.stopword_ok",
+        $"g.pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(rows(0) == ((1L, true, true, true, true, true, true)))
+    assert(!rows(1)._6 && !rows(1)._7, s"one stopword must fail: ${rows(1)}")
+    assert(rows(2)._7, s"2-char tokens keep mean len in band: ${rows(2)}")
+    assert(!rows(3)._4 && !rows(3)._7, s"hash flood must fail: ${rows(3)}")
+    assert(rows(4)._7, s"one ellipsis in 120 tokens passes: ${rows(4)}")
+    assert(!rows(5)._5 && !rows(5)._7, s"all-digit doc fails alpha: ${rows(5)}")
+    assert(!rows(6)._2 && !rows(6)._7, s"3 words under min count: ${rows(6)}")
+    assert(rows(7) == ((8L, false, false, false, false, false, false)))
+  }
+
   test("repetitionStats: hand-checked fractions, edge lengths null out") {
     val docs = Seq(
       (1L, "a a a b"),      // top a=3/4; 2grams: aa,aa,ab→2 distinct of 3;
@@ -256,6 +287,27 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, false, false),  // near-dup text ≠ exact dup → fresh
       (2L, 2L, false, false),  // fresh
       (3L, 0L, true, true)))   // batch-internal dup of 0, also known
+  }
+
+  test("duplicatedChunkStats: shared spans flagged on both sides, hand-checked") {
+    // chunk size 3: doc 10 = [A B C][D E F][G]; doc 11 reuses chunks 1-2
+    // with a unique tail; doc 12 repeats one chunk content INSIDE itself;
+    // doc 13 is unrelated; doc 14 is empty
+    val docs = Seq(
+      (10L, "A B C D E F G"),
+      (11L, "A B C D E F unique tail here"),
+      (12L, "x y z x y z"),
+      (13L, "p q r"),
+      (14L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedChunkStats(docs, "text", "doc_id", 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (10L, 3L, 2L),  // [A B C] and [D E F] also appear in doc 11
+      (11L, 3L, 2L),  // same two; the tail chunk is unique
+      (12L, 2L, 2L),  // within-doc repetition counts as duplication
+      (13L, 1L, 0L),
+      (14L, 0L, 0L)), out.toString)
   }
 
   test("minhash LSH: catches the near-dup pair, skips unrelated docs") {
@@ -470,6 +522,31 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${(exact -- lsh).mkString(",")}")
   }
 
+  test("semanticDedup: transitive groups get one kept representative") {
+    // group A = {0, 1000, 2000} (two shifted copies of vec 0 — 1000 and
+    // 2000 are near-dups of 0 and, transitively, of each other), group
+    // B = {5, 1005}; everything else singleton
+    val base = (0L until 40L).map { i =>
+      val rnd = new java.util.Random(i * 977L + 13L)
+      (i, Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val shifted = Seq(
+      (1000L, base(0)._2.map(_ + 0.004f)),
+      (2000L, base(0)._2.map(_ + 0.008f)),
+      (1005L, base(5)._2.map(_ + 0.004f)))
+    val emb = (base ++ shifted).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, 0.9)
+      .as[(Long, Long, Boolean)].collect()
+    val canon = out.map(t => t._1 -> t._2).toMap
+    assert(canon(0L) == 0L && canon(1000L) == 0L && canon(2000L) == 0L)
+    assert(canon(5L) == 5L && canon(1005L) == 5L)
+    // singletons map to themselves and are kept
+    assert(canon(7L) == 7L)
+    assert(out.count(!_._3) == 3, s"exactly the 3 shifted copies drop: " +
+      out.filterNot(_._3).mkString(","))
+    assert(out.length == 43)
+  }
+
   test("ivfTopK: k rows per query, ranks contiguous, no self-matches") {
     val emb = (0L until 40L).map(i =>
       (i, Seq.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat / 11f)))
@@ -632,6 +709,31 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.deterministicSplit(Seq(1L).toDF("id"),
         "id", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("sampleByStrata: per-stratum rates, deterministic, append-stable") {
+    val docs = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val rates = Map("en" -> 0.5)
+    val once = Sampling.sampleByStrata(docs, "lang", rates, 0.1, "id")
+      .select("id", "lang").as[(Long, String)].collect()
+    val byLang = once.groupBy(_._2).view.mapValues(_.length).toMap
+    // 1000 en draws at 0.5, 2000 de draws at 0.1 (md5-uniform, generous)
+    assert(byLang("en") > 400 && byLang("en") < 600, byLang.toString)
+    assert(byLang("de") > 120 && byLang("de") < 280, byLang.toString)
+    // append-stable: the half-corpus sample is exactly the full-corpus
+    // sample restricted to the half
+    val half = Sampling.sampleByStrata(docs.filter($"id" < 1500L),
+        "lang", rates, 0.1, "id")
+      .select("id").as[Long].collect().toSet
+    assert(half == once.map(_._1).filter(_ < 1500L).toSet)
+    // rate 1.0 keeps every row of its stratum, rate 0.0 keeps none
+    val extremes = Sampling.sampleByStrata(docs, "lang",
+      Map("en" -> 1.0, "de" -> 0.0), 0.5, "id")
+    assert(extremes.count() == 1000L)
+    intercept[IllegalArgumentException] {
+      Sampling.sampleByStrata(docs, "lang", Map("en" -> 1.5), 0.1, "id")
     }
   }
 
