@@ -140,9 +140,15 @@ object Dedup {
     * Scale shape: the shuffles carry (16-byte fp, id) pairs only — the
     * text never moves past the chunking projection. Chunk-fp occurrence
     * counts are map-side-combined (a grouped count), the dup flag joins
-    * back on the SAME fp key (no re-partitioning between the aggregate
-    * and the join), and the final per-doc rollup shuffles one small row
-    * per chunk. No collect, no window over an unbounded partition.
+    * back on the SAME fp key (the aggregate's output partitioning is
+    * reused; only the probe side exchanges), and the final per-doc
+    * rollup shuffles one small row per chunk. The chunk projection IS
+    * evaluated twice (aggregate + probe side) — deliberately NOT the
+    * [[exactDedup]] single-scan window form: hot chunks are the NORM
+    * here (site boilerplate repeats millions of times), partial
+    * aggregation + AQE skew-join absorb that skew, while a count window
+    * would funnel every occurrence of a hot fingerprint through one
+    * task. No collect anywhere.
     */
   def duplicatedChunkStats(df: DataFrame, textCol: String, idCol: String,
       chunkTokens: Int = 20): DataFrame = {

@@ -108,6 +108,34 @@ object Sampling {
       .drop("__first")
   }
 
+  /** Deterministic corpus shuffle — the training-ORDER assignment a
+    * data loader consumes (decorrelate adjacent source documents before
+    * packing): every row gets a (shard, pos) coordinate where `shard`
+    * is the md5-bucket of the id modulo `shards` and `pos` is the
+    * hash-order rank inside the shard (ties — ~impossible at 60 hash
+    * bits — break to the lower id). A pure function of the ids:
+    * reproducible across engines, retries, and reruns, unlike
+    * `orderBy(rand())`.
+    *
+    * Scale shape: ONE shuffle (the per-shard rank window); `shards`
+    * must grow with the corpus so a shard's rows fit one task's sort —
+    * the same operator contract as [[packSequences]]'s `partitionCols`.
+    * Appending data DOES shift `pos` (a rank is corpus-relative by
+    * definition); `shard` membership is append-stable.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("__h")
+  }
+
   /** Deterministic uniform k-per-group sample (eval-set carving,
     * per-source inspection samples): rank rows by the md5-derived hash
     * of their id and keep each group's k smallest — a pure function of

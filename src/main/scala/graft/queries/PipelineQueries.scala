@@ -321,6 +321,12 @@ object PipelineQueries {
       Dedup.duplicatedChunkStats(docsWithChunkDups(s, d), "text", "doc_id",
         chunkTokens = 20)),
 
+    // Deterministic corpus shuffle: (shard, pos) training-order
+    // coordinates — pure hash order, engine-exact.
+    "q89_corpus_shuffle" -> ((s, d) =>
+      Sampling.deterministicShuffle(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", shards = 8)),
+
     // Per-stratum-rate sampling (data mixing): en halved, fr quartered,
     // zh at 5%, everything else 10% — deterministic md5-bucket keep.
     "q87_stratified_sample" -> ((s, d) =>
@@ -1068,6 +1074,18 @@ object PipelineQueries {
         |  coalesce(per.n_chunks, 0)::BIGINT AS n_chunks,
         |  coalesce(per.n_dup_chunks, 0)::BIGINT AS n_dup_chunks
         |FROM base b LEFT JOIN per USING (doc_id)""".stripMargin,
+    // Mirrors deterministicShuffle: 60-bit md5 hash, shard = hash mod 8,
+    // pos = 0-based hash-order rank (id tie-break) within the shard.
+    "q89_corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, (hv % 8)::INT AS shard,
+        |  row_number() OVER (PARTITION BY hv % 8
+        |    ORDER BY hv ASC, doc_id ASC) - 1 AS pos
+        |FROM h""".stripMargin,
+
     // Mirrors sampleByStrata: md5-bucket mod 10000 under a per-stratum
     // basis-point threshold.
     "q87_stratified_sample" ->

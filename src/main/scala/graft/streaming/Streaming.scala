@@ -82,6 +82,32 @@ object Streaming {
     else fp.dropDuplicates("fp")
   }
 
+  /** Chunk-granular ingest dedup — [[dedupStream]]'s sub-document twin
+    * (streaming [[graft.operators.Dedup.duplicatedChunkStats]]): each
+    * document explodes into its `chunkTokens`-token chunk fingerprints
+    * (the codegen'd `token_chunks` kernel) and only FIRST-SEEN chunks
+    * within the watermark survive — the "novel content" stream, the
+    * quantity an ingest monitor alarms on when a crawl starts re-reading
+    * boilerplate. Output: (tsCol, idCol, chunk_fp) of surviving chunks;
+    * a wholly-duplicated document contributes nothing.
+    *
+    * State is one 16-byte key per distinct chunk fp within the
+    * watermark horizon — bounded exactly like [[dedupStream]]'s
+    * `withinWatermark` mode, and the same batch-owns-history pairing
+    * applies.
+    */
+  def chunkDedupStream(docs: DataFrame, chunkTokens: Int = 20,
+      watermarkDelay: String = "10 minutes",
+      textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "ts"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(idCol),
+        explode(graft.functions.ShingleFunctions
+          .tokenChunks(col(textCol), chunkTokens)).as("__chunk"))
+      .select(col(tsCol), col(idCol), md5(col("__chunk")).as("chunk_fp"))
+      .dropDuplicatesWithinWatermark("chunk_fp")
+
   /** Watermarked tumbling-window counts per event type — the streaming
     * analogue of q18's date-bucket aggregation.
     */

@@ -737,6 +737,31 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("deterministicShuffle: dense per-shard ranks, brute-force hash order") {
+    val ids = (0L until 500L).toDF("id")
+    val out = Sampling.deterministicShuffle(ids, "id", shards = 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.length == 500)
+    // every shard's positions are exactly 0..n-1
+    out.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length))
+    }
+    // order within a shard is ascending md5-hash order (brute force)
+    def h(i: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    out.groupBy(_._2).values.foreach { rows =>
+      val byPos = rows.sortBy(_._3).map(r => h(r._1))
+      assert(byPos.toSeq == byPos.sorted.toSeq, "pos must follow hash order")
+    }
+    // shard = hash mod shards, and a rerun reproduces the layout
+    assert(out.forall { case (i, s, _) => s == (h(i) % 4).toInt })
+    val again = Sampling.deterministicShuffle(ids, "id", 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("packSequences: concat-and-chunk brute-force equivalence per shard") {
     // shard A: token counts 5,5,5,5 at budget 8 → firsts 0,5,10,15 →
     // packs 0,0,1,1; a 20-token doc then spans packs (first=20 → pack 2)

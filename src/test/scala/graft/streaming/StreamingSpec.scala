@@ -49,6 +49,38 @@ class StreamingSpec extends SparkSpec {
       s"evicted fingerprint must re-emit, got $ids")
   }
 
+  test("chunkDedupStream: only first-seen chunks survive, per chunk not per doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    // chunk size 3: doc 1 = [a b c][d e f]; doc 2 reuses chunk [a b c]
+    // IN-batch but brings a novel chunk; doc 3 (next batch) is wholly
+    // duplicated and must contribute nothing
+    val q = Streaming.chunkDedupStream(in.toDF(), chunkTokens = 3,
+        watermarkDelay = "10 minutes")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("cdd").outputMode("append")
+      .start()
+    in.addData(StreamDoc(ts(0), 1, "a b c d e f"),
+      StreamDoc(ts(0), 2, "a b c novel chunk here"))
+    q.processAllAvailable()
+    in.addData(StreamDoc(ts(2), 3, "a b c d e f"))
+    q.processAllAvailable()
+    val perDoc = spark.table("cdd").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // doc 1: both chunks novel; doc 2: [a b c] suppressed, 1 survivor;
+    // doc 3: nothing
+    assert(perDoc == Map(1L -> 2, 2L -> 1), s"got $perDoc")
+    // past eviction the same chunk re-emits (within-watermark contract)
+    in.addData(StreamDoc(ts(40), 4, "watermark advancer text"))
+    q.processAllAvailable()
+    in.addData(StreamDoc(ts(45), 5, "a b c"))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("cdd").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(after(5L) == 1, s"evicted chunk must re-emit, got $after")
+  }
+
   test("dedupStream exact variant: dup suppressed regardless of watermark distance") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamDoc]
