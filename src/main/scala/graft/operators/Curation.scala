@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed curation pipeline — the end-user shape every operator
+  * family in this library exists for: one call that takes a raw corpus
+  * plus an eval benchmark and returns a per-document keep/reject verdict
+  * with the REASON attributed, so corpus health is debuggable ("34% of
+  * src7 fell to `repetitive`") rather than a single opaque survival rate.
+  */
+object Curation {
+
+  /** Stage names in precedence order — a document failing several stages
+    * reports the FIRST: `duplicate` (not the min-id canonical of its
+    * exact-content group), `contaminated` (shares a `shingleTokens`-token
+    * shingle with the benchmark), `gopher` (fails the
+    * [[TextAnalysis.gopherRules]] battery), `low_quality`
+    * ([[TextAnalysis.qualityScore]] under `minQuality`), `repetitive`
+    * (top-word fraction over `maxTopWordFrac`; token-free text counts as
+    * repetitive by convention but fails `gopher` first).
+    */
+  val Reasons: Seq[String] =
+    Seq("duplicate", "contaminated", "gopher", "low_quality", "repetitive")
+
+  /** One row per document: (idCol, keep, reason — null when kept).
+    *
+    * Scale shape: ONE corpus scan computes fingerprint + all per-row
+    * quality signals (the token kernels CSE-share their walks), one
+    * 16-byte-key window resolves exact-dup canonicals ([[Dedup.
+    * exactDedup]]'s single-scan form), and contamination arrives as a
+    * contamination-SIZED id list (benchmark shingles broadcast;
+    * [[Decontaminate.contaminatedIds]]) left-joined back — AQE
+    * broadcasts it in the expected eval-set-sized case. Document text
+    * never shuffles; the only corpus-wide shuffle keys are the
+    * fingerprint window and the id join.
+    */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minQuality: Double = 0.5, maxTopWordFrac: Double = 0.5,
+      shingleTokens: Int = 8): DataFrame = {
+    val text = col(textCol)
+    val n = TextAnalysis.tokenCount(text)
+    val topFrac = when(n > 0,
+      graft.functions.TextStatsFunctions
+        .topTokenCount(TextAnalysis.tokens(text)).cast("double") / n)
+    val scored = docs.select(col(idCol),
+      TextAnalysis.fingerprint(text).as("__fp"),
+      TextAnalysis.gopherRules(text).getField("pass").as("__gopher"),
+      (TextAnalysis.qualityScore(text) >= minQuality).as("__quality"),
+      coalesce(topFrac <= maxTopWordFrac, lit(false)).as("__calm"))
+    val withCanon = scored.withColumn("__canon",
+      min(col(idCol)).over(Window.partitionBy(col("__fp"))))
+    val hits = Decontaminate
+      .contaminatedIds(docs, benchmark, textCol, idCol, shingleTokens)
+      .withColumn("__cont", lit(true))
+    val reason = when(col(idCol) =!= col("__canon"), "duplicate")
+      .when(coalesce(col("__cont"), lit(false)), "contaminated")
+      .when(!col("__gopher"), "gopher")
+      .when(!col("__quality"), "low_quality")
+      .when(!col("__calm"), "repetitive")
+    withCanon.join(hits, Seq(idCol), "left")
+      .select(col(idCol), reason.isNull.as("keep"), reason.as("reason"))
+  }
+}

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Ids of documents sharing ≥ 1 shingle with the benchmark — the
-    * contamination-sized frame both public forms build on.
+    * contamination-sized frame both public forms (and
+    * [[Curation.curate]]'s broadcast-side flag) build on.
     */
-  private def contaminatedIds(docs: DataFrame, benchmark: DataFrame,
+  private[operators] def contaminatedIds(docs: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"shingle length must be >= 1, got $n")
     val bench = benchmark

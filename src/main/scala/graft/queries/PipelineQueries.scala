@@ -259,6 +259,17 @@ object PipelineQueries {
       Sampling.deterministicGroupSample(
         Tables.documents(s, d), Seq("lang"), k = 8, "doc_id")),
 
+    // The composed curation pipeline over planted exact dups + the q80
+    // excerpt benchmark: per-doc keep/reject with reason attribution.
+    // Every stage is an already-oracled piece (q35/q80/q84/q32/q81), so
+    // the composition gets a full value oracle too.
+    "q90_curation_pipeline" -> ((s, d) => {
+      val bench = Tables.documents(s, d)
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select(substring(col("text"), 41, 200).as("text"))
+      graft.operators.Curation.curate(docsWithDups(s, d), bench)
+    }),
+
     // ── Deduplication ────────────────────────────────────────────────
     "q35_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(docsWithDups(s, d), "text", "doc_id")),
@@ -1074,6 +1085,113 @@ object PipelineQueries {
         |  coalesce(per.n_chunks, 0)::BIGINT AS n_chunks,
         |  coalesce(per.n_dup_chunks, 0)::BIGINT AS n_dup_chunks
         |FROM base b LEFT JOIN per USING (doc_id)""".stripMargin,
+    // Assembled verbatim from the green per-stage oracles: q35's
+    // fp/canonical, q80's shingle contamination, q84's gopher battery,
+    // q32's quality score, q81's top-word fraction — with the operator's
+    // documented reason precedence as one CASE.
+    "q90_curation_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        |  FROM base),
+        |canon AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY f),
+        |bt AS (
+        |  SELECT list_filter(string_split_regex(substr(text, 41, 200),
+        |    '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 300),
+        |bg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM bt),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM base),
+        |dg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM dt),
+        |hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
+        |lt AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM base),
+        |gs AS (
+        |  SELECT doc_id, len(tk) AS n,
+        |    coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+        |      AS chars,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x)))
+        |      AS stops,
+        |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS alpha,
+        |    length(lt) - length(replace(lt, '#', ''))
+        |      + len(regexp_extract_all(lt, '\.{3}')) AS sym
+        |  FROM lt),
+        |gp AS (
+        |  SELECT doc_id,
+        |    (n >= 50 AND n <= 100000)
+        |    AND coalesce(CASE WHEN n > 0 THEN chars::DOUBLE / n >= 3.0
+        |      AND chars::DOUBLE / n <= 10.0 END, FALSE)
+        |    AND coalesce(CASE WHEN n > 0 THEN sym::DOUBLE / n <= 0.1 END,
+        |      FALSE)
+        |    AND coalesce(CASE WHEN n > 0 THEN alpha::DOUBLE / n >= 0.8 END,
+        |      FALSE)
+        |    AND stops >= 2 AS pass
+        |  FROM gs),
+        |qm AS (
+        |  SELECT doc_id, length(text) AS nch,
+        |    CASE WHEN len(t) > 0 THEN
+        |      list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+        |      END AS atl,
+        |    CASE WHEN len(t) > 0 THEN
+        |      len(list_filter(t, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'],
+        |        x)))::DOUBLE / len(t) END AS swr,
+        |    CASE WHEN length(text) > 0 THEN
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(text) END AS ar
+        |  FROM base JOIN dt USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id, 0.25::DOUBLE * (
+        |    coalesce(nch BETWEEN 100 AND 10000, false)::INT +
+        |    coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
+        |    coalesce(swr >= 0.03, false)::INT +
+        |    coalesce(ar >= 0.6, false)::INT) AS quality
+        |  FROM qm),
+        |tc AS (
+        |  SELECT doc_id, tok, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM dt) GROUP BY 1, 2),
+        |tm AS (SELECT doc_id, max(cnt) AS mx FROM tc GROUP BY 1),
+        |r AS (
+        |  SELECT dt.doc_id,
+        |    coalesce(CASE WHEN len(dt.t) > 0 THEN
+        |      tm.mx::DOUBLE / len(dt.t) <= 0.5 END, FALSE) AS calm
+        |  FROM dt LEFT JOIN tm USING (doc_id)),
+        |v AS (
+        |  SELECT fp.doc_id,
+        |    CASE WHEN fp.doc_id <> canon.canon THEN 'duplicate'
+        |         WHEN hit.doc_id IS NOT NULL THEN 'contaminated'
+        |         WHEN NOT gp.pass THEN 'gopher'
+        |         WHEN q.quality < 0.5 THEN 'low_quality'
+        |         WHEN NOT r.calm THEN 'repetitive'
+        |    END AS reason
+        |  FROM fp JOIN canon USING (f)
+        |  LEFT JOIN hit ON hit.doc_id = fp.doc_id
+        |  JOIN gp ON gp.doc_id = fp.doc_id
+        |  JOIN q ON q.doc_id = fp.doc_id
+        |  JOIN r ON r.doc_id = fp.doc_id)
+        |SELECT doc_id, reason IS NULL AS keep, reason FROM v""".stripMargin,
+
     // Mirrors deterministicShuffle: 60-bit md5 hash, shard = hash mod 8,
     // pos = 0-based hash-order rank (id tie-break) within the shard.
     "q89_corpus_shuffle" ->

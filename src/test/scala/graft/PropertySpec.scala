@@ -28,6 +28,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: tokenChunks partitions the token stream losslessly") {
+    // for ANY text and chunk size: concatenating the chunks reproduces
+    // the normalized token stream, every chunk except the last has
+    // exactly `size` tokens, and the last has 1..size
+    val g = Gen.zip(
+      Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(5)),
+        Gen.oneOf(" ", "\t", "\n", "  "))).map(_.mkString(" ")),
+      Gen.choose(1, 5))
+    samples(g, 15).foreach { case (text, size) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val chunks = Seq(text).toDF("t")
+        .select(graft.functions.ShingleFunctions.tokenChunks($"t", size))
+        .as[Seq[String]].collect()(0)
+      assert(chunks.flatMap(_.split(" ").filter(_.nonEmpty)) == toks,
+        s"size=$size text=${text.take(40)}")
+      if (chunks.nonEmpty) {
+        chunks.init.foreach(c => assert(c.split(" ").length == size))
+        val last = chunks.last.split(" ").filter(_.nonEmpty).length
+        assert(last >= 1 && last <= size)
+      } else assert(toks.isEmpty)
+    }
+  }
+
   test("property: coalesce-chain ≡ when-chain (I2 equivalence)") {
     // The reference expresses imputation as chained when(isNotNull);
     // ours as coalesce. They must agree on every null pattern.

@@ -239,6 +239,54 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate: every reason branch fires; precedence and keep flags exact") {
+    // passing doc: 120 tokens, 60 stopwords, mean len 4.4, quality 1.0,
+    // top-word frac exactly 0.5 (<= threshold)
+    val good = (1 to 60).map(i => s"the word$i").mkString(" ")
+    // gopher-green but low quality: huge (nChars > 10000), 2 absolute
+    // stopword hits (ratio ~0), 75%-digit tokens (alpha-char ratio low)
+    // -> only the token-length quality check passes (0.25 < 0.5)
+    val lowQ = "the the " + Seq.fill(2998)("a111").mkString(" ")
+    // gopher- and quality-green, but one token is 58% of the stream
+    val repet = (Seq.fill(70)("the") ++ (1 to 50).map(i => s"tok$i"))
+      .mkString(" ")
+    // distinct filler everywhere (every 8-token window of `leaky`
+    // contains an itemN token, so no window overlaps `good`'s stream)
+    val leaky = (1 to 60).map(i => s"the item$i").mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, "  " + good + "  "),   // normalized-exact dup of 1
+      (3L, leaky),                // shares 8-token shingles with bench
+      (4L, "too short"),
+      (5L, lowQ),
+      (6L, repet))
+      .toDF("doc_id", "text")
+    val bench = Seq(leaky.take(200)).toDF("text")
+    val out = Curation.curate(docs, bench)
+      .as[(Long, Boolean, Option[String])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, true, None)), out(0).toString)
+    assert(out(1) == ((2L, false, Some("duplicate"))))
+    assert(out(2) == ((3L, false, Some("contaminated"))))
+    assert(out(3) == ((4L, false, Some("gopher"))))
+    assert(out(4) == ((5L, false, Some("low_quality"))))
+    assert(out(5) == ((6L, false, Some("repetitive"))))
+  }
+
+  test("curate: duplicate wins over contamination for the non-canonical copy") {
+    val text = (1 to 60).map(i => s"the word$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val bench = Seq(text.take(200)).toDF("text")
+    val out = Curation.curate(docs, bench)
+      .as[(Long, Boolean, Option[String])].collect().sortBy(_._1)
+    // both are contaminated; only the non-canonical reports duplicate
+    assert(out(0) == ((1L, false, Some("contaminated"))))
+    assert(out(1) == ((2L, false, Some("duplicate"))))
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
