@@ -180,6 +180,13 @@ object TextAnalysis {
     *    OCCURRENCES that repeat an earlier one, 1 − distinct/total
     *    (0 = no repetition, → 1 = loops).
     *
+    * NOTE on published thresholds: these are occurrence fractions — a
+    * fast screen with the same monotone signal, NOT the quantity Gopher
+    * A1.1 thresholds are stated over. The paper measures CHARACTER
+    * fractions (top-n-gram char mass, duplicated-n-gram char mass);
+    * use [[repetitionCharStats]] (q85) when applying the published
+    * cutoffs (0.20/0.18/0.16 top-2/3/4-gram, 0.15…0.10 dup-n-gram).
+    *
     * Scale shape: ENTIRELY per-row — the n-gram stats are the codegen'd
     * distinct-shingle kernel sized against simple arithmetic, and the
     * top-word multiplicity is the
@@ -211,6 +218,57 @@ object TextAnalysis {
           round(lit(1.0) -
             col("__d3").cast("double") / (col("n_tokens") - 2), 4))
           .as("dup_3gram_frac"))
+  }
+
+  /** PUBLISH-EXACT repetition stats — the character-fraction semantics
+    * of Gopher A1.1 (Rae et al. 2021), the form a pipeline tuned to the
+    * paper's thresholds needs ([[repetitionStats]]'s occurrence
+    * fractions are the cheap screen; its scaladoc cross-references
+    * which form matches which published threshold):
+    *
+    *  - `top_{2,3,4}gram_frac`: char mass of the most frequent n-gram's
+    *    occurrences / total token chars (paper cutoffs: reject > 0.20 /
+    *    0.18 / 0.16);
+    *  - `dup_{5,10}gram_frac`: char mass of token positions covered by
+    *    at least one duplicated n-gram, each position counted ONCE, /
+    *    total token chars (paper cutoffs: reject > 0.15 for n=5 …
+    *    > 0.10 for n=10).
+    *
+    * Two documented deltas from the paper's reference implementations
+    * (both deliberate, both making the value engine-portable):
+    * character mass counts token code points only (joining whitespace
+    * excluded from numerator AND denominator — whitespace-normalization
+    * invariant), and duplicated coverage marks every position under a
+    * repeated gram instead of the reference's greedy left-to-right
+    * non-overlapping scan (a stateful loop no declarative engine
+    * reproduces; the declarative form upper-bounds it and is exact
+    * under the oracle). Fractions null out when no n-gram of that
+    * length exists or the text has no token chars.
+    *
+    * Scale shape: ENTIRELY per-row — one
+    * [[graft.functions.RepetitionFunctions.ngramCharStats]] kernel call
+    * (single tokenization, all n values) + the
+    * [[graft.functions.TextStatsFunctions.tokenStats]] denominator
+    * walk; fuses into the scan stage, no explode, no shuffle.
+    */
+  def repetitionCharStats(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ns = Seq(2, 3, 4, 5, 10)
+    val rs = graft.functions.RepetitionFunctions
+      .ngramCharStats(col(textCol), ns)
+    val tc = tokStats(col(textCol)).getField("token_chars")
+    def frac(n: Int, field: String): Column = {
+      val e = element_at(rs, ns.indexOf(n) + 1)
+      when(e.getField("n_grams") > 0 && tc > 0,
+        round(e.getField(field).cast("double") / tc.cast("double"), 4))
+    }
+    df.select(col(idCol),
+      tokStats(col(textCol)).getField("n_tokens").as("n_tokens"),
+      frac(2, "top_gram_chars").as("top_2gram_frac"),
+      frac(3, "top_gram_chars").as("top_3gram_frac"),
+      frac(4, "top_gram_chars").as("top_4gram_frac"),
+      frac(5, "dup_gram_chars").as("dup_5gram_frac"),
+      frac(10, "dup_gram_chars").as("dup_10gram_frac"))
   }
 
   /** PII patterns redacted by [[redactPii]], applied in order (emails

@@ -218,6 +218,12 @@ object PipelineQueries {
     "q81_repetition_stats" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d))),
 
+    // Publish-exact Gopher repetition semantics (char fractions of top /
+    // duplicated n-grams) — q81's occurrence form is the fast screen;
+    // this is the form the paper's thresholds are stated over.
+    "q85_repetition_exact" -> ((s, d) =>
+      TextAnalysis.repetitionCharStats(Tables.documents(s, d))),
+
     // PII redaction over planted PII (every 10th doc gets an email, an
     // IPv4, and a phone number appended on BOTH engines): output is the
     // md5 of the redacted text — character-exact parity or nothing.
@@ -680,6 +686,91 @@ object PipelineQueries {
         |  CASE WHEN g.n > 2 THEN round(1.0 - d3::DOUBLE / (g.n - 2), 4) END
         |    AS dup_3gram_frac
         |FROM g LEFT JOIN m USING (doc_id)""".stripMargin,
+    // Mirrors repetitionCharStats exactly: grams are space-joined token
+    // slices, so a gram's token-char mass is length(gram) - (n-1); top
+    // mass = max count x max char mass among max-count grams (the
+    // kernel's deterministic tie-break); dup mass marks covered token
+    // POSITIONS once via the range expansion + DISTINCT. All fractions
+    // are int/int double divisions — engine-exact.
+    "q85_repetition_exact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+        |      AS tc
+        |  FROM t),
+        |p2 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |       FROM t WHERE len(toks) >= 2),
+        |c2 AS (SELECT doc_id,
+        |         array_to_string(list_slice(toks, i, i + 1), ' ') AS gr,
+        |         count(*) AS c
+        |       FROM p2 GROUP BY 1, 2),
+        |m2 AS (SELECT doc_id, max(c) AS mc FROM c2 GROUP BY 1),
+        |t2 AS (SELECT c2.doc_id, max(c * (length(gr) - 1)) AS topc
+        |       FROM c2 JOIN m2 USING (doc_id) WHERE c = mc GROUP BY 1),
+        |p3 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        |       FROM t WHERE len(toks) >= 3),
+        |c3 AS (SELECT doc_id,
+        |         array_to_string(list_slice(toks, i, i + 2), ' ') AS gr,
+        |         count(*) AS c
+        |       FROM p3 GROUP BY 1, 2),
+        |m3 AS (SELECT doc_id, max(c) AS mc FROM c3 GROUP BY 1),
+        |t3 AS (SELECT c3.doc_id, max(c * (length(gr) - 2)) AS topc
+        |       FROM c3 JOIN m3 USING (doc_id) WHERE c = mc GROUP BY 1),
+        |p4 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+        |       FROM t WHERE len(toks) >= 4),
+        |c4 AS (SELECT doc_id,
+        |         array_to_string(list_slice(toks, i, i + 3), ' ') AS gr,
+        |         count(*) AS c
+        |       FROM p4 GROUP BY 1, 2),
+        |m4 AS (SELECT doc_id, max(c) AS mc FROM c4 GROUP BY 1),
+        |t4 AS (SELECT c4.doc_id, max(c * (length(gr) - 3)) AS topc
+        |       FROM c4 JOIN m4 USING (doc_id) WHERE c = mc GROUP BY 1),
+        |g5 AS (SELECT doc_id, i,
+        |         array_to_string(list_slice(toks, i, i + 4), ' ') AS gr
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, len(toks) - 3)) AS i
+        |             FROM t WHERE len(toks) >= 5)),
+        |r5 AS (SELECT doc_id, gr FROM g5
+        |       GROUP BY doc_id, gr HAVING count(*) > 1),
+        |mp5 AS (SELECT DISTINCT g5.doc_id, g5.i + o.o AS p
+        |        FROM g5 JOIN r5 USING (doc_id, gr)
+        |        CROSS JOIN (SELECT unnest(range(5)) AS o) o),
+        |d5 AS (SELECT mp5.doc_id, sum(length(t.toks[p::INT])) AS dupc
+        |       FROM mp5 JOIN t USING (doc_id) GROUP BY 1),
+        |g10 AS (SELECT doc_id, i,
+        |          array_to_string(list_slice(toks, i, i + 9), ' ') AS gr
+        |        FROM (SELECT doc_id, toks,
+        |                unnest(range(1, len(toks) - 8)) AS i
+        |              FROM t WHERE len(toks) >= 10)),
+        |r10 AS (SELECT doc_id, gr FROM g10
+        |        GROUP BY doc_id, gr HAVING count(*) > 1),
+        |mp10 AS (SELECT DISTINCT g10.doc_id, g10.i + o.o AS p
+        |         FROM g10 JOIN r10 USING (doc_id, gr)
+        |         CROSS JOIN (SELECT unnest(range(10)) AS o) o),
+        |d10 AS (SELECT mp10.doc_id, sum(length(t.toks[p::INT])) AS dupc
+        |        FROM mp10 JOIN t USING (doc_id) GROUP BY 1)
+        |SELECT d.doc_id, d.n AS n_tokens,
+        |  CASE WHEN d.n >= 2 AND d.tc > 0
+        |    THEN round(t2.topc::DOUBLE / d.tc, 4) END AS top_2gram_frac,
+        |  CASE WHEN d.n >= 3 AND d.tc > 0
+        |    THEN round(t3.topc::DOUBLE / d.tc, 4) END AS top_3gram_frac,
+        |  CASE WHEN d.n >= 4 AND d.tc > 0
+        |    THEN round(t4.topc::DOUBLE / d.tc, 4) END AS top_4gram_frac,
+        |  CASE WHEN d.n >= 5 AND d.tc > 0
+        |    THEN round(coalesce(d5.dupc, 0)::DOUBLE / d.tc, 4) END
+        |    AS dup_5gram_frac,
+        |  CASE WHEN d.n >= 10 AND d.tc > 0
+        |    THEN round(coalesce(d10.dupc, 0)::DOUBLE / d.tc, 4) END
+        |    AS dup_10gram_frac
+        |FROM d
+        |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        |LEFT JOIN d10 USING (doc_id)""".stripMargin,
     "q82_redact_pii" ->
       """WITH base AS (
         |  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN

@@ -207,6 +207,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaExpr == viaAgg)
   }
 
+  test("repetitionCharStats: hand-checked char fractions (Gopher A1.1 semantics)") {
+    val docs = Seq(
+      (1L, "aa aa aa bb"),             // tc=8; "aa aa"×2 → top2 = 2·4/8
+      (2L, "p q r s t p q r s t u"),   // tc=11; 5-gram repeats once
+      (3L, "one two three"),           // tc=11; no repetition, short
+      (4L, ""))                        // token-free: all null
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionCharStats(docs).orderBy("doc_id").collect()
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    // doc 1: top2 = 2 occurrences × 4 chars / 8; top3 ties at count 1 →
+    // max char mass 6/8; top4 = whole doc; no 5-grams
+    assert(out(0).getInt(1) == 4)
+    assert(d(out(0), 2).contains(1.0))
+    assert(d(out(0), 3).contains(0.75))
+    assert(d(out(0), 4).contains(1.0))
+    assert(d(out(0), 5).isEmpty && d(out(0), 6).isEmpty)
+    // doc 2: "p q r s t" occurs twice → marks 10 of 11 positions once
+    // (overlap-free coverage), top2 = 2·2/11, 10-grams all distinct → 0
+    assert(d(out(1), 2).contains(math.rint(4.0 / 11 * 1e4) / 1e4))
+    assert(d(out(1), 5).contains(math.rint(10.0 / 11 * 1e4) / 1e4))
+    assert(d(out(1), 6).contains(0.0))
+    // doc 3: count-1 ties break to the LARGEST char mass ("two three"=8)
+    assert(d(out(2), 2).contains(math.rint(8.0 / 11 * 1e4) / 1e4))
+    assert(d(out(2), 3).contains(1.0))
+    assert(d(out(2), 4).isEmpty)
+    // doc 4: token-free
+    assert(out(3).getInt(1) == 0 && (2 to 6).forall(out(3).isNullAt))
+  }
+
+  test("repetitionCharStats: per-row plan, no exchange") {
+    val docs = (0L until 40L)
+      .map(i => (i, s"w${i % 5} x y w${i % 5} z " * ((i % 3) + 2).toInt))
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.repetitionCharStats(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetitionCharStats must fuse into the scan stage:\n$plan")
+  }
+
   test("tokenDivergence: zero for a lone group, ln(n/ng) for disjoint vocabularies") {
     // one group ⇒ group distribution IS the corpus distribution ⇒ KL 0
     val lone = TextAnalysis.tokenDivergence(
