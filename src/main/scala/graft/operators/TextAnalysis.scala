@@ -140,16 +140,27 @@ object TextAnalysis {
     *  - `mean_word_len_ok`: mean token length in [3, 10];
     *  - `symbol_ratio_ok`: (# signs + "..." runs) / tokens <= 0.1;
     *  - `alpha_ratio_ok`: >= 80% of tokens contain an ASCII letter;
-    *  - `stopword_ok`: >= 2 [[GopherStops]] occurrences.
+    *  - `stopword_ok`: >= 2 [[GopherStops]] occurrences;
+    *  - `bullet_ratio_ok`: <= 90% of lines start with a bullet marker
+    *    (first non-space/tab char in `•‣▪*-`);
+    *  - `ellipsis_ratio_ok`: <= 30% of lines end with an ellipsis
+    *    (`...` or `…`, trailing spaces/tabs ignored).
     *
-    * The paper's line-level rules (bullet-start / ellipsis-end fractions)
-    * need multi-line documents and are deliberately out of scope here.
-    * All five rules project off ONE [[graft.functions.TokenStatsExpr]]
+    * Line rules split on `\n` only (the declared contract; both engines'
+    * `(?m)` anchors agree on `\n`, and Java's extra terminators — `\r`, U+2028
+    * etc. — never appear under it), count EVERY line including
+    * empties, and are counted by multiline regex (`(?m)^…` / `(?m)…$`)
+    * rather than a per-line HOF lambda — interpreted lambdas would
+    * re-dispatch per line (the ShingleExpressions trap). A single-line
+    * document gets fractions 0-or-1, so ordinary prose is unaffected.
+    * All token rules project off ONE [[graft.functions.TokenStatsExpr]]
     * walk over the lowercased text (stopword matching is case-insensitive
     * per the paper; lowercasing changes no token boundary, ASCII-letter
-    * flag, or code-point count on the declared ASCII contract), plus two
-    * regex passes for the symbol counts — per-row, codegen'd, scan-speed.
-    * Empty/token-free text fails every ratio rule (null-safe false).
+    * flag, code-point count, line boundary, or marker char on the
+    * declared ASCII contract), plus three regex passes — per-row,
+    * codegen'd, scan-speed. Empty/token-free text fails every
+    * token-ratio rule (null-safe false); its line rules hold (one empty
+    * line, zero markers) but `pass` is already false.
     */
   def gopherRules(text: Column): Column = {
     val lt = lower(text)
@@ -158,6 +169,11 @@ object TextAnalysis {
     val mwl = ratio(st.getField("token_chars"), n)
     val symbols = (length(lt) - length(regexp_replace(lt, "#", ""))) +
       size(regexp_extract_all(lt, lit("\\.{3}"), lit(0)))
+    val nLines = size(split(lt, "\n", -1))
+    val bulletLines =
+      size(regexp_extract_all(lt, lit("(?m)^[ \\t]*[•‣▪*-]"), lit(0)))
+    val ellipsisLines =
+      size(regexp_extract_all(lt, lit("(?m)(\\.\\.\\.|…)[ \\t]*$"), lit(0)))
     val passFalse = (c: Column) => coalesce(c, lit(false))
     val rules = Seq(
       "word_count_ok" -> (n >= 50 && n <= 100000),
@@ -165,7 +181,9 @@ object TextAnalysis {
       "symbol_ratio_ok" -> passFalse(ratio(symbols, n) <= 0.1),
       "alpha_ratio_ok" ->
         passFalse(ratio(st.getField("alpha_tokens"), n) >= 0.8),
-      "stopword_ok" -> (st.getField("stopword_hits") >= 2))
+      "stopword_ok" -> (st.getField("stopword_hits") >= 2),
+      "bullet_ratio_ok" -> passFalse(ratio(bulletLines, nLines) <= 0.9),
+      "ellipsis_ratio_ok" -> passFalse(ratio(ellipsisLines, nLines) <= 0.3))
     struct(rules.map { case (name, c) => c.as(name) } :+
       rules.map(_._2).reduce(_ && _).as("pass"): _*)
   }

@@ -118,13 +118,30 @@ object PipelineQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))),
 
     // Gopher rule battery (Rae et al. 2021 A1.1): per-rule booleans +
-    // the conjunction, all projected off one token-kernel walk.
+    // the conjunction, all projected off one token-kernel walk. The
+    // fixture docs are single-line, so the line-level rules are
+    // exercised by planted multi-line docs: a bullet-list page (4/4
+    // lines bulleted > 0.9) and a teaser page (2/4 lines ellipsis-ended
+    // > 0.3), per every 40th doc — both engines plant identically.
     "q84_gopher_rules" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val every40 = docs.filter(col("doc_id") % 40 === 0)
+      val base = docs
+        .unionByName(every40.select(
+          (col("doc_id") + 400000).as("doc_id"),
+          concat(lit("• the first thing\n• the second thing\n" +
+            "• the third thing\n• the fourth thing "),
+            col("doc_id").cast("string")).as("text")))
+        .unionByName(every40.select(
+          (col("doc_id") + 450000).as("doc_id"),
+          concat(lit("the story begins...\nthe middle part holds\n" +
+            "the ending trails off...\nthe final line "),
+            col("doc_id").cast("string")).as("text")))
       val g = TextAnalysis.gopherRules(col("text"))
       val fields = Seq("word_count_ok", "mean_word_len_ok",
-        "symbol_ratio_ok", "alpha_ratio_ok", "stopword_ok", "pass")
-      Tables.documents(s, d).select(
-        col("doc_id") +: fields.map(f => g.getField(f).as(f)): _*)
+        "symbol_ratio_ok", "alpha_ratio_ok", "stopword_ok",
+        "bullet_ratio_ok", "ellipsis_ratio_ok", "pass")
+      base.select(col("doc_id") +: fields.map(f => g.getField(f).as(f)): _*)
     }),
 
     "q33_fingerprint" -> ((s, d) =>
@@ -529,15 +546,31 @@ object PipelineQueries {
         |  coalesce(ar >= 0.6, false)::INT) AS quality
         |FROM m""".stripMargin),
     // Mirrors gopherRules exactly: lowercased tokenization, Gopher stop
-    // list, ASCII-letter alpha flag, '#'-char + '...'-run symbol count;
-    // every ratio is an int/int double division (engine-exact), and
-    // token-free text nulls to FALSE on both sides.
+    // list, ASCII-letter alpha flag, '#'-char + '...'-run symbol count,
+    // and the line-level bullet/ellipsis fractions via the same (?m)
+    // multiline regexes over \n-split lines; every ratio is an int/int
+    // double division (engine-exact), and token-free text nulls to
+    // FALSE on both sides.
     "q84_gopher_rules" ->
-      """WITH t AS (
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |    '• the first thing' || chr(10) || '• the second thing' ||
+        |    chr(10) || '• the third thing' || chr(10) ||
+        |    '• the fourth thing ' || doc_id
+        |  FROM documents WHERE doc_id % 40 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 450000,
+        |    'the story begins...' || chr(10) || 'the middle part holds' ||
+        |    chr(10) || 'the ending trails off...' || chr(10) ||
+        |    'the final line ' || doc_id
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |t AS (
         |  SELECT doc_id, lower(text) AS lt,
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |      x -> x <> '') AS tk
-        |  FROM documents),
+        |  FROM base),
         |s AS (
         |  SELECT doc_id, len(tk) AS n,
         |    coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
@@ -548,7 +581,10 @@ object PipelineQueries {
         |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
         |      AS alpha,
         |    length(lt) - length(replace(lt, '#', ''))
-        |      + len(regexp_extract_all(lt, '\.{3}')) AS sym
+        |      + len(regexp_extract_all(lt, '\.{3}')) AS sym,
+        |    len(string_split(lt, chr(10))) AS nl,
+        |    len(regexp_extract_all(lt, '(?m)^[ \t]*[•‣▪*-]')) AS bl,
+        |    len(regexp_extract_all(lt, '(?m)(\.\.\.|…)[ \t]*$')) AS el
         |  FROM t),
         |r AS (
         |  SELECT doc_id,
@@ -560,12 +596,15 @@ object PipelineQueries {
         |      FALSE) AS symbol_ratio_ok,
         |    coalesce(CASE WHEN n > 0 THEN alpha::DOUBLE / n >= 0.8 END,
         |      FALSE) AS alpha_ratio_ok,
-        |    stops >= 2 AS stopword_ok
+        |    stops >= 2 AS stopword_ok,
+        |    bl::DOUBLE / nl <= 0.9 AS bullet_ratio_ok,
+        |    el::DOUBLE / nl <= 0.3 AS ellipsis_ratio_ok
         |  FROM s)
         |SELECT doc_id, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
-        |  alpha_ratio_ok, stopword_ok,
+        |  alpha_ratio_ok, stopword_ok, bullet_ratio_ok, ellipsis_ratio_ok,
         |  word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
-        |    AND alpha_ratio_ok AND stopword_ok AS pass
+        |    AND alpha_ratio_ok AND stopword_ok AND bullet_ratio_ok
+        |    AND ellipsis_ratio_ok AS pass
         |FROM r""".stripMargin,
 
     "q50_curation_report" ->
@@ -1226,7 +1265,10 @@ object PipelineQueries {
         |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
         |      AS alpha,
         |    length(lt) - length(replace(lt, '#', ''))
-        |      + len(regexp_extract_all(lt, '\.{3}')) AS sym
+        |      + len(regexp_extract_all(lt, '\.{3}')) AS sym,
+        |    len(string_split(lt, chr(10))) AS nl,
+        |    len(regexp_extract_all(lt, '(?m)^[ \t]*[•‣▪*-]')) AS bl,
+        |    len(regexp_extract_all(lt, '(?m)(\.\.\.|…)[ \t]*$')) AS el
         |  FROM lt),
         |gp AS (
         |  SELECT doc_id,
@@ -1237,7 +1279,9 @@ object PipelineQueries {
         |      FALSE)
         |    AND coalesce(CASE WHEN n > 0 THEN alpha::DOUBLE / n >= 0.8 END,
         |      FALSE)
-        |    AND stops >= 2 AS pass
+        |    AND stops >= 2
+        |    AND bl::DOUBLE / nl <= 0.9
+        |    AND el::DOUBLE / nl <= 0.3 AS pass
         |  FROM gs),
         |qm AS (
         |  SELECT doc_id, length(text) AS nch,

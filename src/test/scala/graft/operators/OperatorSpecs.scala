@@ -166,6 +166,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(7) == ((8L, false, false, false, false, false, false)))
   }
 
+  test("gopherRules line-level: bullet-start and ellipsis-end fractions") {
+    val docs = Seq(
+      (1L, "• a\n- b\n* c\nplain d"),        // 3/4 bulleted <= 0.9 ok
+      (2L, "• a\n  - b\n\t* c\n‣ d"),        // 4/4 (indent counts) fail
+      (3L, "x...\ny\nz\nw"),                 // 1/4 = 0.25 <= 0.3 ok
+      (4L, "x...\ny…\nz... \nw"),            // 3/4 (unicode + trail ws) fail
+      (5L, "ends mid... sentence"),          // ellipsis not at line end: ok
+      (6L, "one line trailing off..."))      // single line 1/1 fail
+      .toDF("doc_id", "text")
+    val rows = docs.select($"doc_id",
+        TextAnalysis.gopherRules($"text").as("g"))
+      .select($"doc_id", $"g.bullet_ratio_ok", $"g.ellipsis_ratio_ok")
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(rows(0) == ((1L, true, true)))
+    assert(rows(1) == ((2L, false, true)))
+    assert(rows(2) == ((3L, true, true)))
+    assert(rows(3) == ((4L, true, false)))
+    assert(rows(4) == ((5L, true, true)))
+    assert(rows(5) == ((6L, true, false)))
+  }
+
   test("repetitionStats: hand-checked fractions, edge lengths null out") {
     val docs = Seq(
       (1L, "a a a b"),      // top a=3/4; 2grams: aa,aa,ab→2 distinct of 3;
