@@ -191,6 +191,37 @@ object Similarity {
       .withColumn("kept", col(idCol) === col("canonical"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the tripwire for the approximate family: rows-only gates (q41)
+    * verify shape, this verifies RETRIEVAL QUALITY, in-Spark, on the
+    * same fixture (emitted as the q91 gate artifact and asserted
+    * >= the contract floor in SimilaritySpec — a silent recall collapse
+    * now fails a test instead of passing the rows-only check).
+    *
+    * Both inputs are (query_id, neighbor_id, ...) top-k frames
+    * ([[bruteForceTopK]] / [[ivfTopK]] output shape). Per query:
+    * `hits` = |approx ∩ exact|, `recall` = hits / |exact|. Ties at the
+    * k-th similarity could make two correct engines disagree, but the
+    * operators' deterministic (sim desc, id asc) ranking makes both
+    * sides reproducible — the measurement is stable run to run.
+    *
+    * Scale shape: a left_semi join on (query_id, neighbor_id) + two
+    * query-sized aggregates — both frames are |Q|·k rows, so this costs
+    * nothing next to the searches it audits.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("k").cast("double"), 4).as("recall"))
+  }
+
   /** Lloyd-iteration k-means refinement of a centroid set, cosine
     * metric, fully distributed: assign (broadcast centroids + `max_by`
     * argmax), then recompute means element-wise via `posexplode` →

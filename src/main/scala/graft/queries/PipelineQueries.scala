@@ -393,13 +393,32 @@ object PipelineQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
 
-    // Approximate (recall < 1): rows/schema check only — no oracleSql.
-    // kmeansIterations = 2 exercises the Lloyd refinement path
-    // (kmeansCentroids) at the gate, not just in unit tests.
+    // Approximate (recall < 1): rows/schema check only — no oracleSql;
+    // the retrieval-quality contract is q91 + SimilaritySpec's >= 0.9
+    // recall assertion at THIS configuration. kmeansIterations = 2
+    // exercises the Lloyd refinement path (kmeansCentroids) at the
+    // gate, not just in unit tests; nprobe = 6 of 16 lists is the
+    // measured-recall operating point on the unclustered fixture
+    // (avg 0.96 / min 0.8 at both sf0.001 and sf0.01 — random vectors
+    // are IVF's worst case; clustered corpora reach 1.0 at nprobe 1).
     "q41_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
-        kmeansIterations = 2)
+        nprobe = 6, kmeansIterations = 2)
+    }),
+
+    // The recall gate artifact: per-query recall@5 of the q41 IVF
+    // configuration against the gated-green exact brute force, computed
+    // in-Spark on the same fixture. Values are IVF-config-specific →
+    // rows-only at the driver gate; the >= 0.9 CONTRACT is asserted in
+    // SimilaritySpec (and a corrupted-result control proves the
+    // measurement trips).
+    "q91_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(emb, q, 5, nprobe = 6, kmeansIterations = 2),
+        Similarity.bruteForceTopK(emb, q, 5))
     }),
 
     // ── Multimodal columns ───────────────────────────────────────────

@@ -30,6 +30,47 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("approxProfile at the q46 gate fixture: HLL within rsd, quantiles within rank accuracy") {
+    // q46 is rows-only at the driver gate (sketch values are engine-
+    // specific) — the accuracy contract is enforced HERE, on the same
+    // events table and configuration the gate runs: HLL++ distinct
+    // within 3x rsd of exact, and each percentile_approx cutpoint's
+    // RANK within 2 x n/accuracy of its target rank (the documented
+    // percentile_approx guarantee is n/accuracy).
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"event_type", $"user_id", $"value").cache()
+    try {
+      val prof = Sketches.approxProfile(ev, Seq("event_type"),
+          "user_id", "value")
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct($"user_id").as("d"),
+          count(when($"value".isNotNull, 1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(exact.nonEmpty && exact.keySet == prof.keySet)
+      exact.foreach { case (g, (d, n)) =>
+        val ad = prof(g).getAs[Long]("approx_distinct")
+        assert(math.abs(ad - d).toDouble / d <= 0.15,
+          s"$g: HLL $ad vs exact $d exceeds 3x rsd=0.05")
+        for ((q, cname) <- Seq(0.5 -> "p50", 0.95 -> "p95")) {
+          val cut = prof(g).getAs[Double](cname)
+          val atOrBelow = ev.filter($"event_type" === g &&
+            $"value" <= cut).count()
+          val strictlyBelow = ev.filter($"event_type" === g &&
+            $"value" < cut).count()
+          val bound = math.max(2.0 * n / 10000, 1.0)
+          assert(atOrBelow >= q * n - bound,
+            s"$g $cname=$cut ranks $atOrBelow of $n — below rank bound")
+          assert(strictlyBelow <= q * n + bound,
+            s"$g $cname=$cut ranks $strictlyBelow of $n — above rank bound")
+        }
+      }
+    } finally ev.unpersist()
+  }
+
   test("approxQuantileBuckets: ordered, near-uniform, deterministic, no global sort") {
     val out = Sketches.approxQuantileBuckets(df, "v", 4)
     val rows = out.select($"v", $"bucket").as[(Double, Int)].collect()
