@@ -70,18 +70,36 @@ object Sketches {
     * nulls first into bucket 1). An empty or all-null input yields no
     * cutpoints and every non-null row — there are none — would land in
     * the top bucket; the guard keeps the sketch row's NULL from NPEing.
+    *
+    * `exact = true` swaps the sketch for SQL-standard `percentile_disc`
+    * cutpoints (smallest value with cume_dist ≥ p — DuckDB's
+    * `quantile_disc` computes the identical element, so the whole
+    * operator becomes value-oracle-able). Exact percentiles sort the
+    * full column through one aggregate: a correctness-gate /
+    * small-data mode, NOT the 100 TB path — production stays on the
+    * one-pass bounded-memory sketch.
     */
   def approxQuantileBuckets(df: DataFrame, valueCol: String, buckets: Int,
-      accuracy: Int = 10000, out: String = "bucket"): DataFrame = {
+      accuracy: Int = 10000, out: String = "bucket",
+      exact: Boolean = false): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    // sketch on a double cast so integer-typed value columns work too
-    val row = df.agg(percentile_approx(col(valueCol).cast("double"),
-        array(qs.map(lit): _*), lit(accuracy)).as("c"))
-      .collect()(0)
-    val cuts =
-      if (row.isNullAt(0)) Seq.empty[Double]
-      else row.getAs[scala.collection.Seq[Double]]("c").toSeq
+    // sketch/sort on a double cast so integer-typed value columns work too
+    val cuts: Seq[Double] =
+      if (exact) {
+        val aggs = qs.zipWithIndex.map { case (q, i) =>
+          expr(s"percentile_disc(CAST($q AS DOUBLE)) WITHIN GROUP " +
+            s"(ORDER BY CAST(`$valueCol` AS DOUBLE))").as(s"__c$i")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        qs.indices.filterNot(row.isNullAt).map(row.getDouble)
+      } else {
+        val row = df.agg(percentile_approx(col(valueCol).cast("double"),
+            array(qs.map(lit): _*), lit(accuracy)).as("c"))
+          .collect()(0)
+        if (row.isNullAt(0)) Seq.empty[Double]
+        else row.getAs[scala.collection.Seq[Double]]("c").toSeq
+      }
     val assign = cuts.zipWithIndex.foldRight(lit(buckets): Column) {
       case ((cut, i), els) => when(col(valueCol) <= cut, lit(i + 1)).otherwise(els)
     }

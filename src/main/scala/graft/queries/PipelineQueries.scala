@@ -438,13 +438,17 @@ object PipelineQueries {
         .filter(octet_length(col("text")) === length(col("text")) &&
           length(col("text")) >= 4)))),
 
-    // Sketch-cutpoint bucketing — cutpoints are engine-specific
-    // (percentile_approx) → rows/schema check only, like q46.
+    // Quantile bucketing, gated in EXACT-cutpoint mode: percentile_disc
+    // (SQL-standard "smallest value with cume_dist >= p") is computed
+    // identically by DuckDB's quantile_disc, so the bucket-assignment
+    // logic gets full hash-match protection. Production keeps the
+    // one-pass percentile_approx sketch (the 100 TB path — exercised by
+    // the q46 gate row and SketchesSpec's error-bound test).
     "q75_quantile_buckets" -> ((s, d) =>
       graft.operators.Sketches.approxQuantileBuckets(
         Tables.documents(s, d)
           .select(col("doc_id"), length(col("text")).as("n_chars")),
-        "n_chars", buckets = 10)),
+        "n_chars", buckets = 10, exact = true)),
 
     // Multimodal feature extraction / resample: float-vector and binary
     // outputs have no portable SQL rendering → rows/schema check only;
@@ -1357,6 +1361,24 @@ object PipelineQueries {
         |  row_number() OVER (PARTITION BY hv % 8
         |    ORDER BY hv ASC, doc_id ASC) - 1 AS pos
         |FROM h""".stripMargin,
+
+    // Mirrors approxQuantileBuckets' exact mode: quantile_disc computes
+    // the SQL-standard percentile_disc element (smallest value with
+    // cume_dist >= p — verified identical to Spark's), and the
+    // first-cut-with-v<=c when-chain is equivalent to
+    // 1 + |{cuts strictly below v}|.
+    "q75_quantile_buckets" ->
+      """WITH v AS (
+        |  SELECT doc_id, length(text)::INT AS n_chars FROM documents),
+        |c AS (
+        |  SELECT unnest(quantile_disc(n_chars::DOUBLE,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS cut
+        |  FROM v)
+        |SELECT v.doc_id, v.n_chars,
+        |  (CASE WHEN v.n_chars IS NULL THEN NULL
+        |        ELSE 1 + (SELECT count(*) FROM c WHERE c.cut < v.n_chars)
+        |   END)::INT AS bucket
+        |FROM v""".stripMargin,
 
     // Mirrors sampleByStrata: md5-bucket mod 10000 under a per-stratum
     // basis-point threshold.

@@ -118,6 +118,29 @@ class SketchesSpec extends SparkSpec {
     assert(ints.filter($"bucket".between(1, 4)).count() == 100)
   }
 
+  test("approxQuantileBuckets exact mode: percentile_disc cutpoints, known fixture") {
+    // buckets=2 over 1..10: the p50 disc cutpoint is 5 (smallest value
+    // with cume_dist >= 0.5), so 1..5 → bucket 1 and 6..10 → bucket 2 —
+    // the exact boundary the q75 value oracle hash-checks.
+    val out = Sketches.approxQuantileBuckets((1 to 10).toDF("n"), "n", 2,
+        exact = true)
+      .select($"n", $"bucket").as[(Int, Int)].collect().toMap
+    (1 to 5).foreach(n => assert(out(n) == 1, s"n=$n"))
+    (6 to 10).foreach(n => assert(out(n) == 2, s"n=$n"))
+    // exact and approx modes agree when the sketch is error-free (tiny
+    // input, accuracy >> n): the when-chain assignment is shared code
+    val big = (1 to 1000).toDF("n")
+    val ex = Sketches.approxQuantileBuckets(big, "n", 10, exact = true)
+      .select($"n", $"bucket").as[(Int, Int)].collect().toMap
+    val ap = Sketches.approxQuantileBuckets(big, "n", 10)
+      .select($"n", $"bucket").as[(Int, Int)].collect().toMap
+    assert(ex == ap)
+    // null/empty guards hold in exact mode too
+    val allNull = Sketches.approxQuantileBuckets(
+      Seq[java.lang.Double](null, null).toDF("v"), "v", 3, exact = true)
+    assert(allNull.count() == 2 && allNull.filter($"bucket".isNull).count() == 2)
+  }
+
   test("exactHeavyHitters ≡ brute-force full aggregation") {
     // skewed synthetic: value v appears ~1000/(v+1) times
     val rows = (0 until 200).flatMap(v => Seq.fill(1000 / (v + 1))(v))
