@@ -51,6 +51,31 @@ object Decontaminate {
       .select(col(idCol), coalesce(col("__c"), lit(false)).as("contaminated"))
   }
 
+  /** Contamination ATTRIBUTION — (doc id, benchmark id) match pairs,
+    * for debugging an eval-leak report: not just "this document is
+    * contaminated" but WHICH benchmark document it shares a shingle
+    * with. The same broadcast shape as [[contaminatedIds]] with the
+    * benchmark id carried through the shingle join: the broadcast side
+    * is (shingle, bench id) distinct pairs — still benchmark-sized —
+    * and the output is one row per (doc, benchmark) match, bounded by
+    * contaminated-docs × benchmark size. The corpus text never
+    * shuffles.
+    */
+  def attributeContamination(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      benchIdCol: String = "bench_id", n: Int = 13): DataFrame = {
+    require(n >= 1, s"shingle length must be >= 1, got $n")
+    val bench = benchmark
+      .select(col(benchIdCol), explode(graft.functions.ShingleFunctions
+        .wordShingles(col(textCol), n)).as("__g"))
+      .distinct()
+    docs
+      .select(col(idCol), explode(graft.functions.ShingleFunctions
+        .wordShingles(col(textCol), n)).as("__g"))
+      .join(broadcast(bench), Seq("__g"))
+      .select(col(idCol), col(benchIdCol)).distinct()
+  }
+
   /** The corpus with contaminated documents REMOVED (all original
     * columns kept) — the anti-join form for pipelines that drop rather
     * than label. Joins `docs` against the contamination-sized id frame

@@ -268,6 +268,18 @@ object PipelineQueries {
       graft.operators.Decontaminate.flagContaminated(docs, bench, n = 8)
     }),
 
+    // Contamination attribution over the same planted excerpt benchmark
+    // as q80: WHICH benchmark doc each contaminated doc matched —
+    // (doc_id, bench_id) pairs, benchmark-bounded output.
+    "q92_decontaminate_attrib" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 41, 200).as("text"))
+      graft.operators.Decontaminate.attributeContamination(docs, bench, n = 8)
+    }),
+
     // Sequence-packing planner: concat-and-chunk layout per language
     // shard, 2048-token packs — pure window arithmetic, engine-exact.
     "q78_pack_sequences" -> ((s, d) =>
@@ -875,6 +887,34 @@ object PipelineQueries {
         |hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g))
         |SELECT d.doc_id, hit.doc_id IS NOT NULL AS contaminated
         |FROM documents d LEFT JOIN hit USING (doc_id)""".stripMargin,
+    // q80's shingle CTEs with the benchmark id carried through the join.
+    "q92_decontaminate_attrib" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bench_id, substr(text, 41, 200) AS text
+        |  FROM documents
+        |  WHERE doc_id % 25 = 0 AND length(text) >= 300),
+        |bt AS (
+        |  SELECT bench_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |bg AS (
+        |  SELECT DISTINCT bench_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM bt),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM dt),
+        |dg2 AS (SELECT DISTINCT doc_id, g FROM dg)
+        |SELECT DISTINCT doc_id, bench_id FROM dg2 JOIN bg USING (g)""".stripMargin,
     // The running sum is HUGEINT in DuckDB (sum over BIGINT) — without
     // the ::BIGINT casts pandas renders pack_id/pack_offset as float64
     // and the driver's value hash diverges from Spark's int64 (r4 gate

@@ -978,6 +978,22 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept == Set(2L, 4L))
   }
 
+  test("attributeContamination: names the matched benchmark doc, broadcast join") {
+    val twoBench = Seq(
+      (100L, "exam question the quick brown fox jumps over the lazy dog answer below"),
+      (200L, "totally unrelated benchmark prompt about medieval castle construction methods"))
+    val out = graft.operators.Decontaminate.attributeContamination(
+        corpus.toDF("doc_id", "text"), twoBench.toDF("bench_id", "text"),
+        n = 8)
+    val pairs = out.as[(Long, Long)].collect().toSet
+    // docs 1 and 3 share the fox run with benchmark 100 only; nothing
+    // touches benchmark 200
+    assert(pairs == Set((1L, 100L), (3L, 100L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark (shingle, id) pairs must broadcast:\n$plan")
+  }
+
   test("flagContaminated: corpus side joins the benchmark via broadcast") {
     val plan = graft.operators.Decontaminate.flagContaminated(
         corpus.toDF("doc_id", "text"), bench.toDF("text"), n = 8)
