@@ -288,6 +288,16 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).as("n_tokens")),
         "n_tokens", budget = 2048L, Seq("lang"), "doc_id")),
 
+    // Training-shard layout plan: deterministicShuffle (q89) composed
+    // with packSequences (q78) in shuffled-pos order — the coordinates
+    // writeTrainingShards materializes. Pure hash + window arithmetic,
+    // engine-exact.
+    "q93_training_shards" -> ((s, d) =>
+      graft.sources.Layout.planTrainingShards(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", "doc_id", shards = 8, budget = 2048L)),
+
     // Deterministic k-per-group sample via the bounded-heap aggregate
     // (no per-group sort); md5-hash order, engine-exact.
     "q79_group_sample" -> ((s, d) =>
@@ -932,6 +942,32 @@ object PipelineQueries {
         |      - n_tokens)::BIGINT AS f
         |  FROM t)
         |SELECT doc_id, lang, n_tokens,
+        |       f // 2048 AS pack_id, f % 2048 AS pack_offset
+        |FROM c""".stripMargin,
+    // q89's (shard, pos) CTEs feeding q78's pack arithmetic in pos
+    // order; same HUGEINT→BIGINT casts as q78.
+    "q93_training_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS n_tokens
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_tokens,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM t),
+        |sh AS (
+        |  SELECT doc_id, n_tokens, (hv % 8)::INT AS shard,
+        |    row_number() OVER (PARTITION BY hv % 8
+        |      ORDER BY hv ASC, doc_id ASC) - 1 AS pos
+        |  FROM h),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard, pos,
+        |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens)::BIGINT AS f
+        |  FROM sh)
+        |SELECT doc_id, n_tokens, shard, pos,
         |       f // 2048 AS pack_id, f % 2048 AS pack_offset
         |FROM c""".stripMargin,
     // ORDER BY the DOUBLE cast of the hash (then id) mirrors the Spark

@@ -34,6 +34,43 @@ object Layout {
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(table)
 
+  /** Training-shard LAYOUT PLAN — the last mile between curation and a
+    * data-loader-consumable artifact: every document gets its training
+    * coordinates (shard, pos, pack_id, pack_offset) by composing the
+    * two already-gated planners —
+    * [[graft.operators.Sampling.deterministicShuffle]] (decorrelate
+    * source order: shard = md5-bucket of the id, pos = hash-order rank
+    * in the shard) and [[graft.operators.Sampling.packSequences]]
+    * (concat-and-chunk every `budget` tokens, in shuffled `pos` order,
+    * so packs mix sources the way the loader will consume them).
+    *
+    * Scale shape: ONE shuffle total. Both windows partition by `shard`,
+    * so the pack window reuses the shuffle window's exchange (asserted
+    * in LayoutSpec); everything downstream — including the partitioned
+    * write in [[writeTrainingShards]] — consumes rows already hash-
+    * partitioned by shard and sorted by (shard, pos). `shards` must
+    * grow with the corpus so one shard fits one task's sort — the
+    * documented contract of both planners.
+    */
+  def planTrainingShards(df: DataFrame, tokenCol: String, idCol: String,
+      shards: Int, budget: Long): DataFrame =
+    graft.operators.Sampling.packSequences(
+      graft.operators.Sampling.deterministicShuffle(df, idCol, shards),
+      tokenCol, budget, Seq("shard"), "pos")
+
+  /** Materialize [[planTrainingShards]] as hive-partitioned parquet:
+    * one `shard=N/` directory per shard, rows pos-ordered WITHIN each
+    * file because the pack window already emits (shard, pos)-sorted
+    * streams and the writer's required ordering (the partition column)
+    * is a satisfied prefix — no extra sort, no extra shuffle at write.
+    * A loader reads `shard=K` (partition-pruned) and streams rows in
+    * stored order.
+    */
+  def writeTrainingShards(df: DataFrame, path: String, tokenCol: String,
+      idCol: String, shards: Int, budget: Long): Unit =
+    planTrainingShards(df, tokenCol, idCol, shards, budget)
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** JSON-lines sink (interchange format; parquet remains the analytic
     * format — JSON trades 5-10× size for universality).
     */

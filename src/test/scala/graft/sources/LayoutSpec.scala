@@ -42,6 +42,63 @@ class LayoutSpec extends SparkSpec {
     assert(smj.count() == 1000L * 20) // 50 keys × 20×20 matches... sanity
   }
 
+  test("planTrainingShards: one shuffle total — pack window reuses the shuffle window's exchange") {
+    val docs = (0 until 500).map(i => (i.toLong, 10 + i % 50))
+      .toDF("doc_id", "n_tokens")
+    val plan = Layout.planTrainingShards(docs, "n_tokens", "doc_id",
+      shards = 4, budget = 256L)
+    // count in the plan STRING — AQE hides the inner plan from collect
+    val planStr = planOf(plan).toString
+    assert("Exchange hashpartitioning".r.findAllIn(planStr).size == 1,
+      s"expected exactly one exchange (both windows key on shard):\n$planStr")
+    // coordinates are complete and consistent: pos is a 0-based dense
+    // rank per shard; a doc's pack coordinates derive from the running
+    // token sum of everything before it in (shard, pos) order
+    val rows = plan.select($"shard", $"pos", $"n_tokens", $"pack_id",
+        $"pack_offset")
+      .as[(Int, Int, Int, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      var cum = 0L
+      sorted.foreach { case (_, _, nt, packId, packOff) =>
+        assert(packId == cum / 256L && packOff == cum % 256L)
+        cum += nt
+      }
+    }
+  }
+
+  test("writeTrainingShards: partition-pruned read, rows pos-ordered in stored order") {
+    val dir = Files.createTempDirectory("graft_shards").toString + "/s"
+    val docs = (0 until 400).map(i => (i.toLong, 5 + i % 20))
+      .toDF("doc_id", "n_tokens")
+    Layout.writeTrainingShards(docs, dir, "n_tokens", "doc_id",
+      shards = 4, budget = 128L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 400)
+    // shard filter becomes a partition filter (whole directories skipped)
+    val pruned = back.filter($"shard" === 2)
+    val scan = planOf(pruned).collect { case s: FileSourceScanExec => s }.head
+    assert(scan.partitionFilters.nonEmpty)
+    // the loader contract: within a shard, STORED row order is pos order
+    // (no re-sort needed at read) — check via a row-order index
+    import org.apache.spark.sql.expressions.Window
+    val ordered = pruned
+      .withColumn("__file_order",
+        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+      .select($"pos", $"__file_order").as[(Int, Int)].collect()
+    assert(ordered.map(_._1).toSeq == ordered.map(_._2).toSeq,
+      "shard file must be stored in pos order")
+    // round trip agrees with the plan
+    val planned = Layout.planTrainingShards(docs, "n_tokens", "doc_id", 4, 128L)
+      .select($"doc_id", $"shard", $"pos", $"pack_id", $"pack_offset")
+      .as[(Long, Int, Int, Long, Long)].collect().toSet
+    val stored = back
+      .select($"doc_id", $"shard", $"pos", $"pack_id", $"pack_offset")
+      .as[(Long, Int, Int, Long, Long)].collect().toSet
+    assert(stored == planned)
+  }
+
   test("JSON-lines sink/source round-trips with an applied schema") {
     val dir = Files.createTempDirectory("graft_json").toString + "/j"
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
