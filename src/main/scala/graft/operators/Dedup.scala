@@ -71,13 +71,35 @@ object Dedup {
     * reads and up to 8 fingerprint computations per document, a measured
     * 20× slowdown at sf0.1. The window form has neither problem and
     * needs no persist.)
+    *
+    * Hot-fingerprint ceiling: the window funnels EVERY occurrence of one
+    * fingerprint through one task. The rows are (16-byte fp, id) pairs,
+    * so this survives heavy duplication — but a pathological corpus
+    * where one page repeats millions of times turns that task into the
+    * straggler. `aggForm = true` switches to the agg + join-back shape
+    * (the same skew reasoning as [[duplicatedChunkStats]]): the min(id)
+    * aggregate map-side-combines — a hot fingerprint collapses to one
+    * row per map task BEFORE the shuffle — and the join back is a
+    * same-key join AQE skew-splits if needed. The price is the second
+    * fingerprint scan the scaladoc above quantifies; pay it only when
+    * the duplication profile says so. Both forms are equivalence-tested
+    * (DedupSpec).
     */
-  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def exactDedup(df: DataFrame, textCol: String, idCol: String,
+      aggForm: Boolean = false): DataFrame = {
     val fp = df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-    val w = Window.partitionBy(col("__fp"))
-    fp.withColumn("canonical_id", min(col(idCol)).over(w))
-      .select(col(idCol), col("canonical_id"),
-        (col(idCol) =!= col("canonical_id")).as("is_dup"))
+    if (aggForm) {
+      val canon = fp.groupBy(col("__fp"))
+        .agg(min(col(idCol)).as("canonical_id"))
+      fp.join(canon, Seq("__fp"))
+        .select(col(idCol), col("canonical_id"),
+          (col(idCol) =!= col("canonical_id")).as("is_dup"))
+    } else {
+      val w = Window.partitionBy(col("__fp"))
+      fp.withColumn("canonical_id", min(col(idCol)).over(w))
+        .select(col(idCol), col("canonical_id"),
+          (col(idCol) =!= col("canonical_id")).as("is_dup"))
+    }
   }
 
   /** Incremental exact dedup — the daily-ingest composition: dedup a NEW

@@ -381,6 +381,26 @@ class DedupSpec extends SparkSpec {
     assert(md5Count == 1, s"fingerprint must be computed once, got $md5Count:\n$plan")
   }
 
+  test("exactDedup aggForm ≡ window form, incl. a pathologically hot fingerprint") {
+    // one page duplicated 5000× (the window form's straggler scenario)
+    // plus the base docs: both forms must emit identical rows
+    val hot = (100L until 5100L).map(i =>
+      (i, "boilerplate cookie banner text repeated on every single page"))
+    val df = (base ++ hot).toDF("doc_id", "text")
+    val window = Dedup.exactDedup(df, "text", "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val agg = Dedup.exactDedup(df, "text", "doc_id", aggForm = true)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(agg == window)
+    assert(agg.count(_._3) == 5000) // 4999 hot dups + base's planted dup
+    // the agg form's shape: a partial_min before the shuffle (the
+    // hot-key collapse) and no window anywhere
+    val plan = Dedup.exactDedup(df, "text", "doc_id", aggForm = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") && !plan.contains("Window"),
+      s"aggForm must map-side-combine min(id):\n$plan")
+  }
+
   test("incrementalExactDedup: batch dups and corpus membership flagged exactly") {
     // corpus knows doc 0's content; the batch contains that same content
     // twice (docs 0 and 3), a near-dup that is NOT an exact dup (1), and
