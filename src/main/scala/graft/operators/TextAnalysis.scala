@@ -188,6 +188,109 @@ object TextAnalysis {
       rules.map(_._2).reduce(_ && _).as("pass"): _*)
   }
 
+  /** C4 heuristic battery (Raffel et al. 2020, §2.2) — the OTHER
+    * published rule set next to [[gopherRules]], with C4's distinctive
+    * line-level semantics: lines are FILTERED (not just counted) before
+    * the page-level rules apply. A line is kept when it has ≥ 5 words,
+    * ends in terminal punctuation (`.` `!` `?` `"`, trailing
+    * spaces/tabs ignored), and does not mention "javascript"
+    * (case-insensitive) — the paper's cookie-notice/boilerplate screen.
+    * Page rules then run on the RETAINED text: ≥ 3 sentences
+    * (terminal-punct occurrences), no "lorem ipsum", no `{` (the code
+    * screen; C4 checks the raw page for these two — so do we).
+    *
+    * Returns one row per document: (idCol, n_lines, n_kept_lines,
+    * kept_line_frac, clean_text, min_sentences_ok, no_lorem_ipsum,
+    * no_curly_brace, pass).
+    *
+    * Scale shape: entirely per-row, one pass — fuses into the scan. The
+    * line filter is a `filter` higher-order function over the `\n`
+    * split (per-line predicates are simple regex/size checks); HOFs
+    * evaluate interpreted, but ONE interpreted dispatch per LINE with
+    * codegen'd predicate arguments is the acceptable end of that trade
+    * (contrast the per-shingle re-tokenization the ShingleExpressions
+    * kernels exist to kill). Every predicate is lookaround-free so the
+    * DuckDB oracle (RE2 family) reproduces it character-for-character.
+    */
+  def c4Filter(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n", -1)
+    val keep = (l: Column) =>
+      size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
+        l.rlike("[.!?\"][ \\t]*$") &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, keep)
+    val cleanText = array_join(kept, "\n")
+    val nLines = size(lines)
+    val nKept = size(kept)
+    val minSentences =
+      size(regexp_extract_all(cleanText, lit("[.!?]"), lit(0))) >= 3
+    val noLorem = !lower(t).contains("lorem ipsum")
+    val noBrace = !t.contains("{")
+    df.select(col(idCol), nLines.as("n_lines"), nKept.as("n_kept_lines"),
+      round(nKept.cast("double") / nLines.cast("double"), 4)
+        .as("kept_line_frac"),
+      cleanText.as("clean_text"),
+      minSentences.as("min_sentences_ok"),
+      noLorem.as("no_lorem_ipsum"),
+      noBrace.as("no_curly_brace"),
+      (minSentences && noLorem && noBrace).as("pass"))
+  }
+
+  /** Unigram-LM perplexity scoring — the shape of CCNet's LM quality
+    * filter (Wenzek et al. 2020: score each document by a language
+    * model's perplexity, keep the low-perplexity head), with the
+    * 5-gram KenLM swapped for a corpus-trained UNIGRAM model so the
+    * whole thing is deterministic, engine-portable, and model-free.
+    * `log_ppl` is the mean token negative log-probability
+    * (= ln-perplexity): low = stereotypical fluent text, high = rare
+    * vocabulary — gibberish, boilerplate codes, wrong-language.
+    *
+    * The model: p(tok) = count(tok in `train`) / N over tokens with
+    * count ≥ `minCount`; out-of-vocabulary tokens score p = 1/N (the
+    * additive-smoothing floor — one pseudo-occurrence). `train`
+    * defaults to the scored corpus itself (self-perplexity, CCNet's
+    * in-domain case); pass a reference corpus to score against a fixed
+    * domain instead.
+    *
+    * Scale shape: the vocabulary frame (token, count) aggregates
+    * map-side from one exploded pass and is vocabulary-sized, never
+    * corpus-sized; it BROADCASTS to the scoring join (`minCount` caps
+    * it on open-vocabulary corpora — raise it at 100 TB), so the
+    * scoring pass never shuffles exploded tokens: explode → broadcast
+    * join → per-doc partial aggregation, with only doc-sized rows
+    * reaching the exchange. N rides the plan as a broadcast 1-row
+    * aggregate. `log_ppl` sums per-token doubles (order-dependent last
+    * ulps) → rounded to 4 decimals, the repo convention.
+    */
+  def unigramPerplexity(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", train: DataFrame = null,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val lm = Option(train).getOrElse(df)
+    val vocab = lm.select(explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+    val n = vocab.agg(sum(col("__c")).cast("double").as("__n"))
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val scored = toks
+      .join(broadcast(vocab), Seq("__tok"), "left")
+      .crossJoin(broadcast(n))
+      .select(col(idCol),
+        (-log(coalesce(col("__c").cast("double"), lit(1.0)) / col("__n")))
+          .as("__nll"),
+        col("__c").isNull.cast("int").as("__oov"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__nll")) / count(lit(1)), 4).as("log_ppl"),
+        round(sum(col("__oov")).cast("double") / count(lit(1)), 4)
+          .as("oov_frac"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("log_ppl"), col("oov_frac"))
+  }
+
   /** Gopher/FineWeb-style repetition signals — the quality-filter class
     * that catches template/spam/generated text which the [[qualityScore]]
     * band checks miss:

@@ -144,6 +144,38 @@ object PipelineQueries {
       base.select(col("doc_id") +: fields.map(f => g.getField(f).as(f)): _*)
     }),
 
+    // C4 battery (Raffel et al. 2020 §2.2): line-level filtering + page
+    // rules. Planted fixtures per every 40th doc: a cookie-notice page
+    // (javascript line + short line + no-punct tail dropped → 2/5 kept,
+    // only 2 sentences survive → page fails min_sentences) and a
+    // lorem-ipsum/code page (brace line dropped; page fails both
+    // content screens) — both engines plant identically.
+    "q94_c4_rules" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val every40 = docs.filter(col("doc_id") % 40 === 0)
+      val base = docs
+        .unionByName(every40.select(
+          (col("doc_id") + 500000).as("doc_id"),
+          concat(lit("This website uses javascript for tracking purposes everywhere.\n" +
+            "The main article text continues with several useful sentences here.\n" +
+            "Short line\n" +
+            "Another proper sentence that carries actual content for readers today.\n" +
+            "Document tail marker number "),
+            col("doc_id").cast("string")).as("text")))
+        .unionByName(every40.select(
+          (col("doc_id") + 550000).as("doc_id"),
+          concat(lit("Lorem ipsum dolor sit amet, consectetur adipiscing elit sed tempor.\n" +
+            "function main() { return 42; }\n" +
+            "A perfectly reasonable closing sentence appears at the very end.\n" +
+            "id "), col("doc_id").cast("string")).as("text")))
+      TextAnalysis.c4Filter(base)
+    }),
+
+    // Unigram-LM self-perplexity (CCNet's filter shape, model-free):
+    // corpus-trained token probabilities, per-doc mean -ln p.
+    "q95_unigram_ppl" -> ((s, d) =>
+      TextAnalysis.unigramPerplexity(Tables.documents(s, d))),
+
     "q33_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -987,6 +1019,75 @@ object PipelineQueries {
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    // Mirrors c4Filter: same \n split (trailing empties kept by both
+    // engines), same lookaround-free keep-predicate per line, page
+    // rules on the retained text (sentences) / raw text (lorem, brace).
+    "q94_c4_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |    'This website uses javascript for tracking purposes everywhere.'
+        |    || chr(10) ||
+        |    'The main article text continues with several useful sentences here.'
+        |    || chr(10) || 'Short line' || chr(10) ||
+        |    'Another proper sentence that carries actual content for readers today.'
+        |    || chr(10) || 'Document tail marker number ' || doc_id
+        |  FROM documents WHERE doc_id % 40 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 550000,
+        |    'Lorem ipsum dolor sit amet, consectetur adipiscing elit sed tempor.'
+        |    || chr(10) || 'function main() { return 42; }' || chr(10) ||
+        |    'A perfectly reasonable closing sentence appears at the very end.'
+        |    || chr(10) || 'id ' || doc_id
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |k AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    list_filter(string_split(text, chr(10)), x ->
+        |      len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 5
+        |      AND regexp_matches(x, '[.!?"][ \t]*$')
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM base),
+        |c AS (
+        |  SELECT doc_id, text, n_lines, len(kept) AS n_kept_lines,
+        |    -- array_to_string([]) is NULL in DuckDB; Spark's array_join
+        |    -- gives '' — coalesce to match
+        |    coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        |  FROM k)
+        |SELECT doc_id, n_lines, n_kept_lines,
+        |  round(n_kept_lines::DOUBLE / n_lines, 4) AS kept_line_frac,
+        |  clean_text,
+        |  len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+        |    AS min_sentences_ok,
+        |  NOT contains(lower(text), 'lorem ipsum') AS no_lorem_ipsum,
+        |  NOT contains(text, '{') AS no_curly_brace,
+        |  (len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{')) AS pass
+        |FROM c""".stripMargin,
+    // Mirrors unigramPerplexity (train = score corpus, minCount = 1):
+    // p = count/N over the corpus unigram table; LEFT JOIN + coalesce-
+    // to-1 mirrors the OOV floor (vacuous here — self-trained), and the
+    // per-doc mean -ln p rounds to 4 like every order-dependent sum.
+    "q95_unigram_ppl" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM dt GROUP BY tok),
+        |n AS (SELECT sum(c)::DOUBLE AS n FROM c),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(sum(-ln(coalesce(c.c::DOUBLE, 1.0) / n.n)) / count(*), 4)
+        |      AS log_ppl,
+        |    round(sum((c.c IS NULL)::INT)::DOUBLE / count(*), 4) AS oov_frac
+        |  FROM dt LEFT JOIN c USING (tok) CROSS JOIN n
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+        |  s.log_ppl, s.oov_frac
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     // Same rolling polynomial hash (B=257, M=2^31-1) via explicit power
     // weights — all intermediates < 2^55, safe in DuckDB's checked
     // BIGINT arithmetic. Spark computes it Horner-style; identical mod M.

@@ -285,6 +285,67 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(disj("b") - math.log(6.0 / 4)) < 1e-3, disj.toString)
   }
 
+  test("c4Filter: line keep-rules and page rules trigger independently") {
+    val goodLine = "Here is a perfectly ordinary sentence with enough words."
+    val docs = Seq(
+      // all lines survive, 3 sentences → pass
+      (1L, s"$goodLine\n$goodLine\n$goodLine"),
+      // javascript line + short line + unpunctuated tail dropped
+      (2L, s"Please enable javascript to view this site properly now.\n$goodLine\ntiny line\nNo terminal punctuation in this final line at all"),
+      // lorem ipsum page fails even though its lines are well-formed
+      (3L, s"Lorem ipsum dolor sit amet consectetur adipiscing elit now.\n$goodLine\n$goodLine"),
+      // brace page (code) fails
+      (4L, s"$goodLine\nif (x) { y(); }\n$goodLine\n$goodLine"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(out(1L).getAs[Int]("n_kept_lines") == 3)
+    val d2 = out(2L)
+    assert(d2.getAs[Int]("n_lines") == 4 && d2.getAs[Int]("n_kept_lines") == 1)
+    assert(!d2.getAs[Boolean]("min_sentences_ok") && !d2.getAs[Boolean]("pass"))
+    assert(d2.getAs[String]("clean_text") == goodLine)
+    assert(!out(3L).getAs[Boolean]("no_lorem_ipsum") && !out(3L).getAs[Boolean]("pass"))
+    assert(out(3L).getAs[Boolean]("no_curly_brace"))
+    assert(!out(4L).getAs[Boolean]("no_curly_brace") && !out(4L).getAs[Boolean]("pass"))
+    // brace LINE also fails the keep-predicate (ends in ')' ... no
+    // terminal punct? it ends in '}' — dropped): 3 of 4 lines kept
+    assert(out(4L).getAs[Int]("n_kept_lines") == 3)
+  }
+
+  test("unigramPerplexity: frequent vocabulary scores lower; OOV floors at 1/N") {
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramPerplexity(df)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // N=8: common 6/8, rare 1/8 each
+    val pplAllCommon = -math.log(6.0 / 8)
+    val pplMixed = (2 * -math.log(6.0 / 8) + 2 * -math.log(1.0 / 8)) / 4
+    assert(math.abs(out(1L).getAs[Double]("log_ppl") - pplAllCommon) < 1e-3)
+    assert(math.abs(out(2L).getAs[Double]("log_ppl") - pplMixed) < 1e-3)
+    assert(out(1L).getAs[Double]("log_ppl") < out(2L).getAs[Double]("log_ppl"))
+    assert(out(1L).getAs[Double]("oov_frac") == 0.0)
+    // scoring against a FIXED reference corpus: unseen tokens hit the
+    // 1/N floor and are counted as OOV
+    val ref = Seq((9L, "common common common common common common")).toDF("doc_id", "text")
+    val scored = TextAnalysis.unigramPerplexity(df, train = ref)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(scored(2L).getAs[Double]("oov_frac") == 0.5)
+    assert(math.abs(scored(2L).getAs[Double]("log_ppl") -
+      (2 * -math.log(6.0 / 6) + 2 * -math.log(1.0 / 6)) / 4) < 1e-3)
+    // token-free doc survives with 0 tokens and null score
+    val empty = TextAnalysis.unigramPerplexity(
+      Seq((1L, "a b"), (2L, "  ")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(empty(2L).getAs[Long]("n_tokens") == 0L && empty(2L).isNullAt(2))
+    // the vocabulary joins in as a BROADCAST (the corpus-sized exploded
+    // side must never shuffle for the scoring join)
+    val plan = TextAnalysis.unigramPerplexity(df)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$plan")
+  }
+
   test("redactPii: emails, IPs, phone runs replaced; clean text untouched") {
     val cases = Seq(
       "mail me at jane.doe+x@sub.example.org today" ->
