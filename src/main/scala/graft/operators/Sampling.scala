@@ -169,4 +169,46 @@ object Sampling {
       .select(groupCols.map(col) ++ Seq(col("__e.id").as(idCol),
         (col("__pos") + 1).as("rank")): _*)
   }
+
+  /** Domain-mixing plan: per-domain observed token share vs a target mix,
+    * and the sampling weight that moves the corpus from one to the other
+    * — the PLANNING half of data mixing ([[sampleByStrata]] is the
+    * execution half: feed it `least(weight, 1)` as down-sample rates;
+    * weights > 1 are up-sample epoch counts for the loader). The target
+    * mix is the config a The-Pile/DoReMi-style recipe publishes: a
+    * static per-domain share of training tokens.
+    *
+    * weight = target_share / observed_share, capped at `maxEpochs`
+    * (repeating a small domain beyond a few epochs degrades to
+    * memorization — the cap surfaces "target unreachable" as a capped
+    * weight instead of an absurd epoch count). Domains absent from
+    * `targets` get target 0 → weight 0 (dropped by the plan, visibly).
+    *
+    * All arithmetic is exact-long counts divided as doubles, identical
+    * across engines; outputs round at 6. Scale shape: one grouped
+    * aggregate (map-side combined) + a 1-row grand-total broadcast —
+    * domain cardinality is config-sized, so this is a metadata query no
+    * matter how large the corpus.
+    */
+  def domainMixPlan(df: DataFrame, domainCol: String, weight: Column,
+      targets: Map[String, Double], maxEpochs: Double = 4.0): DataFrame = {
+    require(targets.nonEmpty, "domainMixPlan needs a non-empty target mix")
+    val sum1 = math.abs(targets.values.sum - 1.0)
+    require(sum1 < 1e-9, s"target shares must sum to 1, off by $sum1")
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("docs"), sum(weight).as("tokens"))
+    val grand = perDomain.agg(sum(col("tokens")).as("__total"))
+    val target = targets.toSeq.sortBy(_._1)
+      .foldRight(lit(0.0): Column) { case ((dom, share), els) =>
+        when(col(domainCol) === dom, lit(share)).otherwise(els)
+      }
+    perDomain.crossJoin(broadcast(grand))
+      .withColumn("__obs",
+        col("tokens").cast("double") / col("__total").cast("double"))
+      .withColumn("target_share", target)
+      .select(col(domainCol), col("docs"), col("tokens"),
+        round(col("__obs"), 6).as("obs_share"), col("target_share"),
+        round(least(col("target_share") / col("__obs"), lit(maxEpochs)), 6)
+          .as("sampling_weight"))
+  }
 }

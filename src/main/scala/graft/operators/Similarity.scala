@@ -222,6 +222,49 @@ object Similarity {
           col("k").cast("double"), 4).as("recall"))
   }
 
+  /** Distance-to-centroid outlier scoring — the embedding-space health
+    * check a curation pipeline runs before training (CLIP-filtering
+    * shape: vectors far from the corpus center are mislabeled, noise, or
+    * off-distribution; SemDeDup's complement — it removes the
+    * too-similar, this flags the too-different).
+    *
+    * Per vector: Euclidean distance to the corpus mean vector, plus the
+    * `is_outlier` flag at `threshold`. Exact and engine-mirrorable:
+    *  - the centroid is a per-position mean via `posexplode` → grouped
+    *    avg. Map-side partial aggregation reduces the shuffle to dim rows
+    *    per task regardless of corpus size; the result is ONE dim-length
+    *    row, broadcast to the distance pass. Each coordinate is rounded
+    *    to 6 decimals so both engines' float-summation orders agree
+    *    before any downstream arithmetic amplifies the ulp noise.
+    *  - distance uses the expansion ‖v−c‖² = v·v − 2·v·c + c·c with all
+    *    three dots on the codegen'd [[dot]] kernel (sequential
+    *    index-order accumulation, the oracle's list_sum order);
+    *    `greatest(·, 0)` guards the tiny negative residual the expansion
+    *    can leave for vectors at the centroid.
+    *
+    * One corpus scan + one dim-sized aggregate — no self-join, no window;
+    * at 100 TB this runs at scan speed after a metadata-sized broadcast.
+    */
+  def centroidOutliers(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val cent = e.select(posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(round(avg(col("x")), 6).as("c"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("__cent"))
+      .withColumn("__cc", dot(col("__cent"), col("__cent")))
+    e.crossJoin(broadcast(cent))
+      .withColumn("dist", round(sqrt(greatest(
+        dot(col("__v"), col("__v")) -
+          lit(2.0) * dot(col("__v"), col("__cent")) + col("__cc"),
+        lit(0.0))), 4))
+      .select(col(idCol), col("dist"),
+        (col("dist") >= threshold).as("is_outlier"))
+  }
+
   /** Lloyd-iteration k-means refinement of a centroid set, cosine
     * metric, fully distributed: assign (broadcast centroids + `max_by`
     * argmax), then recompute means element-wise via `posexplode` →

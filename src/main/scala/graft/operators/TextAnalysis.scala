@@ -115,6 +115,35 @@ object TextAnalysis {
       .reduce(_ + _)
   }
 
+  /** Model-based quality score in (0,1): a fixed-weight logistic
+    * classifier over the same interpretable features the rule batteries
+    * use — the "learned filter" stage of a GPT-3/fastText-style curation
+    * stack (Brown et al. 2020 §A; rules first, then a classifier score
+    * with a keep threshold), with the model weights as literals so the
+    * operator is deterministic and engine-mirrorable. A production
+    * deployment swaps the literal weights for trained ones; the plan
+    * shape (one codegen'd feature walk + scalar arithmetic, per-row, no
+    * shuffle) is the part that matters at 100 TB.
+    *
+    * z = -4 + 6·stopword_ratio + 3·alpha_ratio + 0.3·ln(1+tokens)
+    *        - 0.2·|mean_token_len - 5|,  score = 1/(1+e^-z).
+    *
+    * Null features (empty text) contribute 0 — an empty document scores
+    * sigmoid(-4) ≈ 0.018, firmly below any sane keep threshold.
+    */
+  def qualityLogit(text: Column): Column = {
+    val st = tokStats(text)
+    val nt = st.getField("n_tokens")
+    val f = (c: Column) => coalesce(c, lit(0.0))
+    val z = lit(-4.0) +
+      lit(6.0) * f(stopwordRatio(text)) +
+      lit(3.0) * f(ratio(length(regexp_replace(text, "[^A-Za-z]", "")),
+        length(text))) +
+      lit(0.3) * log(lit(1.0) + nt.cast("double")) -
+      lit(0.2) * abs(f(ratio(st.getField("token_chars"), nt)) - lit(5.0))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text
     * ([[graft.operators.Dedup.normalize]] — the ONE definition of the
     * exact-dedup equivalence class; the md5 and char-gram pipelines key

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics over an event stream (`events(event_id, ts,
+  * user_id, event_type, value)`): time-based rolling windows, funnel
+  * progression, and calendar gap-filling. The reference's Gold layer is
+  * calendar-bucketed time series (Weather_API.py:559-666 monthly/yearly
+  * groupings); these are the event-time generalizations a production
+  * analytics engine adds on top.
+  *
+  * All three are single-logical-shuffle designs:
+  *  - [[rollingTimeWindow]] / [[funnel]] shuffle once on the entity key and
+  *    reuse that sort for every stacked window expression;
+  *  - [[gapFillDaily]] aggregates on (entity, day) and derives the spine
+  *    from the same aggregate, so the raw table is scanned once.
+  *
+  * Skew: a hot entity (bot user) serializes its own rows through one task,
+  * exactly like [[Windows.rollingAvg]] — the salted-chunk remedy documented
+  * there applies unchanged to the RANGE form (chunk boundaries carry a
+  * time-window tail instead of a row-count tail).
+  */
+object TimeSeries {
+
+  /** Time-based rolling aggregate: for every row, `count` and `sum(value)`
+    * over the entity's rows in `(t - windowNs, t]`... inclusive lower
+    * bound per SQL RANGE semantics: `[t - windowNs, t]`. The order key is
+    * a monotone epoch-long column (nanoseconds in this harness — see
+    * [[graft.sources.Tables.events]]'s `ts_ns` convention), so the frame
+    * is an integer RANGE and both engines agree on peer handling (rows
+    * with equal timestamps are all in-frame).
+    *
+    * Unlike the row-count frame ([[Windows.rollingAvg]]) this is the
+    * event-time form: "activity in the last hour", robust to irregular
+    * event spacing. One shuffle + one sort; both aggregates share the
+    * frame buffer.
+    */
+  def rollingTimeWindow(df: DataFrame, entity: String, orderNs: String,
+      value: String, windowNs: Long): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(orderNs))
+      .rangeBetween(-windowNs, 0)
+    df.withColumn("w_cnt", count(lit(1)).over(w))
+      .withColumn("w_sum", round(sum(col(value)).over(w), 4))
+  }
+
+  /** Ordered funnel: how many entities reached step 1, step 1→2, …
+    * (each step must occur at-or-after the previous one, per entity).
+    *
+    * Implementation is the single-pass stacked-window form, not the
+    * N-self-joins textbook form: a running "reached step k" flag per row
+    * (`max` over an unbounded-preceding frame), where step k counts only
+    * at rows whose type matches AND whose running step-(k-1) flag is
+    * already set. All N window expressions share ONE (entity)-keyed
+    * shuffle + sort — the N-join form would shuffle the event table N
+    * times and explode on hot entities. The per-entity reduction that
+    * follows reuses the same hash partitioning (no extra Exchange), and
+    * the final global roll-up is a single-row partial aggregate.
+    *
+    * `order` must be a deterministic total order (pass a tiebreak column
+    * alongside the timestamp) so simultaneous events resolve identically
+    * across engines and retries.
+    */
+  def funnel(df: DataFrame, entity: String, order: Seq[Column],
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(entity)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // reached(k) stacks on reached(k-1): fold left, adding one flag column
+    // per step. Same window spec throughout → one Exchange+Sort in the
+    // physical plan (Spark chains the dependent Window operators over it).
+    val flagged = steps.zipWithIndex.foldLeft(df) { case (acc, (step, i)) =>
+      val hit =
+        if (i == 0) when(col(typeCol) === step, 1).otherwise(0)
+        else when(col(typeCol) === step && col(s"__r${i - 1}") === 1, 1)
+          .otherwise(0)
+      acc.withColumn(s"__r$i", max(hit).over(w))
+    }
+    val flags = steps.indices.map(i => max(col(s"__r$i")).as(s"__e$i"))
+    val perEntity = flagged.groupBy(col(entity))
+      .agg(flags.head, flags.tail: _*)
+    perEntity.agg(
+      sum(col("__e0")).as(s"step1_${steps.head}"),
+      steps.indices.tail.map(i =>
+        sum(col(s"__e$i")).as(s"step${i + 1}_${steps(i)}")): _*)
+  }
+
+  /** Daily activity per entity with calendar gaps filled: one row per
+    * (entity, day) for EVERY day in the entity's [min(day), max(day)]
+    * span, zero rows for silent days — the shape a forecasting or
+    * time-series model trains on (implicit missingness made explicit).
+    *
+    * The day spine is `sequence(min_day, max_day)` + `explode` per
+    * entity, derived from the daily AGGREGATE (entity-count sized, not
+    * event-count sized), then left-joined back to the daily counts on
+    * (entity, day) — the raw table is scanned once, and the explode
+    * output is bounded by span length, not event count.
+    *
+    * Scale guard: an entity with an unbounded span (one event in 1970,
+    * one today) explodes into span-many rows. `maxSpanDays` fails loudly
+    * on spans a caller did not expect rather than silently materializing
+    * them; raise it deliberately for genuinely long histories.
+    */
+  def gapFillDaily(df: DataFrame, entity: String, tsCol: String,
+      value: String, maxSpanDays: Int = 3660): DataFrame = {
+    val daily = df
+      .groupBy(col(entity), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"), sum(col(value)).as("sum_v"))
+    val spans = daily.groupBy(col(entity))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val guarded = spans.withColumn("__span",
+      datediff(col("__d1"), col("__d0")) + 1)
+      .withColumn("day", explode(when(col("__span") <= maxSpanDays,
+        sequence(col("__d0"), col("__d1")))
+        .otherwise(raise_error(concat(lit(s"gapFillDaily: span exceeds " +
+          s"maxSpanDays=$maxSpanDays days for entity "),
+          col(entity).cast("string"))))))
+    guarded.select(col(entity), col("day"))
+      .join(daily, Seq(entity, "day"), "left")
+      .select(col(entity), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        round(coalesce(col("sum_v"), lit(0.0)), 4).as("sum_v"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Gold, Imputation, Pivot, RangeJoin, Sketches, SkewJoin, Windows}
+import graft.operators.{AsOfJoin, Gold, Imputation, Pivot, RangeJoin, Sketches, SkewJoin, TimeSeries, Windows}
 
 /** Reference-parity query registry (SURVEY.md §2), mapped onto the harness
   * tables (FIXTURES.md §B mapping: `events` plays the observations fact,
@@ -543,7 +543,38 @@ object CoreQueries {
           "user_id", Seq($"ts_ns", $"event_id"), "value", 7, "rolling_avg",
           chunkSize = 32)
         .select($"event_id", $"user_id", r4($"rolling_avg").as("rolling_avg"))
-    })
+    }),
+
+    // Event-TIME rolling window (q44/q20 are row-count frames): activity
+    // in the trailing hour per user — integer RANGE over the ns epoch
+    // key, so peers (equal timestamps) resolve identically in both
+    // engines. One shuffle; both aggregates share the frame.
+    "q96_rolling_time_window" -> ((s, d) => {
+      import s.implicits._
+      TimeSeries.rollingTimeWindow(
+        Tables.events(s, d).select("event_id", "user_id", "ts_ns", "value"),
+        "user_id", "ts_ns", "value", windowNs = 3600L * 1000000000L)
+        .select("event_id", "user_id", "w_cnt", "w_sum")
+    }),
+
+    // Ordered funnel view→click→purchase: single-pass stacked-window
+    // form (one entity shuffle), not the N-self-joins textbook shape.
+    "q97_funnel" -> ((s, d) => {
+      import s.implicits._
+      TimeSeries.funnel(
+        Tables.events(s, d)
+          .select("event_id", "user_id", "ts_ns", "event_type"),
+        "user_id", Seq($"ts_ns", $"event_id"), "event_type",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // Calendar gap-fill: one row per (user, day) across each user's
+    // active span, zero-filled — the spine explodes from the DAILY
+    // aggregate, so raw events are scanned once.
+    "q98_gapfill_daily" -> ((s, d) =>
+      TimeSeries.gapFillDaily(
+        Tables.events(s, d).select("user_id", "ts", "value"),
+        "user_id", "ts", "value"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -800,6 +831,51 @@ object CoreQueries {
       """SELECT event_id, user_id,
         | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS rolling_avg
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "q96_rolling_time_window" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS w_cnt,
+        | round(sum(value) OVER w, 4) AS w_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q97_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS tns,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |            ROWS UNBOUNDED PRECEDING) AS r0
+        |  FROM events),
+        |b AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click' AND r0 = 1
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS r1
+        |  FROM a),
+        |c AS (
+        |  SELECT *, max(CASE WHEN event_type = 'purchase' AND r1 = 1
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS r2
+        |  FROM b),
+        |e AS (SELECT user_id, max(r0) AS e0, max(r1) AS e1, max(r2) AS e2
+        |      FROM c GROUP BY user_id)
+        |SELECT sum(e0)::BIGINT AS step1_view, sum(e1)::BIGINT AS step2_click,
+        |  sum(e2)::BIGINT AS step3_purchase
+        |FROM e""".stripMargin,
+    "q98_gapfill_daily" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day, count(*) AS cnt,
+        |    sum(value) AS sum_v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |         FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM span)
+        |SELECT s.user_id, s.day, coalesce(d.cnt, 0)::BIGINT AS cnt,
+        |  round(coalesce(d.sum_v, 0), 4) AS sum_v
+        |FROM spine s LEFT JOIN daily d USING (user_id, day)""".stripMargin
   )
 }

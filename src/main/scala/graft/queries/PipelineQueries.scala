@@ -521,7 +521,33 @@ object PipelineQueries {
       Multimodal.resample(
           Multimodal.attachBlob(Tables.documents(s, d)), targetBytes = 64)
         .select(col("doc_id"), length(col("media")).as("n_bytes"),
-          col("format")))
+          col("format"))),
+
+    // Distance-to-centroid outliers: 1.006 sits at the ~p90 of the
+    // fixture's distance distribution (distances cluster tightly around
+    // 1.0 — near-unit vectors around a near-zero mean), so the flag path
+    // is exercised by ~10% of rows, not vacuously false.
+    "q99_embed_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, d),
+        threshold = 1.006)),
+
+    // Learned-filter stage (fixed-weight logistic over kernel features);
+    // keep at 0.5 — the classifier complement of the q84/q94 rule
+    // batteries.
+    "q100_quality_logit" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          round(TextAnalysis.qualityLogit(col("text")), 4).as("q_score"))
+        .withColumn("keep", col("q_score") >= 0.5)),
+
+    // Domain-mixing plan over the 20 uniform fixture sources: src0/src1
+    // demand far more than their observed ~5% share (src0's 30% target
+    // caps at maxEpochs=4), src2..src11 split the rest, src12+ are
+    // deliberately absent → target 0 → weight 0 (the visible-drop path).
+    "q101_domain_mix" -> ((s, d) =>
+      Sampling.domainMixPlan(Tables.documents(s, d), "source",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
+          (2 to 11).map(i => s"src$i" -> 0.05).toMap))
   )
 
   /** Exact blocked char-3-gram Jaccard ground truth — shared by q38 (the
@@ -1604,6 +1630,74 @@ object PipelineQueries {
         |            length(text) // 4)) AS frame_md5
         |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f) f
         |WHERE octet_length(encode(text)) = length(text)
-        |  AND length(text) >= 4""".stripMargin
+        |  AND length(text) >= 4""".stripMargin,
+    // Centroid coordinates round at 6 BEFORE the distance arithmetic, so
+    // the two engines' float-summation orders in avg() cannot leak into
+    // the distances; the distance itself is the v·v − 2·v·c + c·c
+    // expansion, accumulated left-to-right (list_sum order = the Spark
+    // kernel's order).
+    "q99_embed_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, unnest(v) AS val,
+        |    generate_subscripts(v, 1) AS pos
+        |  FROM e),
+        |c AS (SELECT pos, round(avg(val), 6) AS cv FROM x GROUP BY pos),
+        |cl AS (SELECT list(cv ORDER BY pos) AS cent FROM c),
+        |d AS (
+        |  SELECT vec_id,
+        |    round(sqrt(greatest(
+        |      list_sum(list_transform(v, y -> y * y))
+        |      - 2 * list_sum(list_transform(range(1, len(v) + 1),
+        |          i -> v[i] * cent[i]))
+        |      + list_sum(list_transform(cent, y -> y * y)), 0)), 4) AS dist
+        |  FROM e, cl)
+        |SELECT vec_id, dist, dist >= 1.006 AS is_outlier FROM d""".stripMargin,
+    "q100_quality_logit" -> (ToksCte +
+      """
+        |, m AS (
+        |  SELECT doc_id, len(toks) AS nt,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+        |      / len(toks) END AS atl,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'],
+        |        x)))::DOUBLE / len(toks) END AS swr,
+        |    CASE WHEN length(text) > 0 THEN
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(text) END AS ar
+        |  FROM t),
+        |z AS (
+        |  SELECT doc_id, -4.0 + 6.0 * coalesce(swr, 0) +
+        |    3.0 * coalesce(ar, 0) + 0.3 * ln(1.0 + nt) -
+        |    0.2 * abs(coalesce(atl, 0) - 5.0) AS zz
+        |  FROM m)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 4) AS q_score,
+        |  round(1.0 / (1.0 + exp(-zz)), 4) >= 0.5 AS keep
+        |FROM z""".stripMargin),
+    "q101_domain_mix" -> (ToksCte +
+      """
+        |, perdom AS (
+        |  SELECT d.source, count(*) AS docs, sum(len(toks))::BIGINT AS tokens
+        |  FROM t JOIN documents d USING (doc_id) GROUP BY d.source),
+        |tot AS (SELECT sum(tokens)::BIGINT AS total FROM perdom),
+        |w AS (
+        |  SELECT source, docs, tokens,
+        |    tokens::DOUBLE / total::DOUBLE AS obs,
+        |    CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+        |      WHEN 'src2' THEN 0.05 WHEN 'src3' THEN 0.05
+        |      WHEN 'src4' THEN 0.05 WHEN 'src5' THEN 0.05
+        |      WHEN 'src6' THEN 0.05 WHEN 'src7' THEN 0.05
+        |      WHEN 'src8' THEN 0.05 WHEN 'src9' THEN 0.05
+        |      WHEN 'src10' THEN 0.05 WHEN 'src11' THEN 0.05
+        |      ELSE 0.0 END::DOUBLE AS target_share
+        |  FROM perdom, tot)
+        |SELECT source, docs, tokens, round(obs, 6) AS obs_share,
+        |  target_share,
+        |  round(least(target_share / obs, 4.0), 6) AS sampling_weight
+        |FROM w""".stripMargin)
   )
 }

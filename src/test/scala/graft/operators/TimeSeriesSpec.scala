@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ns timestamps at whole-second offsets for readability
+  private def ns(sec: Long): Long = sec * 1000000000L
+
+  test("rollingTimeWindow: event-time frame, irregular spacing, peers") {
+    val df = Seq(
+      // user 1: events at t=0, 10, 3600, 3610, 7300 (seconds)
+      (1L, 1L, ns(0), 1.0), (2L, 1L, ns(10), 2.0),
+      (3L, 1L, ns(3600), 4.0), (4L, 1L, ns(3610), 8.0),
+      (5L, 1L, ns(7300), 16.0),
+      // user 2: two events at the SAME instant — peers are both in-frame
+      (6L, 2L, ns(100), 1.0), (7L, 2L, ns(100), 2.0))
+      .toDF("event_id", "user_id", "ts_ns", "value")
+    val out = TimeSeries.rollingTimeWindow(df, "user_id", "ts_ns", "value",
+        windowNs = ns(3600))
+      .select("event_id", "w_cnt", "w_sum").as[(Long, Long, Double)]
+      .collect().map { case (k, c, s) => k -> ((c, s)) }.toMap
+    assert(out(1L) == ((1L, 1.0)))
+    assert(out(2L) == ((2L, 3.0)))
+    // t=3600: frame [0, 3600] inclusive both ends → all three
+    assert(out(3L) == ((3L, 7.0)))
+    // t=3610: frame [10, 3610] → drops t=0
+    assert(out(4L) == ((3L, 14.0)))
+    // t=7300: frame [3700, 7300] → alone
+    assert(out(5L) == ((1L, 16.0)))
+    // RANGE peers: both same-instant rows see both rows
+    assert(out(6L) == ((2L, 3.0)) && out(7L) == ((2L, 3.0)))
+  }
+
+  test("funnel: order matters, partial progress, step gating") {
+    val df = Seq(
+      // u1 completes in order
+      (1L, 1L, ns(1), "view"), (2L, 1L, ns(2), "click"),
+      (3L, 1L, ns(3), "purchase"),
+      // u2: click BEFORE view — reaches view only (click never re-fires)
+      (4L, 2L, ns(1), "click"), (5L, 2L, ns(2), "view"),
+      // u3: view then purchase (no click) — purchase must NOT count
+      (6L, 3L, ns(1), "view"), (7L, 3L, ns(2), "purchase"),
+      // u4: no funnel events at all
+      (8L, 4L, ns(1), "error"))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val out = TimeSeries.funnel(df, "user_id", Seq($"ts_ns", $"event_id"),
+        "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].head()
+    assert(out == ((3L, 1L, 1L)))
+  }
+
+  test("funnel: same-instant events resolve by the tiebreak order") {
+    // view and click share a timestamp; event_id orders view first, so
+    // the click counts (runs after the view in the total order)
+    val df = Seq(
+      (1L, 1L, ns(5), "view"), (2L, 1L, ns(5), "click"))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val out = TimeSeries.funnel(df, "user_id", Seq($"ts_ns", $"event_id"),
+        "event_type", Seq("view", "click")).as[(Long, Long)].head()
+    assert(out == ((1L, 1L)))
+  }
+
+  test("gapFillDaily: silent days appear zero-filled, span per entity") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2.0),
+      (1L, ts("2024-01-04 09:00:00"), 4.0), // 3-day gap: Jan 2, 3 silent
+      (2L, ts("2024-02-10 00:00:00"), 8.0)) // single-day span
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFillDaily(df, "user_id", "ts", "value")
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", 2L, 3.0), (1L, "2024-01-02", 0L, 0.0),
+      (1L, "2024-01-03", 0L, 0.0), (1L, "2024-01-04", 1L, 4.0),
+      (2L, "2024-02-10", 1L, 8.0)))
+  }
+
+  test("gapFillDaily: an unbounded span fails loudly, not silently") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("1970-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val e = intercept[Exception] {
+      TimeSeries.gapFillDaily(df, "user_id", "ts", "value",
+        maxSpanDays = 30).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("gapFillDaily")))
+  }
+}
+
+class CentroidOutlierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("centroidOutliers: distances to the mean vector, flag at threshold") {
+    // mean = (0.4, 0.4): the +axis points sit at sqrt(0.52) ≈ 0.7211,
+    // the -axis points at sqrt(2.12) ≈ 1.4560, the far point at
+    // sqrt(2 · 1.6²) ≈ 2.2627 — threshold 2.0 flags only the far point
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(0.0f, -1.0f)),
+      (5L, Array(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = TimeSeriesSpecHelpers.collectOutliers(
+      Similarity.centroidOutliers(df, threshold = 2.0))
+    assert(out(5L)._2, "far point flags as outlier")
+    assert(!out(1L)._2 && !out(2L)._2 && !out(3L)._2 && !out(4L)._2)
+    assert(math.abs(out(1L)._1 - 0.7211) < 1e-4)
+    assert(math.abs(out(3L)._1 - 1.4560) < 1e-4)
+    assert(math.abs(out(5L)._1 - 2.2627) < 1e-4)
+  }
+
+  test("centroidOutliers: vector at the centroid has distance zero") {
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f)), (2L, Array(-1.0f, -1.0f)),
+      (3L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = TimeSeriesSpecHelpers.collectOutliers(
+      Similarity.centroidOutliers(df, threshold = 0.5))
+    assert(out(3L)._1 == 0.0 && !out(3L)._2)
+  }
+}
+
+private object TimeSeriesSpecHelpers {
+  def collectOutliers(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Double, Boolean)] =
+    df.collect().map(r =>
+      r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+}
+
+class MixPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("domainMixPlan: shares, weights, cap, and absent-domain drop") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 80) "web" else if (i < 90) "books" else "code", 10L))
+      .toDF("id", "source", "toks")
+    val out = Sampling.domainMixPlan(df, "source", col("toks"),
+        targets = Map("web" -> 0.5, "books" -> 0.5), maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // web: 800/1000 observed vs 0.5 target → downsample to 0.625
+    assert(out("web") == ((800L, 0.8, 0.5, 0.625)))
+    // books: 100/1000 vs 0.5 → 5 epochs, capped at 4
+    assert(out("books") == ((100L, 0.1, 0.5, 4.0)))
+    // code: absent from targets → target 0, weight 0 (visible drop)
+    assert(out("code") == ((100L, 0.1, 0.0, 0.0)))
+  }
+
+  test("domainMixPlan: target shares must sum to 1") {
+    val df = Seq((1L, "a", 1L)).toDF("id", "source", "toks")
+    intercept[IllegalArgumentException] {
+      Sampling.domainMixPlan(df, "source", col("toks"),
+        targets = Map("a" -> 0.5))
+    }
+  }
+}
+
+class QualityLogitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualityLogit: ordinary prose scores above empty/garbage text") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs to " +
+        "the forest in the morning light for a while."),
+      (2L, ""),
+      (3L, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.qualityLogit($"text").as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) > 0.5, s"prose scored ${out(1L)}")
+    assert(out(2L) < 0.05, s"empty scored ${out(2L)}")
+    assert(out(3L) < out(1L), "symbol soup scores below prose")
+    out.values.foreach(s => assert(s > 0.0 && s < 1.0))
+  }
+}
