@@ -523,4 +523,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Latest-version compaction (upsert/SCD-1 semantics): one row per key
+    * — the one with the lexicographically largest `versionCols` tuple.
+    * The incremental-ingest sibling of [[exactDedup]]: a crawl refresh
+    * or CDC feed delivers many versions of the same URL/record, and a
+    * training snapshot wants exactly the newest.
+    *
+    * Implemented as a `max_by` aggregate over the version-key struct, NOT
+    * a per-key `row_number` window: the aggregate form combines map-side
+    * (each task ships one partial row per key it saw — a key with a
+    * million versions costs one row per task in the shuffle), where the
+    * window form ships every version of every key to one task and sorts
+    * it there. Same reasoning as `duplicatedChunkStats`' agg-over-window
+    * choice: hot keys are the norm in refresh feeds. (The struct
+    * ordering key does make Spark plan a SortAggregate rather than a
+    * HashAggregate — that sort is task-local by GROUP key, bounded by
+    * task input size, not by key hotness; the map-side partial is the
+    * property that matters and is plan-asserted in spec.)
+    *
+    * `versionCols` must totally order each key's versions (pass a
+    * tiebreak — e.g. `Seq("ts_ns", "event_id")` — or re-runs can elect
+    * different winners among exact version ties).
+    */
+  def latestVersion(df: DataFrame, keys: Seq[String],
+      versionCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && versionCols.nonEmpty,
+      "latestVersion needs key and version columns")
+    val carried = versionCols ++ payloadCols
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(carried.map(col): _*),
+        struct(versionCols.map(col): _*)).as("__last"))
+      .select(keys.map(col) ++
+        carried.map(c => col(s"__last.$c").as(c)): _*)
+  }
 }

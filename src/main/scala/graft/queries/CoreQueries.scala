@@ -574,7 +574,34 @@ object CoreQueries {
     "q98_gapfill_daily" -> ((s, d) =>
       TimeSeries.gapFillDaily(
         Tables.events(s, d).select("user_id", "ts", "value"),
-        "user_id", "ts", "value"))
+        "user_id", "ts", "value")),
+
+    // TPC-H-Q5-shaped star join: revenue by nation across a 6-table
+    // join. region/nation are broadcast EXPLICITLY (metadata-sized at
+    // any SF — the hint removes the stats dependency); the
+    // customer/orders/lineitem/supplier spine stays shuffle-keyed
+    // (fact-to-fact keys grow with the corpus; at 100 TB these are the
+    // joins bucketing/AQE own — forcing a broadcast there would OOM).
+    // Date filter pushes to the orders scan; supplier joins on BOTH
+    // suppkey and the customer's nationkey (the Q5 "local supplier"
+    // semantics).
+    "q102_star_revenue" -> ((s, d) => {
+      import s.implicits._
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1998-01-01")
+      Tables.customer(s, d)
+        .join(ord, $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+        .join(Tables.supplier(s, d),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.nation(s, d)),
+          $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue"), count(lit(1)).as("line_count"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -876,6 +903,21 @@ object CoreQueries {
         |  FROM span)
         |SELECT s.user_id, s.day, coalesce(d.cnt, 0)::BIGINT AS cnt,
         |  round(coalesce(d.sum_v, 0), 4) AS sum_v
-        |FROM spine s LEFT JOIN daily d USING (user_id, day)""".stripMargin
+        |FROM spine s LEFT JOIN daily d USING (user_id, day)""".stripMargin,
+    "q102_star_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | count(*) AS line_count
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin
   )
 }

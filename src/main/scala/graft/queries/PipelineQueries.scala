@@ -547,7 +547,23 @@ object PipelineQueries {
       Sampling.domainMixPlan(Tables.documents(s, d), "source",
         TextAnalysis.tokenCount(col("text")).cast("long"),
         targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
-          (2 to 11).map(i => s"src$i" -> 0.05).toMap))
+          (2 to 11).map(i => s"src$i" -> 0.05).toMap)),
+
+    // Upsert compaction: newest event per (user, type) — the events
+    // table standing in for a crawl-refresh feed; (ts_ns, event_id) is
+    // the total version order. max_by aggregate (map-side combinable),
+    // not a row_number window. Output carries the µs `ts` (ts_ns has
+    // sub-µs digits DuckDB's TIMESTAMP read truncates — q63 orders by
+    // ts_ns but never emits it, same convention here).
+    "q103_latest_version" -> ((s, d) =>
+      Dedup.latestVersion(
+        Tables.events(s, d)
+          .select("user_id", "event_type", "ts_ns", "ts", "event_id",
+            "value"),
+        keys = Seq("user_id", "event_type"),
+        versionCols = Seq("ts_ns", "event_id"),
+        payloadCols = Seq("ts", "value"))
+        .drop("ts_ns"))
   )
 
   /** Exact blocked char-3-gram Jaccard ground truth — shared by q38 (the
@@ -1698,6 +1714,14 @@ object PipelineQueries {
         |SELECT source, docs, tokens, round(obs, 6) AS obs_share,
         |  target_share,
         |  round(least(target_share / obs, 4.0), 6) AS sampling_weight
-        |FROM w""".stripMargin)
+        |FROM w""".stripMargin),
+    "q103_latest_version" ->
+      """SELECT user_id, event_type, ts, event_id, value
+        |FROM (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin
   )
 }

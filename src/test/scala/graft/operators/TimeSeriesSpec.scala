@@ -82,6 +82,32 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, "2024-02-10", 1L, 8.0)))
   }
 
+  test("rollingTimeWindow plan: ONE shuffle") {
+    val df = Seq((1L, 1L, ns(0), 1.0))
+      .toDF("event_id", "user_id", "ts_ns", "value")
+    val plan = TimeSeries.rollingTimeWindow(df, "user_id", "ts_ns",
+        "value", ns(3600))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("funnel plan: one entity shuffle feeds every stacked window") {
+    // all N reached-flags share the (entity)-keyed Exchange+Sort; the
+    // per-entity reduction reuses that partitioning, and only the final
+    // single-row roll-up adds its own (SinglePartition) exchange — the
+    // point vs the N-self-joins form, which shuffles the events N times
+    val df = Seq((1L, 1L, ns(1), "view"))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val plan = TimeSeries.funnel(df, "user_id",
+        Seq(col("ts_ns"), col("event_id")), "event_type",
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one hash shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"funnel must not plan a join:\n$plan")
+  }
+
   test("gapFillDaily: an unbounded span fails loudly, not silently") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val df = Seq(
@@ -163,6 +189,43 @@ class MixPlanSpec extends SparkSpec {
       Sampling.domainMixPlan(df, "source", col("toks"),
         targets = Map("a" -> 0.5))
     }
+  }
+}
+
+class LatestVersionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latestVersion: newest version per key, tiebreak on the id") {
+    val df = Seq(
+      (1L, "a", 10L, 1L, 1.0), (1L, "a", 20L, 2L, 2.0), // newer wins
+      (1L, "b", 5L, 3L, 3.0),                           // lone version
+      (2L, "a", 7L, 4L, 4.0), (2L, "a", 7L, 5L, 5.0))   // ts tie → id 5
+      .toDF("user_id", "event_type", "ts_ns", "event_id", "value")
+    val out = Dedup.latestVersion(df, Seq("user_id", "event_type"),
+        Seq("ts_ns", "event_id"), Seq("value"))
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, "a", 20L, 2L, 2.0), (1L, "b", 5L, 3L, 3.0),
+      (2L, "a", 7L, 5L, 5.0)))
+  }
+
+  test("latestVersion plan: map-side-combined aggregate, no window") {
+    val df = Seq((1L, "a", 1L, 1L, 1.0))
+      .toDF("user_id", "event_type", "ts_ns", "event_id", "value")
+    val plan = Dedup.latestVersion(df, Seq("user_id", "event_type"),
+        Seq("ts_ns", "event_id"), Seq("value"))
+      .queryExecution.executedPlan.toString
+    // the point of max_by over row_number: partial_max_by combines
+    // map-side, so a hot key ships ONE row per task instead of its full
+    // version history. (The struct ordering key makes Spark pick
+    // SortAggregate — that sort is task-local by GROUP key, bounded by
+    // task input, not key hotness; the Window form's per-key sort is
+    // what must not appear.)
+    assert(!plan.contains("Window"), s"expected no window:\n$plan")
+    assert(plan.contains("partial_max_by"),
+      s"expected a map-side partial aggregate:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle:\n$plan")
   }
 }
 
