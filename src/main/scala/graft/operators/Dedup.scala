@@ -557,4 +557,63 @@ object Dedup {
       .select(keys.map(col) ++
         carried.map(c => col(s"__last.$c").as(c)): _*)
   }
+
+  /** Corpus-wide line-level exact dedup: C4's line-granular "discard all
+    * but one of any three-sentence span occurring more than once"
+    * (Raffel et al. 2020 §2.2), at line granularity — every repeated
+    * line across the WHOLE corpus keeps exactly its first occurrence
+    * (smallest (id, position)) and is deleted everywhere else, including
+    * repeats inside one document. Whole-document dedup ([[exactDedup]])
+    * misses boilerplate that rides inside otherwise-unique pages
+    * (cookie banners, nav footers, license blocks); this is the operator
+    * that strips it.
+    *
+    * Lines shorter than `minLineChars` are ALWAYS kept: blank separators
+    * and one-word headers are document structure, not boilerplate, and
+    * deduping the empty string corpus-wide would delete every paragraph
+    * break but one.
+    *
+    * Scale design — the document body never shuffles:
+    *   1. one scan projects (16-byte line fp, id, pos) per eligible line;
+    *   2. the first occurrence per fp is a min(struct(id, pos)) AGGREGATE
+    *      (map-side combinable: a banner line repeated millions of times
+    *      collapses to one partial row per map task — the same
+    *      agg-over-window skew reasoning as [[duplicatedChunkStats]];
+    *      repeated lines are the NORM here, so the window form's
+    *      one-task-per-hot-fp funnel is the wrong default), and only
+    *      fingerprints seen more than once survive into the join;
+    *   3. losers = fp-keyed join of the (fp, id, pos) projection against
+    *      those winners (AQE skew-splittable), reduced to
+    *      (id, [removed positions]) — sized by REMOVED lines only;
+    *   4. a second scan left-joins that removal list on the document's
+    *      own id key and rebuilds the text with an index-filter lambda;
+    *      untouched documents pass through with zero rewriting.
+    *
+    * Output: (id, textCol rebuilt, n_removed).
+    */
+  def lineDedup(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minLineChars: Int = 10): DataFrame = {
+    val id = col(idCol)
+    val lines = df
+      .select(id, posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .filter(length(col("__line")) >= minLineChars)
+      .select(id, col("__pos"), md5(col("__line")).as("__fp"))
+    val winners = lines.groupBy(col("__fp"))
+      .agg(min(struct(id, col("__pos"))).as("__w"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__fp"), col("__w"))
+    val removed = lines.join(winners, "__fp")
+      .filter(!(id === col(s"__w.$idCol") && col("__pos") === col("__w.__pos")))
+      .groupBy(id).agg(collect_list(col("__pos")).as("__rm"))
+    df.join(removed, Seq(idCol), "left")
+      .select(id,
+        when(col("__rm").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(split(col(textCol), "\n"),
+              (_, i) => !array_contains(col("__rm"), i)), "\n"))
+          .as(textCol),
+        when(col("__rm").isNull, lit(0))
+          .otherwise(size(col("__rm"))).as("n_removed"))
+  }
 }

@@ -211,4 +211,46 @@ object Sampling {
         round(least(col("target_share") / col("__obs"), lit(maxEpochs)), 6)
           .as("sampling_weight"))
   }
+
+  /** Strided context-window chunking — the LM-training complement of
+    * [[packSequences]]: instead of packing whole short documents into a
+    * budget, slice each LONG document into overlapping `seqLen`-token
+    * windows starting every `stride` tokens (stride < seqLen ⇒ overlap,
+    * the standard perplexity/fine-tuning windowing; stride = seqLen ⇒
+    * disjoint blocks). Every token of the document appears in at least
+    * one chunk; the final window is short when the tail is (standard LM
+    * convention — it is padded downstream, not dropped here).
+    *
+    * Output: (id, chunk_id, start_tok, chunk_tokens, chunk_text) —
+    * chunk_id = start_tok / stride. Token-free documents produce no
+    * chunks.
+    *
+    * Scale shape: a pure per-row projection + a bounded generator (at
+    * most ceil(n/stride) rows per document) — NO shuffle anywhere; the
+    * output is bigger than the input by design (the overlap factor
+    * ~seqLen/stride), which is the materialization cost of the operator,
+    * not a plan defect. Tokenization is the repo's whitespace kernel
+    * ([[TextAnalysis.tokens]]), evaluated once per row.
+    */
+  def stridedChunks(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", seqLen: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(seqLen >= stride,
+      s"seqLen ($seqLen) < stride ($stride) would drop tokens between " +
+        "windows — every token must land in at least one chunk")
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as("start_tok"))
+      .select(col(idCol),
+        (col("start_tok") / stride).cast("int").as("chunk_id"),
+        col("start_tok"),
+        least(lit(seqLen), size(col("__toks")) - col("start_tok"))
+          .as("chunk_tokens"),
+        array_join(slice(col("__toks"), col("start_tok") + 1, lit(seqLen)),
+          " ").as("chunk_text"))
+  }
 }

@@ -122,4 +122,38 @@ object TimeSeries {
         coalesce(col("cnt"), lit(0L)).as("cnt"),
         round(coalesce(col("sum_v"), lit(0.0)), 4).as("sum_v"))
   }
+
+  /** SCD2 intervalization of a change feed: per `key`, drop rows whose
+    * `tracked` value is unchanged from the previous row (no-op updates —
+    * the bulk of any refresh feed), then give each surviving change a
+    * validity interval: `valid_from` = its own `tsCol`, `valid_to` = the
+    * NEXT change's `tsCol` (NULL ⇒ currently-valid row). The output is
+    * the slowly-changing-dimension type-2 table a warehouse join targets
+    * with `valid_from <= t < valid_to` (the [[RangeJoin]] shape).
+    *
+    * One logical shuffle: the change-detecting `lag` and the
+    * intervalizing `lead` use the same (key)-partitioning and `order`,
+    * and the Filter between them preserves both, so the physical plan
+    * sorts once and stacks both Window operators over a single Exchange
+    * (plan-asserted in TimeSeriesSpec).
+    *
+    * Skew: a hot key serializes through one task, like every per-entity
+    * window here — [[Windows.saltedRollingAvg]]'s chunking remedy does
+    * NOT apply (lead/lag cross chunk boundaries), but change-feed keys
+    * are entity ids, bounded by real-world update rates.
+    *
+    * `order` must be a deterministic total order (tiebreak column
+    * alongside the timestamp) — equal-version ties would otherwise elect
+    * different change rows across engines and retries.
+    */
+  def scd2(df: DataFrame, key: String, order: Seq[Column], tracked: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    df.withColumn("__prev", lag(col(tracked), 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> col(tracked)))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev")
+  }
 }

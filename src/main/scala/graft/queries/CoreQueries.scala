@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Gold, Imputation, Pivot, RangeJoin, Sketches, SkewJoin, TimeSeries, Windows}
+import graft.operators.{AsOfJoin, Gold, Imputation, Pivot, RangeJoin, Sketches, SkewJoin, Snapshot, TimeSeries, Windows}
 
 /** Reference-parity query registry (SURVEY.md §2), mapped onto the harness
   * tables (FIXTURES.md §B mapping: `events` plays the observations fact,
@@ -601,6 +601,74 @@ object CoreQueries {
         .groupBy($"n_name")
         .agg(r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
           .as("revenue"), count(lit(1)).as("line_count"))
+    }),
+
+    // SCD2 intervalization: per-user event_type change history with
+    // [valid_from, valid_to) validity — no-op updates collapsed by the
+    // lag filter, intervals from the lead over the survivors; both
+    // windows share one (user)-shuffle+sort. Ordered by (ts_ns,
+    // event_id) — the ns key avoids µs-tie ambiguity (q63 convention) —
+    // but emits the µs ts as the interval bounds.
+    "q105_scd2" -> ((s, d) => {
+      import s.implicits._
+      TimeSeries.scd2(
+        Tables.events(s, d)
+          .select("user_id", "event_id", "event_type", "ts_ns", "ts"),
+        "user_id", Seq($"ts_ns", $"event_id"), "event_type", "ts")
+        .select($"user_id", $"event_id", $"event_type",
+          $"valid_from", $"valid_to", $"is_current")
+    }),
+
+    // Period-over-period snapshot diff: per-(user, event_type) activity
+    // profile in week 2 of Jan vs week 4, every key classified
+    // added/removed/changed/unchanged. Two aggregate-sized snapshots
+    // into one full-outer join — the CDC audit shape.
+    "q106_snapshot_diff" -> ((s, d) => {
+      import s.implicits._
+      def snap(lo: String, hi: String) = Tables.events(s, d)
+        .filter($"ts" >= lo && $"ts" < hi)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("cnt"), r4(sum($"value")).as("sum_v"))
+      Snapshot.snapshotDiff(
+        snap("2024-01-08", "2024-01-15"), snap("2024-01-22", "2024-01-29"),
+        Seq("user_id", "event_type"))
+    }),
+
+    // Ranking/offset window suite over a customer's order history:
+    // row_number, lag, lead, running sum, ntile, percent_rank — one
+    // partitioning and order for every expression, so the plan carries
+    // a single Exchange (the Window operators stack over it). Ordered
+    // by (o_orderdate, o_orderkey): the unique orderkey tiebreak makes
+    // every offset/rank function deterministic (lineitem has NO unique
+    // in-order key in this fixture — l_linenumber repeats per order).
+    "q107_window_suite" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select($"o_custkey", $"o_orderkey",
+        row_number().over(w).as("rn"),
+        lag($"o_totalprice", 1).over(w).as("prev_total"),
+        lead($"o_totalprice", 1).over(w).as("next_total"),
+        r4(sum($"o_totalprice").over(run)).as("run_total"),
+        ntile(4).over(w).as("quartile"),
+        r4(percent_rank().over(w)).as("pct_rank"))
+    }),
+
+    // Explicit GROUPING SETS (the rollup/cube generalization — q48/q49
+    // cover the fixed shapes): (flag, status), (flag), () in ONE pass
+    // via the Expand rewrite, grouping_id() disambiguating the
+    // aggregation level from genuine NULL keys.
+    "q109_grouping_sets" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
+            Seq.empty),
+          $"l_returnflag", $"l_linestatus")
+        .agg(grouping_id().as("gid"),
+          r4(sum($"l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
     })
   )
 
@@ -918,6 +986,75 @@ object CoreQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY n_name""".stripMargin
+        |GROUP BY n_name""".stripMargin,
+    // Mirrors scd2 exactly: IS DISTINCT FROM is the lag filter's
+    // null-safe change test; ORDER BY (ts, event_id) is the same total
+    // order as Spark's (ts_ns, event_id) — no two fixture events of one
+    // user share a microsecond (q44's established convention).
+    "q105_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, event_type, ts FROM c
+        |  WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM ch""".stripMargin,
+    // Presence flags via o.user_id/n.user_id are sound here because the
+    // key columns are grouped-by outputs of non-null fixture columns
+    // (the Spark operator uses explicit flags and needs no such
+    // assumption).
+    "q106_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, count(*) AS cnt,
+        |    round(sum(value), 4) AS sum_v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |  GROUP BY 1, 2),
+        |n AS (
+        |  SELECT user_id, event_type, count(*) AS cnt,
+        |    round(sum(value), 4) AS sum_v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'
+        |  GROUP BY 1, 2)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  coalesce(o.event_type, n.event_type) AS event_type,
+        |  o.cnt AS old_cnt, o.sum_v AS old_sum_v,
+        |  n.cnt AS new_cnt, n.sum_v AS new_sum_v,
+        |  CASE WHEN o.user_id IS NULL THEN 'added'
+        |       WHEN n.user_id IS NULL THEN 'removed'
+        |       WHEN o.cnt IS DISTINCT FROM n.cnt
+        |         OR o.sum_v IS DISTINCT FROM n.sum_v THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL JOIN n
+        |  ON o.user_id = n.user_id AND o.event_type = n.event_type""".stripMargin,
+    "q107_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | row_number() OVER w AS rn,
+        | lag(o_totalprice, 1) OVER w AS prev_total,
+        | lead(o_totalprice, 1) OVER w AS next_total,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |   AS run_total,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w, 4) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q109_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | grouping(l_returnflag, l_linestatus)::BIGINT AS gid,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin
   )
 }

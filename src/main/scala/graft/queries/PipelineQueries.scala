@@ -563,7 +563,32 @@ object PipelineQueries {
         keys = Seq("user_id", "event_type"),
         versionCols = Seq("ts_ns", "event_id"),
         payloadCols = Seq("ts", "value"))
-        .drop("ts_ns"))
+        .drop("ts_ns")),
+
+    // Corpus-wide line-level dedup (C4's line-granular rule): every 7th
+    // doc gets the same two boilerplate footer lines — the first
+    // occurrence (lowest (doc_id, pos)) survives, every other copy is
+    // deleted from its reassembled document; the unique body lines pass
+    // through untouched. Short lines (< 10 chars) are exempt by
+    // contract.
+    "q104_line_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit("\nsubscribe to our newsletter for updates" +
+              "\nall rights reserved worldwide")))
+          .otherwise(col("text")))
+      Dedup.lineDedup(base)
+    }),
+
+    // Strided 64-token context windows every 48 tokens (overlap 16):
+    // the LM-training chunk materialization. Pure projection + bounded
+    // generator — no shuffle; output grows by the overlap factor by
+    // design.
+    "q108_strided_chunks" -> ((s, d) =>
+      Sampling.stridedChunks(Tables.documents(s, d), seqLen = 64,
+        stride = 48))
   )
 
   /** Exact blocked char-3-gram Jaccard ground truth — shared by q38 (the
@@ -1722,6 +1747,54 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    // Mirrors lineDedup: same \n split (trailing empties kept by both
+    // engines), same >= 10-char eligibility, first occurrence =
+    // row_number over (doc_id, pos) ≡ the operator's min(struct) winner;
+    // string_agg skips the CASE's NULLs exactly like the index-filter
+    // lambda drops removed positions, and the all-lines-removed doc
+    // coalesces to '' on both sides (array_join of an empty array).
+    "q104_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN
+        |      text || chr(10) || 'subscribe to our newsletter for updates'
+        |        || chr(10) || 'all rights reserved worldwide'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |expl AS (
+        |  SELECT doc_id, unnest(lines) AS line,
+        |    CAST(unnest(range(0, len(lines))) AS INT) AS pos
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+        |        FROM base)),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+        |        AS rn
+        |    FROM expl WHERE length(line) >= 10)
+        |  WHERE rn > 1)
+        |SELECT e.doc_id,
+        |  coalesce(string_agg(CASE WHEN d.pos IS NULL THEN e.line END,
+        |    chr(10) ORDER BY e.pos), '') AS text,
+        |  count(d.pos)::INT AS n_removed
+        |FROM expl e LEFT JOIN dup d
+        |  ON e.doc_id = d.doc_id AND e.pos = d.pos
+        |GROUP BY e.doc_id""".stripMargin,
+    // list_slice's inclusive end clamps at the list tail exactly like
+    // Spark's length-64 slice; range(0, n, 48) excludes n, matching
+    // sequence(0, n-1, 48).
+    "q108_strided_chunks" -> (ToksCte +
+      """
+        |, c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, len(toks), 48)) AS s0
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  (s0 // 48)::INT AS chunk_id,
+        |  s0::INT AS start_tok,
+        |  least(64, len(toks) - s0)::INT AS chunk_tokens,
+        |  array_to_string(list_slice(toks, s0 + 1, s0 + 64), ' ')
+        |    AS chunk_text
+        |FROM c""".stripMargin)
   )
 }

@@ -1164,3 +1164,102 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 }
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lineDedup: first occurrence survives, later copies deleted, " +
+    "short lines exempt, within-doc repeats collapse") {
+    val footer = "all rights reserved by the publisher"
+    val df = Seq(
+      (1L, s"unique first body line of doc one\n$footer\nok"),
+      (2L, s"unique body line of doc two\n$footer"),
+      // within-doc repeat: second copy of its own line 0 is deleted
+      (3L, "repeated inside this one document\n" +
+        "repeated inside this one document"),
+      // short line "ok" repeats across docs 1 and 4 — exempt, both kept
+      (4L, "ok"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df).as[(Long, String, Int)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L,
+      s"unique first body line of doc one\n$footer\nok", 0)))
+    assert(out(1) == ((2L, "unique body line of doc two", 1)))
+    assert(out(2) == ((3L, "repeated inside this one document", 1)))
+    assert(out(3) == ((4L, "ok", 0)))
+  }
+
+  test("lineDedup: a doc losing every eligible line reassembles to ''") {
+    val df = Seq(
+      (1L, "only one shared boilerplate line"),
+      (2L, "only one shared boilerplate line"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df).as[(Long, String, Int)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, "only one shared boilerplate line", 0)))
+    assert(out(1) == ((2L, "", 1)))
+  }
+
+  test("lineDedup plan: document text never shuffles") {
+    // every Exchange carries fp/pos/id projections — the text column
+    // appears only in scans and in the final id-keyed join's probe side.
+    // AQE off for the assertion: its wrapper node hides the exchanges
+    // from collect() until execution.
+    val df = Seq((1L, "a line long enough to be eligible"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.lineDedup(df).queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val carried = e.child.output.map(_.name)
+        assert(!carried.contains("text"),
+          s"text must not shuffle, but an Exchange carries $carried")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
+
+class StridedChunksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stridedChunks: overlap windows, short tail kept, empty doc dropped") {
+    // 10 tokens, seqLen=4, stride=3 -> starts 0,3,6,9
+    val toks = (0 until 10).map(i => s"t$i")
+    val df = Seq((1L, toks.mkString(" ")), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Sampling.stridedChunks(df, seqLen = 4, stride = 3)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    val one = out.filter(_._1 == 1L)
+    assert(one.map(_._3).toSeq == Seq(0, 3, 6, 9))
+    assert(one.map(_._4).toSeq == Seq(4, 4, 4, 1))
+    assert(one.head._5 == "t0 t1 t2 t3" && one.last._5 == "t9")
+    // every token appears in at least one chunk
+    assert(one.flatMap(_._5.split(" ")).distinct.length == 10)
+    assert(!out.exists(_._1 == 2L), "token-free doc emits no chunks")
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, 0, 1, "solo")))
+  }
+
+  test("stridedChunks: disjoint blocks at stride == seqLen; bad strides rejected") {
+    val df = Seq((1L, (0 until 7).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sampling.stridedChunks(df, seqLen = 3, stride = 3)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._2)
+    assert(out.map(_._5).toSeq == Seq("t0 t1 t2", "t3 t4 t5", "t6"))
+    intercept[IllegalArgumentException] {
+      Sampling.stridedChunks(df, seqLen = 2, stride = 3) // drops tokens
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stridedChunks(df, seqLen = 4, stride = 0)
+    }
+  }
+
+  test("stridedChunks plan: no shuffle — a pure generator projection") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Sampling.stridedChunks(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+  }
+}

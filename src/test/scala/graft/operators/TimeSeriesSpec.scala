@@ -248,3 +248,104 @@ class QualityLogitSpec extends SparkSpec {
     out.values.foreach(s => assert(s > 0.0 && s < 1.0))
   }
 }
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd2: no-op updates collapse, intervals chain, last row current") {
+    val df = Seq(
+      // user 1: A, A (no-op), B, B (no-op), A  -> three intervals
+      (1L, 10L, "A", ts("2024-01-01 00:00:00")),
+      (1L, 11L, "A", ts("2024-01-02 00:00:00")),
+      (1L, 12L, "B", ts("2024-01-03 00:00:00")),
+      (1L, 13L, "B", ts("2024-01-04 00:00:00")),
+      (1L, 14L, "A", ts("2024-01-05 00:00:00")),
+      // user 2: single row -> one current interval
+      (2L, 20L, "X", ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_id", "tracked", "ts")
+    val out = TimeSeries.scd2(df, "user_id",
+        Seq(col("ts"), col("event_id")), "tracked", "ts")
+      .select("user_id", "event_id", "tracked", "valid_from", "valid_to",
+        "is_current")
+      .as[(Long, Long, String, java.sql.Timestamp,
+        Option[java.sql.Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 10L, "A"), (1L, 12L, "B"), (1L, 14L, "A"), (2L, 20L, "X")))
+    // intervals chain: valid_to of one change = valid_from of the next
+    assert(out(0)._5.contains(out(1)._4) && out(1)._5.contains(out(2)._4))
+    assert(out(2)._5.isEmpty && out(2)._6, "last change is current")
+    assert(out(3)._5.isEmpty && out(3)._6)
+    assert(out.take(2).forall(!_._6))
+  }
+
+  test("scd2: equal-version ties break on the tiebreak column") {
+    val t = ts("2024-01-01 00:00:00")
+    val df = Seq(
+      (1L, 2L, "B", t), (1L, 1L, "A", t), (1L, 3L, "A", ts("2024-01-02 00:00:00")))
+      .toDF("user_id", "event_id", "tracked", "ts")
+    val out = TimeSeries.scd2(df, "user_id",
+        Seq(col("ts"), col("event_id")), "tracked", "ts")
+      .select("event_id").as[Long].collect().sorted
+    // order is (ts, event_id): A(1), B(2), A(3) — all three are changes
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("scd2 plan: lag filter and lead share ONE shuffle") {
+    val df = Seq((1L, 1L, "A", ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_id", "tracked", "ts")
+    val plan = TimeSeries.scd2(df, "user_id",
+        Seq(col("ts"), col("event_id")), "tracked", "ts")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+}
+
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff: all four statuses, null-safe payload compare") {
+    val oldDf = Seq(
+      (1L, Some(10), "same"),          // unchanged
+      (2L, Some(20), "old"),           // changed (value)
+      (3L, None: Option[Int], "gone"), // removed
+      (5L, None: Option[Int], "n"))    // unchanged with NULL payload
+      .toDF("k", "v", "s")
+    val newDf = Seq(
+      (1L, Some(10), "same"),
+      (2L, Some(21), "old"),
+      (4L, Some(40), "new"),           // added
+      (5L, None: Option[Int], "n"))
+      .toDF("k", "v", "s")
+    val out = Snapshot.snapshotDiff(oldDf, newDf, Seq("k"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
+
+  test("snapshotDiff: NULL-to-value payload flip is a change") {
+    val oldDf = Seq((1L, None: Option[Int])).toDF("k", "v")
+    val newDf = Seq((1L, Some(7))).toDF("k", "v")
+    val out = Snapshot.snapshotDiff(oldDf, newDf, Seq("k"))
+      .select("status").as[String].collect()
+    assert(out.toSeq == Seq("changed"))
+  }
+
+  test("snapshotDiff: carries both versions of a changed payload") {
+    val oldDf = Seq((1L, 10)).toDF("k", "v")
+    val newDf = Seq((1L, 11)).toDF("k", "v")
+    val row = Snapshot.snapshotDiff(oldDf, newDf, Seq("k"))
+      .select("old_v", "new_v").as[(Int, Int)].collect().head
+    assert(row == ((10, 11)))
+  }
+
+  test("snapshotDiff: mismatched payload schemas rejected") {
+    intercept[IllegalArgumentException] {
+      Snapshot.snapshotDiff(Seq((1L, 1)).toDF("k", "a"),
+        Seq((1L, 1)).toDF("k", "b"), Seq("k"))
+    }
+  }
+}
