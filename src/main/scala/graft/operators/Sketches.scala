@@ -143,6 +143,27 @@ object Sketches {
     * the build side's `buildKey` set. `expectedItems` sizes the sketch
     * (bits ≈ 8× items keeps FPP ≈ 2%).
     */
+  /** Fixed-width histogram: per-bin row counts with [bin_lo, bin_hi)
+    * bounds. A plain map-side-combinable aggregate — shuffle cardinality
+    * is (value range / binWidth) bins, independent of row count, so the
+    * distribution profile of a 100 TB column costs one scan + a
+    * KB-sized shuffle. NULL values land in a NULL bin (surfaced, not
+    * silently dropped — a spike there is a data-quality finding).
+    *
+    * Bin edges are floor(v / binWidth) * binWidth: float-exact in both
+    * engines for sane widths, and half-open so a value on an edge
+    * belongs to the higher bin.
+    */
+  def histogram(df: DataFrame, valueCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val lo = floor(col(valueCol) / binWidth) * binWidth
+    df.groupBy(lo.as("bin_lo"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bin_lo"), (col("bin_lo") + binWidth).as("bin_hi"),
+        col("cnt"))
+  }
+
   def bloomSemiFilter(probe: DataFrame, probeKey: Column,
       build: DataFrame, buildKey: Column,
       expectedItems: Long = 100000L): DataFrame = {

@@ -96,6 +96,28 @@ object TextAnalysis {
     }
   }
 
+  /** In-vocabulary token stats against a FIXED reference vocabulary —
+    * the tokenizer-fit signal: a corpus slice whose coverage collapses
+    * will fragment into rare subwords at training time (and is often
+    * just the wrong language/encoding for the tokenizer). Returns a
+    * (n_tokens, in_vocab, coverage) struct; coverage is null on
+    * token-free text.
+    *
+    * The vocabulary is a query literal, not a table: tokenizer vocabs
+    * ship with the JOB (a few 10k entries — well inside literal/broadcast
+    * budgets), so membership is a per-row codegen'd HOF over the token
+    * array with NO join and no shuffle. Matching is exact and
+    * case-sensitive, like a tokenizer's.
+    */
+  def vocabCoverage(text: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty, "vocabCoverage needs a non-empty vocabulary")
+    val toks = tokens(text)
+    val n = size(toks)
+    val hits = size(filter(toks, t => array_contains(typedLit(vocab), t)))
+    struct(n.as("n_tokens"), hits.as("in_vocab"),
+      round(ratio(hits, n), 4).as("coverage"))
+  }
+
   /** Composite quality score in [0,1]: four equal-weight heuristics a
     * pretraining filter would apply (length band, token-length band,
     * stopword presence, alphabetic density). Deterministic thresholds so

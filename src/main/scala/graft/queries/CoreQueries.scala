@@ -669,6 +669,36 @@ object CoreQueries {
         .agg(grouping_id().as("gid"),
           r4(sum($"l_quantity")).as("sum_qty"),
           count(lit(1)).as("cnt"))
+    }),
+
+    // TPC-H-Q17-shaped correlated aggregate (small-quantity revenue for
+    // one brand): the per-part average is a WINDOW over the brand-pruned
+    // lineitem slice, not the textbook self-join — one scan + one
+    // part-keyed shuffle instead of building and probing the fact table
+    // twice; the brand semi-join broadcasts the metadata-sized part
+    // keys, so the filter prunes before the shuffle.
+    "q110_small_qty_revenue" -> ((s, d) => {
+      import s.implicits._
+      val brandParts = Tables.part(s, d)
+        .filter($"p_brand" === "Brand#4").select($"p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+      li.withColumn("qty_thr",
+          avg($"l_quantity").over(Window.partitionBy($"l_partkey")) * 0.2)
+        .filter($"l_quantity" < $"qty_thr")
+        .agg(r4(sum($"l_extendedprice") / 7.0).as("avg_yearly"))
+    }),
+
+    // Exact per-group percentiles (median + p90): sort-based aggregate,
+    // group-bounded state — the exact companion to q75's sketch
+    // bucketing (which is the 100 TB path when cutpoints may be
+    // approximate).
+    "q111_group_percentiles" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d).groupBy($"event_type")
+        .agg(r4(median($"value")).as("med_value"),
+          r4(percentile($"value", lit(0.9))).as("p90_value"),
+          count(lit(1)).as("cnt"))
     })
   )
 
@@ -1055,6 +1085,21 @@ object CoreQueries {
         | count(*) AS cnt
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-        |  (l_returnflag), ())""".stripMargin
+        |  (l_returnflag), ())""".stripMargin,
+    // The textbook correlated-subquery rendering of the window form.
+    "q110_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+    // median ≡ quantile_cont(0.5); both engines interpolate linearly.
+    "q111_group_percentiles" ->
+      """SELECT event_type,
+        | round(median(value), 4) AS med_value,
+        | round(quantile_cont(value, 0.9), 4) AS p90_value,
+        | count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -588,8 +588,35 @@ object PipelineQueries {
     // design.
     "q108_strided_chunks" -> ((s, d) =>
       Sampling.stridedChunks(Tables.documents(s, d), seqLen = 64,
-        stride = 48))
+        stride = 48)),
+
+    // Fixed-width document-length histogram: one scan, bin-cardinality
+    // shuffle.
+    "q112_length_histogram" -> ((s, d) =>
+      graft.operators.Sketches.histogram(
+        Tables.documents(s, d)
+          .select(col("doc_id"), length(col("text")).as("n_chars")),
+        "n_chars", binWidth = 200.0)),
+
+    // Tokenizer-fit coverage vs a fixed reference vocabulary (a query
+    // literal — no join, no shuffle; per-row HOF membership).
+    "q113_vocab_coverage" -> ((s, d) => {
+      val v = TextAnalysis.vocabCoverage(col("text"), GateVocab)
+      Tables.documents(s, d).select(col("doc_id"),
+        v.getField("n_tokens").as("n_tokens"),
+        v.getField("in_vocab").as("in_vocab"),
+        v.getField("coverage").as("coverage"))
+    })
   )
+
+  /** Fixed gate vocabulary for q113 — stands in for a tokenizer vocab
+    * (the fixture corpus is synthetic data-engine prose, so these hit a
+    * informative mid-range coverage).
+    */
+  private val GateVocab: Seq[String] = Seq(
+    "the", "a", "table", "row", "key", "value", "scan", "sort", "join",
+    "group", "window", "spark", "fast", "slow", "agg", "hash", "merge",
+    "part", "line", "batch")
 
   /** Exact blocked char-3-gram Jaccard ground truth — shared by q38 (the
     * block-local all-pairs operator) and q67 (the prefix-filtered
@@ -1795,6 +1822,28 @@ object PipelineQueries {
         |  least(64, len(toks) - s0)::INT AS chunk_tokens,
         |  array_to_string(list_slice(toks, s0 + 1, s0 + 64), ' ')
         |    AS chunk_text
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin),
+    "q112_length_histogram" ->
+      """SELECT floor(length(text) / 200.0) * 200.0 AS bin_lo,
+        |  floor(length(text) / 200.0) * 200.0 + 200.0 AS bin_hi,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // Same fixed vocabulary as the Spark literal; exact case-sensitive
+    // membership over the shared whitespace tokenization.
+    "q113_vocab_coverage" -> (ToksCte +
+      """
+        |SELECT doc_id,
+        |  len(toks)::INT AS n_tokens,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['the','a','table','row','key','value','scan','sort','join',
+        |     'group','window','spark','fast','slow','agg','hash','merge',
+        |     'part','line','batch'], x)))::INT AS in_vocab,
+        |  round(CASE WHEN len(toks) > 0 THEN
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','a','table','row','key','value','scan','sort','join',
+        |       'group','window','spark','fast','slow','agg','hash','merge',
+        |       'part','line','batch'], x)))::DOUBLE / len(toks) END, 4)
+        |    AS coverage
+        |FROM t""".stripMargin)
   )
 }

@@ -1263,3 +1263,50 @@ class StridedChunksSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
   }
 }
+
+class HistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram: half-open fixed-width bins, NULL bin surfaced") {
+    val df = Seq(Some(0.0), Some(199.0), Some(200.0), Some(350.0),
+      Some(-1.0), None).toDF("v")
+    val out = Sketches.histogram(df, "v", 200.0)
+      .as[(Option[Double], Option[Double], Long)].collect()
+      .map(r => (r._1, r._3)).toMap
+    // 200.0 sits on an edge -> higher bin; -1 -> [-200, 0); null -> null
+    assert(out == Map(Some(0.0) -> 2L, Some(200.0) -> 2L,
+      Some(-200.0) -> 1L, None -> 1L))
+  }
+
+  test("histogram: bin width must be positive") {
+    intercept[IllegalArgumentException] {
+      Sketches.histogram(Seq(1.0).toDF("v"), "v", 0.0)
+    }
+  }
+}
+
+class VocabCoverageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabCoverage: multiplicity counts, case-sensitive, empty text null") {
+    val v = Seq("the", "cat")
+    val df = Seq(
+      (1L, "the cat the dog"), // 3 of 4 in vocab (the ×2 + cat)
+      (2L, "The CAT"),         // case-sensitive: 0 hits
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.vocabCoverage($"text", v).as("c"))
+      .select($"doc_id", $"c.n_tokens", $"c.in_vocab", $"c.coverage")
+      .as[(Long, Int, Int, Option[Double])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 4, 3, Some(0.75))))
+    assert(out(1) == ((2L, 2, 0, Some(0.0))))
+    assert(out(2) == ((3L, 0, 0, None)))
+  }
+
+  test("vocabCoverage: empty vocabulary rejected") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(col("text"), Seq.empty)
+    }
+  }
+}
