@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Gold, Imputation, Pivot, RangeJoin, Sketches, SkewJoin, Snapshot, TimeSeries, Windows}
+import graft.operators.{AsOfJoin, Gold, Imputation, IncrementalAgg, Pivot, RangeJoin, Sketches, SkewJoin, Snapshot, TimeSeries, Windows}
 
 /** Reference-parity query registry (SURVEY.md §2), mapped onto the harness
   * tables (FIXTURES.md §B mapping: `events` plays the observations fact,
@@ -699,6 +699,23 @@ object CoreQueries {
         .agg(r4(median($"value")).as("med_value"),
           r4(percentile($"value", lit(0.9))).as("p90_value"),
           count(lit(1)).as("cnt"))
+    }),
+
+    // Incremental aggregate maintenance: stored daily state (events
+    // before Jan 20) merged with the new batch's delta state — the
+    // oracle is the FULL recompute, so the gate enforces the semigroup
+    // contract merge(state≤t1, delta(t1,∞)) ≡ state(all). Rounding
+    // happens once, at presentation — never on partial state.
+    "q114_incremental_agg" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"ts", $"value")
+      val stored = IncrementalAgg.dailyState(
+        ev.filter($"ts" < "2024-01-20"), "user_id", "ts", "value")
+      val delta = IncrementalAgg.dailyState(
+        ev.filter($"ts" >= "2024-01-20"), "user_id", "ts", "value")
+      IncrementalAgg.mergeDaily(stored, delta, "user_id")
+        .select($"user_id", $"day", $"cnt", r4($"sum_v").as("sum_v"),
+          $"min_v", $"max_v")
     })
   )
 
@@ -1100,6 +1117,12 @@ object CoreQueries {
         | round(median(value), 4) AS med_value,
         | round(quantile_cont(value, 0.9), 4) AS p90_value,
         | count(*) AS cnt
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    // The full recompute the incremental merge must equal.
+    "q114_incremental_agg" ->
+      """SELECT user_id, ts::DATE AS day, count(*) AS cnt,
+        | round(sum(value), 4) AS sum_v,
+        | min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

@@ -125,6 +125,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: lineDedup on all-unique lines is the identity; always idempotent") {
+    // random multi-line docs built from per-doc-unique eligible lines:
+    // nothing repeats corpus-wide, so the rebuild must be byte-identical
+    // with n_removed = 0 — the reassembly path can't lose or reorder
+    // lines. And for ANY corpus (here: with planted repeats), running
+    // lineDedup twice equals running it once (first occurrences are
+    // already unique).
+    val lineGen = Gen.choose(0, 7).map(i => s"distinct payload line number $i")
+    val docGen = Gen.nonEmptyListOf(lineGen).map(_.distinct.mkString("\n"))
+    samples(Gen.nonEmptyListOf(docGen), 8).foreach { docs =>
+      val tagged = docs.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.linesIterator.zipWithIndex
+          .map { case (l, j) => s"$l of doc $i pos $j" }.mkString("\n"))
+      }
+      val out = Dedup.lineDedup(tagged.toDF("doc_id", "text"))
+        .as[(Long, String, Int)].collect().sortBy(_._1)
+      assert(out.map(r => (r._1, r._2)).toSeq == tagged)
+      assert(out.forall(_._3 == 0))
+    }
+    samples(Gen.nonEmptyListOf(docGen), 5).foreach { docs =>
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.lineDedup(df).select("doc_id", "text")
+      val twice = Dedup.lineDedup(once).select("doc_id", "text")
+      assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+    }
+  }
+
   test("property: pivot output has one row per distinct key") {
     val g = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5),
       Gen.oneOf("A", "B"), Gen.choose(-5.0, 5.0)))

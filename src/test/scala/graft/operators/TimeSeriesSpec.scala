@@ -349,3 +349,39 @@ class SnapshotDiffSpec extends SparkSpec {
     }
   }
 }
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("mergeDaily(state, delta) equals the full recompute") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2.0),
+      (1L, ts("2024-01-01 11:00:00"), -3.0),
+      (1L, ts("2024-01-02 10:00:00"), 5.0),
+      (2L, ts("2024-01-01 09:00:00"), 1.5),
+      (2L, ts("2024-01-03 09:00:00"), 4.5))
+      .toDF("user_id", "ts", "value")
+    // split mid-day 1: the (1, day1) key exists on BOTH sides of the
+    // merge; (1, day2) only in state; (2, day3) only in the delta
+    val stored = IncrementalAgg.dailyState(
+      events.filter($"ts" <= "2024-01-01 10:30:00"), "user_id", "ts", "value")
+    val delta = IncrementalAgg.dailyState(
+      events.filter($"ts" > "2024-01-01 10:30:00"), "user_id", "ts", "value")
+    val merged = IncrementalAgg.mergeDaily(stored, delta, "user_id")
+    val full = IncrementalAgg.dailyState(events, "user_id", "ts", "value")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    val d1 = merged.filter($"user_id" === 1 && $"day" === "2024-01-01")
+      .as[(Long, java.sql.Date, Long, Double, Double, Double)].collect().head
+    assert(d1._3 == 2L && d1._4 == -1.0 && d1._5 == -3.0 && d1._6 == 2.0)
+  }
+
+  test("mergeDaily rejects mismatched state schemas") {
+    val good = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1L, 1.0, 1.0, 1.0))
+      .toDF("user_id", "day", "cnt", "sum_v", "min_v", "max_v")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.mergeDaily(good, good.drop("max_v"), "user_id")
+    }
+  }
+}
