@@ -139,10 +139,6 @@ object Sketches {
       .select(col(valueCol), col("cnt"))
   }
 
-  /** Bloom-filter semi-join: keep probe rows whose `probeKey` might be in
-    * the build side's `buildKey` set. `expectedItems` sizes the sketch
-    * (bits ≈ 8× items keeps FPP ≈ 2%).
-    */
   /** Fixed-width histogram: per-bin row counts with [bin_lo, bin_hi)
     * bounds. A plain map-side-combinable aggregate — shuffle cardinality
     * is (value range / binWidth) bins, independent of row count, so the
@@ -164,6 +160,10 @@ object Sketches {
         col("cnt"))
   }
 
+  /** Bloom-filter semi-join: keep probe rows whose `probeKey` might be in
+    * the build side's `buildKey` set. `expectedItems` sizes the sketch
+    * (bits ≈ 8× items keeps FPP ≈ 2%).
+    */
   def bloomSemiFilter(probe: DataFrame, probeKey: Column,
       build: DataFrame, buildKey: Column,
       expectedItems: Long = 100000L): DataFrame = {

@@ -149,11 +149,18 @@ object TimeSeries {
   def scd2(df: DataFrame, key: String, order: Seq[Column], tracked: String,
       tsCol: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(order: _*)
-    df.withColumn("__prev", lag(col(tracked), 1).over(w))
-      .filter(col("__prev").isNull || !(col("__prev") <=> col(tracked)))
+    // First row is detected explicitly (row_number === 1), NOT by
+    // `__prev IS NULL`: a lag of NULL also occurs when the previous row's
+    // tracked value is genuinely NULL, and conflating the two would keep
+    // consecutive NULL tracked values as separate "changes" instead of
+    // collapsing them under the null-safe <=> compare. Same window spec →
+    // still one Exchange+Sort for all three window expressions.
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col(tracked), 1).over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(tracked)))
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
-      .drop("__prev")
+      .drop("__prev", "__rn")
   }
 }

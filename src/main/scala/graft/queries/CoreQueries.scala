@@ -606,15 +606,17 @@ object CoreQueries {
     // SCD2 intervalization: per-user event_type change history with
     // [valid_from, valid_to) validity — no-op updates collapsed by the
     // lag filter, intervals from the lead over the survivors; both
-    // windows share one (user)-shuffle+sort. Ordered by (ts_ns,
-    // event_id) — the ns key avoids µs-tie ambiguity (q63 convention) —
-    // but emits the µs ts as the interval bounds.
+    // windows share one (user)-shuffle+sort. Ordered by (ts, event_id):
+    // event_id is unique, so this is a deterministic total order that
+    // the µs-truncating DuckDB oracle can reproduce EXACTLY — no
+    // reliance on the fixture's one-event-per-µs convention (the raw ns
+    // values are NOT µs-aligned, so a ts_ns order would depend on it).
     "q105_scd2" -> ((s, d) => {
       import s.implicits._
       TimeSeries.scd2(
         Tables.events(s, d)
-          .select("user_id", "event_id", "event_type", "ts_ns", "ts"),
-        "user_id", Seq($"ts_ns", $"event_id"), "event_type", "ts")
+          .select("user_id", "event_id", "event_type", "ts"),
+        "user_id", Seq($"ts", $"event_id"), "event_type", "ts")
         .select($"user_id", $"event_id", $"event_type",
           $"valid_from", $"valid_to", $"is_current")
     }),
@@ -925,8 +927,13 @@ object CoreQueries {
         | count(DISTINCT ts::DATE) AS active_days,
         | round(sum(value), 4) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
-    // epoch_ns(ts) == the ts_ns long: the parquet ns values are
-    // µs-aligned, so DuckDB's µs TIMESTAMP truncation is lossless here.
+    // epoch_ns(ts) is the ts_ns long TRUNCATED to µs (DuckDB's parquet
+    // reader yields µs TIMESTAMPs; the raw ns values are NOT µs-aligned).
+    // The gate therefore relies on two fixture facts: no two events of
+    // one user share a microsecond (order agreement — the q44
+    // convention) and no per-user gap lands within 1 µs of the 30-min
+    // threshold (gap-test agreement). Both hold by construction of the
+    // generator's ms-scale spacing.
     "q63_sessionize" ->
       """WITH g AS (
         |  SELECT event_id, user_id, epoch_ns(ts) AS tns,
@@ -1034,19 +1041,22 @@ object CoreQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
-    // Mirrors scd2 exactly: IS DISTINCT FROM is the lag filter's
-    // null-safe change test; ORDER BY (ts, event_id) is the same total
-    // order as Spark's (ts_ns, event_id) — no two fixture events of one
-    // user share a microsecond (q44's established convention).
+    // Mirrors scd2 exactly: the first row per key is kept explicitly
+    // (rn = 1 — NOT `prev IS NULL`, which a NULL tracked value would
+    // also produce) and later rows survive on the null-safe IS DISTINCT
+    // FROM change test. ORDER BY (ts, event_id) is literally the same
+    // total order as the Spark side (both µs ts + unique event_id).
     "q105_scd2" ->
       """WITH c AS (
         |  SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
         |    lag(event_type) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id) AS prev
         |  FROM events),
         |ch AS (
         |  SELECT user_id, event_id, event_type, ts FROM c
-        |  WHERE prev IS DISTINCT FROM event_type)
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_id, event_type, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    AS valid_to,

@@ -1781,6 +1781,8 @@ object PipelineQueries {
     // string_agg skips the CASE's NULLs exactly like the index-filter
     // lambda drops removed positions, and the all-lines-removed doc
     // coalesces to '' on both sides (array_join of an empty array).
+    // The final LEFT JOIN back to base keeps NULL-text documents (zero
+    // expl rows) in the output, matching the operator's pass-through.
     "q104_line_dedup" ->
       """WITH base AS (
         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN
@@ -1799,14 +1801,17 @@ object PipelineQueries {
         |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
         |        AS rn
         |    FROM expl WHERE length(line) >= 10)
-        |  WHERE rn > 1)
-        |SELECT e.doc_id,
-        |  coalesce(string_agg(CASE WHEN d.pos IS NULL THEN e.line END,
-        |    chr(10) ORDER BY e.pos), '') AS text,
-        |  count(d.pos)::INT AS n_removed
-        |FROM expl e LEFT JOIN dup d
-        |  ON e.doc_id = d.doc_id AND e.pos = d.pos
-        |GROUP BY e.doc_id""".stripMargin,
+        |  WHERE rn > 1),
+        |re AS (
+        |  SELECT e.doc_id,
+        |    coalesce(string_agg(CASE WHEN d.pos IS NULL THEN e.line END,
+        |      chr(10) ORDER BY e.pos), '') AS text,
+        |    count(d.pos)::INT AS n_removed
+        |  FROM expl e LEFT JOIN dup d
+        |    ON e.doc_id = d.doc_id AND e.pos = d.pos
+        |  GROUP BY e.doc_id)
+        |SELECT b.doc_id, r.text, coalesce(r.n_removed, 0)::INT AS n_removed
+        |FROM base b LEFT JOIN re r USING (doc_id)""".stripMargin,
     // list_slice's inclusive end clamps at the list tail exactly like
     // Spark's length-64 slice; range(0, n, 48) excludes n, matching
     // sequence(0, n-1, 48).

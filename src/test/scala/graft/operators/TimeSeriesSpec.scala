@@ -293,6 +293,26 @@ class Scd2Spec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("scd2: consecutive NULL tracked values collapse; NULL-valued first row kept") {
+    val df = Seq(
+      // user 1 starts with NULL tracked: first row must survive (it IS
+      // the initial state), the second NULL is a no-op and must collapse,
+      // then NULL -> "A" and "A" -> NULL are real changes.
+      (1L, 10L, None: Option[String], ts("2024-01-01 00:00:00")),
+      (1L, 11L, None: Option[String], ts("2024-01-02 00:00:00")),
+      (1L, 12L, Some("A"), ts("2024-01-03 00:00:00")),
+      (1L, 13L, None: Option[String], ts("2024-01-04 00:00:00")),
+      (1L, 14L, None: Option[String], ts("2024-01-05 00:00:00")))
+      .toDF("user_id", "event_id", "tracked", "ts")
+    val out = TimeSeries.scd2(df, "user_id",
+        Seq(col("ts"), col("event_id")), "tracked", "ts")
+      .select("event_id", "is_current")
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(10L, 12L, 13L),
+      s"NULL-run collapse elected ${out.map(_._1).mkString(",")}")
+    assert(out.map(_._2).toSeq == Seq(false, false, true))
+  }
+
   test("scd2 plan: lag filter and lead share ONE shuffle") {
     val df = Seq((1L, 1L, "A", ts("2024-01-01 00:00:00")))
       .toDF("user_id", "event_id", "tracked", "ts")
