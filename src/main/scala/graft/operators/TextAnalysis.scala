@@ -103,17 +103,20 @@ object TextAnalysis {
     * (n_tokens, in_vocab, coverage) struct; coverage is null on
     * token-free text.
     *
-    * The vocabulary is a query literal, not a table: tokenizer vocabs
-    * ship with the JOB (a few 10k entries — well inside literal/broadcast
-    * budgets), so membership is a per-row codegen'd HOF over the token
-    * array with NO join and no shuffle. Matching is exact and
+    * The vocabulary is a plan-side literal, not a table: tokenizer
+    * vocabs ship with the JOB (a few 10k entries), so there is NO join
+    * and no shuffle. Membership is the codegen'd hash-set kernel
+    * [[graft.functions.VocabFunctions.inVocabCount]] — O(1) per token
+    * regardless of vocabulary size (an `array_contains`-over-literal HOF
+    * would be an interpreted O(|vocab|) scan per token: the wrong shape
+    * at a real 32k–100k BPE vocab). Matching is exact and
     * case-sensitive, like a tokenizer's.
     */
   def vocabCoverage(text: Column, vocab: Seq[String]): Column = {
     require(vocab.nonEmpty, "vocabCoverage needs a non-empty vocabulary")
     val toks = tokens(text)
     val n = size(toks)
-    val hits = size(filter(toks, t => array_contains(typedLit(vocab), t)))
+    val hits = graft.functions.VocabFunctions.inVocabCount(toks, vocab)
     struct(n.as("n_tokens"), hits.as("in_vocab"),
       round(ratio(hits, n), 4).as("coverage"))
   }

@@ -598,10 +598,12 @@ object PipelineQueries {
           .select(col("doc_id"), length(col("text")).as("n_chars")),
         "n_chars", binWidth = 200.0)),
 
-    // Tokenizer-fit coverage vs a fixed reference vocabulary (a query
-    // literal — no join, no shuffle; per-row HOF membership).
+    // Tokenizer-fit coverage vs a fixed reference vocabulary (a
+    // plan-side literal — no join, no shuffle; membership is the
+    // codegen'd O(1) hash-set kernel). Gated at a realistic 10k-entry
+    // vocabulary so the gate exercises the shape a real BPE vocab has.
     "q113_vocab_coverage" -> ((s, d) => {
-      val v = TextAnalysis.vocabCoverage(col("text"), GateVocab)
+      val v = TextAnalysis.vocabCoverage(col("text"), GateVocab10k)
       Tables.documents(s, d).select(col("doc_id"),
         v.getField("n_tokens").as("n_tokens"),
         v.getField("in_vocab").as("in_vocab"),
@@ -617,6 +619,18 @@ object PipelineQueries {
     "the", "a", "table", "row", "key", "value", "scan", "sort", "join",
     "group", "window", "spark", "fast", "slow", "agg", "hash", "merge",
     "part", "line", "batch")
+
+  /** 10,000-entry gate vocabulary: the 20 corpus words above plus 9,980
+    * deterministic filler entries (w00000..w09979) that both engines
+    * generate programmatically. The fixture corpus has only 31 distinct
+    * tokens, so the fillers never hit — the VALUES equal the 20-word
+    * gate's — but the Spark side now probes a genuinely 10k-entry set,
+    * which is the plan shape the operator exists for (membership
+    * correctness at 10k is additionally unit-tested with planted filler
+    * tokens in TextAnalysisSpec).
+    */
+  private val GateVocab10k: Seq[String] =
+    GateVocab ++ (0 until 9980).map(i => f"w$i%05d")
 
   /** Exact blocked char-3-gram Jaccard ground truth — shared by q38 (the
     * block-local all-pairs operator) and q67 (the prefix-filtered
@@ -1833,22 +1847,29 @@ object PipelineQueries {
         |  floor(length(text) / 200.0) * 200.0 + 200.0 AS bin_hi,
         |  count(*) AS cnt
         |FROM documents GROUP BY 1, 2""".stripMargin,
-    // Same fixed vocabulary as the Spark literal; exact case-sensitive
-    // membership over the shared whitespace tokenization.
+    // Same 10k vocabulary as the Spark literal, generated
+    // programmatically (20 corpus words + w00000..w09979); exact
+    // case-sensitive membership over the shared whitespace tokenization,
+    // computed as an explode + vocab join (the oracle-side equivalent of
+    // the operator's hash-set probe).
     "q113_vocab_coverage" -> (ToksCte +
       """
-        |SELECT doc_id,
+        |, v AS (
+        |  SELECT unnest(['the','a','table','row','key','value','scan',
+        |    'sort','join','group','window','spark','fast','slow','agg',
+        |    'hash','merge','part','line','batch']) AS w
+        |  UNION ALL
+        |  SELECT printf('w%05d', i) FROM range(9980) r(i)),
+        |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |h AS (
+        |  SELECT e.doc_id, count(v.w) AS hits
+        |  FROM e LEFT JOIN v ON e.tok = v.w
+        |  GROUP BY e.doc_id)
+        |SELECT t.doc_id,
         |  len(toks)::INT AS n_tokens,
-        |  len(list_filter(toks, x -> list_contains(
-        |    ['the','a','table','row','key','value','scan','sort','join',
-        |     'group','window','spark','fast','slow','agg','hash','merge',
-        |     'part','line','batch'], x)))::INT AS in_vocab,
+        |  coalesce(h.hits, 0)::INT AS in_vocab,
         |  round(CASE WHEN len(toks) > 0 THEN
-        |    len(list_filter(toks, x -> list_contains(
-        |      ['the','a','table','row','key','value','scan','sort','join',
-        |       'group','window','spark','fast','slow','agg','hash','merge',
-        |       'part','line','batch'], x)))::DOUBLE / len(toks) END, 4)
-        |    AS coverage
-        |FROM t""".stripMargin)
+        |    coalesce(h.hits, 0)::DOUBLE / len(toks) END, 4) AS coverage
+        |FROM t LEFT JOIN h ON t.doc_id = h.doc_id""".stripMargin)
   )
 }

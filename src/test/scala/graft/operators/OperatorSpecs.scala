@@ -1309,4 +1309,40 @@ class VocabCoverageSpec extends SparkSpec {
       TextAnalysis.vocabCoverage(col("text"), Seq.empty)
     }
   }
+
+  test("vocabCoverage: 10k-entry vocabulary — hash-set membership hits across the set") {
+    // Planted tokens probe the head, middle, and tail of a 10k synthetic
+    // vocab plus misses just outside it — the q113 gate shape, with
+    // membership correctness asserted (fixture text never hits fillers).
+    val vocab = Seq("the", "cat") ++ (0 until 9998).map(i => f"w$i%05d")
+    val df = Seq(
+      (1L, "the w00000 w04999 w09997 cat"), // all 5 in vocab
+      (2L, "w09998 w10000 W00001 dog"))     // all 4 out (tail edge, case)
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.vocabCoverage($"text", vocab).as("c"))
+      .select($"doc_id", $"c.n_tokens", $"c.in_vocab", $"c.coverage")
+      .as[(Long, Int, Int, Option[Double])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 5, 5, Some(1.0))))
+    assert(out(1) == ((2L, 4, 0, Some(0.0))))
+  }
+
+  test("vocabCoverage: interpreted eval matches codegen") {
+    // Force the interpreted path (nullSafeEval) by evaluating the
+    // expression directly and compare with the codegen'd query result.
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = Seq("alpha", "beta") ++ (0 until 100).map(i => f"w$i%05d")
+    val set = graft.functions.InVocabCountExpr.buildSet(vocab)
+    val arr = ArrayData.toArrayData(Array(
+      UTF8String.fromString("alpha"), UTF8String.fromString("w00042"),
+      UTF8String.fromString("gamma")))
+    assert(graft.functions.InVocabCountExpr.count(arr, set) == 2)
+    val viaQuery = Seq(("alpha w00042 gamma"))
+      .toDF("text")
+      .select(TextAnalysis.vocabCoverage($"text", vocab)
+        .getField("in_vocab"))
+      .as[Int].collect().head
+    assert(viaQuery == 2)
+  }
 }
