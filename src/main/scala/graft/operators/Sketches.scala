@@ -47,6 +47,113 @@ object Sketches {
       (col("approx_distinct") +: qCols :+ col("cnt")): _*)
   }
 
+  /** Error-bound audit artifact for [[approxProfile]] — the q91 pattern
+    * applied to the HLL/quantile sketches: measure the approximation
+    * quality IN-SPARK against the exact values on the same data and
+    * configuration, so a drifted `rsd`/`accuracy` parameter (or an
+    * upstream regression in the sketch) becomes a failing assertion
+    * instead of silently passing a rows-only gate.
+    *
+    * Per group:
+    *  - `hll_rel_err` = |approx_distinct − exact_distinct| /
+    *    exact_distinct (NULL when the group has no distinct values);
+    *  - `rank_eps_pXX` = how far each sketch cutpoint's value-rank
+    *    interval [strictly-below+1, at-or-below] lands from its target
+    *    rank q·n, as a fraction of n — 0 when the target rank is inside
+    *    the interval; `percentile_approx` guarantees ≤ 1/accuracy.
+    *
+    * Cost: the sketch pass itself, one exact distinct aggregate, and ONE
+    * extra scan with the group-count-sized cutpoint frame broadcast onto
+    * it — an audit you can afford to run beside the sketch at any scale.
+    */
+  def profileError(df: DataFrame, groupCols: Seq[String], distinctCol: String,
+      valueCol: String, quantiles: Seq[Double] = Seq(0.5, 0.95),
+      rsd: Double = 0.05, accuracy: Int = 10000): DataFrame = {
+    val gcols = groupCols.map(col)
+    val qNames = quantiles.map(quantileColName)
+    val approx = approxProfile(df, groupCols, distinctCol, valueCol,
+      quantiles, rsd, accuracy)
+    val exact = df.groupBy(gcols: _*)
+      .agg(count_distinct(col(distinctCol)).as("exact_distinct"))
+    val cuts = approx.select(
+      (gcols :+ col("approx_distinct")) ++ qNames.map(col): _*)
+    val rankAggs = qNames.flatMap { cn =>
+      Seq(sum(when(col(valueCol) <= col(cn), 1L).otherwise(0L))
+          .as(s"__le_$cn"),
+        sum(when(col(valueCol) < col(cn), 1L).otherwise(0L))
+          .as(s"__lt_$cn"))
+    }
+    val meas = df.join(broadcast(cuts), groupCols)
+      .groupBy(gcols: _*)
+      .agg(count(when(col(valueCol).isNotNull, lit(1))).as("n_values"),
+        rankAggs: _*)
+    val epsCols = qNames.map { cn =>
+      val n = col("n_values").cast("double")
+      val q = quantiles(qNames.indexOf(cn))
+      val target = lit(q) * n
+      val lo = col(s"__lt_$cn").cast("double") + 1.0
+      val hi = col(s"__le_$cn").cast("double")
+      when(col("n_values") > 0,
+        round(greatest(lit(0.0), lo - target, target - hi) / n, 6))
+        .as(s"rank_eps_$cn")
+    }
+    cuts.select(gcols :+ col("approx_distinct"): _*)
+      .join(exact, groupCols)
+      .join(meas, groupCols)
+      .select((gcols ++ Seq(col("exact_distinct"), col("approx_distinct"),
+        when(col("exact_distinct") > 0,
+          round(abs(col("approx_distinct") - col("exact_distinct"))
+            .cast("double") / col("exact_distinct").cast("double"), 6))
+          .as("hll_rel_err"),
+        col("n_values")) ++ epsCols): _*)
+  }
+
+  /** Observed false-positive-rate audit for [[bloomSemiFilter]] — one
+    * probe-side pass classifying every row against BOTH the bloom sketch
+    * and the exact build-key set. Output is a single row:
+    * (probe_rows, true_matches, bloom_pass, false_positives,
+    * false_negatives, observed_fpp, design_fpp). `false_negatives` must
+    * be 0 by construction (asserted in SketchesSpec); `observed_fpp` =
+    * false_positives / (probe_rows − true_matches), and `design_fpp` is
+    * the theoretical (1 − e^(−kn/m))^k of the sketch's sizing — an
+    * undersized `expectedItems` shows up as observed ≫ design.
+    *
+    * Scale shape: the bloom build is the same KB-sized collect as the
+    * operator; the exact-membership side joins the probe against the
+    * DISTINCT build keys (build is small by the operator's contract), so
+    * the audit costs one probe scan more than the filter it audits.
+    */
+  def bloomFppAudit(probe: DataFrame, probeKey: Column,
+      build: DataFrame, buildKey: Column,
+      expectedItems: Long = 100000L): DataFrame = {
+    val bf = build.agg(
+      graft.functions.VectorFunctions
+        .bloomFilterAgg(xxhash64(buildKey), expectedItems).as("__bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val m = 8.0 * expectedItems             // bits (operator sizes 8×items)
+    val k = math.max(1, math.round(m / expectedItems * math.log(2)).toInt)
+    val designFpp = math.pow(
+      1.0 - math.exp(-k.toDouble * expectedItems / m), k.toDouble)
+    val truth = build.select(buildKey.as("__k")).distinct()
+    probe
+      .withColumn("__bloom", graft.functions.VectorFunctions
+        .mightContain(lit(bf), xxhash64(probeKey)))
+      .join(truth, probeKey === col("__k"), "left")
+      .agg(
+        count(lit(1)).as("probe_rows"),
+        sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("true_matches"),
+        sum(when(col("__bloom"), 1L).otherwise(0L)).as("bloom_pass"),
+        sum(when(col("__bloom") && col("__k").isNull, 1L).otherwise(0L))
+          .as("false_positives"),
+        sum(when(!col("__bloom") && col("__k").isNotNull, 1L).otherwise(0L))
+          .as("false_negatives"))
+      .withColumn("observed_fpp",
+        when(col("probe_rows") > col("true_matches"),
+          round(col("false_positives").cast("double") /
+            (col("probe_rows") - col("true_matches")).cast("double"), 6)))
+      .withColumn("design_fpp", round(lit(designFpp), 6))
+  }
+
   /** "p50", "p95", "p99_9" — column name for a quantile fraction. */
   private def quantileColName(q: Double): String = {
     val pct = BigDecimal(q * 100).setScale(4, BigDecimal.RoundingMode.HALF_UP)

@@ -514,6 +514,29 @@ object CoreQueries {
         hot.select("o_custkey"), $"o_custkey")
     }),
 
+    // Error-bound artifact for q46 (the q91 pattern): per-group HLL
+    // relative error + sketch-cutpoint rank epsilon vs the EXACT values,
+    // at the same configuration the q46 gate runs. Values are
+    // sketch-engine-specific → rows-only at the driver gate; the bounds
+    // (3×rsd, 2/accuracy) are asserted in SketchesSpec, where a
+    // broken-parameter control proves the measurement trips.
+    "q115_profile_error" -> ((s, d) =>
+      Sketches.profileError(Tables.events(s, d), Seq("event_type"),
+        "user_id", "value")),
+
+    // Observed-FPP artifact for q47 (same pattern): one row comparing
+    // the bloom prefilter's keep-set to the exact semi-join on the q47
+    // configuration — false_negatives must be 0, observed_fpp ≤ ~2×
+    // design_fpp (asserted in SketchesSpec with an undersized-sketch
+    // control).
+    "q116_bloom_fpp" -> ((s, d) => {
+      import s.implicits._
+      val hot = Tables.orders(s, d).filter($"o_totalprice" > 400000.0)
+      Sketches.bloomFppAudit(
+        Tables.customer(s, d).select("c_custkey", "c_name"), $"c_custkey",
+        hot.select("o_custkey"), $"o_custkey")
+    }),
+
     // OLAP rollup/cube (beyond-reference; absent in SURVEY §2.4 but
     // standard Gold-layer shapes): subtotal grids in one pass — Spark
     // expands grouping sets map-side instead of N separate scans.

@@ -154,6 +154,103 @@ class SketchesSpec extends SparkSpec {
     assert(out.nonEmpty && out.size < 20) // sketch path actually prunes
   }
 
+  test("profileError artifact (q115 gate config): HLL within 3x rsd, cutpoint ranks within discreteness bound") {
+    // The q115 gate artifact's CONTRACT: at the exact q46/q115
+    // configuration, every group's HLL relative error stays within 3x
+    // rsd and every sketch cutpoint's rank epsilon within
+    // max(2/accuracy, 2/n) — 2/n is rank discreteness: the target rank
+    // q*n can fall between two achievable value-ranks.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val rows = Sketches.profileError(graft.sources.Tables.events(spark, dir),
+      Seq("event_type"), "user_id", "value").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[String]("event_type")
+      assert(r.getAs[Double]("hll_rel_err") <= 0.15,
+        s"$g: hll_rel_err ${r.getAs[Double]("hll_rel_err")} > 3x rsd")
+      val n = r.getAs[Long]("n_values")
+      val bound = math.max(2.0 / 10000, 2.0 / n)
+      for (c <- Seq("rank_eps_p50", "rank_eps_p95")) {
+        assert(r.getAs[Double](c) <= bound,
+          s"$g: $c ${r.getAs[Double](c)} > $bound")
+      }
+    }
+  }
+
+  test("profileError: artificially broken accuracy trips the rank measurement") {
+    // Same fixture, accuracy 10 instead of 10000: the measured rank
+    // epsilon must blow far past the gate bound — the artifact is a
+    // tripwire, not a formality.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val rows = Sketches.profileError(graft.sources.Tables.events(spark, dir),
+      Seq("event_type"), "user_id", "value", accuracy = 10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rank_eps_p50") > 0.01,
+        s"broken accuracy must be detected, got ${r.getAs[Double]("rank_eps_p50")}")
+    }
+  }
+
+  test("profileError: artificially broken rsd trips the HLL measurement") {
+    // 10k distinct keys per group at rsd=0.3 (a 16-register sketch):
+    // at least one group's measured relative error exceeds the gate's
+    // 3x-rsd=0.05 bound (deterministic — HLL++ is seed-free).
+    val syn = (0 until 20000)
+      .map(i => (s"g${i % 2}", i, i.toDouble % 97)).toDF("g", "k", "v")
+    val errs = Sketches.profileError(syn, Seq("g"), "k", "v", rsd = 0.3)
+      .collect().map(_.getAs[Double]("hll_rel_err"))
+    assert(errs.exists(_ > 0.15),
+      s"broken rsd must be detected, got ${errs.mkString(",")}")
+  }
+
+  test("profileError: all-null value group yields null epsilons, no blow-up") {
+    val df2 = Seq(("a", 1, Some(1.0)), ("a", 2, Some(2.0)),
+      ("b", 3, None: Option[Double])).toDF("g", "k", "v")
+    val out = Sketches.profileError(df2, Seq("g"), "k", "v",
+        quantiles = Seq(0.5)).collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("a").getAs[Double]("hll_rel_err") == 0.0)
+    assert(out("b").getAs[Long]("n_values") == 0L)
+    assert(out("b").isNullAt(out("b").fieldIndex("rank_eps_p50")))
+  }
+
+  test("bloomFppAudit (q116 gate config): zero false negatives, observed fpp within 2x design") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/orders.parquet").exists())
+    val hot = graft.sources.Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 400000.0)
+    val r = Sketches.bloomFppAudit(
+      graft.sources.Tables.customer(spark, dir)
+        .select("c_custkey", "c_name"), $"c_custkey",
+      hot.select("o_custkey"), $"o_custkey").collect()(0)
+    assert(r.getAs[Long]("false_negatives") == 0L,
+      "bloom filters must never drop true matches")
+    assert(r.getAs[Long]("bloom_pass") ==
+      r.getAs[Long]("true_matches") + r.getAs[Long]("false_positives"))
+    assert(r.getAs[Double]("observed_fpp") <=
+      2.0 * r.getAs[Double]("design_fpp"),
+      s"observed ${r.getAs[Double]("observed_fpp")} vs design " +
+        s"${r.getAs[Double]("design_fpp")}")
+  }
+
+  test("bloomFppAudit: undersized sketch trips the FPP measurement") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/orders.parquet").exists())
+    val hot = graft.sources.Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 400000.0)
+    val r = Sketches.bloomFppAudit(
+      graft.sources.Tables.customer(spark, dir)
+        .select("c_custkey", "c_name"), $"c_custkey",
+      hot.select("o_custkey"), $"o_custkey", expectedItems = 8L)
+      .collect()(0)
+    assert(r.getAs[Long]("false_negatives") == 0L)
+    assert(r.getAs[Double]("observed_fpp") >
+      2.0 * r.getAs[Double]("design_fpp"),
+      "a saturated sketch must be detected")
+  }
+
   test("bloomSemiFilter: zero false negatives; FPs bounded") {
     val build = df.filter($"k" < 100).select($"k".as("bk"))
     val out = Sketches.bloomSemiFilter(
