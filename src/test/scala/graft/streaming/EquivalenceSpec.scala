@@ -1,0 +1,203 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Dedup, TextAnalysis, Windows}
+
+/** Batch↔streaming equivalence gates: each MemoryStream twin is drained
+  * over the SAME fixture as its gated batch operator and asserted equal
+  * — the strongest cheap oracle available for the unbounded paths. A
+  * semantics drift between a batch operator and its streaming twin is a
+  * failure here, not a silent divergence in production.
+  *
+  * Determinism notes baked into the fixtures:
+  *  - the 500 base documents have 500 distinct content fingerprints
+  *    (verified in the dedup test), so feeding base docs and planted
+  *    copies in SEPARATE micro-batches makes every stream winner
+  *    deterministic (state beats batch; no in-batch fp conflicts);
+  *  - session boundaries depend only on per-user timestamp GAPS, never
+  *    on tie order, so the batch/stream comparison is stable even where
+  *    two events share a millisecond.
+  */
+class BatchStreamEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fixtureExists(name: String): Boolean =
+    new java.io.File(s"$dir/$name.parquet").exists()
+
+  test("sessionization: drained streaming twin ≡ batch twin on the events fixture") {
+    assume(fixtureExists("events"))
+    val gapMs = 30L * 60 * 1000
+    // Both engines on the SAME ms-resolution key the streaming twin
+    // observes (Timestamp.getTime): the batch side sessionizes on
+    // unix_millis and rolls session_idx up to (start, end, events,
+    // total) frames.
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_type", $"value")
+    val ms = ev.withColumn("__ms", unix_millis($"ts"))
+    val batchFrames = Windows.sessionize(ms, "user_id", Seq(col("__ms")),
+        "__ms", gapMs)
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"__ms").as("s"), max($"__ms").as("e"),
+        count(lit(1)).as("n"), sum($"value").as("total"))
+      .select($"user_id", $"s", $"e", $"n", $"total")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.sessionizeEventTime(in.toDS(), gapMs,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("eqsess").outputMode("append")
+      .start()
+    val fixture = ev.as[Event].collect().toSeq
+    in.addData(fixture)
+    q.processAllAvailable()
+    // Two advancer batches on a sentinel user: the watermark used by
+    // batch N is batch N-1's max event time, so the second advancer is
+    // what flushes sessions ending near the fixture's max ts.
+    val maxTs = fixture.map(_.ts.getTime).max
+    in.addData(Event(new Timestamp(maxTs + 3600L * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(new Timestamp(maxTs + 7200L * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("eqsess").as[UserSession].collect()
+      .filter(_.user_id >= 0)
+      .map(s => (s.user_id, s.start.getTime, s.end.getTime) ->
+        (s.events, s.total_value)).toMap
+
+    assert(streamed.keySet == batchFrames.keySet,
+      s"session intervals diverge: stream-only=${streamed.keySet -- batchFrames.keySet}, " +
+        s"batch-only=${batchFrames.keySet -- streamed.keySet}")
+    assert(streamed.nonEmpty && streamed.size > 20, "fixture must sessionize")
+    streamed.foreach { case (k, (n, total)) =>
+      assert(batchFrames(k)._1 == n, s"session $k event count")
+      assert(math.abs(batchFrames(k)._2 - total) < 1e-6,
+        s"session $k total ${batchFrames(k)._2} vs $total")
+    }
+  }
+
+  test("ingest fingerprint dedup: drained streaming twin ≡ batch twin (q74 fixture shape)") {
+    assume(fixtureExists("documents"))
+    val base = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    // Determinism precondition for the stream winners (see class doc).
+    assert(base.select(TextAnalysis.fingerprint($"text")).distinct().count()
+      == base.count(), "base fixture must have distinct fingerprints")
+    val planted = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val all = base.unionByName(planted)
+    // Batch twin: q74's operator; kept = rows that are their own
+    // canonical (min doc_id per fingerprint — always the base copy).
+    val emptyCorpus = base.filter(lit(false))
+      .select(TextAnalysis.fingerprint($"text").as("fp"))
+    val batchKept = Dedup.incrementalExactDedup(all, emptyCorpus,
+        "text", "doc_id")
+      .filter(!$"is_dup").select($"doc_id").as[Long].collect().toSet
+
+    for (withinWatermark <- Seq(false, true)) {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[StreamDoc]
+      val name = s"eqdedup$withinWatermark"
+      val q = Streaming.dedupStream(in.toDF(), watermarkDelay = "1 hour",
+          withinWatermark = withinWatermark)
+        .select("doc_id")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      in.addData(base.as[(Long, String)].collect().toSeq
+        .map { case (id, tx) => StreamDoc(new Timestamp(t0), id, tx) })
+      q.processAllAvailable()
+      // copies arrive a minute later — well inside the watermark delay,
+      // so BOTH disciplines must suppress them
+      in.addData(planted.as[(Long, String)].collect().toSeq
+        .map { case (id, tx) => StreamDoc(new Timestamp(t0 + 60000L), id, tx) })
+      q.processAllAvailable()
+      q.stop()
+      val streamKept = spark.table(name).as[Long].collect()
+      assert(streamKept.length == streamKept.toSet.size,
+        s"withinWatermark=$withinWatermark: one survivor per fingerprint")
+      assert(streamKept.toSet == batchKept,
+        s"withinWatermark=$withinWatermark: kept sets diverge")
+    }
+  }
+
+  test("chunk dedup: drained streaming twin ≡ batch twin (q86 fixture shape)") {
+    assume(fixtureExists("documents"))
+    val chunkTokens = 20
+    val base = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val planted = base
+      .withColumn("__t", filter(split($"text", "\\s+"), t => t =!= ""))
+      .filter($"doc_id" % 12 === 0 && size($"__t") >= 40)
+      .select(($"doc_id" + 600000).as("doc_id"),
+        concat(array_join(slice($"__t", 1, 40), " "),
+          lit(" planted unique chunk tail marker "),
+          $"doc_id".cast("string")).as("text"))
+    val all = base.unionByName(planted).cache()
+    try {
+      val nPlanted = planted.count()
+      assert(nPlanted > 0, "fixture must yield planted partial copies")
+      // Batch twin surface: per-doc chunk stats + the corpus' distinct
+      // chunk fingerprints via the SAME token_chunks kernel.
+      val stats = Dedup.duplicatedChunkStats(all, "text", "doc_id",
+          chunkTokens)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val chunks = all.select($"doc_id",
+        explode(graft.functions.ShingleFunctions
+          .tokenChunks($"text", chunkTokens)).as("c"))
+        .select($"doc_id", md5($"c").as("fp"))
+      val totalChunks = chunks.count()
+      val distinctFps = chunks.select($"fp").distinct()
+        .as[String].collect().toSet
+
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[StreamDoc]
+      val q = Streaming.chunkDedupStream(in.toDF(),
+          chunkTokens = chunkTokens, watermarkDelay = "1 hour")
+        .select("doc_id", "chunk_fp")
+        .writeStream.format("memory").queryName("eqchunk")
+        .outputMode("append").start()
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      in.addData(base.as[(Long, String)].collect().toSeq
+        .map { case (id, tx) => StreamDoc(new Timestamp(t0), id, tx) })
+      q.processAllAvailable()
+      in.addData(planted.as[(Long, String)].collect().toSeq
+        .map { case (id, tx) => StreamDoc(new Timestamp(t0 + 60000L), id, tx) })
+      q.processAllAvailable()
+      q.stop()
+      val survivors = spark.table("eqchunk")
+        .select($"doc_id", $"chunk_fp").as[(Long, String)].collect()
+
+      // Every distinct corpus chunk survives exactly once; suppressed
+      // mass is exactly the duplicate mass.
+      assert(survivors.map(_._2).toSet == distinctFps &&
+        survivors.length == distinctFps.size,
+        "surviving chunk set must be the distinct corpus chunk set")
+      assert(totalChunks - survivors.length ==
+        totalChunks - distinctFps.size)
+      // Per-doc consistency with the batch stats: a stream-suppressed
+      // chunk is necessarily corpus-duplicated.
+      val survPerDoc = survivors.groupBy(_._1).view.mapValues(_.length)
+      stats.foreach { case (id, (nChunks, nDup)) =>
+        val suppressed = nChunks - survPerDoc.getOrElse(id, 0)
+        assert(suppressed >= 0 && suppressed <= nDup,
+          s"doc $id: suppressed $suppressed vs n_dup $nDup")
+      }
+      // Planted docs: both 40-token-prefix chunks were seen in the base
+      // batch; the tail marker chunk is unique → exactly 1 survivor.
+      planted.select($"doc_id").as[Long].collect().foreach { id =>
+        assert(survPerDoc.getOrElse(id, 0) == 1 &&
+          stats(id)._1 - 1 == 2, s"planted doc $id")
+      }
+    } finally all.unpersist()
+  }
+}
