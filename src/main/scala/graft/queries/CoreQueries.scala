@@ -537,6 +537,25 @@ object CoreQueries {
         hot.select("o_custkey"), $"o_custkey")
     }),
 
+    // CDC composition (the warehouse consistency contract tying
+    // q103/q105/q106 together): compact the change feed to its state at
+    // two cutoffs (latestVersion) and diff the states (snapshotDiff) —
+    // per-user event_type transition + added/changed/unchanged status.
+    // CdcCompositionSpec additionally proves this output ≡ the states
+    // scd2's validity intervals give at the same two cutoffs.
+    "q117_cdc_consistency" -> ((s, d) => {
+      import s.implicits._
+      def state(cut: String) = graft.operators.Dedup.latestVersion(
+        Tables.events(s, d)
+          .filter($"ts" <= lit(cut).cast("timestamp"))
+          .select("user_id", "ts", "event_id", "event_type"),
+        keys = Seq("user_id"), versionCols = Seq("ts", "event_id"),
+        payloadCols = Seq("event_type"))
+        .select($"user_id", $"event_type")
+      Snapshot.snapshotDiff(state("2024-01-10 00:00:00"),
+        state("2024-01-20 00:00:00"), Seq("user_id"))
+    }),
+
     // OLAP rollup/cube (beyond-reference; absent in SURVEY §2.4 but
     // standard Gold-layer shapes): subtotal grids in one pass — Spark
     // expands grouping sets map-side instead of N separate scans.
@@ -1114,6 +1133,30 @@ object CoreQueries {
         |       ELSE 'unchanged' END AS status
         |FROM o FULL JOIN n
         |  ON o.user_id = n.user_id AND o.event_type = n.event_type""".stripMargin,
+    // Same composition as the Spark side: per-cutoff state via the
+    // row_number form of latest-version compaction (ORDER BY ts DESC,
+    // event_id DESC — the (ts, event_id) total order, q105 convention),
+    // then a full-outer diff on the null-safe payload compare.
+    "q117_cdc_consistency" ->
+      """WITH r1 AS (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'),
+        |s1 AS (SELECT user_id, event_type FROM r1 WHERE rn = 1),
+        |r2 AS (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'),
+        |s2 AS (SELECT user_id, event_type FROM r2 WHERE rn = 1)
+        |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+        |  s1.event_type AS old_event_type,
+        |  s2.event_type AS new_event_type,
+        |  CASE WHEN s1.user_id IS NULL THEN 'added'
+        |       WHEN s2.user_id IS NULL THEN 'removed'
+        |       WHEN s1.event_type IS DISTINCT FROM s2.event_type
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id""".stripMargin,
     "q107_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         | row_number() OVER w AS rn,

@@ -324,6 +324,89 @@ class Scd2Spec extends SparkSpec {
   }
 }
 
+/** CDC cross-operator consistency: the property a warehouse user relies
+  * on implicitly — compacted states (latestVersion), state diffs
+  * (snapshotDiff), and validity intervals (scd2) must tell ONE story.
+  * For any cutoff t, the scd2 interval containing t must reproduce the
+  * latestVersion state at t; snapshotDiff of two states must classify
+  * exactly the transitions the intervals describe.
+  */
+class CdcCompositionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff ∘ latestVersion ≡ scd2 interval states on the change feed") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val t1 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    // Feed = fixture events + a planted user whose FIRST event falls in
+    // (t1, t2] — exercises the 'added' classification (all fixture
+    // users are active from day one).
+    val base = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+    val plantedRows = Seq(
+      (9999L, 900001L, "signup", java.sql.Timestamp.valueOf("2024-01-12 08:00:00")),
+      (9999L, 900002L, "click", java.sql.Timestamp.valueOf("2024-01-13 09:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val feed = base.unionByName(plantedRows).cache()
+    try {
+      def state(cut: java.sql.Timestamp) = Dedup.latestVersion(
+        feed.filter($"ts" <= lit(cut)),
+        keys = Seq("user_id"), versionCols = Seq("ts", "event_id"),
+        payloadCols = Seq("event_type"))
+        .select($"user_id", $"event_type")
+      val diff = Snapshot.snapshotDiff(state(t1), state(t2), Seq("user_id"))
+        .select($"user_id", $"old_event_type", $"new_event_type", $"status")
+        .as[(Long, Option[String], Option[String], String)]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+      val intervals = TimeSeries.scd2(feed, "user_id",
+          Seq($"ts", $"event_id"), "event_type", "ts")
+        .select($"user_id", $"event_type", $"valid_from", $"valid_to")
+        .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+        .collect()
+      def stateAt(t: java.sql.Timestamp): Map[Long, String] = intervals
+        .filter(iv => !iv._3.after(t) && iv._4.forall(_.after(t)))
+        .map(iv => iv._1 -> iv._2).toMap
+      val s1 = stateAt(t1)
+      val s2 = stateAt(t2)
+
+      // scd2 intervals reproduce the compacted states at both cutoffs
+      assert(diff.filter(_._2._1.isDefined).view.mapValues(_._1.get).toMap
+        == s1, "scd2 state at t1 must equal latestVersion(<=t1)")
+      assert(diff.view.mapValues(_._2.get).toMap == s2,
+        "scd2 state at t2 must equal latestVersion(<=t2)")
+
+      // snapshotDiff's classification = the interval story
+      diff.foreach { case (u, (old, nw, status)) =>
+        val expected =
+          if (old.isEmpty) "added"
+          else if (old != nw) "changed" else "unchanged"
+        assert(status == expected, s"user $u: $old -> $nw classified $status")
+      }
+      assert(!diff.values.exists(_._3 == "removed"),
+        "append-only feed can never remove a key")
+      // changed ⟹ an interval OPENS in (t1, t2] (the new state's
+      // interval) AND the t1 interval CLOSES in (t1, t2]
+      val opensInWindow = intervals.filter(iv =>
+        iv._3.after(t1) && !iv._3.after(t2)).map(_._1).toSet
+      diff.collect { case (u, (_, _, "changed")) => u }.foreach { u =>
+        assert(opensInWindow.contains(u), s"changed user $u must open an interval")
+        val ivT1 = intervals.find(iv => iv._1 == u &&
+          !iv._3.after(t1) && iv._4.forall(_.after(t1))).get
+        assert(ivT1._4.exists(vt => vt.after(t1) && !vt.after(t2)),
+          s"changed user $u's t1 interval must close in the window")
+      }
+      // the fixture must actually exercise all three classes
+      val statuses = diff.values.map(_._3).toSet
+      assert(Set("added", "changed", "unchanged").subsetOf(statuses) ||
+        statuses == Set("added", "changed"),
+        s"fixture exercises $statuses")
+      assert(diff(9999L)._3 == "added")
+    } finally feed.unpersist()
+  }
+}
+
 class SnapshotDiffSpec extends SparkSpec {
   import spark.implicits._
 
