@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *    from the same aggregate, so the raw table is scanned once.
   *
   * Skew: a hot entity (bot user) serializes its own rows through one task,
-  * exactly like [[Windows.rollingAvg]] — the salted-chunk remedy documented
-  * there applies unchanged to the RANGE form (chunk boundaries carry a
-  * time-window tail instead of a row-count tail).
+  * exactly like [[Windows.rollingAvg]] — [[saltedRollingTimeWindow]] is
+  * the RANGE-form escape hatch (chunk boundaries carry a time-window tail
+  * instead of a row-count tail).
   */
 object TimeSeries {
 
@@ -43,6 +43,102 @@ object TimeSeries {
       .rangeBetween(-windowNs, 0)
     df.withColumn("w_cnt", count(lit(1)).over(w))
       .withColumn("w_sum", round(sum(col(value)).over(w), 4))
+  }
+
+  /** Skew-hardened [[rollingTimeWindow]], equivalent output for any
+    * chunking (gated against q96's oracle as q118): the event-time
+    * translation of [[Windows.saltedRollingAvg]]'s chunk remedy.
+    *
+    * Phase 1: per-entity row number → fixed-size chunks; rows then
+    * shuffle by (entity, chunk), so the max task is the chunk size, not
+    * the entity size. Phase 2: each chunk computes the RANGE frame
+    * locally (the frame clamps at the chunk edge). Phase 3: rows whose
+    * frame crosses the chunk start — `orderNs < chunk_min + windowNs` —
+    * add the missing mass via a bounded join against the PREVIOUS
+    * chunk's time-window tail (its rows within `windowNs` of its max —
+    * the "last window of rows", bounded by event rate, not by entity
+    * size).
+    *
+    * One-chunk lookback contract: every non-final chunk must SPAN more
+    * than `windowNs` of event time, else a boundary frame could reach
+    * two chunks back — the operator fails LOUDLY (raise_error, the
+    * [[gapFillDaily]] pattern) telling the caller to raise `chunkSize`.
+    * A chunk spanning less than the window also means per-row frames
+    * hold more than `chunkSize` rows — at that density the frames
+    * themselves are the cost, and no exact per-row plan bounds it; the
+    * remedy is a bigger chunk (or pre-bucketed aggregation), chosen
+    * deliberately, not a silent wrong answer.
+    *
+    * Tie safety: a RANGE frame includes PEERS of the current timestamp —
+    * which row_number chunking can place in the NEXT chunk. Each tie
+    * group is therefore pulled back into its first row's chunk (a
+    * `min(chunk)` over the RANGE(0,0) peer frame — same sort, same
+    * Exchange), so frames only ever reach BACKWARD across boundaries and
+    * the one-chunk-lookback argument holds. A tie group larger than
+    * `chunkSize` (which could swallow a whole chunk and break the
+    * lookback) fails loudly — at that multiplicity the peer frames
+    * exceed the chunk anyway, same reasoning as the span guard.
+    */
+  def saltedRollingTimeWindow(df: DataFrame, entity: String, orderNs: String,
+      value: String, windowNs: Long, chunkSize: Int = 10000): DataFrame = {
+    require(chunkSize >= 2, s"chunkSize must be >= 2, got $chunkSize")
+    val wEnt = Window.partitionBy(col(entity)).orderBy(col(orderNs))
+    val wEntAll = Window.partitionBy(col(entity))
+    val wPeers = wEnt.rangeBetween(0, 0)
+    val numbered = df
+      .withColumn("__rn", row_number().over(wEnt))
+      .withColumn("__chunk0", ((col("__rn") - 1) / chunkSize).cast("long"))
+      .withColumn("__chunk",
+        when(count(lit(1)).over(wPeers) <= chunkSize,
+          min(col("__chunk0")).over(wPeers))
+          .otherwise(raise_error(concat(
+            lit(s"saltedRollingTimeWindow: more than chunkSize=$chunkSize " +
+              "rows share one timestamp for entity "),
+            col(entity).cast("string")))))
+      .withColumn("__maxChunk", max(col("__chunk")).over(wEntAll))
+      .drop("__chunk0")
+    val wChunk = Window.partitionBy(col(entity), col("__chunk"))
+    val wRange = wChunk.orderBy(col(orderNs)).rangeBetween(-windowNs, 0)
+    val local = numbered
+      .withColumn("__cmin", min(col(orderNs)).over(wChunk))
+      .withColumn("__cmax", max(col(orderNs)).over(wChunk))
+      .withColumn("__localCnt", count(lit(1)).over(wRange))
+      .withColumn("__localSum", sum(col(value)).over(wRange))
+      .withColumn("__guard",
+        when(col("__chunk") === col("__maxChunk") ||
+          col("__cmax") - col("__cmin") > windowNs, lit(1))
+          .otherwise(raise_error(concat(
+            lit(s"saltedRollingTimeWindow: a non-final chunk spans <= " +
+              s"windowNs=$windowNs for entity "),
+            col(entity).cast("string"),
+            lit(" — raise chunkSize for exact one-chunk lookback")))))
+    val tails = local
+      .filter(col("__guard") === 1 &&
+        col(orderNs) >= col("__cmax") - windowNs)
+      .select(col(entity).as("__t_e"), (col("__chunk") + 1).as("__t_chunk"),
+        col(orderNs).as("__t_ts"), col(value).as("__t_v"))
+    val keyCols = df.columns.toSeq ++
+      Seq("__rn", "__localCnt", "__localSum")
+    val boundary = local
+      .filter(col("__chunk") > 0 && col(orderNs) < col("__cmin") + windowNs)
+      .join(tails,
+        col(entity) === col("__t_e") && col("__chunk") === col("__t_chunk")
+          && col("__t_ts") >= col(orderNs) - windowNs, "left")
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(col("__t_ts")).as("__tailCnt"),
+        sum(col("__t_v")).as("__tailSum"))
+      .withColumn("w_cnt", col("__localCnt") + col("__tailCnt"))
+      .withColumn("w_sum",
+        when(col("__localSum").isNull && col("__tailSum").isNull,
+          lit(null).cast("double"))
+          .otherwise(round(coalesce(col("__localSum"), lit(0.0)) +
+            coalesce(col("__tailSum"), lit(0.0)), 4)))
+    val interior = local
+      .filter(!(col("__chunk") > 0 && col(orderNs) < col("__cmin") + windowNs))
+      .withColumn("w_cnt", col("__localCnt"))
+      .withColumn("w_sum", round(col("__localSum"), 4))
+    val outCols = df.columns.map(col) :+ col("w_cnt") :+ col("w_sum")
+    interior.select(outCols: _*).unionByName(boundary.select(outCols: _*))
   }
 
   /** Ordered funnel: how many entities reached step 1, step 1→2, …

@@ -599,6 +599,19 @@ object CoreQueries {
         .select("event_id", "user_id", "w_cnt", "w_sum")
     }),
 
+    // q96's skew escape hatch under the SAME oracle (the q44 pattern
+    // for the event-time RANGE form): chunkSize 64 forces ~10 chunks
+    // per user at sf0.01, so the boundary-tail join path is exercised
+    // by the gate, not just by unit tests.
+    "q118_salted_time_window" -> ((s, d) => {
+      import s.implicits._
+      TimeSeries.saltedRollingTimeWindow(
+        Tables.events(s, d).select("event_id", "user_id", "ts_ns", "value"),
+        "user_id", "ts_ns", "value", windowNs = 3600L * 1000000000L,
+        chunkSize = 64)
+        .select("event_id", "user_id", "w_cnt", "w_sum")
+    }),
+
     // Ordered funnel view→click→purchase: single-pass stacked-window
     // form (one entity shuffle), not the N-self-joins textbook shape.
     "q97_funnel" -> ((s, d) => {
@@ -1024,6 +1037,15 @@ object CoreQueries {
         |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS rolling_avg
         |FROM events""".stripMargin,
     "q96_rolling_time_window" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS w_cnt,
+        | round(sum(value) OVER w, 4) AS w_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // Identical to q96's oracle: the salted variant is an equivalence
+    // claim, and the gate enforces it (the q44 convention).
+    "q118_salted_time_window" ->
       """SELECT event_id, user_id,
         | count(*) OVER w AS w_cnt,
         | round(sum(value) OVER w, 4) AS w_sum

@@ -324,6 +324,78 @@ class Scd2Spec extends SparkSpec {
   }
 }
 
+class SaltedTimeWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ns(sec: Long): Long = sec * 1000000000L
+  private val W = ns(3600)
+
+  private def plainVsSalted(rows: Seq[(Long, Long, java.lang.Double)],
+      chunkSize: Int): Unit = {
+    val df = rows.toDF("user_id", "ts_ns", "value")
+    val plain = TimeSeries.rollingTimeWindow(df, "user_id", "ts_ns",
+        "value", W)
+      .withColumn("w_sum", round(col("w_sum"), 4))
+      .select("user_id", "ts_ns", "w_cnt", "w_sum")
+      .as[(Long, Long, Long, Option[Double])].collect().sorted
+    val salted = TimeSeries.saltedRollingTimeWindow(df, "user_id", "ts_ns",
+        "value", W, chunkSize)
+      .select("user_id", "ts_ns", "w_cnt", "w_sum")
+      .as[(Long, Long, Long, Option[Double])].collect().sorted
+    assert(plain.toSeq == salted.toSeq, s"chunkSize=$chunkSize diverges")
+  }
+
+  test("saltedRollingTimeWindow ≡ rollingTimeWindow across chunkings, ties and nulls") {
+    // Gap cycle [0, 660s, 3000s, 4200s] between consecutive events: any
+    // 3 consecutive gaps sum to >= 3660s > the 1h window, so the span
+    // guard passes for every chunkSize >= 4 — while the chunk
+    // BOUNDARIES still land on a tie (cs=5 first boundary, gap 0), a
+    // sub-window gap (660s, 3000s), and a beyond-window gap (4200s),
+    // covering every cross-boundary shape. Nulls sprinkled in; user 2
+    // is a single-event entity.
+    val gaps = Seq(0L, 660L, 3000L, 4200L)
+    val times = gaps.indices.flatMap(_ => gaps).take(16)
+      .scanLeft(0L)(_ + _) // 17 events
+    val nullAt = Set(1, 6, 13)
+    val rows = times.zipWithIndex.map { case (t, i) =>
+      (1L, ns(t), if (nullAt(i)) null
+        else java.lang.Double.valueOf((i + 1).toDouble))
+    } :+ ((2L, ns(50), java.lang.Double.valueOf(5.0)))
+    for (cs <- Seq(4, 5, 8, 100)) plainVsSalted(rows, cs)
+  }
+
+  test("saltedRollingTimeWindow: dense chunk (span <= window) fails loudly") {
+    // 6 events 10 min apart with chunkSize 2: chunk span = 10 min < 1h
+    val dense = (0 until 6).map(i => (1L, ns(600L * i),
+      java.lang.Double.valueOf(i.toDouble)))
+    val ex = intercept[Exception] {
+      TimeSeries.saltedRollingTimeWindow(dense.toDF("user_id", "ts_ns", "value"),
+        "user_id", "ts_ns", "value", W, chunkSize = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t.getMessage).toSeq ++ Option(t.getCause).toSeq.flatMap(msgs)
+    assert(msgs(ex).exists(_.contains("saltedRollingTimeWindow")),
+      s"expected the loud span guard, got $ex")
+  }
+
+  test("saltedRollingTimeWindow at the q118 gate fixture ≡ plain q96 operator") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts_ns", "value")
+    val plain = TimeSeries.rollingTimeWindow(ev, "user_id", "ts_ns",
+        "value", W)
+      .withColumn("w_sum", round(col("w_sum"), 4))
+      .select("event_id", "w_cnt", "w_sum")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    val salted = TimeSeries.saltedRollingTimeWindow(ev, "user_id", "ts_ns",
+        "value", W, chunkSize = 16)
+      .select("event_id", "w_cnt", "w_sum")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(plain.toSeq == salted.toSeq)
+  }
+}
+
 /** CDC cross-operator consistency: the property a warehouse user relies
   * on implicitly — compacted states (latestVersion), state diffs
   * (snapshotDiff), and validity intervals (scd2) must tell ONE story.
