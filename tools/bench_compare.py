@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Per-query bench regression check against recorded quiet-machine reference values.
+
+Usage:
+    python3 tools/bench_compare.py BENCH_r08.json [--ref BENCH_REF.json]
+        [--threshold 1.6] [--changed q67_ngram_prefix_neardup,q84_gopher_rules]
+
+Why per-query, not totals: BASELINE.md's round-7 controlled experiment ran the
+identical tree four times and observed full-run totals of 92 / 295 / 401 / 810 s
+(co-tenant VM interference only ever inflates on this box). A total is therefore
+not a regression signal; a single query sustained above threshold x its recorded
+quiet value MIGHT be, but only when that query's plan actually changed in the
+round — pass the plan-changed queries via --changed (default: flag everything
+over threshold as "noise-or-regression: re-measure isolated", and only
+plan-changed offenders as hard failures).
+
+Input formats accepted, in order of preference:
+  1. raw graft.Bench output: {"metric":..., "value":..., "queries":{...}, "sf":...}
+  2. the driver's wrapper: {"n":..., "rc":..., "tail":"...", "parsed":{...}|null}
+     - when "parsed" is null (stdout truncated mid-JSON), per-query times are
+       regex-recovered from "tail"; queries lost to the truncation are reported
+       as "missing", never silently passed.
+
+Exit code: 0 = clean (or only non-plan-changed queries over threshold);
+           1 = a plan-changed query is over threshold, or the input had rc != 0;
+           2 = usage / unreadable input.
+"""
+import argparse
+import json
+import re
+import sys
+
+QUERY_RE = re.compile(r'"(q\d+_[A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)')
+
+
+def load_query_times(path):
+    """Return (times: dict, rc: int|None, truncated: bool)."""
+    with open(path) as f:
+        doc = json.load(f)
+    if isinstance(doc, dict) and "queries" in doc and isinstance(doc["queries"], dict):
+        return dict(doc["queries"]), doc.get("rc"), False
+    # driver wrapper
+    rc = doc.get("rc")
+    parsed = doc.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return dict(parsed["queries"]), rc, False
+    tail = doc.get("tail", "") or ""
+    times = {name: float(sec) for name, sec in QUERY_RE.findall(tail)}
+    return times, rc, True
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("bench", help="BENCH_r{N}.json (raw Bench output or driver wrapper)")
+    ap.add_argument("--ref", default="BENCH_REF.json")
+    ap.add_argument("--threshold", type=float, default=1.6,
+                    help="flag queries over threshold x quiet reference (default 1.6)")
+    ap.add_argument("--changed", default="",
+                    help="comma-separated query names whose plans changed this round; "
+                         "only these become hard failures when over threshold")
+    ap.add_argument("--min-sec", type=float, default=0.2,
+                    help="ignore ratio noise below this absolute reference time (default 0.2s)")
+    args = ap.parse_args()
+
+    try:
+        ref_doc = json.load(open(args.ref))
+        ref = ref_doc["queries"]
+    except (OSError, KeyError, json.JSONDecodeError) as e:
+        print(f"cannot read reference {args.ref}: {e}", file=sys.stderr)
+        return 2
+    try:
+        times, rc, truncated = load_query_times(args.bench)
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"cannot read bench {args.bench}: {e}", file=sys.stderr)
+        return 2
+
+    changed = {q.strip() for q in args.changed.split(",") if q.strip()}
+    unknown_changed = changed - set(ref)
+    if unknown_changed:
+        print(f"warning: --changed names not in reference: {sorted(unknown_changed)}",
+              file=sys.stderr)
+
+    if rc not in (0, None):
+        print(f"FAIL: bench run exited rc={rc}")
+        return 1
+    if truncated:
+        print(f"note: input had parsed=null; recovered {len(times)} per-query "
+              f"times from truncated stdout tail")
+
+    missing = sorted(set(ref) - set(times))
+    new = sorted(set(times) - set(ref))
+    flagged = []       # over threshold, plan unchanged -> re-measure isolated
+    hard = []          # over threshold AND plan changed -> regression
+    for q in sorted(set(ref) & set(times)):
+        if ref[q] < args.min_sec:
+            continue
+        ratio = times[q] / ref[q]
+        if ratio > args.threshold:
+            (hard if q in changed else flagged).append((q, times[q], ref[q], ratio))
+
+    for q, t, r, ratio in hard:
+        print(f"REGRESSION {q}: {t:.2f}s vs quiet {r:.2f}s ({ratio:.1f}x, plan changed)")
+    for q, t, r, ratio in flagged:
+        print(f"noise-or-regression {q}: {t:.2f}s vs quiet {r:.2f}s ({ratio:.1f}x) "
+              f"- plan unchanged this round; re-measure isolated before acting")
+    if missing:
+        print(f"missing from bench input ({len(missing)}): {', '.join(missing)}"
+              + (" [stdout truncation]" if truncated else ""))
+    if new:
+        print(f"new queries not in reference ({len(new)}): {', '.join(new)} "
+              f"- add quiet values to {args.ref}")
+    if not (hard or flagged or missing):
+        print(f"clean: {len(times)} queries all within {args.threshold}x of quiet reference")
+    return 1 if hard else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
