@@ -121,6 +121,25 @@ object TextAnalysis {
       round(ratio(hits, n), 4).as("coverage"))
   }
 
+  /** Subword segmentation stats — greedy longest-match over a fixed
+    * subword vocabulary (the WordPiece inference rule: Devlin et al.
+    * 2019; Song et al. 2021's fast variant is this same
+    * longest-match-first loop). Returns a (n_words, n_pieces, n_unk)
+    * struct: whitespace tokens in, LM-loader piece counts out — the
+    * bridge between the whitespace-token operators (q108 chunking, q113
+    * coverage, pack-sequences) and what a trained tokenizer actually
+    * produces. Unmatched positions emit one unknown piece per code
+    * point.
+    *
+    * Same plan shape as [[vocabCoverage]]: the vocabulary is a job-side
+    * literal compiled to a byte-level trie
+    * ([[graft.functions.SubwordFunctions.subwordStats]]) — per-row, no
+    * join, no shuffle, O(longest entry) per position independent of
+    * |vocab|; runs at scan speed at any corpus size.
+    */
+  def subwordStats(text: Column, vocab: Seq[String]): Column =
+    graft.functions.SubwordFunctions.subwordStats(tokens(text), vocab)
+
   /** Composite quality score in [0,1]: four equal-weight heuristics a
     * pretraining filter would apply (length band, token-length band,
     * stopword presence, alphabetic density). Deterministic thresholds so

@@ -608,6 +608,20 @@ object PipelineQueries {
         v.getField("n_tokens").as("n_tokens"),
         v.getField("in_vocab").as("in_vocab"),
         v.getField("coverage").as("coverage"))
+    }),
+
+    // Subword segmentation counts — greedy longest-match (WordPiece
+    // inference rule) over a fixed 10k-entry piece vocabulary, compiled
+    // to a byte-trie probed per-row inside codegen: what an LM loader's
+    // tokenizer would emit, reconciled with the whitespace-token
+    // operators (q108/q113). The DuckDB oracle replays the identical
+    // greedy loop with a recursive CTE.
+    "q119_subword_stats" -> ((s, d) => {
+      val v = TextAnalysis.subwordStats(col("text"), SubwordVocab10k)
+      Tables.documents(s, d).select(col("doc_id"),
+        v.getField("n_words").as("n_words"),
+        v.getField("n_pieces").as("n_pieces"),
+        v.getField("n_unk").as("n_unk"))
     })
   )
 
@@ -631,6 +645,24 @@ object PipelineQueries {
     */
   private val GateVocab10k: Seq[String] =
     GateVocab ++ (0 until 9980).map(i => f"w$i%05d")
+
+  /** 10,000-entry subword gate vocabulary for q119: the 20 whole gate
+    * words, 19 sub-word pieces chosen so the fixture corpus exercises
+    * every segmentation path — multi-piece splits (customer → cust+omer),
+    * trie backtracking past a longer non-terminal path ("orders" makes
+    * the walk over "order" descend to depth 5 before falling back to the
+    * terminal "ord"), and the unknown fallback (small → sma+l+l, two unk
+    * code points) — plus deterministic filler to 10k so the trie has a
+    * realistic BPE-vocabulary shape. Max piece length 6 (the oracle's
+    * six probe joins mirror exactly that bound).
+    */
+  private val SubwordPieces: Seq[String] = Seq(
+    "cust", "omer", "col", "umn", "fil", "ter", "sma", "ord", "er",
+    "vec", "tor", "dat", "str", "eam", "que", "ry", "big", "du",
+    "orders")
+
+  private val SubwordVocab10k: Seq[String] =
+    GateVocab ++ SubwordPieces ++ (0 until 9961).map(i => f"w$i%05d")
 
   /** Exact blocked char-3-gram Jaccard ground truth — shared by q38 (the
     * block-local all-pairs operator) and q67 (the prefix-filtered
@@ -1870,6 +1902,77 @@ object PipelineQueries {
         |  coalesce(h.hits, 0)::INT AS in_vocab,
         |  round(CASE WHEN len(toks) > 0 THEN
         |    coalesce(h.hits, 0)::DOUBLE / len(toks) END, 4) AS coverage
-        |FROM t LEFT JOIN h ON t.doc_id = h.doc_id""".stripMargin)
+        |FROM t LEFT JOIN h ON t.doc_id = h.doc_id""".stripMargin),
+    // The same greedy longest-match loop as the byte-trie kernel,
+    // replayed as a recursive CTE: each step probes the vocabulary with
+    // the 1..6-char prefixes at the current position (six hash joins —
+    // aggregates are not allowed in a recursive term), advances by the
+    // longest hit or by one (unknown) character, and a word's final
+    // state is the row that stepped exactly one past its last character.
+    // Same vocabulary as the Spark literal (20 gate words + 19 pieces +
+    // programmatic filler to 10k; max piece length 6 = the probe bound).
+    "q119_subword_stats" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, wid, toks[wid] AS word FROM (
+        |    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS wid
+        |    FROM t)),
+        |v AS (
+        |  SELECT unnest(['the','a','table','row','key','value','scan',
+        |    'sort','join','group','window','spark','fast','slow','agg',
+        |    'hash','merge','part','line','batch','cust','omer','col',
+        |    'umn','fil','ter','sma','ord','er','vec','tor','dat','str',
+        |    'eam','que','ry','big','du','orders']) AS piece
+        |  UNION ALL
+        |  SELECT printf('w%05d', i) FROM range(9961) r(i)),
+        |rec AS (
+        |  SELECT doc_id, wid, word, 1 AS pos, 0 AS pieces, 0 AS unk
+        |  FROM w
+        |  UNION ALL
+        |  SELECT r.doc_id, r.wid, r.word,
+        |    r.pos + coalesce(greatest(
+        |      CASE WHEN v6.piece IS NOT NULL THEN 6 END,
+        |      CASE WHEN v5.piece IS NOT NULL THEN 5 END,
+        |      CASE WHEN v4.piece IS NOT NULL THEN 4 END,
+        |      CASE WHEN v3.piece IS NOT NULL THEN 3 END,
+        |      CASE WHEN v2.piece IS NOT NULL THEN 2 END,
+        |      CASE WHEN v1.piece IS NOT NULL THEN 1 END), 1) AS pos,
+        |    r.pieces + 1 AS pieces,
+        |    r.unk + CASE WHEN v1.piece IS NULL AND v2.piece IS NULL
+        |      AND v3.piece IS NULL AND v4.piece IS NULL
+        |      AND v5.piece IS NULL AND v6.piece IS NULL
+        |      THEN 1 ELSE 0 END AS unk
+        |  FROM rec r
+        |  LEFT JOIN v v1 ON v1.piece = substr(r.word, r.pos, 1)
+        |    AND length(v1.piece) = 1
+        |  LEFT JOIN v v2 ON v2.piece = substr(r.word, r.pos, 2)
+        |    AND length(v2.piece) = 2
+        |  LEFT JOIN v v3 ON v3.piece = substr(r.word, r.pos, 3)
+        |    AND length(v3.piece) = 3
+        |  LEFT JOIN v v4 ON v4.piece = substr(r.word, r.pos, 4)
+        |    AND length(v4.piece) = 4
+        |  LEFT JOIN v v5 ON v5.piece = substr(r.word, r.pos, 5)
+        |    AND length(v5.piece) = 5
+        |  LEFT JOIN v v6 ON v6.piece = substr(r.word, r.pos, 6)
+        |    AND length(v6.piece) = 6
+        |  WHERE r.pos <= length(r.word)),
+        |fin AS (
+        |  SELECT doc_id, wid, pieces, unk FROM rec
+        |  WHERE pos = length(word) + 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_words, sum(pieces) AS n_pieces,
+        |    sum(unk) AS n_unk
+        |  FROM fin GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.text IS NULL THEN NULL
+        |    ELSE coalesce(a.n_words, 0) END::INT AS n_words,
+        |  CASE WHEN t.text IS NULL THEN NULL
+        |    ELSE coalesce(a.n_pieces, 0) END::INT AS n_pieces,
+        |  CASE WHEN t.text IS NULL THEN NULL
+        |    ELSE coalesce(a.n_unk, 0) END::INT AS n_unk
+        |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin
   )
 }

@@ -1346,3 +1346,108 @@ class VocabCoverageSpec extends SparkSpec {
     assert(viaQuery == 2)
   }
 }
+
+class SubwordStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("subwordStats: greedy longest-match, unk fallback, empty/null text") {
+    val v = Seq("cust", "omer", "sma", "a", "aa")
+    val df = Seq(
+      (1L, Some("customer")),  // cust + omer
+      (2L, Some("small")),     // sma + l + l (2 unk)
+      (3L, Some("aaa")),       // aa + a (longest-first, not a+a+a)
+      (4L, Some("")),          // no tokens
+      (5L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.subwordStats($"text", v).as("s"))
+      .select($"doc_id", $"s.n_words", $"s.n_pieces", $"s.n_unk")
+      .as[(Long, Option[Int], Option[Int], Option[Int])]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, Some(1), Some(2), Some(0))))
+    assert(out(1) == ((2L, Some(1), Some(3), Some(2))))
+    assert(out(2) == ((3L, Some(1), Some(2), Some(0))))
+    assert(out(3) == ((4L, Some(0), Some(0), Some(0))))
+    assert(out(4) == ((5L, None, None, None)))
+  }
+
+  test("subwordStats: trie backtracks past a longer non-terminal path") {
+    // Walking "abcde": the trie path continues a-b-c-d-e toward
+    // "abcdef" (never terminal on this word), so the match must fall
+    // back to the deepest TERMINAL seen ("abc"), not fail or take "ab".
+    val v = Seq("ab", "abc", "abcdef")
+    val out = Seq("abcde").toDF("text")
+      .select(TextAnalysis.subwordStats($"text", v).as("s"))
+      .select($"s.n_pieces", $"s.n_unk").as[(Int, Int)].collect().head
+    assert(out == ((3, 2))) // abc + d(unk) + e(unk)
+  }
+
+  test("subwordStats: unknown advances one full UTF-8 code point") {
+    // "héllo": h(unk) + é(unk, 2 bytes = ONE piece) + "llo"(match);
+    // byte-wise unk stepping would count é as two pieces.
+    val v = Seq("llo")
+    val out = Seq("héllo").toDF("text")
+      .select(TextAnalysis.subwordStats($"text", v).as("s"))
+      .select($"s.n_pieces", $"s.n_unk").as[(Int, Int)].collect().head
+    assert(out == ((3, 2)))
+  }
+
+  test("subwordStats: 10k-entry vocabulary probes head/tail, multi-word") {
+    val vocab = Seq("cat") ++ (0 until 9999).map(i => f"w$i%05d")
+    val out = Seq("w00000cat w09998 xyz").toDF("text")
+      .select(TextAnalysis.subwordStats($"text", vocab).as("s"))
+      .select($"s.n_words", $"s.n_pieces", $"s.n_unk")
+      .as[(Int, Int, Int)].collect().head
+    // w00000cat = w00000 + cat; w09998 = one piece; xyz = 3 unk
+    assert(out == ((3, 6, 3)))
+  }
+
+  test("subwordStats: trie kernel matches a naive reference on random input") {
+    import graft.functions.{SubwordStatsExpr, SubwordTrie}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // Naive greedy longest-match: probe lengths descending via substring
+    // equality — O(|vocab|) per position but obviously correct.
+    def naive(word: String, vocab: Seq[String]): (Int, Int) = {
+      var p = 0; var pieces = 0; var unk = 0
+      while (p < word.length) {
+        val m = vocab.filter(v => word.startsWith(v, p))
+          .map(_.length).sorted.lastOption
+        m match {
+          case Some(l) => pieces += 1; p += l
+          case None    => pieces += 1; unk += 1; p += 1
+        }
+      }
+      (pieces, unk)
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    def randStr(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (_ <- 0 until 200) {
+      val vocab = (0 until (1 + rnd.nextInt(8)))
+        .map(_ => randStr(1 + rnd.nextInt(4))).distinct
+      val words = (0 until (1 + rnd.nextInt(5)))
+        .map(_ => randStr(1 + rnd.nextInt(10)))
+      val trie = SubwordTrie.build(vocab)
+      val arr = ArrayData.toArrayData(
+        words.map(w => UTF8String.fromString(w)).toArray)
+      val row = SubwordStatsExpr.stats(arr, trie)
+      val exp = words.map(w => naive(w, vocab))
+      assert(row.getInt(0) == words.length)
+      assert(row.getInt(1) == exp.map(_._1).sum,
+        s"pieces mismatch: vocab=$vocab words=$words")
+      assert(row.getInt(2) == exp.map(_._2).sum,
+        s"unk mismatch: vocab=$vocab words=$words")
+    }
+  }
+
+  test("subwordStats: empty or blank vocabulary rejected") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.subwordStats(col("text"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.subwordStats(col("text"), Seq("ok", ""))
+    }
+  }
+}
