@@ -36,6 +36,26 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  // Vocabulary arguments arrive as `array('a','b',...)` — CreateArray,
+  // not Literal, but still foldable: evaluate at registration time. The
+  // vocab must be plan-side constant (that is the whole design of the
+  // vocab kernels), so non-foldable input is a usage error.
+  private def strSeqArg(e: Expression, what: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a constant string array, got $e")
+    e.eval() match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map { i =>
+          if (a.isNullAt(i)) throw new IllegalArgumentException(
+            s"$what must not contain nulls")
+          a.getUTF8String(i).toString
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a constant string array, got $other")
+    }
+  }
+
   def install(ext: SparkSessionExtensions): Unit = {
     reg(ext, "minhash_signature",
       "minhash_signature(shingles, k) - k seeded-xxhash64 min-hashes",
@@ -87,5 +107,15 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       "topk_by(id, score, k) - bounded-heap grouped top-k aggregate",
       (args: Seq[Expression]) =>
         TopKByExpr(args.head, args(1), intArg(args(2), "k")))
+    reg(ext, "in_vocab_count",
+      "in_vocab_count(tokens, vocab) - tokens present in the constant " +
+        "vocabulary (O(1) hash-set probe per token)",
+      (args: Seq[Expression]) =>
+        InVocabCountExpr(args.head, strSeqArg(args(1), "vocab")))
+    reg(ext, "subword_stats",
+      "subword_stats(tokens, vocab) - greedy longest-match subword " +
+        "segmentation counts (n_words, n_pieces, n_unk)",
+      (args: Seq[Expression]) =>
+        SubwordStatsExpr(args.head, strSeqArg(args(1), "vocab")))
   }
 }

@@ -281,4 +281,25 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out.getInt(2) == 1)
     assert(out.getInt(3) == 4)
   }
+
+  test("vocab SQL surface: in_vocab_count, subword_stats, constant-only vocab") {
+    val row = spark.sql(
+      """SELECT in_vocab_count(array('the', 'cat', 'dog'),
+        |         array('the', 'dog')) AS hits,
+        |       subword_stats(array('customer', 'small'),
+        |         array('cust', 'omer', 'sma')) AS s""".stripMargin)
+      .selectExpr("hits", "s.n_words", "s.n_pieces", "s.n_unk")
+      .collect()(0)
+    assert(row.getInt(0) == 2)
+    assert(row.getInt(1) == 2)  // customer, small
+    assert(row.getInt(2) == 5)  // cust+omer, sma+l+l
+    assert(row.getInt(3) == 2)  // the two unknown l's
+    // a column-valued vocabulary is a usage error, not a silent fallback
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT in_vocab_count(array(t), array(t))
+          |FROM VALUES ('x') AS v(t)""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("constant string array"))
+  }
 }
