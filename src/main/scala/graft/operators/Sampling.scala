@@ -232,6 +232,64 @@ object Sampling {
     * not a plan defect. Tokenization is the repo's whitespace kernel
     * ([[TextAnalysis.tokens]]), evaluated once per row.
     */
+  /** Token-budget corpus selection — keep the best-scoring documents
+    * until a token budget is exhausted: the data-selection step of a
+    * compute-budgeted training run (rank by a quality signal, take the
+    * greedy prefix). Semantics: order documents by (score DESC, id ASC)
+    * and keep the maximal prefix whose INCLUSIVE running token sum stays
+    * ≤ `budget`. Rows with a NULL score or NULL token count are
+    * excluded (they can be neither ranked nor budgeted).
+    *
+    * Scale shape — the naive form is a GLOBAL sort + running-sum window
+    * (the whole corpus through one task's sort: the ntile trap
+    * [[Sketches.quantileBuckets]] documents). Instead:
+    *   1. aggregate token sums PER SCORE VALUE (map-side-combinable; one
+    *      shuffle of (score, tokens) pairs, output is score-cardinality
+    *      sized);
+    *   2. cumulative-sum over that bucket frame (a single-task window
+    *      over metadata, not corpus — the operator's contract is a
+    *      quantized, bounded-cardinality score, e.g. a 4-dp-rounded
+    *      quality logit ⇒ ≤ ~10⁴ buckets);
+    *   3. the highest-scoring bucket whose cumulative sum exceeds the
+    *      budget is the BOUNDARY; everything above it is kept outright
+    *      via a 1-row broadcast (no shuffle of the documents), and only
+    *      the boundary tie-class is resolved per-document (id-ordered
+    *      running sum through one task — bounded by the tie-class size,
+    *      which the score quantization controls).
+    * Documents below the boundary are dropped without ranking: their
+    * inclusive running sum provably exceeds the budget already.
+    *
+    * Output: (id, score, n_tokens) of the kept documents.
+    */
+  def selectByTokenBudget(df: DataFrame, scoreCol: Column,
+      tokensCol: Column, budget: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val scored = df
+      .select(col(idCol), scoreCol.as("score"),
+        tokensCol.cast("long").as("n_tokens"))
+      .where(col("score").isNotNull && col("n_tokens").isNotNull)
+    val buckets = scored.groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("__btok"))
+    // single-task window over the score-cardinality frame (metadata)
+    val cum = buckets.withColumn("__cum",
+      sum(col("__btok")).over(Window.orderBy(col("score").desc)))
+    // 1-row frame: (boundary score, tokens consumed above it); NULLs
+    // when no bucket overflows the budget (then everything is kept)
+    val boundary = cum.where(col("__cum") > budget)
+      .agg(max(col("score")).as("__bscore"),
+        max_by(col("__cum") - col("__btok"), col("score")).as("__bprev"))
+    val tagged = scored.crossJoin(broadcast(boundary))
+    val full = tagged
+      .where(col("__bscore").isNull || col("score") > col("__bscore"))
+    val inner = tagged.where(col("score") === col("__bscore"))
+      .withColumn("__run",
+        col("__bprev") + sum(col("n_tokens")).over(Window.orderBy(col(idCol))))
+      .where(col("__run") <= budget)
+    full.select(col(idCol), col("score"), col("n_tokens"))
+      .unionByName(inner.select(col(idCol), col("score"), col("n_tokens")))
+  }
+
   def stridedChunks(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", seqLen: Int = 64,
       stride: Int = 48): DataFrame = {

@@ -622,7 +622,21 @@ object PipelineQueries {
         v.getField("n_words").as("n_words"),
         v.getField("n_pieces").as("n_pieces"),
         v.getField("n_unk").as("n_unk"))
-    })
+    }),
+
+    // Token-budget corpus selection: greedy best-quality prefix under a
+    // 15k-token budget (~55% of the sf0.01 corpus, ~5% at sf0.1 — both
+    // scales exercise the boundary-bucket partial keep). Score is the
+    // 4-dp quality logit (bounded-cardinality, per the operator's
+    // contract); no global sort — per-score aggregation + a metadata
+    // cumsum pick the cut, only the boundary tie-class ranks per-doc.
+    "q120_token_budget" -> ((s, d) =>
+      Sampling.selectByTokenBudget(
+        Tables.documents(s, d),
+        round(TextAnalysis.qualityLogit(col("text")), 4),
+        graft.functions.TextStatsFunctions.tokenStats(col("text"))
+          .getField("n_tokens"),
+        budget = 15000L))
   )
 
   /** Fixed gate vocabulary for q113 — stands in for a tokenizer vocab
@@ -1973,6 +1987,41 @@ object PipelineQueries {
         |    ELSE coalesce(a.n_pieces, 0) END::INT AS n_pieces,
         |  CASE WHEN t.text IS NULL THEN NULL
         |    ELSE coalesce(a.n_unk, 0) END::INT AS n_unk
-        |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin
+        |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
+    // The selection semantics in their textbook form: inclusive running
+    // token sum over (score DESC, doc_id) kept while <= budget. The
+    // Spark side's bucket-cumsum + boundary-resolution plan is provably
+    // the same prefix (sub-boundary docs already exceed the budget
+    // through the boundary bucket's total). Score CTEs = q100's.
+    "q120_token_budget" -> (ToksCte +
+      """
+        |, m AS (
+        |  SELECT doc_id, len(toks) AS nt,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+        |      / len(toks) END AS atl,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'],
+        |        x)))::DOUBLE / len(toks) END AS swr,
+        |    CASE WHEN length(text) > 0 THEN
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(text) END AS ar
+        |  FROM t),
+        |z AS (
+        |  SELECT doc_id, -4.0 + 6.0 * coalesce(swr, 0) +
+        |    3.0 * coalesce(ar, 0) + 0.3 * ln(1.0 + nt) -
+        |    0.2 * abs(coalesce(atl, 0) - 5.0) AS zz
+        |  FROM m),
+        |sel AS (
+        |  SELECT z.doc_id, round(1.0 / (1.0 + exp(-zz)), 4) AS score,
+        |    len(t.toks)::BIGINT AS n_tokens
+        |  FROM z JOIN t ON z.doc_id = t.doc_id
+        |  WHERE len(t.toks) IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, score, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS run
+        |  FROM sel)
+        |SELECT doc_id, score, n_tokens FROM r WHERE run <= 15000""".stripMargin)
   )
 }

@@ -1442,12 +1442,77 @@ class SubwordStatsSpec extends SparkSpec {
     }
   }
 
+  test("subwordStats: per-row plan — no exchange, fuses into the scan stage") {
+    val docs = (0L until 20L).map(i => (i, s"customer small w$i"))
+      .toDF("doc_id", "text")
+    val plan = docs.select($"doc_id",
+        TextAnalysis.subwordStats($"text", Seq("cust", "omer", "sma"))
+          .as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"subwordStats must fuse into the scan stage:\n$plan")
+  }
+
   test("subwordStats: empty or blank vocabulary rejected") {
     intercept[IllegalArgumentException] {
       TextAnalysis.subwordStats(col("text"), Seq.empty)
     }
     intercept[IllegalArgumentException] {
       TextAnalysis.subwordStats(col("text"), Seq("ok", ""))
+    }
+  }
+}
+
+class TokenBudgetSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling.selectByTokenBudget
+
+  private val docs = Seq(
+    (1L, Some(0.9), Some(10L)),
+    (2L, Some(0.9), Some(10L)),
+    (3L, Some(0.9), Some(10L)),
+    (4L, Some(0.8), Some(5L)),
+    (5L, Some(0.7), Some(100L)),
+    (6L, None: Option[Double], Some(10L)),  // unrankable
+    (7L, Some(1.0), None: Option[Long]))    // unbudgetable
+    .toDF("doc_id", "score", "n_tokens")
+
+  private def kept(budget: Long): Set[Long] =
+    selectByTokenBudget(docs, $"score", $"n_tokens", budget)
+      .select("doc_id").as[Long].collect().toSet
+
+  test("selectByTokenBudget: boundary bucket partially kept in id order") {
+    assert(kept(25L) == Set(1L, 2L))         // 10+10, doc 3 would hit 30
+    assert(kept(35L) == Set(1L, 2L, 3L, 4L)) // 0.9 bucket + the 0.8 doc
+    assert(kept(30L) == Set(1L, 2L, 3L))     // inclusive <= semantics
+  }
+
+  test("selectByTokenBudget: no-overflow, zero-budget, null exclusion") {
+    assert(kept(1000L) == Set(1L, 2L, 3L, 4L, 5L)) // boundary frame empty
+    assert(kept(0L) == Set.empty)
+    assert(kept(Long.MaxValue).intersect(Set(6L, 7L)) == Set.empty)
+    intercept[IllegalArgumentException] {
+      selectByTokenBudget(docs, $"score", $"n_tokens", -1L)
+    }
+  }
+
+  test("selectByTokenBudget: equivalence with the naive global running sum") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map { id =>
+      (id, math.round(rnd.nextInt(20) / 20.0 * 1e4) / 1e4,
+        rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("doc_id", "score", "n_tokens")
+    def naive(budget: Long): Set[Long] = {
+      var run = 0L
+      rows.sortBy { case (id, s, _) => (-s, id) }
+        .takeWhile { case (_, _, t) => { run += t; run <= budget } }
+        .map(_._1).toSet
+    }
+    for (budget <- Seq(0L, 500L, 2000L, 5000L, 100000L)) {
+      val got = selectByTokenBudget(df, $"score", $"n_tokens", budget)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == naive(budget), s"budget=$budget")
     }
   }
 }
