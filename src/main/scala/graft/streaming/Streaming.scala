@@ -26,6 +26,14 @@ case class UserStats(user_id: Long, events: Long, total_value: Double,
 private case class RunningStatsState(events: Long, total: Double,
     lastTs: Long, lastValue: Double, lastType: String)
 
+/** Compacted newest-version state per (user, event type) key, emitted by
+  * [[Streaming.latestVersionStream]]; `n_changes` counts the feed rows
+  * compacted into the key so far (monotone — the final state is the row
+  * with the key's max `n_changes`).
+  */
+case class LatestVersion(user_id: Long, event_type: String, ts: Timestamp,
+    value: Double, n_changes: Long)
+
 /** A closed (or force-flushed) activity session. */
 case class UserSession(user_id: Long, start: Timestamp, end: Timestamp,
     events: Long, total_value: Double)
@@ -165,6 +173,50 @@ object Streaming {
       joinType)
       .select(col("click_user").as("user_id"), col("click_ts"),
         col("purchase_ts"), col("click_value"), col("purchase_value"))
+  }
+
+  /** Streaming SCD-1 upsert compaction — the unbounded twin of
+    * [[graft.operators.Dedup.latestVersion]]: a continuously maintained
+    * newest-version state per (user, event type) key over a change feed.
+    * Version order is (event time, value) — the same lexicographic
+    * struct order the batch twin's `max_by` uses, with the value
+    * tie-break making the state independent of any fixture timestamp
+    * convention. Arrival order is irrelevant by construction (each
+    * change only replaces state if it is version-greater), so late and
+    * out-of-order feeds converge to the same compacted table — the
+    * property the equivalence gate feeds shuffled micro-batches to
+    * exercise.
+    *
+    * Each update also carries `n_changes`, the number of feed rows
+    * compacted into the key so far: an audit field, and the monotone
+    * batch-order marker that lets a drained memory sink select each
+    * key's FINAL state without re-applying version semantics.
+    *
+    * State discipline: deliberately NO watermark eviction — an entity's
+    * current state never expires; that is the CDC compaction contract.
+    * State size is bounded by LIVE KEY cardinality (exactly the size of
+    * the compacted table itself), not by feed length — the right bound
+    * for a 100 TB/day change stream over a finite entity population.
+    */
+  def latestVersionStream(changes: Dataset[Event]): Dataset[LatestVersion] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), batch: Iterator[Event],
+            state: GroupState[LatestVersion]) =>
+          val next = batch.foldLeft(state.getOption.orNull) { (cur, e) =>
+            val n = if (cur == null) 1L else cur.n_changes + 1L
+            val newer = cur == null || {
+              val c = e.ts.compareTo(cur.ts)
+              c > 0 || (c == 0 && e.value > cur.value)
+            }
+            if (newer) LatestVersion(key._1, key._2, e.ts, e.value, n)
+            else cur.copy(n_changes = n)
+          }
+          state.update(next)
+          next
+      }
   }
 
   /** Running per-user stats via mapGroupsWithState — arbitrary keyed

@@ -200,4 +200,53 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
       }
     } finally all.unpersist()
   }
+
+  test("CDC compaction: drained streaming twin ≡ batch latestVersion, shuffled feed") {
+    assume(fixtureExists("events"))
+    // Batch twin on the same (ts, value) version order the stream uses —
+    // the value tie-break makes both sides fixture-convention-free.
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_type", $"value")
+    // latestVersion's output column order: keys ++ carried =
+    // (user_id, event_type, ts, value)
+    val batch = Dedup.latestVersion(ev,
+        keys = Seq("user_id", "event_type"),
+        versionCols = Seq("ts", "value"), payloadCols = Seq.empty)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getTimestamp(2), r.getDouble(3))).toMap
+    val counts = ev.groupBy($"user_id", $"event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.latestVersionStream(in.toDS())
+      .writeStream.format("memory").queryName("eqcdc").outputMode("update")
+      .start()
+    // Shuffled three-way micro-batch split: arrival order must not
+    // matter (late/out-of-order changes converge to the same state).
+    val rnd = new scala.util.Random(13)
+    val fixture = rnd.shuffle(ev.as[Event].collect().toSeq)
+    fixture.grouped((fixture.size + 2) / 3).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // Final state per key = the row with the max (monotone) n_changes.
+    val streamed = spark.table("eqcdc").as[LatestVersion].collect()
+      .groupBy(s => (s.user_id, s.event_type)).view
+      .mapValues(_.maxBy(_.n_changes)).toMap
+
+    assert(streamed.keySet == batch.keySet,
+      s"key sets diverge: stream-only=${(streamed.keySet -- batch.keySet).take(5)}, " +
+        s"batch-only=${(batch.keySet -- streamed.keySet).take(5)}")
+    assert(streamed.size > 50, "fixture must have a real key population")
+    streamed.foreach { case (k, s) =>
+      val (bts, bval) = batch(k)
+      assert(s.ts == bts && s.value == bval,
+        s"key $k: stream (${s.ts}, ${s.value}) vs batch ($bts, $bval)")
+      assert(s.n_changes == counts(k),
+        s"key $k: n_changes ${s.n_changes} vs feed count ${counts(k)}")
+    }
+  }
 }
