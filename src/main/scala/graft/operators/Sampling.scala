@@ -232,6 +232,49 @@ object Sampling {
     * not a plan defect. Tokenization is the repo's whitespace kernel
     * ([[TextAnalysis.tokens]]), evaluated once per row.
     */
+  /** Executes a [[domainMixPlan]] — the materialization half of the
+    * mixing loop the planner only PLANS: a sampling weight w per domain
+    * becomes floor(w) deterministic epoch copies of every document plus
+    * one extra copy for a document-hash fraction frac(w) of them (the
+    * standard epoch-replication reading of w = 2.3: every doc twice,
+    * a uniform 30% of docs a third time). Weights below 1 degenerate to
+    * plain stratified sampling; domains absent from the plan (weight 0,
+    * or no plan row) produce nothing.
+    *
+    * The extra-copy decision reuses the repo's deterministic md5-bucket
+    * convention ([[sampleByStrata]]) under a distinct ':epoch' salt, so
+    * composing this with a strata sample never correlates the two
+    * draws. Reproducible across engines, retries, and runs; no rand().
+    *
+    * Output: one row per (document, epoch) — (idCol, domainCol, epoch),
+    * epoch in 1..copies. Row count grows by ~Σ w·|domain| BY DESIGN
+    * (that is the materialized training mix, cf. [[stridedChunks]]'s
+    * overlap factor).
+    *
+    * Scale shape: the plan frame is domain-cardinality (config-sized) —
+    * broadcast join; copies are per-row arithmetic + a ≤ceil(max w)
+    * bounded generator. No shuffle of the corpus anywhere.
+    */
+  def materializeMix(df: DataFrame, domainCol: String, plan: DataFrame,
+      idCol: String): DataFrame = {
+    val weights = plan.select(col(domainCol), col("sampling_weight"))
+    val bucket =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":epoch"))),
+        1, 15), 16, 10).cast("long") % 10000
+    val frac = col("sampling_weight") - floor(col("sampling_weight"))
+    df.join(broadcast(weights), Seq(domainCol))
+      .withColumn("__copies",
+        (floor(col("sampling_weight")).cast("int") +
+          // long bucket vs exact double threshold — deliberately NO
+          // rounding step (a .5 boundary would be a cross-engine
+          // rounding-mode bet, the q75 lesson); both engines compare
+          // the same integer against the same IEEE product
+          when(bucket.cast("double") < frac * 10000.0, 1).otherwise(0)))
+      .where(col("__copies") > 0)
+      .select(col(idCol), col(domainCol),
+        explode(sequence(lit(1), col("__copies"))).as("epoch"))
+  }
+
   /** Token-budget corpus selection — keep the best-scoring documents
     * until a token budget is exhausted: the data-selection step of a
     * compute-budgeted training run (rank by a quality signal, take the

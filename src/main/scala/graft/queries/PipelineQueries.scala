@@ -636,7 +636,22 @@ object PipelineQueries {
         round(TextAnalysis.qualityLogit(col("text")), 4),
         graft.functions.TextStatsFunctions.tokenStats(col("text"))
           .getField("n_tokens"),
-        budget = 15000L))
+        budget = 15000L)),
+
+    // Mix materialization: q101's plan EXECUTED — src0/src1 at the
+    // 4-epoch cap yield four copies of every doc, the ~1.0-weight
+    // domains exercise the fractional extra-copy hash draw, src12+
+    // (weight 0) vanish. Composes plan → materialize end-to-end under
+    // one oracle.
+    "q121_materialize_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val plan = Sampling.domainMixPlan(docs, "source",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
+          (2 to 11).map(i => s"src$i" -> 0.05).toMap)
+      Sampling.materializeMix(docs.select(col("doc_id"), col("source")),
+        "source", plan, "doc_id")
+    })
   )
 
   /** Fixed gate vocabulary for q113 — stands in for a tokenizer vocab
@@ -2022,6 +2037,38 @@ object PipelineQueries {
         |  SELECT doc_id, score, n_tokens,
         |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS run
         |  FROM sel)
-        |SELECT doc_id, score, n_tokens FROM r WHERE run <= 15000""".stripMargin)
+        |SELECT doc_id, score, n_tokens FROM r WHERE run <= 15000""".stripMargin),
+    // q101's weight CTEs verbatim, then the same copy arithmetic: the
+    // 60-bit md5 hash convention is the file-header one, the fractional
+    // draw compares the integer bucket against the un-rounded double
+    // threshold (no rounding-mode bet), epochs unnest from a scalar
+    // range.
+    "q121_materialize_mix" -> (ToksCte +
+      """
+        |, perdom AS (
+        |  SELECT d.source, sum(len(toks))::BIGINT AS tokens
+        |  FROM t JOIN documents d USING (doc_id) GROUP BY d.source),
+        |tot AS (SELECT sum(tokens)::BIGINT AS total FROM perdom),
+        |wt AS (
+        |  SELECT source,
+        |    round(least(
+        |      (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+        |        WHEN 'src2' THEN 0.05 WHEN 'src3' THEN 0.05
+        |        WHEN 'src4' THEN 0.05 WHEN 'src5' THEN 0.05
+        |        WHEN 'src6' THEN 0.05 WHEN 'src7' THEN 0.05
+        |        WHEN 'src8' THEN 0.05 WHEN 'src9' THEN 0.05
+        |        WHEN 'src10' THEN 0.05 WHEN 'src11' THEN 0.05
+        |        ELSE 0.0 END::DOUBLE)
+        |      / (tokens::DOUBLE / total::DOUBLE), 4.0), 6) AS sw
+        |  FROM perdom, tot),
+        |c AS (
+        |  SELECT d.doc_id, d.source,
+        |    (floor(sw)::INT + CASE WHEN
+        |      (('0x' || substr(md5(d.doc_id::VARCHAR || ':epoch'), 1, 15))
+        |        ::BIGINT % 10000)::DOUBLE < (sw - floor(sw)) * 10000
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM documents d JOIN wt USING (source))
+        |SELECT doc_id, source, unnest(range(1, copies + 1))::INT AS epoch
+        |FROM c WHERE copies > 0""".stripMargin)
   )
 }

@@ -1516,3 +1516,53 @@ class TokenBudgetSpec extends SparkSpec {
     }
   }
 }
+
+class MaterializeMixSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling.materializeMix
+
+  // The operator's own hash convention, recomputed independently: 60-bit
+  // prefix of md5(id || ':epoch') mod 10000.
+  private def bucket(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:epoch".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 10000L
+  }
+
+  test("materializeMix: epoch replication, fractional draw, zero-weight drop") {
+    val docs = (1L to 300L).map(i =>
+      (i, if (i <= 100) "a" else if (i <= 200) "b" else "c"))
+      .toDF("doc_id", "source")
+    val plan = Seq(("a", 2.5), ("b", 0.8)).toDF("source", "sampling_weight")
+    val out = materializeMix(docs, "source", plan, "doc_id")
+      .as[(Long, String, Int)].collect()
+
+    val perDoc = out.groupBy(_._1).view
+      .mapValues(_.map(_._3).sorted.toSeq).toMap
+    // domain c: no plan row -> nothing materialized
+    assert(out.forall(_._2 != "c"))
+    (1L to 100L).foreach { id => // a: 2 copies + hash draw at 50%
+      val expected = 2 + (if (bucket(id) < 5000L) 1 else 0)
+      assert(perDoc.getOrElse(id, Seq.empty[Int]) == (1 to expected).toSeq,
+        s"doc $id (a): got ${perDoc.get(id)}, want 1..$expected")
+    }
+    (101L to 200L).foreach { id => // b: 0 copies + hash draw at 80%
+      val expected = if (bucket(id) < 8000L) 1 else 0
+      assert(perDoc.getOrElse(id, Seq.empty[Int]) == (1 to expected).toSeq,
+        s"doc $id (b): got ${perDoc.get(id)}, want 1..$expected")
+    }
+    // both fractional branches actually fired
+    assert((1L to 100L).exists(id => bucket(id) < 5000L))
+    assert((1L to 100L).exists(id => bucket(id) >= 5000L))
+  }
+
+  test("materializeMix: integer weight is exact epoch multiplication") {
+    val docs = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "source")
+    val plan = Seq(("a", 3.0)).toDF("source", "sampling_weight")
+    val out = materializeMix(docs, "source", plan, "doc_id")
+      .as[(Long, String, Int)].collect().toSet
+    assert(out == (for (id <- Set(1L, 2L); e <- 1 to 3)
+      yield (id, "a", e)))
+  }
+}
