@@ -612,6 +612,17 @@ object CoreQueries {
         .select("event_id", "user_id", "w_cnt", "w_sum")
     }),
 
+    // Z-order (Morton) interleaved layout key over (orderkey, partkey):
+    // the bit-exact arithmetic behind zorderWrite's multi-column data
+    // skipping, gated value-for-value (the write itself is test-gated in
+    // LayoutSpec like the other write-side ops).
+    "q122_zorder_key" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_linenumber"),
+          graft.sources.Layout.zorderKey(col("l_orderkey"),
+            col("l_partkey")).as("z_key"))),
+
     // Ordered funnel view→click→purchase: single-pass stacked-window
     // form (one entity shuffle), not the N-self-joins textbook shape.
     "q97_funnel" -> ((s, d) => {
@@ -1043,6 +1054,33 @@ object CoreQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
         |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // The Morton bit-spread replayed literally (masks in decimal:
+    // 0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF, 0x0F0F0F0F0F0F0F0F,
+    // 0x3333..., 0x5555...); bit-exact 64-bit integer ops both engines.
+    "q122_zorder_key" ->
+      """WITH b0 AS (
+        |  SELECT l_orderkey, l_partkey, l_linenumber,
+        |    l_orderkey::BIGINT & 4294967295 AS a,
+        |    l_partkey::BIGINT & 4294967295 AS b
+        |  FROM lineitem),
+        |b1 AS (SELECT l_orderkey, l_partkey, l_linenumber,
+        |  ((a | (a << 16)) & 281470681808895) AS a,
+        |  ((b | (b << 16)) & 281470681808895) AS b FROM b0),
+        |b2 AS (SELECT l_orderkey, l_partkey, l_linenumber,
+        |  ((a | (a << 8)) & 71777214294589695) AS a,
+        |  ((b | (b << 8)) & 71777214294589695) AS b FROM b1),
+        |b3 AS (SELECT l_orderkey, l_partkey, l_linenumber,
+        |  ((a | (a << 4)) & 1085102592571150095) AS a,
+        |  ((b | (b << 4)) & 1085102592571150095) AS b FROM b2),
+        |b4 AS (SELECT l_orderkey, l_partkey, l_linenumber,
+        |  ((a | (a << 2)) & 3689348814741910323) AS a,
+        |  ((b | (b << 2)) & 3689348814741910323) AS b FROM b3),
+        |b5 AS (SELECT l_orderkey, l_partkey, l_linenumber,
+        |  ((a | (a << 1)) & 6148914691236517205) AS a,
+        |  ((b | (b << 1)) & 6148914691236517205) AS b FROM b4)
+        |SELECT l_orderkey, l_partkey, l_linenumber,
+        |  (a | (b << 1)) AS z_key
+        |FROM b5""".stripMargin,
     // Identical to q96's oracle: the salted variant is an equivalence
     // claim, and the gate enforces it (the q44 convention).
     "q118_salted_time_window" ->

@@ -638,6 +638,18 @@ object PipelineQueries {
           .getField("n_tokens"),
         budget = 15000L)),
 
+    // Sequence packing by SUBWORD pieces (q119 ∘ q78): the pack budget
+    // counts what the LM loader actually packs — whitespace-token
+    // budgets under-fill packs by the piece expansion factor (~1.34× on
+    // this corpus). Same single-shuffle pack arithmetic, piece counts
+    // from the per-row trie kernel.
+    "q123_subword_pack" -> ((s, d) =>
+      Sampling.packSequences(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          TextAnalysis.subwordStats(col("text"), SubwordVocab10k)
+            .getField("n_pieces").as("n_pieces")),
+        "n_pieces", budget = 2048L, Seq("lang"), "doc_id")),
+
     // Mix materialization: q101's plan EXECUTED — src0/src1 at the
     // 4-epoch cap yield four copies of every doc, the ~1.0-weight
     // domains exercise the fractional extra-copy hash draw, src12+
@@ -2069,6 +2081,69 @@ object PipelineQueries {
         |      THEN 1 ELSE 0 END) AS copies
         |  FROM documents d JOIN wt USING (source))
         |SELECT doc_id, source, unnest(range(1, copies + 1))::INT AS epoch
-        |FROM c WHERE copies > 0""".stripMargin)
+        |FROM c WHERE copies > 0""".stripMargin),
+    // q119's recursive greedy-segmentation CTEs (plus lang) feeding
+    // q78's pack arithmetic on the piece counts.
+    "q123_subword_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, wid, toks[wid] AS word FROM (
+        |    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS wid
+        |    FROM t)),
+        |v AS (
+        |  SELECT unnest(['the','a','table','row','key','value','scan',
+        |    'sort','join','group','window','spark','fast','slow','agg',
+        |    'hash','merge','part','line','batch','cust','omer','col',
+        |    'umn','fil','ter','sma','ord','er','vec','tor','dat','str',
+        |    'eam','que','ry','big','du','orders']) AS piece
+        |  UNION ALL
+        |  SELECT printf('w%05d', i) FROM range(9961) r(i)),
+        |rec AS (
+        |  SELECT doc_id, wid, word, 1 AS pos, 0 AS pieces FROM w
+        |  UNION ALL
+        |  SELECT r.doc_id, r.wid, r.word,
+        |    r.pos + coalesce(greatest(
+        |      CASE WHEN v6.piece IS NOT NULL THEN 6 END,
+        |      CASE WHEN v5.piece IS NOT NULL THEN 5 END,
+        |      CASE WHEN v4.piece IS NOT NULL THEN 4 END,
+        |      CASE WHEN v3.piece IS NOT NULL THEN 3 END,
+        |      CASE WHEN v2.piece IS NOT NULL THEN 2 END,
+        |      CASE WHEN v1.piece IS NOT NULL THEN 1 END), 1) AS pos,
+        |    r.pieces + 1 AS pieces
+        |  FROM rec r
+        |  LEFT JOIN v v1 ON v1.piece = substr(r.word, r.pos, 1)
+        |    AND length(v1.piece) = 1
+        |  LEFT JOIN v v2 ON v2.piece = substr(r.word, r.pos, 2)
+        |    AND length(v2.piece) = 2
+        |  LEFT JOIN v v3 ON v3.piece = substr(r.word, r.pos, 3)
+        |    AND length(v3.piece) = 3
+        |  LEFT JOIN v v4 ON v4.piece = substr(r.word, r.pos, 4)
+        |    AND length(v4.piece) = 4
+        |  LEFT JOIN v v5 ON v5.piece = substr(r.word, r.pos, 5)
+        |    AND length(v5.piece) = 5
+        |  LEFT JOIN v v6 ON v6.piece = substr(r.word, r.pos, 6)
+        |    AND length(v6.piece) = 6
+        |  WHERE r.pos <= length(r.word)),
+        |fin AS (
+        |  SELECT doc_id, wid, pieces FROM rec
+        |  WHERE pos = length(word) + 1),
+        |agg AS (SELECT doc_id, sum(pieces) AS np FROM fin GROUP BY doc_id),
+        |p AS (
+        |  SELECT t.doc_id, t.lang,
+        |    CASE WHEN t.text IS NULL THEN NULL
+        |      ELSE coalesce(a.np, 0) END::INT AS n_pieces
+        |  FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id),
+        |c AS (
+        |  SELECT doc_id, lang, n_pieces,
+        |    (sum(n_pieces) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_pieces)::BIGINT AS f
+        |  FROM p)
+        |SELECT doc_id, lang, n_pieces,
+        |       f // 2048 AS pack_id, f % 2048 AS pack_offset
+        |FROM c""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Storage-layout operators — the write-side half of scale design.
   *
@@ -33,6 +34,54 @@ object Layout {
       buckets: Int): Unit =
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** Z-order (Morton) interleaved sort key over two non-negative int
+    * dimensions — the multi-column data-skipping layout (the capability
+    * behind Delta/Iceberg's OPTIMIZE ZORDER BY): sorting by a plain
+    * (a, b) concatenation clusters files tightly on `a` but leaves every
+    * file spanning the full range of `b`, so min/max footer stats prune
+    * nothing for b-filters; interleaving the BITS of both keys gives
+    * every file a narrow range in BOTH dimensions at once, and point or
+    * range filters on either column skip most files.
+    *
+    * Pure bitwise Column arithmetic (the classic mask-and-shift bit
+    * spread, 5 steps per dimension) — no custom expression needed,
+    * codegen-native, and exactly reproducible in any engine with 64-bit
+    * integer ops (the q122 oracle mirrors it literally). Inputs must be
+    * in [0, 2³¹) (masked to 32 bits; bit 31 of `b` would land on the
+    * long's sign bit and break range-partition ordering) — rank or
+    * bucket wider domains first.
+    */
+  def zorderKey(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      var x = c.cast("long").bitwiseAND(lit(0xffffffffL))
+      x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000ffff0000ffffL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered parquet write: range-partition on the interleaved key
+    * (so FILES tile the 2-D key space) and sort within each partition
+    * (so PAGES do too), then write. `numFiles` should target the
+    * cluster's preferred file size (~1 GB at 100 TB scale). The
+    * data-skipping payoff is asserted quantitatively in LayoutSpec:
+    * after z-ordering, a point filter on EITHER dimension finds most
+    * files' min/max ranges excluding it, where a single-column sort
+    * leaves every file a candidate for the other dimension.
+    */
+  def zorderWrite(df: DataFrame, aCol: String, bCol: String, path: String,
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.withColumn("__z", zorderKey(col(aCol), col(bCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Training-shard LAYOUT PLAN — the last mile between curation and a
     * data-loader-consumable artifact: every document gets its training

@@ -124,4 +124,50 @@ class LayoutSpec extends SparkSpec {
     assert(scan.inputRDDs().head.partitions.nonEmpty)
     assert(scan.metadata("Location").contains(dir))
   }
+
+  test("zorderKey: bit interleave is exact and order-embeds both dims") {
+    // 3 (=0b11) and 5 (=0b101) interleave to 0b100111 = 39:
+    // spread(3)=0b0101, spread(5)=0b010001<<1=0b100010; 5|34=39.
+    val z = Seq((3, 5)).toDF("a", "b")
+      .select(Layout.zorderKey($"a", $"b")).as[Long].collect().head
+    assert(z == 39L)
+    // Interleave of (x, 0) spreads x's bits into even positions.
+    val z2 = Seq((0xffffffffL, 0L)).toDF("a", "b")
+      .select(Layout.zorderKey($"a", $"b")).as[Long].collect().head
+    assert(z2 == 0x5555555555555555L)
+  }
+
+  test("zorderWrite: point filters on EITHER dimension skip most files") {
+    // 64x64 grid of (a, b) keys, 16 output files. Z-ordered, each file
+    // tiles a ~16x16 square => a point filter on either dim overlaps
+    // ~4/16 files; a-sorted layout leaves ALL 16 files spanning b's
+    // full range (zero skipping on b).
+    val grid = (0 until 64).flatMap(a => (0 until 64).map(b => (a, b)))
+      .toDF("a", "b")
+    def overlapFrac(dir: String, colName: String, v: Int): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val hits = files.count { f =>
+        val mm = spark.read.parquet(f)
+          .agg(min(col(colName)), max(col(colName))).collect()(0)
+        mm.getInt(0) <= v && v <= mm.getInt(1)
+      }
+      hits.toDouble / files.length
+    }
+    val zdir = Files.createTempDirectory("graft_z").toString + "/t"
+    Layout.zorderWrite(grid, "a", "b", zdir, numFiles = 16)
+    // naive comparison layout: range-partition + sort on `a` alone
+    val adir = Files.createTempDirectory("graft_a").toString + "/t"
+    grid.repartitionByRange(16, $"a").sortWithinPartitions($"a")
+      .write.mode("overwrite").parquet(adir)
+
+    assert(overlapFrac(adir, "b", 31) == 1.0,
+      "single-column sort must leave every file a candidate on b")
+    assert(overlapFrac(zdir, "a", 31) <= 0.5,
+      "z-order must skip at least half the files on an a-point")
+    assert(overlapFrac(zdir, "b", 31) <= 0.5,
+      "z-order must skip at least half the files on a b-point")
+    // and the layout loses no rows
+    assert(spark.read.parquet(zdir).count() == 64L * 64L)
+  }
 }
