@@ -15,6 +15,16 @@ private[functions] object TypeChecks {
     case o => fail(name, "array<float> or array<double>", o)
   }
 
+  /** [[vector]] plus array<int> — the int8-quantized code vectors of
+    * [[VectorFunctions.int8Quantize]] dot exactly like float vectors
+    * (codes are ≤ 127 in magnitude, so a double accumulator is exact).
+    */
+  def numericVector(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType | IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case o => fail(name, "array<float>, array<double> or array<int>", o)
+  }
+
   def stringArray(name: String, dt: DataType): TypeCheckResult = dt match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case o => fail(name, "array<string>", o)

@@ -91,6 +91,20 @@ object VectorFunctions {
     ExpressionUtils.column(BloomFilterMightContain(
       ExpressionUtils.expression(bloom), ExpressionUtils.expression(hashedKey)))
   }
+
+  /** Per-vector symmetric int8 quantization:
+    * struct(scale double, codes array<int>) with
+    * scale = max|v| / 127 and codeᵢ = ⌊vᵢ/scale + 0.5⌋ (half-up toward
+    * +∞ — floor arithmetic, identical in every IEEE engine; NOT a
+    * rounding-mode bet). Codes are in [−127, 127] — one byte of
+    * information per dimension, stored as int here and cast to
+    * tinyint/binary at the writer (Parquet dictionary/byte-stream-split
+    * encodings recover the 4× size win either way). A zero vector gets
+    * scale 0 and all-zero codes.
+    */
+  def int8Quantize(vec: Column): Column =
+    ExpressionUtils.column(
+      Int8QuantizeExpr(ExpressionUtils.expression(vec)))
 }
 
 /** See [[VectorFunctions.minhashSignature]]. Null array elements are
@@ -155,32 +169,40 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    TypeChecks.both(TypeChecks.vector(prettyName, left.dataType),
-      TypeChecks.vector(prettyName, right.dataType))
+    TypeChecks.both(TypeChecks.numericVector(prettyName, left.dataType),
+      TypeChecks.numericVector(prettyName, right.dataType))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
 
-  private def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // array<int> (quantized codes) reads via getInt; float/double as before
+  private def getter(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case IntegerType => "getInt"
+      case _ => "getDouble"
+    }
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val n = math.min(x.numElements(), y.numElements())
-    val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    def get(arr: ArrayData, e: Expression, i: Int): Double =
+      getter(e) match {
+        case "getFloat" => arr.getFloat(i).toDouble
+        case "getInt" => arr.getInt(i).toDouble
+        case _ => arr.getDouble(i)
+      }
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += get(x, left, i) * get(y, right, i)
       i += 1
     }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getX = if (elemIsFloat(left)) "getFloat" else "getDouble"
-    val getY = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    val getX = getter(left)
+    val getY = getter(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
@@ -467,5 +489,65 @@ object SimHash60Expr {
       j += 1
     }
     out
+  }
+}
+
+/** See [[VectorFunctions.int8Quantize]]. The reconstruction error per
+  * element is ≤ scale/2 = max|v|/254 — the bound SimilaritySpec's
+  * recall gate (quantized vs exact cosine top-k) rides on.
+  */
+case class Int8QuantizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Int8QuantizeExpr.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int8_quantize"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.vector(prettyName, child.dataType)
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected override def nullSafeEval(input: Any): Any =
+    Int8QuantizeExpr.quantize(input.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Int8QuantizeExpr.quantize($c, $elemIsFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8QuantizeExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  /** Shared by eval and generated code (static forwarder). */
+  def quantize(arr: ArrayData, isFloat: Boolean)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    def get(i: Int): Double =
+      if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(get(i))
+      if (v > amax) amax = v
+      i += 1
+    }
+    val scale = amax / 127.0
+    val codes = new Array[Int](n)
+    if (scale > 0.0) {
+      i = 0
+      while (i < n) {
+        codes(i) = math.floor(get(i) / scale + 0.5).toInt
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      scale, new GenericArrayData(codes))
   }
 }

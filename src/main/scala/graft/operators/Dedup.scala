@@ -30,6 +30,26 @@ object Dedup {
   def normalize(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 
+  /** CCNet-style AGGRESSIVE normalization (Wenzek et al. 2020 §4.1's
+    * dedup preprocessing: lowercase, strip punctuation, fold digits):
+    * beyond [[normalize]], every non-letter/digit/space character is
+    * removed and every digit folds to 0, so "Hello, World — 2024!" and
+    * "hello world 2023" land in ONE equivalence class. This is the
+    * fingerprint key web-corpus dedup actually uses — raw exact dedup
+    * misses the trivially-reformatted mirrors (punctuation variants,
+    * dates, tracking numbers) that dominate crawl duplicates.
+    *
+    * \p{L}/\p{N} character classes, so non-ASCII scripts survive (only
+    * symbols/punct strip). Pure regexp_replace chain — codegen'd,
+    * per-row, engine-portable (DuckDB RE2 has the same classes).
+    */
+  def aggressiveNormalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""),
+        "\\p{N}", "0"),
+      "\\s+", " "))
+
   /** Distinct word n-gram shingles; whole text as one shingle when
     * shorter than n tokens. Codegen'd single pass
     * ([[graft.functions.WordShinglesExpr]]) — the declarative
@@ -84,10 +104,18 @@ object Dedup {
     * fingerprint scan the scaladoc above quantifies; pay it only when
     * the duplication profile says so. Both forms are equivalence-tested
     * (DedupSpec).
+    *
+    * `fingerprinter` is the equivalence class: [[TextAnalysis.fingerprint]]
+    * (whitespace/case) by default; pass
+    * `md5(aggressiveNormalize(_))` for the CCNet punctuation/digit-folding
+    * class (q125) — the plan shape is identical, only the per-row key
+    * kernel changes.
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String,
-      aggForm: Boolean = false): DataFrame = {
-    val fp = df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      aggForm: Boolean = false,
+      fingerprinter: Column => Column = TextAnalysis.fingerprint)
+      : DataFrame = {
+    val fp = df.select(col(idCol), fingerprinter(col(textCol)).as("__fp"))
     if (aggForm) {
       val canon = fp.groupBy(col("__fp"))
         .agg(min(col(idCol)).as("canonical_id"))
@@ -265,6 +293,70 @@ object Dedup {
       .withColumn("jaccard", inter.cast("double") / union.cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The stored half of incremental near-dup dedup: (corpus_id, sh, sig)
+    * per document — minhash signatures for candidate generation, shingle
+    * sets for exact verification. Written once at ingest (parquet,
+    * columnar: the shingle column is read ONLY for candidate rows — see
+    * [[incrementalMinhashDedup]]); appending a day's batch to it is a
+    * plain append, no rebuild (minhash is per-row).
+    */
+  def minhashCorpusIndex(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 32): DataFrame =
+    df.select(col(idCol).as("corpus_id"),
+        wordShingles(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+
+  /** Incremental MinHash-LSH near-dup — the daily-crawl composition
+    * ([[incrementalExactDedup]]'s near-dup sibling): which documents of
+    * a NEW batch are near-duplicates of the stored corpus? Returns one
+    * (doc, corpus_doc, jaccard) row per pair at/above `threshold`;
+    * anti-join the doc ids off the batch to admit only novel content.
+    *
+    * Scale shape: the corpus is represented by its
+    * [[minhashCorpusIndex]] table and is NEVER shuffled whole — band
+    * rows project (id, 2-3 longs) off the signature column, the
+    * candidate join keys on (band, key), and only CANDIDATE corpus rows
+    * fetch their shingle column for the exact-Jaccard verify (a
+    * same-key id join — selective, since candidates ≈ batch-sized ×
+    * collision rate). Defaults run r = k/bands = 2 rows per band:
+    * at the 0.8 threshold the miss probability for a true pair is
+    * (1 − J²)¹⁶ ≤ 4·10⁻¹⁰ even at J = 0.8 exactly — the incremental
+    * form trades more candidates (cheap: verified by intersect on two
+    * bounded arrays) for not missing yesterday's mirror, where
+    * [[minhashNearDupPairs]]' r = 4 within-corpus default leans the
+    * other way. Hot band buckets (boilerplate) inflate candidates, not
+    * correctness — cap them with the same broadcast-anti-join move as
+    * `maxBucket` if the batch profile demands it.
+    */
+  def incrementalMinhashDedup(newDocs: DataFrame, corpusIndex: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.8,
+      k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    def bandRows(sigs: DataFrame, idName: String): DataFrame =
+      sigs.select(col(idName), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          j => concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
+            h => h.cast("string"))))).as(Seq("band", "key")))
+    val batch = newDocs.select(col(idCol).as("batch_id"),
+        wordShingles(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val candidates = bandRows(batch, "batch_id")
+      .join(bandRows(corpusIndex.select(col("corpus_id"), col("sig")),
+        "corpus_id"), Seq("band", "key"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val inter = size(array_intersect(col("sh_b"), col("sh_c")))
+    val union = size(col("sh_b")) + size(col("sh_c")) - inter
+    candidates
+      .join(batch.select(col("batch_id"), col("sh").as("sh_b")), "batch_id")
+      .join(corpusIndex.select(col("corpus_id"), col("sh").as("sh_c")),
+        "corpus_id")
+      .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id").as(idCol), col("corpus_id"),
+        round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** 60-bit SimHash over the distinct-token set: per bit, tokens vote

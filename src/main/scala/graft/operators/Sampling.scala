@@ -170,6 +170,59 @@ object Sampling {
         (col("__pos") + 1).as("rank")): _*)
   }
 
+  /** Weighted k-per-group sample WITHOUT replacement, deterministic —
+    * Efraimidis–Spirakis A-ES (IPL 2006): each row draws a key
+    * u^(1/w) from a uniform u and its weight w, and the k largest keys
+    * per group are exactly a weighted sample without replacement. Here
+    * u is the md5-derived uniform (h+1)/2⁶⁰ — the repo's portable-hash
+    * convention — so the "draw" is a pure function of the id:
+    * reproducible across reruns, engines, and partitionings, same as
+    * [[deterministicGroupSample]] (constant weights reduce to an
+    * unweighted uniform draw — the top-u complement of that operator's
+    * bottom-h selection). Keys are compared as ln(u)/w (monotone in
+    * u^(1/w), no pow-overflow for tiny weights).
+    *
+    * The typical curation use: sample inspection/eval documents per
+    * domain proportional to TOKEN COUNT, so long documents — most of the
+    * training distribution's mass — are represented by mass, not by
+    * document count.
+    *
+    * Scale shape: identical to [[deterministicGroupSample]] — the key
+    * rides the bounded-heap [[graft.functions.TopKAggregate]] as the
+    * score (O(k) state per group per map task, merged partials, no
+    * per-group sort). Rows with NULL or non-positive weight cannot be
+    * drawn (a zero-weight row has key 0 — strictly below any positive
+    * weight's — so it is filtered, not error'd; real corpora have
+    * empty documents). ln is the one libm call: Java and DuckDB both
+    * evaluate it within 1 ulp, and a selection flip needs two keys
+    * within that ulp — vanishing for 60-bit-hash uniforms; ties (equal
+    * keys) break to the lower id inside the aggregate either way.
+    */
+  def weightedGroupSample(df: DataFrame, groupCols: Seq[String],
+      k: Int, idCol: String, weight: Column): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val idType = df.schema(idCol).dataType
+    require(Seq("bigint", "int", "smallint", "tinyint")
+      .contains(idType.simpleString),
+      s"weightedGroupSample needs an integral id column, " +
+        s"got $idCol: ${idType.simpleString}")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    // (h+1) adds as LONG, then one long→double conversion — the same op
+    // order as the oracle's (hv + 1)::DOUBLE, so the rounding (h exceeds
+    // 2⁵³) is bit-identical rather than merely close
+    val u = (h + lit(1L)).cast("double") / lit(math.pow(2, 60))
+    val key = log(u) / weight.cast("double")
+    df.where(weight.isNotNull && weight > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKAggregate
+        .topKBy(col(idCol).cast("long"), key, k).as("__top"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
+      .select(groupCols.map(col) ++ Seq(col("__e.id").as(idCol),
+        (col("__pos") + 1).as("rank")): _*)
+  }
+
   /** Domain-mixing plan: per-domain observed token share vs a target mix,
     * and the sampling weight that moves the corpus from one to the other
     * — the PLANNING half of data mixing ([[sampleByStrata]] is the
@@ -331,6 +384,47 @@ object Sampling {
       .where(col("__run") <= budget)
     full.select(col(idCol), col("score"), col("n_tokens"))
       .unionByName(inner.select(col(idCol), col("score"), col("n_tokens")))
+  }
+
+  /** Per-group quality gate (the FineWeb/CCNet "keep the best p% of each
+    * domain" step): keep every row whose score reaches its group's
+    * `percentile_disc(1 − keepFrac)` cutpoint. A GLOBAL quantile filter
+    * lets a single high-quality domain crowd out every other one; the
+    * per-group form preserves domain diversity while enforcing a uniform
+    * quality bar inside each domain.
+    *
+    * Cutpoint semantics are SQL-standard `percentile_disc` — an actual
+    * score from the data (smallest value with cume_dist ≥ p), so the
+    * filter is exact and engine-portable (same multiset → same cutpoint;
+    * no interpolation arithmetic to drift). Ties AT the cutpoint are all
+    * kept — the kept fraction is ≥ `keepFrac`, never a tie-broken
+    * approximation of it (deterministic, append-order-free).
+    *
+    * Scale shape: cutpoints come from a grouped aggregate over the
+    * (group, score) PROJECTION — two narrow columns shuffle, the
+    * documents never do — and the group cardinality is domain-sized
+    * (config-scale), so the cutpoint table broadcasts back as metadata.
+    * `percentile_disc` is not map-side combinable (it needs the group's
+    * value multiset), but the multiset it gathers is per-group scores
+    * only; at 100 TB with skewed domains the score column can be
+    * pre-binned (scores here are bounded rationals) — the same
+    * bucket-then-rank move [[selectByTokenBudget]] makes — before
+    * resorting to that, measure: a shuffle of 12 bytes/row is ~1% of a
+    * document shuffle.
+    */
+  def filterTopQuantileByGroup(df: DataFrame, groupCol: String,
+      score: Column, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val p = 1.0 - keepFrac
+    val cuts = df.select(col(groupCol), score.as("__s"))
+      .where(col("__s").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile_disc(CAST($p AS DOUBLE)) " +
+        "WITHIN GROUP (ORDER BY __s)").as("cutpoint"))
+    df.withColumn("score", score)
+      .join(broadcast(cuts), Seq(groupCol))
+      .where(col("score") >= col("cutpoint"))
   }
 
   def stridedChunks(df: DataFrame, textCol: String = "text",

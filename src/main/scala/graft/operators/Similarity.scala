@@ -222,6 +222,65 @@ object Similarity {
           col("k").cast("double"), 4).as("recall"))
   }
 
+  /** Per-vector int8 quantization of an embedding column — the memory
+    * path for similarity search at corpus scale: a 100 TB float
+    * embedding store becomes ~25 TB of codes + one double per vector,
+    * which is the difference between an index that fits executor memory
+    * (broadcast, cached IVF cells) and one that doesn't. Adds
+    * `scale` (max|v|/127) and `codes` (array<int>, values in [−127,127])
+    * via the codegen'd [[graft.functions.VectorFunctions.int8Quantize]]
+    * kernel; reconstruction vᵢ ≈ codesᵢ·scale with per-element error
+    * ≤ scale/2. Per-row projection — no shuffle, scan speed.
+    */
+  def quantizeInt8(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("__q",
+        graft.functions.VectorFunctions.int8Quantize(col(vecCol)))
+      .select(col(idCol), col("__q.scale").as("scale"),
+        col("__q.codes").as("codes"))
+
+  /** Brute-force cosine top-k over QUANTIZED vectors: dot(a,b) ≈
+    * scaleₐ·scale_b·dot(codesₐ, codes_b), norms likewise — the int-code
+    * dot runs on the same codegen'd kernel (ints upcast to double,
+    * exact: products ≤ 127² need 14 bits). Same bounded-heap top-k
+    * shape as [[bruteForceTopK]]; SimilaritySpec gates recall vs the
+    * exact float path ≥ 0.95 (the q91 pattern — a quantization-induced
+    * ranking collapse is a test failure, not a silent quality drop).
+    * Composes with [[ivfTopK]] at scale: cells quantized, residual
+    * re-rank on floats for the final k only.
+    */
+  def quantizedTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qq = broadcast(quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("scale").as("__qs"),
+        col("codes").as("__qc"),
+        sqrt(dot(col("codes"), col("codes"))).as("__qn")))
+    val sims = quantizeInt8(emb, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("scale").as("__vs"),
+        col("codes").as("__vc"),
+        sqrt(dot(col("codes"), col("codes"))).as("__vn"))
+      .join(qq, col("neighbor_id") =!= col("query_id"))
+      // scales cancel in cosine EXCEPT through the rounding of codes;
+      // they are kept explicit so sim is the true reconstructed cosine
+      .withColumn("sim",
+        (col("__qs") * col("__vs") * dot(col("__qc"), col("__vc"))) /
+          ((col("__qs") * col("__qn")) * (col("__vs") * col("__vn"))))
+    sims.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topKBy(col("neighbor_id"), col("sim"), k).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).as("rank"),
+        round(col("__e.score"), 4).as("sim"))
+  }
+
   /** Distance-to-centroid outlier scoring — the embedding-space health
     * check a curation pipeline runs before training (CLIP-filtering
     * shape: vectors far from the corpus center are mislabeled, noise, or

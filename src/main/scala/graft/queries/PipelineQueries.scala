@@ -663,6 +663,64 @@ object PipelineQueries {
           (2 to 11).map(i => s"src$i" -> 0.05).toMap)
       Sampling.materializeMix(docs.select(col("doc_id"), col("source")),
         "source", plan, "doc_id")
+    }),
+
+    // FineWeb-style per-domain quality gate: keep each language's top
+    // 30% by an exact-arithmetic score (the q32 rule battery + a
+    // stopword-ratio tie-break — int/int double divisions, bit-identical
+    // cross-engine). percentile_disc cutpoint; ties AT the cut all kept,
+    // so the kept fraction is ≥ 30% per group, deterministically.
+    "q124_quantile_filter" -> ((s, d) => {
+      val score = TextAnalysis.qualityScore(col("text")) +
+        coalesce(TextAnalysis.stopwordRatio(col("text")), lit(0.0)) /
+          lit(8.0)
+      Sampling.filterTopQuantileByGroup(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("text")),
+          "lang", score, keepFrac = 0.3)
+        .select(col("doc_id"), col("lang"), col("score"), col("cutpoint"))
+    }),
+
+    // CCNet-class exact dedup: every 10th doc gets a planted twin
+    // (doc_id+200000) wrapped in punctuation — NOT an exact dup under
+    // q35's whitespace/case class, but identical after aggressive
+    // normalization (punct strip + digit fold), so the twin must resolve
+    // to its original as canonical.
+    "q125_normalized_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(lit("*** "), col("text"), lit(" ???")))
+      Dedup.exactDedup(docs.unionByName(planted), "text", "doc_id",
+        fingerprinter = t => md5(Dedup.aggressiveNormalize(t)))
+    }),
+
+    // Weighted k-per-group sample (Efraimidis–Spirakis on md5 uniforms):
+    // 20 docs per language, drawn proportional to n_chars without
+    // replacement — long documents represent the corpus by mass.
+    "q126_weighted_sample" -> ((s, d) =>
+      Sampling.weightedGroupSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), k = 20, "doc_id", col("n_chars"))),
+
+    // Int8 embedding quantization, value-gated on scalar projections of
+    // the code vectors (the q76 convention — the driver's comparator
+    // can't hash array cells): per-vector scale, code count/extrema, and
+    // two exact integer checksums (sum of squares + position-weighted
+    // sum, both through the int-array dot kernel — any code or position
+    // flip changes one of them). Recall of quantized cosine top-k vs the
+    // exact float path is spec-gated in SimilaritySpec (q91 pattern).
+    "q127_quantize_int8" -> ((s, d) => {
+      val q = Similarity.quantizeInt8(Tables.embeddings(s, d))
+      q.select(col("vec_id"), col("scale"),
+        size(col("codes")).as("n_codes"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        Similarity.dot(col("codes"), col("codes")).cast("long").as("sumsq"),
+        Similarity.dot(col("codes"),
+            sequence(lit(1), size(col("codes"))))
+          .cast("long").as("poschk"))
     })
   )
 
@@ -2144,6 +2202,100 @@ object PipelineQueries {
         |  FROM p)
         |SELECT doc_id, lang, n_pieces,
         |       f // 2048 AS pack_id, f % 2048 AS pack_offset
+        |FROM c""".stripMargin,
+
+    // q32's rule battery + swr/8 tie-break; quantile_disc ≡ Spark's
+    // percentile_disc (verified at q75); ties at the cut kept via >=.
+    "q124_quantile_filter" -> (ToksCte +
+      """
+        |, m AS (
+        |  SELECT t.doc_id, d.lang, length(t.text) AS n,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+        |      / len(toks) END AS atl,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'],
+        |        x)))::DOUBLE / len(toks) END AS swr,
+        |    CASE WHEN length(t.text) > 0 THEN
+        |      length(regexp_replace(t.text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(t.text) END AS ar
+        |  FROM t JOIN documents d USING (doc_id)),
+        |sc AS (
+        |  SELECT doc_id, lang, 0.25::DOUBLE * (
+        |    coalesce(n BETWEEN 100 AND 10000, false)::INT +
+        |    coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
+        |    coalesce(swr >= 0.03, false)::INT +
+        |    coalesce(ar >= 0.6, false)::INT) + coalesce(swr, 0.0) / 8.0
+        |    AS score
+        |  FROM m),
+        |cut AS (
+        |  SELECT lang, quantile_disc(score, 0.7) AS cutpoint
+        |  FROM sc GROUP BY lang)
+        |SELECT sc.doc_id, sc.lang, sc.score, cut.cutpoint
+        |FROM sc JOIN cut USING (lang)
+        |WHERE sc.score >= cut.cutpoint""".stripMargin),
+
+    // Aggressive (CCNet) normalization replayed literally: punct strip,
+    // digit fold to 0, whitespace collapse — the planted '*** text ???'
+    // twins land in their original's class.
+    "q125_normalized_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, '*** ' || text || ' ???'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |fp AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+        |    '\p{N}', '0', 'g'), '\s+', ' ', 'g'))) AS f
+        |  FROM base),
+        |c AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f)
+        |SELECT fp.doc_id, c.canonical_id,
+        |       fp.doc_id <> c.canonical_id AS is_dup
+        |FROM fp JOIN c USING (f)""".stripMargin,
+
+    // Efraimidis–Spirakis keys from the 60-bit md5 uniform: (hv+1) adds
+    // as BIGINT then converts once to DOUBLE (the Spark side mirrors the
+    // op order — hv exceeds 2^53, so conversion order matters).
+    "q126_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |k AS (
+        |  SELECT doc_id, lang,
+        |    ln((hv + 1) / 1152921504606846976.0) / n_chars AS key
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY key DESC, doc_id ASC) AS rnk
+        |  FROM k)
+        |SELECT lang, doc_id, rnk::INT AS rank FROM r WHERE rnk <= 20""".stripMargin,
+
+    // scale = list_max(|v|)/127, code = floor(v/scale + 0.5) — identical
+    // IEEE arithmetic; checksums are exact integers through the double
+    // accumulator (|code| <= 127, dim-bounded sums << 2^53).
+    "q127_quantize_int8" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    coalesce(list_max(list_transform(embedding,
+        |      x -> abs(x::DOUBLE))), 0.0) / 127.0 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale > 0 THEN
+        |      list_transform(embedding,
+        |        x -> floor(x::DOUBLE / scale + 0.5)::INT)
+        |    ELSE list_transform(embedding, x -> 0) END AS codes
+        |  FROM b)
+        |SELECT vec_id, scale, len(codes)::INT AS n_codes,
+        |  list_min(codes) AS code_min, list_max(codes) AS code_max,
+        |  list_sum(list_transform(codes, x -> x::BIGINT * x))::BIGINT
+        |    AS sumsq,
+        |  list_sum(list_transform(range(1, len(codes) + 1),
+        |    i -> codes[i]::BIGINT * i))::BIGINT AS poschk
         |FROM c""".stripMargin
   )
 }

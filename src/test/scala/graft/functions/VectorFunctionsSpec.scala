@@ -302,4 +302,16 @@ class VectorFunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("constant string array"))
   }
+
+  test("int8_quantize SQL surface: struct(scale, codes), int codes dot") {
+    val row = spark.sql(
+      """SELECT int8_quantize(array(CAST(0.5 AS FLOAT),
+        |         CAST(-1.0 AS FLOAT))) AS q""".stripMargin)
+      .selectExpr("q.scale", "q.codes",
+        "dot_product(q.codes, q.codes) AS sumsq")
+      .collect()(0)
+    assert(math.abs(row.getDouble(0) - 1.0 / 127.0) < 1e-15)
+    assert(row.getSeq[Int](1) == Seq(64, -127))
+    assert(row.getDouble(2) == 64.0 * 64 + 127.0 * 127)
+  }
 }

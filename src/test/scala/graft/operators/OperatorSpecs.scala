@@ -462,6 +462,33 @@ class DedupSpec extends SparkSpec {
       s"aggForm must map-side-combine min(id):\n$plan")
   }
 
+  test("aggressiveNormalize: punct strip, digit fold, case/whitespace collapse") {
+    val out = Seq(
+      "  Hello,\tWorld — 2024!!  ",
+      "hello world 2023",
+      "¿Qué? ¡básico!").toDF("t")
+      .select(Dedup.aggressiveNormalize($"t")).as[String].collect()
+    assert(out(0) == "hello world 0000")
+    assert(out(1) == "hello world 0000") // different digits, same class
+    assert(out(2) == "qué básico") // non-ASCII letters survive the strip
+  }
+
+  test("exactDedup aggressive class merges variants the plain class keeps apart") {
+    val docs = Seq(
+      (0L, "Spark shuffles 100 partitions."),
+      (1L, "spark shuffles 999 partitions"), // digits fold → same class
+      (2L, "*** Spark shuffles 100 partitions. ???"), // punct wrapper
+      (3L, "unrelated content entirely")).toDF("doc_id", "text")
+    val plain = Dedup.exactDedup(docs, "text", "doc_id")
+      .filter($"is_dup").as[(Long, Long, Boolean)].collect()
+    assert(plain.isEmpty, "the plain class must NOT merge these")
+    val agg = Dedup.exactDedup(docs, "text", "doc_id",
+        fingerprinter = t => md5(Dedup.aggressiveNormalize(t)))
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    assert(agg.toSeq == Seq((0L, 0L, false), (1L, 0L, true),
+      (2L, 0L, true), (3L, 3L, false)))
+  }
+
   test("incrementalExactDedup: batch dups and corpus membership flagged exactly") {
     // corpus knows doc 0's content; the batch contains that same content
     // twice (docs 0 and 3), a near-dup that is NOT an exact dup (1), and
@@ -785,6 +812,44 @@ class SimilaritySpec extends SparkSpec {
     val perQ = Similarity.recallAtK(approx, exact).collect()
     assert(perQ.length == 10 && perQ.forall(_.getAs[Long]("k") == 5L))
   }
+
+  test("quantizeInt8: codes bounded, reconstruction error <= scale/2, zero vector safe") {
+    val df = Seq(
+      (0L, Seq(0.5f, -1.0f, 0.25f, 0f)),
+      (1L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df).orderBy("vec_id")
+      .as[(Long, Double, Seq[Int])].collect()
+    val (_, s0, c0) = rows(0)
+    assert(math.abs(s0 - 1.0 / 127.0) < 1e-15)
+    // 0.5/scale = 63.5 → half-up 64; −1.0 → −127; 0.25 → 31.75 → 32
+    assert(c0 == Seq(64, -127, 32, 0))
+    assert(c0.forall(c => c >= -127 && c <= 127))
+    // reconstruction bound: |code·scale − v| ≤ scale/2 (+1 ulp headroom)
+    Seq(0.5, -1.0, 0.25, 0.0).zip(c0).foreach { case (v, c) =>
+      assert(math.abs(c * s0 - v) <= s0 / 2 + 1e-12) }
+    // zero vector: scale 0, all-zero codes — no division blowup
+    assert(rows(1)._2 == 0.0 && rows(1)._3 == Seq(0, 0, 0, 0))
+  }
+
+  test("quantizedTopK recall vs exact float top-k (the q127 tripwire)") {
+    // the q91-pattern gate for the quantized path: deterministic vectors,
+    // fixed recall; a silent quantization/ranking collapse fails here
+    val emb = (0L until 200L).map(i =>
+      (i, Seq.tabulate(16)(j => (((i * 37 + j * 13) % 991).toFloat / 991f) - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+    val quant = Similarity.quantizedTopK(emb, queries, 5)
+    val recall = Similarity.recallAtK(quant, exact)
+      .agg(avg($"recall")).as[Double].collect()(0)
+    assert(recall >= 0.9,
+      s"quantized recall $recall under the 0.9 contract")
+    // negative control: garbage neighbors must score 0, not pass
+    val broken = quant.withColumn("neighbor_id", $"neighbor_id" + 1000000L)
+    val brokenRecall = Similarity.recallAtK(broken, exact)
+      .agg(avg($"recall")).as[Double].collect()(0)
+    assert(brokenRecall == 0.0)
+  }
 }
 
 class AsOfJoinSpec extends SparkSpec {
@@ -1028,6 +1093,62 @@ class SamplingSpec extends SparkSpec {
         docs.filter($"doc_id" < 150L), Seq("grp"), 5, "doc_id")
       .as[(String, Long, Int)].collect()
     assert(fewer.length == 15)
+  }
+
+  test("weightedGroupSample: matches an independent replay of the A-ES keys") {
+    val rows = (0L until 300L).map(i => (i, "g" + (i % 2), (i % 7 + 1)))
+    val out = Sampling.weightedGroupSample(
+        rows.toDF("doc_id", "grp", "w"), Seq("grp"), 5, "doc_id", $"w")
+      .select("grp", "doc_id", "rank").as[(String, Long, Int)].collect().toSet
+    // independent implementation: java MessageDigest md5, 60-bit prefix,
+    // same (h+1)-as-long-then-convert rounding, StrictMath-free ln
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.log((h + 1L).toDouble / math.pow(2, 60)) / w
+    }
+    val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map(r => (r._1, key(r._1, r._3))).sortBy(t => (-t._2, t._1))
+        .take(5).zipWithIndex.map { case ((id, _), i) => (g, id, i + 1) }
+    }.toSet
+    assert(out == expected)
+  }
+
+  test("weightedGroupSample: zero/null/negative weights cannot be drawn") {
+    val df = (0L until 100L).map { i =>
+      val w: java.lang.Long =
+        if (i % 3 == 0) null
+        else if (i % 3 == 1) 0L
+        else 7L
+      (i, "g", w)
+    }.toDF("doc_id", "grp", "w")
+    val out = Sampling.weightedGroupSample(df, Seq("grp"), 10, "doc_id", $"w")
+      .select("doc_id").as[Long].collect()
+    assert(out.length == 10)
+    assert(out.forall(_ % 3 == 2), "only positive-weight rows may appear")
+  }
+
+  test("filterTopQuantileByGroup: per-group cutpoint, ties kept, fraction >= keepFrac") {
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 6).map(i => ("b", 100L + i, 2.0)) ++ // all tied
+      Seq(("c", 200L, 9.0))) // singleton group
+      .toDF("grp", "id", "s")
+    val out = Sampling.filterTopQuantileByGroup(df, "grp", $"s", 0.3)
+      .select("grp", "id", "score", "cutpoint")
+      .as[(String, Long, Double, Double)].collect()
+    val byG = out.groupBy(_._1)
+    // a: percentile_disc(0.7) of 1..10 = 7 → keep {7,8,9,10} (≥ 30%)
+    assert(byG("a").map(_._2).toSet == Set(7L, 8L, 9L, 10L))
+    assert(byG("a").forall(_._4 == 7.0))
+    // b: every score ties the cutpoint → ALL kept, never a partial tie-split
+    assert(byG("b").map(_._2).toSet == (101L to 106L).toSet)
+    // c: a singleton group keeps its row
+    assert(byG("c").map(_._2).toSeq == Seq(200L))
+    intercept[IllegalArgumentException] {
+      Sampling.filterTopQuantileByGroup(df, "grp", $"s", 0.0)
+    }
   }
 }
 
