@@ -704,6 +704,22 @@ object PipelineQueries {
           .select(col("doc_id"), col("lang"), col("n_chars")),
         Seq("lang"), k = 20, "doc_id", col("n_chars"))),
 
+    // Incremental near-dup (the daily-crawl composition): every 20th
+    // corpus doc arrives again as a batch doc (id+300000) with one
+    // appended sentinel token — J = n/(n+1) ≥ 8/9 against its original.
+    // At r=2/b=16 a J ≥ 0.8 pair is missed with p ≤ (1−0.64)¹⁶ ≈ 4e-8,
+    // so the LSH path must reproduce the oracle's exact inverted-index
+    // ground truth between batch and corpus.
+    "q128_incremental_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = Dedup.minhashCorpusIndex(docs, "text", "doc_id")
+      val batch = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" zq9x")).as("text"))
+      Dedup.incrementalMinhashDedup(batch, corpus, "text", "doc_id",
+        threshold = 0.8)
+    }),
+
     // Int8 embedding quantization, value-gated on scalar projections of
     // the code vectors (the q76 convention — the driver's comparator
     // can't hash array cells): per-vector scale, code count/extrema, and
@@ -2203,6 +2219,45 @@ object PipelineQueries {
         |SELECT doc_id, lang, n_pieces,
         |       f // 2048 AS pack_id, f % 2048 AS pack_offset
         |FROM c""".stripMargin,
+
+    // Exact batch↔corpus inverted-index ground truth (q36's machinery
+    // split across the two sides); the LSH path must lose nothing.
+    "q128_incremental_minhash" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 300000 AS doc_id, text || ' zq9x' AS text
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |ct AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM batch),
+        |csh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM ct),
+        |bsh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM bt),
+        |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+        |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id, count(*) AS i
+        |  FROM bsh b JOIN csh c ON b.s = c.s
+        |  GROUP BY 1, 2)
+        |SELECT ix.doc_id, corpus_id,
+        |  round(i::DOUBLE / (bs.n + cs.n - i), 4) AS jaccard
+        |FROM ix
+        |JOIN bsz bs ON ix.doc_id = bs.doc_id
+        |JOIN csz cs ON corpus_id = cs.doc_id
+        |WHERE i::DOUBLE / (bs.n + cs.n - i) >= 0.8""".stripMargin,
 
     // q32's rule battery + swr/8 tie-break; quantile_disc ≡ Spark's
     // percentile_disc (verified at q75); ties at the cut kept via >=.

@@ -527,6 +527,29 @@ class DedupSpec extends SparkSpec {
       (14L, 0L, 0L)), out.toString)
   }
 
+  test("incrementalMinhashDedup: batch near-dup matched to corpus, fresh doc passes") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "completely different text about query engines and shuffles here now"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashCorpusIndex(corpus, "text", "doc_id")
+    val batch = Seq(
+      // 0's text + one token: J = 10/11 ≈ 0.909 on trigram shingles
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"),
+      (11L, "fresh content with no relation to anything stored whatsoever at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashDedup(batch, idx, "text", "doc_id", 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((10L, 0L)))
+    assert(math.abs(out.head._3 - 0.9091) < 1e-9)
+    // the novel-content composition: anti-join admits only the fresh doc
+    val novel = batch.join(
+      Dedup.incrementalMinhashDedup(batch, idx, "text", "doc_id", 0.8)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+    assert(novel.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+  }
+
   test("minhash LSH: catches the near-dup pair, skips unrelated docs") {
     val pairs = Dedup.minhashNearDupPairs(
         base.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
