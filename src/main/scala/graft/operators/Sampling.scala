@@ -38,6 +38,33 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn(out, assign)
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle a split boundary (a val doc whose near-dup sits in
+    * train is a leaked eval), so the md5 bucket is drawn on the
+    * document's near-dup CLUSTER label rather than its own id — every
+    * member of a component inherits one draw. `clusters` is
+    * [[graft.operators.Dedup.nearDupClusters]]' (id, cluster) frame;
+    * unclustered documents (the overwhelming majority) key on their own
+    * id, so outside the dup components this IS [[deterministicSplit]].
+    *
+    * Scale shape: the cluster table is pair-derived — orders of
+    * magnitude smaller than the corpus — so the join broadcasts; the
+    * split itself stays a per-row projection. Append behavior: stable
+    * for unclustered docs and for appends that join an EXISTING cluster;
+    * an append that BRIDGES two clusters merges their labels and may
+    * move the smaller component's members — which is the correct
+    * outcome (the merged component must land on one side) and the one
+    * a frozen-split pipeline must re-materialize for.
+    */
+  def leakageSafeSplit(df: DataFrame, clusters: DataFrame, idCol: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      : DataFrame = {
+    val keyed = df.join(broadcast(clusters), df(idCol) === clusters("id"),
+        "left")
+      .select(df(idCol), coalesce(col("cluster"), df(idCol)).as("split_key"))
+    deterministicSplit(keyed, "split_key", splits)
+  }
+
   /** Per-stratum-rate sampling — the data-MIXING primitive ([[
     * deterministicSplit]]'s sibling): each stratum keeps its own fraction
     * of rows (down-weight boilerplate sources, up-weight scarce

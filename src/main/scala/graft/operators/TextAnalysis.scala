@@ -188,6 +188,47 @@ object TextAnalysis {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Classifier-threshold calibration: the precision/recall/F1 sweep a
+    * curation stack runs before picking [[qualityLogit]]'s keep
+    * threshold. One row per threshold: confusion counts + the derived
+    * metrics (NULL when the denominator is empty — never a fake 0).
+    *
+    * Scale shape: the corpus collapses FIRST into a (score, label, n)
+    * histogram — one grouped aggregate, map-side combined, bounded by
+    * the score's value cardinality (round the score before passing it
+    * in; a 4-decimal score caps the histogram at ~10⁴·2 rows) — and the
+    * threshold sweep runs over histogram × thresholds, metadata-sized.
+    * The naive corpus × thresholds cross join would scan the corpus T
+    * times. Rows with a NULL score or label are excluded (they belong
+    * in neither confusion cell).
+    */
+  def calibrateThresholds(df: DataFrame, score: Column, label: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    import df.sparkSession.implicits._
+    val h = df.select(score.as("__s"), label.cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"), col("__y")).agg(count(lit(1)).as("__n"))
+    val pr = col("tp").cast("double") / (col("tp") + col("fp"))
+    val rc = col("tp").cast("double") / (col("tp") + col("fn"))
+    h.crossJoin(thresholds.toDF("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("__s") >= col("threshold") && col("__y"), col("__n"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") >= col("threshold") && !col("__y"), col("__n"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") < col("threshold") && col("__y"), col("__n"))
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__s") < col("threshold") && !col("__y"), col("__n"))
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0, pr))
+      .withColumn("recall", when(col("tp") + col("fn") > 0, rc))
+      .withColumn("f1",
+        when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0 &&
+          pr + rc > 0, lit(2.0) * pr * rc / (pr + rc)))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text
     * ([[graft.operators.Dedup.normalize]] — the ONE definition of the
     * exact-dedup equivalence class; the md5 and char-gram pipelines key

@@ -720,6 +720,30 @@ object PipelineQueries {
         threshold = 0.8)
     }),
 
+    // Threshold calibration for the learned quality filter: q100's
+    // rounded logit scored against the q32 rule battery as labels
+    // (pass = ≥ 3 of 4 rules), swept over 19 thresholds. Confusion
+    // counts are exact integers; precision/recall/f1 are int/int double
+    // divisions — engine-identical.
+    "q129_threshold_calibration" -> ((s, d) =>
+      TextAnalysis.calibrateThresholds(
+        Tables.documents(s, d),
+        round(TextAnalysis.qualityLogit(col("text")), 4),
+        TextAnalysis.qualityScore(col("text")) >= 0.75,
+        (1 to 19).map(_ / 20.0))),
+
+    // Leakage-safe split: q45's near-dup clusters (planted + organic)
+    // key the md5 draw, so every component lands wholly in one split —
+    // the eval-leak guard a dedup'd training run still needs at split
+    // time.
+    "q130_leakage_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 0.8)
+      val clusters = Dedup.nearDupClusters(pairs)
+      Sampling.leakageSafeSplit(docs.select(col("doc_id")), clusters,
+        "doc_id")
+    }),
+
     // Int8 embedding quantization, value-gated on scalar projections of
     // the code vectors (the q76 convention — the driver's comparator
     // can't hash array cells): per-vector scale, code count/extrema, and
@@ -2328,6 +2352,102 @@ object PipelineQueries {
         |    ORDER BY key DESC, doc_id ASC) AS rnk
         |  FROM k)
         |SELECT lang, doc_id, rnk::INT AS rank FROM r WHERE rnk <= 20""".stripMargin,
+
+    // q100's logit CTEs + q32's rule battery as the label, histogram
+    // first (score × label × n), then the 19-threshold sweep over it.
+    "q129_threshold_calibration" -> (ToksCte +
+      """
+        |, m AS (
+        |  SELECT doc_id, length(text) AS n, len(toks) AS nt,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+        |      / len(toks) END AS atl,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'],
+        |        x)))::DOUBLE / len(toks) END AS swr,
+        |    CASE WHEN length(text) > 0 THEN
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(text) END AS ar
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-(-4.0 + 6.0 * coalesce(swr, 0) +
+        |      3.0 * coalesce(ar, 0) + 0.3 * ln(1.0 + nt) -
+        |      0.2 * abs(coalesce(atl, 0) - 5.0)))), 4) AS s,
+        |    0.25 * (coalesce(n BETWEEN 100 AND 10000, false)::INT +
+        |      coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
+        |      coalesce(swr >= 0.03, false)::INT +
+        |      coalesce(ar >= 0.6, false)::INT) >= 0.75 AS y
+        |  FROM m),
+        |h AS (SELECT s, y, count(*) AS cnt FROM sc GROUP BY 1, 2),
+        |th AS (SELECT i / 20.0 AS threshold FROM range(1, 20) r(i)),
+        |agg AS (
+        |  SELECT threshold,
+        |    sum(CASE WHEN s >= threshold AND y THEN cnt ELSE 0 END)::BIGINT
+        |      AS tp,
+        |    sum(CASE WHEN s >= threshold AND NOT y THEN cnt ELSE 0 END)::BIGINT
+        |      AS fp,
+        |    sum(CASE WHEN s < threshold AND y THEN cnt ELSE 0 END)::BIGINT
+        |      AS fn,
+        |    sum(CASE WHEN s < threshold AND NOT y THEN cnt ELSE 0 END)::BIGINT
+        |      AS tn
+        |  FROM h, th GROUP BY threshold)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS recall,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0
+        |       AND tp::DOUBLE / (tp + fp) + tp::DOUBLE / (tp + fn) > 0
+        |    THEN 2.0 * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn))
+        |      / (tp::DOUBLE / (tp + fp) + tp::DOUBLE / (tp + fn)) END AS f1
+        |FROM agg""".stripMargin),
+
+    // q45's recursive closure labels + q62's md5-bucket split, drawn on
+    // the cluster label.
+    "q130_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM ix
+        |  JOIN sz sa ON doc_a = sa.doc_id
+        |  JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |lbl AS (
+        |  SELECT s AS doc_id, least(s, min(t)) AS cluster
+        |  FROM reach GROUP BY s),
+        |key AS (
+        |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS split_key
+        |  FROM documents d LEFT JOIN lbl l USING (doc_id)),
+        |b AS (
+        |  SELECT doc_id, split_key,
+        |    ('0x' || substr(md5(split_key::VARCHAR), 1, 15))::BIGINT % 100
+        |      AS bucket
+        |  FROM key)
+        |SELECT doc_id, split_key, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     // scale = list_max(|v|)/127, code = floor(v/scale + 0.5) — identical
     // IEEE arithmetic; checksums are exact integers through the double

@@ -82,6 +82,32 @@ class GoldSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("calibrateThresholds: hand-checked confusion cells, null-safe metrics") {
+    val df = Seq((0.9, true), (0.8, false), (0.4, true), (0.2, false),
+      (0.1, false)).toDF("s", "y")
+    val out = TextAnalysis.calibrateThresholds(df, $"s", $"y", Seq(0.5, 0.95))
+      .orderBy("threshold").collect()
+    // th 0.5: tp=1 (0.9), fp=1 (0.8), fn=1 (0.4), tn=2
+    val r0 = out(0)
+    assert((r0.getLong(1), r0.getLong(2), r0.getLong(3), r0.getLong(4)) ==
+      ((1L, 1L, 1L, 2L)))
+    assert(r0.getDouble(5) == 0.5 && r0.getDouble(6) == 0.5 &&
+      r0.getDouble(7) == 0.5)
+    // th 0.95: no positive predictions → precision/f1 NULL (not fake 0),
+    // recall a real 0
+    val r1 = out(1)
+    assert(r1.getLong(1) == 0L && r1.getLong(2) == 0L)
+    assert(r1.isNullAt(5) && r1.getDouble(6) == 0.0 && r1.isNullAt(7))
+    // null score/label rows belong in NO confusion cell
+    val withNulls = Seq((Option(0.9), Option(true)),
+      (None: Option[Double], Option(true)), (Option(0.5), None: Option[Boolean]))
+      .toDF("s", "y")
+    val counts = TextAnalysis
+      .calibrateThresholds(withNulls, $"s", $"y", Seq(0.5)).collect()(0)
+    assert((counts.getLong(1), counts.getLong(2), counts.getLong(3),
+      counts.getLong(4)) == ((1L, 0L, 0L, 0L)))
+  }
+
   test("tokens: whitespace runs collapse, empties dropped") {
     val out = Seq("  a  b\tc ").toDF("t")
       .select(TextAnalysis.tokens($"t")).as[Seq[String]].collect()(0)
@@ -1151,6 +1177,26 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(out.length == 10)
     assert(out.forall(_ % 3 == 2), "only positive-weight rows may appear")
+  }
+
+  test("leakageSafeSplit: every near-dup cluster lands wholly in one split") {
+    val docs = (0L until 400L).toDF("doc_id")
+    val clusters = ((0L until 10L).map(i => (i, 0L)) ++
+      (100L to 104L).map(i => (i, 100L))).toDF("id", "cluster")
+    val out = Sampling.leakageSafeSplit(docs, clusters, "doc_id")
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 400)
+    val c0 = out.filter(_._2 == 0L)
+    assert(c0.map(_._1).toSet == (0L until 10L).toSet)
+    assert(c0.map(_._3).toSet.size == 1, "cluster 0 must not straddle splits")
+    assert(out.filter(_._2 == 100L).map(_._3).toSet.size == 1)
+    // outside the clusters this IS deterministicSplit
+    val plain = Sampling.deterministicSplit(
+        (10L until 100L).toDF("doc_id"), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.filter(r => r._1 >= 10 && r._1 < 100)
+      .foreach(r => assert(r._3 == plain(r._1)))
   }
 
   test("filterTopQuantileByGroup: per-group cutpoint, ties kept, fraction >= keepFrac") {
