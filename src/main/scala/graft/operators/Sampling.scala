@@ -163,6 +163,28 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Training order for a MULTI-EPOCH mix ([[deterministicShuffle]]
+    * generalized over [[materializeMix]]'s (doc, epoch) rows): the hash
+    * keys on id AND epoch, so each epoch's pass visits its documents in
+    * a different — but fully reproducible — order, and a document's
+    * epoch copies scatter across shards instead of clumping
+    * back-to-back (repeat-exposure adjacency is the known failure mode
+    * of replaying one epoch order k times). Same single-shuffle shape:
+    * one per-shard rank window, nothing else.
+    */
+  def epochOrder(mix: DataFrame, idCol: String, epochCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      col(epochCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc, col(epochCol).asc)
+    mix.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("__h")
+  }
+
   /** Deterministic uniform k-per-group sample (eval-set carving,
     * per-source inspection samples): rank rows by the md5-derived hash
     * of their id and keep each group's k smallest — a pure function of

@@ -720,6 +720,21 @@ object PipelineQueries {
         threshold = 0.8)
     }),
 
+    // Epoch training order: q121's materialized mix through the
+    // (id, epoch)-keyed shuffle — each epoch visits its docs in a
+    // different reproducible order and a doc's epoch copies scatter
+    // across shards (no repeat-exposure adjacency).
+    "q131_epoch_order" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val plan = Sampling.domainMixPlan(docs, "source",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
+          (2 to 11).map(i => s"src$i" -> 0.05).toMap)
+      val mix = Sampling.materializeMix(
+        docs.select(col("doc_id"), col("source")), "source", plan, "doc_id")
+      Sampling.epochOrder(mix, "doc_id", "epoch", shards = 8)
+    }),
+
     // Threshold calibration for the learned quality filter: q100's
     // rounded logit scored against the q32 rule battery as labels
     // (pass = ≥ 3 of 4 rules), swept over 19 thresholds. Confusion
@@ -2180,6 +2195,45 @@ object PipelineQueries {
         |  FROM documents d JOIN wt USING (source))
         |SELECT doc_id, source, unnest(range(1, copies + 1))::INT AS epoch
         |FROM c WHERE copies > 0""".stripMargin),
+    // q121's mix CTEs + the (id ':' epoch)-keyed md5 shard/rank
+    // arithmetic (q89's convention, generalized to the epoch key).
+    "q131_epoch_order" -> (ToksCte +
+      """
+        |, perdom AS (
+        |  SELECT d.source, sum(len(toks))::BIGINT AS tokens
+        |  FROM t JOIN documents d USING (doc_id) GROUP BY d.source),
+        |tot AS (SELECT sum(tokens)::BIGINT AS total FROM perdom),
+        |wt AS (
+        |  SELECT source,
+        |    round(least(
+        |      (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+        |        WHEN 'src2' THEN 0.05 WHEN 'src3' THEN 0.05
+        |        WHEN 'src4' THEN 0.05 WHEN 'src5' THEN 0.05
+        |        WHEN 'src6' THEN 0.05 WHEN 'src7' THEN 0.05
+        |        WHEN 'src8' THEN 0.05 WHEN 'src9' THEN 0.05
+        |        WHEN 'src10' THEN 0.05 WHEN 'src11' THEN 0.05
+        |        ELSE 0.0 END::DOUBLE)
+        |      / (tokens::DOUBLE / total::DOUBLE), 4.0), 6) AS sw
+        |  FROM perdom, tot),
+        |c AS (
+        |  SELECT d.doc_id, d.source,
+        |    (floor(sw)::INT + CASE WHEN
+        |      (('0x' || substr(md5(d.doc_id::VARCHAR || ':epoch'), 1, 15))
+        |        ::BIGINT % 10000)::DOUBLE < (sw - floor(sw)) * 10000
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM documents d JOIN wt USING (source)),
+        |mix AS (
+        |  SELECT doc_id, source, unnest(range(1, copies + 1))::INT AS epoch
+        |  FROM c WHERE copies > 0),
+        |h AS (
+        |  SELECT doc_id, source, epoch,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR),
+        |      1, 15))::BIGINT AS hv
+        |  FROM mix)
+        |SELECT doc_id, source, epoch, (hv % 8)::INT AS shard,
+        |  row_number() OVER (PARTITION BY hv % 8
+        |    ORDER BY hv ASC, doc_id ASC, epoch ASC) - 1 AS pos
+        |FROM h""".stripMargin),
     // q119's recursive greedy-segmentation CTEs (plus lang) feeding
     // q78's pack arithmetic on the piece counts.
     "q123_subword_pack" ->

@@ -1080,6 +1080,43 @@ class SamplingSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("epochOrder: (id, epoch)-keyed hash order scatters epoch copies") {
+    val mix = (for (id <- 0L until 200L; e <- 1 to 3) yield (id, e))
+      .toDF("id", "epoch")
+    val out = Sampling.epochOrder(mix, "id", "epoch", shards = 4)
+      .select("id", "epoch", "shard", "pos")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(out.length == 600)
+    // the operator's own key, recomputed independently
+    def h(id: Long, e: Int): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$e".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    // shard = hash mod shards; dense 0..n-1 ranks in hash order per shard
+    assert(out.forall { case (i, e, s, _) => s == (h(i, e) % 4).toInt })
+    out.groupBy(_._3).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length))
+      val byPos = rows.sortBy(_._4).map(r => h(r._1, r._2))
+      assert(byPos.toSeq == byPos.sorted.toSeq, "pos must follow hash order")
+    }
+    // the epoch key scatters: a doc's epoch copies do NOT all share a
+    // shard (deterministicShuffle replayed per epoch would clump them)
+    val scattered = out.groupBy(_._1).values
+      .count(_.map(_._3).distinct.length > 1)
+    assert(scattered > 150, s"only $scattered/200 docs spread over shards")
+    // and epochs disagree on document order (different per-epoch passes):
+    // compare each epoch's global (shard, pos) document sequence
+    val orderOf = (e: Int) => out.filter(_._2 == e)
+      .sortBy(r => (r._3, r._4)).map(_._1).toSeq
+    assert(orderOf(1) != orderOf(2) && orderOf(2) != orderOf(3))
+    // rerun reproduces the layout bit-for-bit
+    val again = Sampling.epochOrder(mix, "id", "epoch", 4)
+      .select("id", "epoch", "shard", "pos")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq ==
+      out.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("packSequences: concat-and-chunk brute-force equivalence per shard") {
     // shard A: token counts 5,5,5,5 at budget 8 → firsts 0,5,10,15 →
     // packs 0,0,1,1; a 20-token doc then spans packs (first=20 → pack 2)

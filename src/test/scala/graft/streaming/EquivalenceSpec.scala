@@ -249,4 +249,37 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
         s"key $k: n_changes ${s.n_changes} vs feed count ${counts(k)}")
     }
   }
+
+  test("value histogram: the SAME operator run as a complete-mode stream ≡ batch (q112 shape)") {
+    assume(fixtureExists("events"))
+    // Sketches.histogram is declarative enough to run unchanged on an
+    // unbounded frame — this gate proves the ONE definition agrees
+    // across both runners (state = bin cardinality, metadata-sized; a
+    // histogram monitor needs no watermark). Counts are exact longs, so
+    // equality is exact.
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"ts", $"user_id", $"event_type", $"value")
+    val batch = graft.operators.Sketches.histogram(ev, "value", 0.5)
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = graft.operators.Sketches.histogram(in.toDF(), "value", 0.5)
+      .writeStream.format("memory").queryName("eqhist")
+      .outputMode("complete").start()
+    // two micro-batches: the final table must merge state across them
+    val fixture = ev.as[Event].collect().toSeq
+    fixture.grouped((fixture.size + 1) / 2).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("eqhist").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"histogram diverges: stream-only=${(streamed.toSet -- batch.toSet).take(3)}, " +
+        s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
+    assert(batch.size > 10, "fixture must spread over multiple bins")
+  }
 }
