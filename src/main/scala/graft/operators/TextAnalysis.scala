@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -227,6 +228,52 @@ object TextAnalysis {
       .withColumn("f1",
         when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0 &&
           pr + rc > 0, lit(2.0) * pr * rc / (pr + rc)))
+  }
+
+  /** Exact ROC-AUC of a score against a boolean label, optionally per
+    * group — the threshold-free companion of [[calibrateThresholds]]
+    * (a sweep tells you WHERE to cut; AUC tells you whether the score
+    * ranks at all). Mann–Whitney form with the standard tie correction:
+    * AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻) over all positive×negative pairs.
+    *
+    * Scale shape — same argument as [[calibrateThresholds]] and the
+    * q120 boundary trick: NO global sort of the corpus. The corpus
+    * collapses first into a per-(group, score) (n_pos, n_neg) histogram
+    * (one grouped aggregate, map-side combined, bounded by the score's
+    * value cardinality — pass a rounded score), and the rank statistic
+    * is a running sum over that metadata-sized bucket table only:
+    * pairs won = Σ_b n_pos(b)·(2·Σ_{b'<b} n_neg(b') + n_neg(b)), kept
+    * in exact long arithmetic (doubled to absorb the ½-tie term), so
+    * both engines compute the identical double in the single final
+    * division. The long numerator is exact while n_pos·n_neg < 2⁶²;
+    * past that (≥ ~10⁹ docs per side per group) compute the same bucket
+    * table in double — the bucket collapse, not the division, is the
+    * scale-bearing step. NULL scores/labels are excluded; a group with
+    * no positives or no negatives has undefined AUC → NULL.
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    val h = df.select(g :+ score.as("__s") :+
+        label.cast("boolean").as("__y"): _*)
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(g :+ col("__s"): _*)
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"))
+    val base = if (groupCols.isEmpty) Window.orderBy(col("__s"))
+      else Window.partitionBy(g: _*).orderBy(col("__s"))
+    val below = base.rowsBetween(Window.unboundedPreceding, -1)
+    val agg = h
+      .withColumn("__cumneg", coalesce(sum(col("__nn")).over(below), lit(0L)))
+      .groupBy(g: _*)
+      .agg(
+        sum(col("__np") * (lit(2L) * col("__cumneg") + col("__nn")))
+          .as("__num2"),
+        sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"))
+    agg.withColumn("auc", when(col("n_pos") > 0 && col("n_neg") > 0,
+        col("__num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg"))))
+      .drop("__num2")
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text

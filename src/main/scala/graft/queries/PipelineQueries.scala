@@ -747,6 +747,19 @@ object PipelineQueries {
         TextAnalysis.qualityScore(col("text")) >= 0.75,
         (1 to 19).map(_ / 20.0))),
 
+    // Per-language ROC-AUC of the same score/label pair as q129 — the
+    // threshold-free ranking quality of the learned filter, per slice
+    // (a filter can rank well in en and at chance in zh; the aggregate
+    // sweep hides that). Exact Mann–Whitney with tie correction; the
+    // long pair-count numerator makes the one final division
+    // engine-identical.
+    "q132_quality_auc" -> ((s, d) =>
+      TextAnalysis.rocAuc(
+        Tables.documents(s, d),
+        round(TextAnalysis.qualityLogit(col("text")), 4),
+        TextAnalysis.qualityScore(col("text")) >= 0.75,
+        groupCols = Seq("lang"))),
+
     // Leakage-safe split: q45's near-dup clusters (planted + organic)
     // key the md5 draw, so every component lands wholly in one split —
     // the eval-leak guard a dedup'd training run still needs at split
@@ -2455,6 +2468,51 @@ object PipelineQueries {
         |    THEN 2.0 * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn))
         |      / (tp::DOUBLE / (tp + fp) + tp::DOUBLE / (tp + fn)) END AS f1
         |FROM agg""".stripMargin),
+
+    // q129's score/label CTEs + lang, collapsed to a per-(lang, score)
+    // (n_pos, n_neg) histogram, then the doubled-integer Mann–Whitney
+    // rank sum over the bucket table.
+    "q132_quality_auc" -> (ToksCte +
+      """
+        |, m AS (
+        |  SELECT t.doc_id, d.lang, length(t.text) AS n, len(toks) AS nt,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+        |      / len(toks) END AS atl,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'],
+        |        x)))::DOUBLE / len(toks) END AS swr,
+        |    CASE WHEN length(t.text) > 0 THEN
+        |      length(regexp_replace(t.text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(t.text) END AS ar
+        |  FROM t JOIN documents d USING (doc_id)),
+        |sc AS (
+        |  SELECT lang,
+        |    round(1.0 / (1.0 + exp(-(-4.0 + 6.0 * coalesce(swr, 0) +
+        |      3.0 * coalesce(ar, 0) + 0.3 * ln(1.0 + nt) -
+        |      0.2 * abs(coalesce(atl, 0) - 5.0)))), 4) AS s,
+        |    0.25 * (coalesce(n BETWEEN 100 AND 10000, false)::INT +
+        |      coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
+        |      coalesce(swr >= 0.03, false)::INT +
+        |      coalesce(ar >= 0.6, false)::INT) >= 0.75 AS y
+        |  FROM m),
+        |b AS (
+        |  SELECT lang, s,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END)::BIGINT AS nn
+        |  FROM sc GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, np, nn,
+        |    coalesce(sum(nn) OVER (PARTITION BY lang ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cumneg
+        |  FROM b)
+        |SELECT lang, sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+        |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+        |    sum(np * (2 * cumneg + nn))::DOUBLE
+        |      / (2.0 * sum(np) * sum(nn)) END AS auc
+        |FROM c GROUP BY lang""".stripMargin),
 
     // q45's recursive closure labels + q62's md5-bucket split, drawn on
     // the cluster label.

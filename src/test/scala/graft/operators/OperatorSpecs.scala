@@ -108,6 +108,44 @@ class TextAnalysisSpec extends SparkSpec {
       counts.getLong(4)) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("rocAuc: brute-force pair count with ties, groups, degenerate slices") {
+    // hand fixture: ties across labels at 0.5, a perfect group, a
+    // degenerate (all-positive) group, and null rows to exclude
+    val rows = Seq(
+      ("a", 0.9, true), ("a", 0.5, true), ("a", 0.5, false),
+      ("a", 0.3, false), ("a", 0.1, false),
+      ("b", 0.8, true), ("b", 0.2, false),
+      ("c", 0.7, true), ("c", 0.6, true))
+    val withNulls = rows.map { case (g, s, y) => (g, Option(s), Option(y)) } ++
+      Seq(("a", None: Option[Double], Option(true)),
+        ("b", Option(0.4), None: Option[Boolean]))
+    val df = withNulls.toDF("g", "s", "y")
+    val got = TextAnalysis.rocAuc(df, $"s", $"y", Seq("g")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // brute force: mean over pos×neg pairs of [s+ > s-] + 0.5[s+ = s-]
+    def brute(g: String): Option[Double] = {
+      val rs = rows.filter(_._1 == g)
+      val (pos, neg) = (rs.filter(_._3).map(_._2), rs.filterNot(_._3).map(_._2))
+      if (pos.isEmpty || neg.isEmpty) None
+      else Some((for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+        .sum / (pos.size * neg.size))
+    }
+    assert(got("a") == ((2L, 3L, brute("a"))) && brute("a").get == (5.5 / 6))
+    assert(got("b") == ((1L, 1L, Some(1.0))))
+    assert(got("c") == ((2L, 0L, None)), "no negatives -> NULL auc")
+    // ungrouped form: one global row over the same (non-null) rows
+    val globalRow = TextAnalysis.rocAuc(df, $"s", $"y").collect()(0)
+    val (pos, neg) = (rows.filter(_._3).map(_._2), rows.filterNot(_._3).map(_._2))
+    val g0 = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+      .sum / (pos.size * neg.size)
+    assert(globalRow.getLong(0) == pos.size && globalRow.getLong(1) == neg.size)
+    assert(globalRow.getDouble(2) == g0)
+  }
+
   test("tokens: whitespace runs collapse, empties dropped") {
     val out = Seq("  a  b\tc ").toDF("t")
       .select(TextAnalysis.tokens($"t")).as[Seq[String]].collect()(0)
