@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -48,6 +48,19 @@ object SubwordFunctions {
   def subwordStats(tokens: Column, vocab: Seq[String]): Column =
     ExpressionUtils.column(
       SubwordStatsExpr(ExpressionUtils.expression(tokens), vocab))
+
+  /** ARRAY<ARRAY<STRING>> over a STRING ARRAY of whitespace tokens: per
+    * word, its greedy-longest-match piece sequence in consumption order
+    * (unknown positions yield the single code point as its own piece —
+    * the identity that makes piece concatenation reproduce the word).
+    * Null/empty words yield empty inner arrays, keeping indices aligned
+    * with the input. Same trie walk as [[subwordStats]]; use this form
+    * when downstream needs the pieces themselves (pair statistics,
+    * piece-level dedup), the stats form when it only needs counts.
+    */
+  def subwordPieces(tokens: Column, vocab: Seq[String]): Column =
+    ExpressionUtils.column(
+      SubwordPiecesExpr(ExpressionUtils.expression(tokens), vocab))
 }
 
 /** See [[SubwordFunctions.subwordStats]]. The vocabulary is a constructor
@@ -126,6 +139,79 @@ object SubwordStatsExpr {
       i += 1
     }
     new GenericInternalRow(Array[Any](words, pieces, unk))
+  }
+}
+
+/** See [[SubwordFunctions.subwordPieces]]. Same contract and trie as
+  * [[SubwordStatsExpr]]; returns the pieces themselves instead of counts.
+  */
+case class SubwordPiecesExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  require(vocab.nonEmpty, "subword_pieces needs a non-empty vocabulary")
+  require(vocab.forall(_.nonEmpty),
+    "subword_pieces vocabulary entries must be non-empty")
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false),
+      containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "subword_pieces"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.stringArray(prettyName, child.dataType)
+
+  @transient private lazy val trie: SubwordTrie = SubwordTrie.build(vocab)
+
+  protected override def nullSafeEval(input: Any): Any =
+    SubwordPiecesExpr.pieces(input.asInstanceOf[ArrayData], trie)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("subwordTrie", trie,
+      "graft.functions.SubwordTrie")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SubwordPiecesExpr.pieces($c, $trieRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SubwordPiecesExpr {
+
+  /** Shared by eval and generated code (static forwarder). Pieces are
+    * materialized as COPIES of the matched byte ranges — the input may
+    * live in a reused unsafe-row buffer, and these strings outlive the
+    * row that produced them.
+    */
+  def pieces(arr: ArrayData, trie: SubwordTrie): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        out(i) = new GenericArrayData(Array.empty[Any])
+      } else {
+        val bytes = arr.getUTF8String(i).getBytes
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var p = 0
+        while (p < bytes.length) {
+          val len = trie.longestMatch(bytes, p)
+          val end = if (len > 0) p + len else {
+            // unknown: one code point (lead byte + continuations)
+            var q = p + 1
+            while (q < bytes.length && (bytes(q) & 0xc0) == 0x80) q += 1
+            q
+          }
+          buf += UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(bytes, p, end))
+          p = end
+        }
+        out(i) = new GenericArrayData(buf.toArray)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

@@ -141,6 +141,39 @@ object TextAnalysis {
   def subwordStats(text: Column, vocab: Seq[String]): Column =
     graft.functions.SubwordFunctions.subwordStats(tokens(text), vocab)
 
+  /** Corpus-wide adjacent-piece pair statistics — the counting step of
+    * one BPE merge round (Sennrich et al. 2016 §3.2: the pair merged is
+    * the most frequent adjacent symbol pair; this operator produces that
+    * ranking over a distributed corpus). Pieces come from the greedy
+    * trie kernel ([[graft.functions.SubwordFunctions.subwordPieces]]);
+    * pairs never cross a word boundary, matching BPE's within-word
+    * merge rule.
+    *
+    * Scale shape: piece segmentation is per-row codegen; the pair
+    * generator emits ~one row per piece (scan-sized, no join); the
+    * count is a map-side-combinable groupBy whose key cardinality is
+    * the OBSERVED pair vocabulary (≤ |vocab|², in practice
+    * vocabulary-sized, never corpus-sized); the top-k rank window runs
+    * over that aggregate only. Ties break on (p1, p2) for cross-engine
+    * determinism.
+    */
+  def bpePairStats(df: DataFrame, text: Column, vocab: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pieces = graft.functions.SubwordFunctions
+      .subwordPieces(tokens(text), vocab)
+    val pairs = flatten(transform(pieces, w =>
+      zip_with(slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+        slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => struct(a.as("p1"), b.as("p2")))))
+    val counts = df.select(explode(pairs).as("__pr"))
+      .groupBy(col("__pr.p1").as("p1"), col("__pr.p2").as("p2"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)))
+      .where(col("rank") <= k)
+  }
+
   /** Composite quality score in [0,1]: four equal-weight heuristics a
     * pretraining filter would apply (length band, token-length band,
     * stopword presence, alphabetic density). Deterministic thresholds so

@@ -624,6 +624,16 @@ object PipelineQueries {
         v.getField("n_unk").as("n_unk"))
     }),
 
+    // One BPE merge round's counting step over the corpus: top-50
+    // adjacent piece pairs (within-word, consumption order) under the
+    // same 10k vocabulary and greedy trie kernel as q119 — the ranking
+    // Sennrich et al. 2016's merge rule maximizes, produced distributed
+    // (pair generator is scan-sized, the count map-side combined, the
+    // rank window over the pair-vocabulary aggregate only).
+    "q133_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairStats(Tables.documents(s, d), col("text"),
+        SubwordVocab10k, k = 50)),
+
     // Token-budget corpus selection: greedy best-quality prefix under a
     // 15k-token budget (~55% of the sf0.01 corpus, ~5% at sf0.1 — both
     // scales exercise the boundary-bucket partial keep). Score is the
@@ -2141,6 +2151,68 @@ object PipelineQueries {
         |  CASE WHEN t.text IS NULL THEN NULL
         |    ELSE coalesce(a.n_unk, 0) END::INT AS n_unk
         |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
+    // q119's recursive greedy loop, now carrying the CONSUMED PIECE per
+    // step (coalesce over the longest-first probes; unknown = the one
+    // code point), so adjacent steps of one word form the BPE pairs.
+    "q133_bpe_pairs" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, wid, toks[wid] AS word FROM (
+        |    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS wid
+        |    FROM t)),
+        |v AS (
+        |  SELECT unnest(['the','a','table','row','key','value','scan',
+        |    'sort','join','group','window','spark','fast','slow','agg',
+        |    'hash','merge','part','line','batch','cust','omer','col',
+        |    'umn','fil','ter','sma','ord','er','vec','tor','dat','str',
+        |    'eam','que','ry','big','du','orders']) AS piece
+        |  UNION ALL
+        |  SELECT printf('w%05d', i) FROM range(9961) r(i)),
+        |rec AS (
+        |  SELECT doc_id, wid, word, 1 AS pos, 0 AS idx,
+        |    CAST(NULL AS VARCHAR) AS piece
+        |  FROM w
+        |  UNION ALL
+        |  SELECT r.doc_id, r.wid, r.word,
+        |    r.pos + coalesce(greatest(
+        |      CASE WHEN v6.piece IS NOT NULL THEN 6 END,
+        |      CASE WHEN v5.piece IS NOT NULL THEN 5 END,
+        |      CASE WHEN v4.piece IS NOT NULL THEN 4 END,
+        |      CASE WHEN v3.piece IS NOT NULL THEN 3 END,
+        |      CASE WHEN v2.piece IS NOT NULL THEN 2 END,
+        |      CASE WHEN v1.piece IS NOT NULL THEN 1 END), 1) AS pos,
+        |    r.idx + 1 AS idx,
+        |    coalesce(v6.piece, v5.piece, v4.piece, v3.piece, v2.piece,
+        |      v1.piece, substr(r.word, r.pos, 1)) AS piece
+        |  FROM rec r
+        |  LEFT JOIN v v1 ON v1.piece = substr(r.word, r.pos, 1)
+        |    AND length(v1.piece) = 1
+        |  LEFT JOIN v v2 ON v2.piece = substr(r.word, r.pos, 2)
+        |    AND length(v2.piece) = 2
+        |  LEFT JOIN v v3 ON v3.piece = substr(r.word, r.pos, 3)
+        |    AND length(v3.piece) = 3
+        |  LEFT JOIN v v4 ON v4.piece = substr(r.word, r.pos, 4)
+        |    AND length(v4.piece) = 4
+        |  LEFT JOIN v v5 ON v5.piece = substr(r.word, r.pos, 5)
+        |    AND length(v5.piece) = 5
+        |  LEFT JOIN v v6 ON v6.piece = substr(r.word, r.pos, 6)
+        |    AND length(v6.piece) = 6
+        |  WHERE r.pos <= length(r.word)),
+        |p AS (
+        |  SELECT doc_id, wid, idx, piece FROM rec WHERE piece IS NOT NULL),
+        |pr AS (
+        |  SELECT a.piece AS p1, b.piece AS p2
+        |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.wid = b.wid
+        |    AND b.idx = a.idx + 1),
+        |cnt AS (SELECT p1, p2, count(*)::BIGINT AS cnt FROM pr GROUP BY 1, 2),
+        |r AS (
+        |  SELECT p1, p2, cnt, row_number() OVER (
+        |    ORDER BY cnt DESC, p1 ASC, p2 ASC) AS rnk
+        |  FROM cnt)
+        |SELECT p1, p2, cnt, rnk::INT AS rank FROM r WHERE rnk <= 50""".stripMargin,
     // The selection semantics in their textbook form: inclusive running
     // token sum over (score DESC, doc_id) kept while <= budget. The
     // Spark side's bucket-cumsum + boundary-resolution plan is provably

@@ -1726,6 +1726,39 @@ class SubwordStatsSpec extends SparkSpec {
       TextAnalysis.subwordStats(col("text"), Seq("ok", ""))
     }
   }
+
+  test("subwordPieces: piece sequences, unk code points, empty words") {
+    import graft.functions.SubwordFunctions
+    val v = Seq("cust", "omer", "sma", "a", "aa", "llo")
+    val out = Seq("customer small", "aaa héllo", "")
+      .toDF("text")
+      .select(SubwordFunctions.subwordPieces(
+        TextAnalysis.tokens($"text"), v).as("p"))
+      .as[Seq[Seq[String]]].collect()
+    assert(out(0) == Seq(Seq("cust", "omer"), Seq("sma", "l", "l")))
+    assert(out(1) == Seq(Seq("aa", "a"), Seq("h", "é", "llo")))
+    assert(out(2) == Seq.empty, "no tokens -> empty outer array")
+    // concatenating pieces reproduces each word (the unk-identity)
+    out(1).zip(Seq("aaa", "héllo")).foreach { case (ps, w) =>
+      assert(ps.mkString == w)
+    }
+  }
+
+  test("bpePairStats: brute-force pair counts, within-word only, tie rank") {
+    // vocab segments: "customer" -> cust|omer, "custcust" -> cust|cust,
+    // "xy" -> x|y (unk pairs count too, as in real BPE over raw bytes)
+    val v = Seq("cust", "omer")
+    val docs = Seq("customer custcust", "customer xy", "custcust")
+      .toDF("text")
+    val got = TextAnalysis.bpePairStats(docs, $"text", v, k = 10)
+      .as[(String, String, Long, Int)].collect().sortBy(_._4)
+    // pairs: (cust,omer) x2, (cust,cust) x2, (x,y) x1 — single-piece or
+    // cross-word adjacencies must NOT appear
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      ("cust", "cust", 2L), ("cust", "omer", 2L), ("x", "y", 1L)),
+      s"got: ${got.toSeq}")
+    assert(got.map(_._4).toSeq == Seq(1, 2, 3), "dense rank, ties on (p1,p2)")
+  }
 }
 
 class TokenBudgetSpec extends SparkSpec {
