@@ -117,6 +117,11 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         "segmentation counts (n_words, n_pieces, n_unk)",
       (args: Seq[Expression]) =>
         SubwordStatsExpr(args.head, strSeqArg(args(1), "vocab")))
+    reg(ext, "subword_pieces",
+      "subword_pieces(tokens, vocab) - per word, its greedy " +
+        "longest-match piece sequence (unknowns as their code point)",
+      (args: Seq[Expression]) =>
+        SubwordPiecesExpr(args.head, strSeqArg(args(1), "vocab")))
     reg(ext, "int8_quantize",
       "int8_quantize(vec) - struct(scale, codes): per-vector symmetric " +
         "int8 quantization (scale = max|v|/127, code = floor(v/scale + 0.5))",

@@ -294,6 +294,11 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(row.getInt(1) == 2)  // customer, small
     assert(row.getInt(2) == 5)  // cust+omer, sma+l+l
     assert(row.getInt(3) == 2)  // the two unknown l's
+    val pieces = spark.sql(
+      """SELECT subword_pieces(array('customer', 'small'),
+        |         array('cust', 'omer', 'sma')) AS p""".stripMargin)
+      .collect()(0).getSeq[Seq[String]](0)
+    assert(pieces == Seq(Seq("cust", "omer"), Seq("sma", "l", "l")))
     // a column-valued vocabulary is a usage error, not a silent fallback
     val e = intercept[Exception] {
       spark.sql(
