@@ -1704,6 +1704,22 @@ class SubwordStatsSpec extends SparkSpec {
         s"pieces mismatch: vocab=$vocab words=$words")
       assert(row.getInt(2) == exp.map(_._2).sum,
         s"unk mismatch: vocab=$vocab words=$words")
+      // the pieces kernel must agree with the stats kernel (separate
+      // loops over the shared trie — drift here would silently break
+      // the q119 <-> q133 reconciliation) and reassemble each word
+      val pcs = graft.functions.SubwordPiecesExpr.pieces(arr, trie)
+      assert(pcs.numElements() == words.length)
+      var tot = 0
+      words.indices.foreach { i =>
+        val ps = pcs.getArray(i)
+        tot += ps.numElements()
+        val joined = (0 until ps.numElements())
+          .map(j => ps.getUTF8String(j).toString).mkString
+        assert(joined == words(i),
+          s"pieces must concatenate to the word: vocab=$vocab word=${words(i)}")
+      }
+      assert(tot == row.getInt(1),
+        s"stats/pieces piece-count drift: vocab=$vocab words=$words")
     }
   }
 
