@@ -42,11 +42,16 @@ object Bench {
 
     def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = timed.map { case (n, t, _) => s"${js(n)}:$t" }.mkString("{", ",", "}")
+    // ms precision keeps the line short enough for the driver's capture window
+    // (VERDICT r8 "missing" #5: full-precision doubles truncated 74/133 queries)
+    def sec3(t: Double) = f"$t%.3f"
+    val qs = timed.map { case (n, t, _) => s"${js(n)}:${sec3(t)}" }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (n, m) => s"${js(n)}:${js(m)}" }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // errors first: a tail truncation can hide timings, never failures
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","errors":$errJson,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -72,16 +72,33 @@ object VectorFunctions {
   def simhash60(tokens: Column): Column =
     ExpressionUtils.column(SimHash60Expr(ExpressionUtils.expression(tokens)))
 
+  /** The (numBits m, numHashFunctions k) sizing [[bloomFilterAgg]]
+    * actually builds with: m = 8·expectedItems is the Literal the
+    * aggregate is constructed from (below), and k is what Spark's
+    * BloomFilterImpl derives from (m, n) — max(1, round(m/n·ln 2)).
+    * ONE shared source of truth, kept next to the aggregate, so audits
+    * ([[graft.operators.Sketches.bloomFppAudit]]'s design_fpp) describe
+    * the SAME sketch the aggregate builds — if this sizing ever changes,
+    * the audit moves with it instead of silently drifting (ADVICE r8).
+    */
+  def bloomSizing(expectedItems: Long): (Long, Int) = {
+    val m = expectedItems * 8
+    val k = math.max(1,
+      math.round(m.toDouble / expectedItems * math.log(2)).toInt)
+    (m, k)
+  }
+
   /** Bloom-filter aggregate over pre-hashed (xxhash64) longs — Spark's
     * internal BloomFilterAggregate (the runtime-filter sketch), exposed
-    * as a library function. Bits sized at 8× items (FPP ≈ 2%).
+    * as a library function. Bits sized per [[bloomSizing]] (8× items,
+    * FPP ≈ 2%).
     */
   def bloomFilterAgg(hashedKey: Column, expectedItems: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     ExpressionUtils.column(new BloomFilterAggregate(
       ExpressionUtils.expression(hashedKey),
-      Literal(expectedItems), Literal(expectedItems * 8)
+      Literal(expectedItems), Literal(bloomSizing(expectedItems)._1)
     ).toAggregateExpression())
   }
 

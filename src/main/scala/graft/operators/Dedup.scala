@@ -335,11 +335,22 @@ object Dedup {
       k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    def bandRows(sigs: DataFrame, idName: String): DataFrame =
+    // Loud k-mismatch guard (ADVICE r8): an index built with a different
+    // k would band-slice truncated/empty keys and silently MISS near-dups
+    // — a false-negative class invisible to any downstream check. The
+    // signature length is data, not metadata, so the guard is in-plan:
+    // first mismatched row fails the job with the two lengths named.
+    def bandRows(sigs: DataFrame, idName: String): DataFrame = {
+      val sig = when(size(col("sig")) === k, col("sig"))
+        .otherwise(raise_error(concat(
+          lit("incrementalMinhashDedup: signature length "),
+          size(col("sig")).cast("string"),
+          lit(s" != k=$k — corpus index built with a different k"))))
       sigs.select(col(idName), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          j => concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
+          j => concat_ws(",", transform(slice(sig, j * r + 1, lit(r)),
             h => h.cast("string"))))).as(Seq("band", "key")))
+    }
     val batch = newDocs.select(col(idCol).as("batch_id"),
         wordShingles(col(textCol)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))

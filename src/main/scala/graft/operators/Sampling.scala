@@ -59,9 +59,16 @@ object Sampling {
   def leakageSafeSplit(df: DataFrame, clusters: DataFrame, idCol: String,
       splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5))
       : DataFrame = {
-    val keyed = df.join(broadcast(clusters), df(idCol) === clusters("id"),
-        "left")
-      .select(df(idCol), coalesce(col("cluster"), df(idCol)).as("split_key"))
+    // All of df's columns ride through (ADVICE r8): like its sibling
+    // deterministicSplit, the output is the INPUT frame plus
+    // (split_key, bucket, split) — not an id→split mapping that drops
+    // the payload.
+    require(!df.columns.contains("split_key"),
+      "df already has a split_key column")
+    val c = broadcast(clusters)
+    val keyed = df.join(c, df(idCol) === c("id"), "left")
+      .select(df.columns.map(df(_)) :+
+        coalesce(c("cluster"), df(idCol)).as("split_key"): _*)
     deterministicSplit(keyed, "split_key", splits)
   }
 

@@ -250,6 +250,12 @@ object Similarity {
     * ranking collapse is a test failure, not a silent quality drop).
     * Composes with [[ivfTopK]] at scale: cells quantized, residual
     * re-rank on floats for the final k only.
+    *
+    * Zero-norm vectors are EXCLUDED on both sides (ADVICE r8): a zero
+    * vector has no cosine direction, its sim is 0/0 = NaN, and the
+    * heap's NaN-first ordering would rank it above every real neighbor
+    * — so a zero-norm corpus row is never a neighbor and a zero-norm
+    * query returns no rows, rather than k garbage ones.
     */
   def quantizedTopK(
       emb: DataFrame,
@@ -260,11 +266,13 @@ object Similarity {
     val qq = broadcast(quantizeInt8(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("scale").as("__qs"),
         col("codes").as("__qc"),
-        sqrt(dot(col("codes"), col("codes"))).as("__qn")))
+        sqrt(dot(col("codes"), col("codes"))).as("__qn"))
+      .filter(col("__qn") > 0))
     val sims = quantizeInt8(emb, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("scale").as("__vs"),
         col("codes").as("__vc"),
         sqrt(dot(col("codes"), col("codes"))).as("__vn"))
+      .filter(col("__vn") > 0)
       .join(qq, col("neighbor_id") =!= col("query_id"))
       // scales cancel in cosine EXCEPT through the rounding of codes;
       // they are kept explicit so sim is the true reconstructed cosine

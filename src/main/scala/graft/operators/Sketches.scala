@@ -111,10 +111,11 @@ object Sketches {
   /** Observed false-positive-rate audit for [[bloomSemiFilter]] — one
     * probe-side pass classifying every row against BOTH the bloom sketch
     * and the exact build-key set. Output is a single row:
-    * (probe_rows, true_matches, bloom_pass, false_positives,
+    * (probe_rows, null_probes, true_matches, bloom_pass, false_positives,
     * false_negatives, observed_fpp, design_fpp). `false_negatives` must
     * be 0 by construction (asserted in SketchesSpec); `observed_fpp` =
-    * false_positives / (probe_rows − true_matches), and `design_fpp` is
+    * false_positives / (probe_rows − null_probes − true_matches) — null
+    * probe keys can never match and are excluded — and `design_fpp` is
     * the theoretical (1 − e^(−kn/m))^k of the sketch's sizing — an
     * undersized `expectedItems` shows up as observed ≫ design.
     *
@@ -130,17 +131,26 @@ object Sketches {
       graft.functions.VectorFunctions
         .bloomFilterAgg(xxhash64(buildKey), expectedItems).as("__bf"))
       .collect()(0).getAs[Array[Byte]](0)
-    val m = 8.0 * expectedItems             // bits (operator sizes 8×items)
-    val k = math.max(1, math.round(m / expectedItems * math.log(2)).toInt)
+    // (m, k) from the ONE helper next to the aggregate (ADVICE r8): the
+    // audit describes the sketch actually built, by construction.
+    val (mBits, k) = graft.functions.VectorFunctions.bloomSizing(expectedItems)
+    val m = mBits.toDouble
     val designFpp = math.pow(
       1.0 - math.exp(-k.toDouble * expectedItems / m), k.toDouble)
     val truth = build.select(buildKey.as("__k")).distinct()
+    // NULL probe keys are classified separately: a null key can never be
+    // a true match, and its xxhash64 degenerates to the seed — counting
+    // such rows as bloom probes would distort observed_fpp (ADVICE r8),
+    // so they are excluded from every bloom statistic and reported.
     probe
-      .withColumn("__bloom", graft.functions.VectorFunctions
-        .mightContain(lit(bf), xxhash64(probeKey)))
-      .join(truth, probeKey === col("__k"), "left")
+      .withColumn("__pk", probeKey)
+      .withColumn("__bloom", col("__pk").isNotNull &&
+        graft.functions.VectorFunctions
+          .mightContain(lit(bf), xxhash64(col("__pk"))))
+      .join(truth, col("__pk") === col("__k"), "left")
       .agg(
         count(lit(1)).as("probe_rows"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("null_probes"),
         sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("true_matches"),
         sum(when(col("__bloom"), 1L).otherwise(0L)).as("bloom_pass"),
         sum(when(col("__bloom") && col("__k").isNull, 1L).otherwise(0L))
@@ -148,9 +158,10 @@ object Sketches {
         sum(when(!col("__bloom") && col("__k").isNotNull, 1L).otherwise(0L))
           .as("false_negatives"))
       .withColumn("observed_fpp",
-        when(col("probe_rows") > col("true_matches"),
+        when(col("probe_rows") - col("null_probes") > col("true_matches"),
           round(col("false_positives").cast("double") /
-            (col("probe_rows") - col("true_matches")).cast("double"), 6)))
+            (col("probe_rows") - col("null_probes") - col("true_matches"))
+              .cast("double"), 6)))
       .withColumn("design_fpp", round(lit(designFpp), 6))
   }
 

@@ -73,14 +73,32 @@ object CoreQueries {
           col("r.r_name"))
     }),
 
-    // A1: multi-key grouped averages
+    // A1: multi-key grouped averages. Engine-order-independent by
+    // construction (VERDICT r8 ask #2): the sf0.1 run used to flip 3 rows at
+    // a .00005 rounding boundary because float summation order differs
+    // between engines. Both columns are scale-2 decimals stored as double,
+    // so we sum EXACT scaled longs (value*100) and compute the half-up
+    // 4-decimal average with pure integer arithmetic:
+    //   round(S*100/cnt) at scale 4  ==  (2*S*100 + cnt) div (2*cnt)
+    // (floor==truncate for positives). The only float op left is one
+    // division by 10000.0 of an integer both engines agree on bit-for-bit.
+    // Overflow bound: |2*S*100 + cnt| < 2^63 needs group sums < 4.6e16
+    // cents — TPC-H groups are ~200 rows at any SF (suppliers scale with
+    // the fact table), so the headroom is ~10^11×.
     "q05_group_avg_multikey" -> ((s, d) => {
       Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_returnflag"),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+            .as("q100"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("p100"))
         .groupBy("l_suppkey", "l_returnflag")
-        .agg(
-          r4(avg("l_quantity")).as("avg_qty"),
-          r4(avg("l_extendedprice")).as("avg_price"),
+        .agg(sum("q100").as("sq"), sum("p100").as("sp"),
           count(lit(1)).as("cnt"))
+        .select(col("l_suppkey"), col("l_returnflag"),
+          (expr("(2*sq*100 + cnt) div (2*cnt)") / lit(10000.0)).as("avg_qty"),
+          (expr("(2*sp*100 + cnt) div (2*cnt)") / lit(10000.0)).as("avg_price"),
+          col("cnt"))
     }),
 
     // I1 (A1+J2+P7): group-average imputation — the Silver layer's core
@@ -810,11 +828,16 @@ object CoreQueries {
         |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
     "q05_group_avg_multikey" ->
-      """SELECT l_suppkey, l_returnflag,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
+      """WITH s AS (
+        |  SELECT l_suppkey, l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2))*100 AS BIGINT) AS q100,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS p100
+        |  FROM lineitem)
+        |SELECT l_suppkey, l_returnflag,
+        | ((2*sum(q100)*100 + count(*)) // (2*count(*))) / 10000.0 AS avg_qty,
+        | ((2*sum(p100)*100 + count(*)) // (2*count(*))) / 10000.0 AS avg_price,
         | count(*) AS cnt
-        |FROM lineitem GROUP BY l_suppkey, l_returnflag""".stripMargin,
+        |FROM s GROUP BY l_suppkey, l_returnflag""".stripMargin,
     "q06_impute_group_avg" ->
       """WITH base AS (
         |  SELECT event_id, user_id,

@@ -47,21 +47,31 @@ object Layout {
     * Pure bitwise Column arithmetic (the classic mask-and-shift bit
     * spread, 5 steps per dimension) — no custom expression needed,
     * codegen-native, and exactly reproducible in any engine with 64-bit
-    * integer ops (the q122 oracle mirrors it literally). Inputs must be
-    * in [0, 2³¹) (masked to 32 bits; bit 31 of `b` would land on the
-    * long's sign bit and break range-partition ordering) — rank or
-    * bucket wider domains first.
+    * integer ops (the q122 oracle mirrors it literally). `a` must be in
+    * [0, 2³²) and `b` in [0, 2³¹) (bit 31 of `b` — bit 63 interleaved —
+    * would land on the long's sign bit and break range-partition
+    * ordering) — rank or bucket wider domains first. Out-of-range values
+    * fail LOUDLY (raise_error, the repo's convention — ADVICE r8: the
+    * previous 32-bit mask wrapped a negative id to a huge positive key
+    * and quietly destroyed the clustering the operator exists to
+    * provide). NULLs pass through as NULL keys.
     */
   def zorderKey(a: Column, b: Column): Column = {
-    def spread(c: Column): Column = {
-      var x = c.cast("long").bitwiseAND(lit(0xffffffffL))
+    def spread(c: Column, maxBits: Int): Column = {
+      // null input → null condition → otherwise branch → null key
+      val bound = 1L << maxBits
+      val checked = when(c < 0 || c >= lit(bound), raise_error(concat(
+          lit(s"zorderKey: input out of [0, 2^$maxBits): "),
+          c.cast("string"))))
+        .otherwise(c)
+      var x = checked.cast("long").bitwiseAND(lit(0xffffffffL))
       x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000ffff0000ffffL))
       x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00ff00ff00ff00ffL))
       x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
       x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
       x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
     }
-    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+    spread(a, 32).bitwiseOR(shiftleft(spread(b, 31), 1))
   }
 
   /** Z-ordered parquet write: range-partition on the interleaved key

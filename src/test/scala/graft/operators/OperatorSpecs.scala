@@ -614,6 +614,24 @@ class DedupSpec extends SparkSpec {
     assert(novel.select("doc_id").as[Long].collect().toSeq == Seq(11L))
   }
 
+  test("incrementalMinhashDedup: k mismatch vs the stored index fails loudly") {
+    // an index built with a different k used to band-slice truncated keys
+    // and silently MISS near-dups (ADVICE r8) — now it's a job failure
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val idx16 = Dedup.minhashCorpusIndex(corpus, "text", "doc_id", k = 16)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.incrementalMinhashDedup(batch, idx16, "text", "doc_id", 0.8,
+        k = 32).collect()
+    }
+    assert(e.getMessage.contains("built with a different k"),
+      s"unexpected failure: ${e.getMessage}")
+  }
+
   test("minhash LSH: catches the near-dup pair, skips unrelated docs") {
     val pairs = Dedup.minhashNearDupPairs(
         base.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
@@ -937,6 +955,21 @@ class SimilaritySpec extends SparkSpec {
       .agg(avg($"recall")).as[Double].collect()(0)
     assert(brokenRecall == 0.0)
   }
+
+  test("quantizedTopK: zero-norm vectors are excluded, not NaN-ranked first") {
+    // ADVICE r8: a zero vector quantizes to (scale 0, all-zero codes),
+    // its cosine is 0/0 = NaN, and the heap ranks NaN first — it must
+    // never appear as a neighbor, and a zero-norm query yields no rows
+    val emb = ((0L until 20L).map(i =>
+        (i, Seq.tabulate(8)(j => (((i * 31 + j * 7) % 97).toFloat / 97f) - 0.4f))) :+
+      (99L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 2 || $"vec_id" === 99L)
+    val out = Similarity.quantizedTopK(emb, queries, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(!out.exists(_._2 == 99L), "zero vector ranked as a neighbor")
+    assert(!out.exists(_._1 == 99L), "zero-norm query must return no rows")
+    assert(out.count(_._1 == 0L) == 3 && out.count(_._1 == 1L) == 3)
+  }
 }
 
 class AsOfJoinSpec extends SparkSpec {
@@ -1255,10 +1288,17 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("leakageSafeSplit: every near-dup cluster lands wholly in one split") {
-    val docs = (0L until 400L).toDF("doc_id")
+    // payload column rides through (ADVICE r8: the output is df + the
+    // split columns, not an id→split mapping)
+    val docs = (0L until 400L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val clusters = ((0L until 10L).map(i => (i, 0L)) ++
       (100L to 104L).map(i => (i, 100L))).toDF("id", "cluster")
-    val out = Sampling.leakageSafeSplit(docs, clusters, "doc_id")
+    val withPayload = Sampling.leakageSafeSplit(docs, clusters, "doc_id")
+    assert(withPayload.columns.toSeq ==
+      Seq("doc_id", "text", "split_key", "bucket", "split"))
+    assert(withPayload.filter($"text" =!= concat(lit("t"), $"doc_id"))
+      .count() == 0)
+    val out = withPayload
       .select("doc_id", "split_key", "split")
       .as[(Long, Long, String)].collect()
     assert(out.length == 400)

@@ -251,6 +251,26 @@ class SketchesSpec extends SparkSpec {
       "a saturated sketch must be detected")
   }
 
+  test("bloomFppAudit: null probe keys are reported, excluded from FPP") {
+    // ADVICE r8: a null key can never be a true match (its xxhash64
+    // degenerates to the seed) — it must not inflate the denominator
+    val build = (0 until 100).map(i => i * 2).toDF("bk")
+    val probe = ((0 until 200).map(i => Option(i)) ++
+      Seq.fill(50)(None: Option[Int])).toDF("pk")
+    val r = Sketches.bloomFppAudit(probe, $"pk", build, $"bk",
+      expectedItems = 1000L).collect()(0)
+    assert(r.getAs[Long]("probe_rows") == 250L)
+    assert(r.getAs[Long]("null_probes") == 50L)
+    assert(r.getAs[Long]("true_matches") == 100L)
+    assert(r.getAs[Long]("false_negatives") == 0L)
+    // denominator = 250 − 50 nulls − 100 matches = 100 non-matching probes
+    assert(r.getAs[Double]("observed_fpp") ==
+      r.getAs[Long]("false_positives").toDouble / 100.0)
+    // null probes never count as bloom-positive
+    assert(r.getAs[Long]("bloom_pass") ==
+      r.getAs[Long]("true_matches") + r.getAs[Long]("false_positives"))
+  }
+
   test("bloomSemiFilter: zero false negatives; FPs bounded") {
     val build = df.filter($"k" < 100).select($"k".as("bk"))
     val out = Sketches.bloomSemiFilter(

@@ -137,6 +137,21 @@ class LayoutSpec extends SparkSpec {
     assert(z2 == 0x5555555555555555L)
   }
 
+  test("zorderKey: out-of-range inputs fail loudly; nulls pass through") {
+    // ADVICE r8: masking used to wrap a negative id to a huge positive
+    // key and silently destroy the clustering — now it's a job failure
+    def z(a: java.lang.Long, b: java.lang.Long) =
+      Seq((a, b)).toDF("a", "b")
+        .select(Layout.zorderKey($"a", $"b")).collect().head
+    val neg = intercept[Exception] { z(-1L, 0L) }
+    assert(neg.getMessage.contains("out of [0, 2^32)"), neg.getMessage)
+    // b's bound is one bit tighter (bit 31 would hit the sign bit)
+    val big = intercept[Exception] { z(0L, 1L << 31) }
+    assert(big.getMessage.contains("out of [0, 2^31)"), big.getMessage)
+    assert(z(0L, (1L << 31) - 1).getLong(0) >= 0, "keys stay non-negative")
+    assert(z(null, 3L).isNullAt(0), "null input must yield a null key")
+  }
+
   test("zorderWrite: point filters on EITHER dimension skip most files") {
     // 64x64 grid of (a, b) keys, 16 output files. Z-ordered, each file
     // tiles a ~16x16 square => a point filter on either dim overlaps
