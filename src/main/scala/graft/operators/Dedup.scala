@@ -341,11 +341,15 @@ object Dedup {
     // signature length is data, not metadata, so the guard is in-plan:
     // first mismatched row fails the job with the two lengths named.
     def bandRows(sigs: DataFrame, idName: String): DataFrame = {
+      // The message names WHICH side mismatched (ADVICE r9): the batch
+      // side's signature is built in-function with this k, so in practice
+      // only the corpus side can fire — but the guard covers both.
+      val side = if (idName == "corpus_id") "corpus index" else "batch"
       val sig = when(size(col("sig")) === k, col("sig"))
         .otherwise(raise_error(concat(
           lit("incrementalMinhashDedup: signature length "),
           size(col("sig")).cast("string"),
-          lit(s" != k=$k — corpus index built with a different k"))))
+          lit(s" != k=$k — $side built with a different k"))))
       sigs.select(col(idName), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           j => concat_ws(",", transform(slice(sig, j * r + 1, lit(r)),

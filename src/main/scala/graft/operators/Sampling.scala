@@ -62,9 +62,12 @@ object Sampling {
     // All of df's columns ride through (ADVICE r8): like its sibling
     // deterministicSplit, the output is the INPUT frame plus
     // (split_key, bucket, split) — not an id→split mapping that drops
-    // the payload.
-    require(!df.columns.contains("split_key"),
-      "df already has a split_key column")
+    // the payload. All three added names are guarded (ADVICE r9): an
+    // input that already carries bucket/split would be silently
+    // clobbered by deterministicSplit's withColumn otherwise.
+    Seq("split_key", "bucket", "split").foreach(c =>
+      require(!df.columns.contains(c),
+        s"df already has a '$c' column — leakageSafeSplit would overwrite it"))
     val c = broadcast(clusters)
     val keyed = df.join(c, df(idCol) === c("id"), "left")
       .select(df.columns.map(df(_)) :+

@@ -20,6 +20,12 @@ Input formats accepted, in order of preference:
      - when "parsed" is null (stdout truncated mid-JSON), per-query times are
        regex-recovered from "tail"; queries lost to the truncation are reported
        as "missing", never silently passed.
+In either case, if the input carries a run "nonce" and a sibling
+BENCH_LOCAL.json (written by graft.Bench alongside the stdout line; override
+with --local) exists with the SAME nonce, the file's complete per-query map is
+used instead — the stdout capture window truncates ~4 KB of 133 query timings,
+the file never does. A nonce mismatch means the file is from a different run
+and is ignored (reported).
 
 Exit code: 0 = clean (or only non-plan-changed queries over threshold);
            1 = a plan-changed query is over threshold, or the input had rc != 0;
@@ -33,7 +39,10 @@ import sys
 QUERY_RE = re.compile(r'"(q\d+_[A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)')
 
 
-def load_query_times(path):
+NONCE_RE = re.compile(r'"nonce"\s*:\s*"([0-9a-f-]+)"')
+
+
+def load_query_times(path, local_path="BENCH_LOCAL.json"):
     """Return (times: dict, rc: int|None, truncated: bool)."""
     with open(path) as f:
         doc = json.load(f)
@@ -42,9 +51,29 @@ def load_query_times(path):
     # driver wrapper
     rc = doc.get("rc")
     parsed = doc.get("parsed")
+    tail = doc.get("tail", "") or ""
+    nonce = None
+    if isinstance(parsed, dict) and parsed.get("nonce"):
+        nonce = parsed["nonce"]
+    else:
+        m = NONCE_RE.search(tail)
+        if m:
+            nonce = m.group(1)
+    if nonce:
+        # prefer the complete file artifact when it provably belongs to
+        # this run (same nonce) — the stdout tail truncates, the file never
+        try:
+            local = json.load(open(local_path))
+            if local.get("nonce") == nonce and isinstance(local.get("queries"), dict):
+                print(f"using {local_path} (nonce {nonce} matches): "
+                      f"{len(local['queries'])} per-query times")
+                return dict(local["queries"]), rc, False
+            print(f"note: {local_path} nonce {local.get('nonce')!r} != run nonce "
+                  f"{nonce!r} - stale file ignored", file=sys.stderr)
+        except (OSError, json.JSONDecodeError):
+            pass
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
         return dict(parsed["queries"]), rc, False
-    tail = doc.get("tail", "") or ""
     times = {name: float(sec) for name, sec in QUERY_RE.findall(tail)}
     return times, rc, True
 
@@ -60,6 +89,9 @@ def main():
                          "only these become hard failures when over threshold")
     ap.add_argument("--min-sec", type=float, default=0.2,
                     help="ignore ratio noise below this absolute reference time (default 0.2s)")
+    ap.add_argument("--local", default="BENCH_LOCAL.json",
+                    help="graft.Bench's complete file artifact; used when its "
+                         "nonce matches the bench input's (default BENCH_LOCAL.json)")
     args = ap.parse_args()
 
     try:
@@ -69,7 +101,7 @@ def main():
         print(f"cannot read reference {args.ref}: {e}", file=sys.stderr)
         return 2
     try:
-        times, rc, truncated = load_query_times(args.bench)
+        times, rc, truncated = load_query_times(args.bench, args.local)
     except (OSError, json.JSONDecodeError) as e:
         print(f"cannot read bench {args.bench}: {e}", file=sys.stderr)
         return 2
