@@ -162,16 +162,118 @@ object TextAnalysis {
     require(k >= 1, s"k must be >= 1, got $k")
     val pieces = graft.functions.SubwordFunctions
       .subwordPieces(tokens(text), vocab)
-    val pairs = flatten(transform(pieces, w =>
-      zip_with(slice(w, lit(1), greatest(size(w) - 1, lit(0))),
-        slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-        (a, b) => struct(a.as("p1"), b.as("p2")))))
+    val pairs = flatten(transform(pieces, w => adjacentPairs(w)))
     val counts = df.select(explode(pairs).as("__pr"))
       .groupBy(col("__pr.p1").as("p1"), col("__pr.p2").as("p2"))
       .agg(count(lit(1)).as("cnt"))
     counts.withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)))
       .where(col("rank") <= k)
+  }
+
+  /** Adjacent within-word piece pairs as (p1, p2) structs — the BPE pair
+    * generator shared by [[bpePairStats]] (corpus ranking form) and
+    * [[learnBpeMerges]] (training-loop form).
+    */
+  private def adjacentPairs(pieces: Column): Column =
+    zip_with(slice(pieces, lit(1), greatest(size(pieces) - 1, lit(0))),
+      slice(pieces, lit(2), greatest(size(pieces) - 1, lit(0))),
+      (a, b) => struct(a.as("p1"), b.as("p2")))
+
+  /** One BPE merge APPLIED to a piece sequence — Sennrich et al. 2016
+    * §3.2's replacement step: scan left-to-right, fuse each
+    * non-overlapping adjacent (a, b) occurrence into the single symbol
+    * `ab` ("aaa" under (a,a) → ["aa","a"], the standard greedy reading).
+    * A fold (`aggregate` HOF) carrying (emitted pieces, pending piece):
+    * the pending previous piece either fuses with the current one or is
+    * flushed — per-row, no shuffle; interpreted HOF cost is irrelevant
+    * here because [[learnBpeMerges]] only ever applies it to the
+    * word-VOCABULARY frame, not the corpus.
+    */
+  private[graft] def applyBpeMerge(pieces: Column, a: String, b: String)
+      : Column =
+    aggregate(
+      pieces,
+      struct(slice(pieces, 1, 0).as("out"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val out = acc.getField("out")
+        val prev = acc.getField("prev")
+        when(prev === lit(a) && x === lit(b),
+          struct(concat(out, array(lit(a + b))).as("out"),
+            lit(null).cast("string").as("prev")))
+          .otherwise(struct(
+            when(prev.isNotNull, concat(out, array(prev)))
+              .otherwise(out).as("out"),
+            x.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNotNull,
+        concat(acc.getField("out"), array(acc.getField("prev"))))
+        .otherwise(acc.getField("out")))
+
+  /** The iterated BPE VOCABULARY-LEARNING loop (Sennrich et al. 2016
+    * §3.2) — [[bpePairStats]] counts what ONE merge round maximizes; this
+    * operator runs the actual training loop: count adjacent pairs → take
+    * the argmax pair (ties break (cnt desc, p1 asc, p2 asc), the q133
+    * convention) → apply the merge to every symbol sequence → repeat,
+    * `rounds` times. Returns the learned merge table, one row per round:
+    * (round, p1, p2, merged, cnt). Stops early (fewer rows) if the
+    * corpus runs out of pairs — never a fabricated merge.
+    *
+    * Scale design (the part that must survive 100 TB):
+    *  - the corpus is collapsed ONCE into the word-frequency dictionary
+    *    (`explode(tokens)` → groupBy word), Sennrich's own trick: every
+    *    subsequent round runs over the WORD VOCABULARY (≤ ~100 M rows at
+    *    web scale — distributed but tiny next to the corpus), with pair
+    *    counts weighted by word frequency. The corpus is scanned exactly
+    *    once, in round 0.
+    *  - initial segmentation is the greedy byte-trie kernel
+    *    ([[graft.functions.SubwordFunctions.subwordPieces]]) under
+    *    `baseVocab`; merge application is per-row arithmetic. Each round
+    *    shuffles only the (p1, p2, weight) projection — map-side
+    *    combined, pair-vocabulary-sized output.
+    *  - per round, exactly ONE row (the argmax pair) is collected — the
+    *    training loop is inherently sequential in rounds (merge r+1's
+    *    counts depend on merge r), so this is the Lloyd-iteration shape
+    *    ([[Similarity.kmeansCentroids]]): a KB-scale driver decision per
+    *    round, never the data.
+    *  - the dictionary is `localCheckpoint`ed between rounds (the q45
+    *    discipline): without it round r's lazy plan re-runs every prior
+    *    round's merge — quadratic re-execution, invisible at 3 rounds
+    *    and ruinous at a real 32k-merge vocabulary build.
+    */
+  def learnBpeMerges(df: DataFrame, text: Column, baseVocab: Seq[String],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(tokens(text)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    var dict = words.select(col("word"), col("n"),
+        element_at(graft.functions.SubwordFunctions
+          .subwordPieces(array(col("word")), baseVocab), 1).as("pieces"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val top = dict
+        .select(explode(adjacentPairs(col("pieces"))).as("__pr"), col("n"))
+        .groupBy(col("__pr.p1").as("p1"), col("__pr.p2").as("p2"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((r, a, b, a + b, cnt))
+        dict = dict
+          .withColumn("pieces", applyBpeMerge(col("pieces"), a, b))
+          .localCheckpoint()
+      }
+    }
+    learned.toSeq.toDF("round", "p1", "p2", "merged", "cnt")
   }
 
   /** Composite quality score in [0,1]: four equal-weight heuristics a

@@ -634,6 +634,16 @@ object PipelineQueries {
       TextAnalysis.bpePairStats(Tables.documents(s, d), col("text"),
         SubwordVocab10k, k = 50)),
 
+    // The iterated BPE TRAINING loop (q133 is one round's counting step;
+    // this learns a vocabulary): 3 rounds of count → argmax merge →
+    // re-segment over the word-frequency dictionary, corpus scanned
+    // once. The DuckDB oracle replays the identical loop — the q133
+    // recursive-CTE segmentation, then per round a weighted pair count,
+    // the same (cnt desc, p1, p2) argmax, and a recursive merge walk.
+    "q134_bpe_learn" -> ((s, d) =>
+      TextAnalysis.learnBpeMerges(Tables.documents(s, d), col("text"),
+        SubwordVocab10k, rounds = 3)),
+
     // Token-budget corpus selection: greedy best-quality prefix under a
     // 15k-token budget (~55% of the sf0.01 corpus, ~5% at sf0.1 — both
     // scales exercise the boundary-bucket partial keep). Score is the
@@ -840,6 +850,101 @@ object PipelineQueries {
 
   private val SubwordVocab10k: Seq[String] =
     GateVocab ++ SubwordPieces ++ (0 until 9961).map(i => f"w$i%05d")
+
+  /** DuckDB replay of [[TextAnalysis.learnBpeMerges]] (q134): the q133
+    * recursive-CTE greedy segmentation, collapsed to the word-frequency
+    * dictionary (same pair totals, |vocab|-sized state — the oracle
+    * mirrors the Spark side's Sennrich dictionary trick so it stays
+    * tractable at sf0.1), then per merge round i: a frequency-weighted
+    * pair count (c_i), the same (cnt desc, p1, p2) argmax (m_i), and a
+    * recursive left-to-right merge walk (r_i) emitting round i+1's piece
+    * sequences. Round blocks are generated programmatically — the SQL is
+    * identical per round except for CTE numbering.
+    */
+  private def bpeLearnOracle(rounds: Int): String = {
+    def roundCtes(i: Int): String = {
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      val count =
+        s"""c$i AS (
+           |  SELECT a.piece AS p1, b.piece AS p2, sum(w.n)::BIGINT AS cnt
+           |  FROM $prev a JOIN $prev b ON a.word = b.word
+           |    AND b.idx = a.idx + 1
+           |  JOIN words w ON w.word = a.word GROUP BY 1, 2),
+           |m$i AS (SELECT p1, p2, cnt FROM c$i
+           |  ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT 1)""".stripMargin
+      val apply =
+        s""",
+           |l$i AS (SELECT word, max(idx) AS m FROM $prev GROUP BY word),
+           |r$i AS (
+           |  SELECT word, 1 AS pos, 0 AS idx, CAST(NULL AS VARCHAR) AS piece
+           |  FROM words
+           |  UNION ALL
+           |  SELECT r.word,
+           |    CASE WHEN a.piece = m.p1 AND b.piece = m.p2
+           |      THEN r.pos + 2 ELSE r.pos + 1 END AS pos,
+           |    r.idx + 1 AS idx,
+           |    CASE WHEN a.piece = m.p1 AND b.piece = m.p2
+           |      THEN a.piece || b.piece ELSE a.piece END AS piece
+           |  FROM r$i r
+           |  JOIN l$i l ON l.word = r.word
+           |  JOIN $prev a ON a.word = r.word AND a.idx = r.pos
+           |  LEFT JOIN $prev b ON b.word = r.word AND b.idx = r.pos + 1
+           |  CROSS JOIN m$i m
+           |  WHERE r.pos <= l.m),
+           |p$i AS (SELECT word, idx, piece FROM r$i WHERE idx >= 1)"""
+          .stripMargin
+      if (i < rounds) count + apply else count
+    }
+    val selects = (1 to rounds).map(i =>
+      s"SELECT CAST($i AS INT) AS round, p1, p2, p1 || p2 AS merged, " +
+        s"cnt FROM m$i").mkString("\nUNION ALL\n")
+    """WITH RECURSIVE
+      |words AS (
+      |  SELECT word, count(*) AS n FROM (
+      |    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+      |      x -> x <> '')) AS word
+      |    FROM documents WHERE text IS NOT NULL) GROUP BY word),
+      |v AS (
+      |  SELECT unnest(['the','a','table','row','key','value','scan',
+      |    'sort','join','group','window','spark','fast','slow','agg',
+      |    'hash','merge','part','line','batch','cust','omer','col',
+      |    'umn','fil','ter','sma','ord','er','vec','tor','dat','str',
+      |    'eam','que','ry','big','du','orders']) AS piece
+      |  UNION ALL
+      |  SELECT printf('w%05d', i) FROM range(9961) r(i)),
+      |seg AS (
+      |  SELECT word, 1 AS pos, 0 AS idx, CAST(NULL AS VARCHAR) AS piece
+      |  FROM words
+      |  UNION ALL
+      |  SELECT r.word,
+      |    r.pos + coalesce(greatest(
+      |      CASE WHEN v6.piece IS NOT NULL THEN 6 END,
+      |      CASE WHEN v5.piece IS NOT NULL THEN 5 END,
+      |      CASE WHEN v4.piece IS NOT NULL THEN 4 END,
+      |      CASE WHEN v3.piece IS NOT NULL THEN 3 END,
+      |      CASE WHEN v2.piece IS NOT NULL THEN 2 END,
+      |      CASE WHEN v1.piece IS NOT NULL THEN 1 END), 1) AS pos,
+      |    r.idx + 1 AS idx,
+      |    coalesce(v6.piece, v5.piece, v4.piece, v3.piece, v2.piece,
+      |      v1.piece, substr(r.word, r.pos, 1)) AS piece
+      |  FROM seg r
+      |  LEFT JOIN v v1 ON v1.piece = substr(r.word, r.pos, 1)
+      |    AND length(v1.piece) = 1
+      |  LEFT JOIN v v2 ON v2.piece = substr(r.word, r.pos, 2)
+      |    AND length(v2.piece) = 2
+      |  LEFT JOIN v v3 ON v3.piece = substr(r.word, r.pos, 3)
+      |    AND length(v3.piece) = 3
+      |  LEFT JOIN v v4 ON v4.piece = substr(r.word, r.pos, 4)
+      |    AND length(v4.piece) = 4
+      |  LEFT JOIN v v5 ON v5.piece = substr(r.word, r.pos, 5)
+      |    AND length(v5.piece) = 5
+      |  LEFT JOIN v v6 ON v6.piece = substr(r.word, r.pos, 6)
+      |    AND length(v6.piece) = 6
+      |  WHERE r.pos <= length(r.word)),
+      |p0 AS (SELECT word, idx, piece FROM seg WHERE idx >= 1),
+      |""".stripMargin +
+      (1 to rounds).map(roundCtes).mkString(",\n") + "\n" + selects
+  }
 
   /** Exact blocked char-3-gram Jaccard ground truth — shared by q38 (the
     * block-local all-pairs operator) and q67 (the prefix-filtered
@@ -2213,6 +2318,7 @@ object PipelineQueries {
         |    ORDER BY cnt DESC, p1 ASC, p2 ASC) AS rnk
         |  FROM cnt)
         |SELECT p1, p2, cnt, rnk::INT AS rank FROM r WHERE rnk <= 50""".stripMargin,
+    "q134_bpe_learn" -> bpeLearnOracle(rounds = 3),
     // The selection semantics in their textbook form: inclusive running
     // token sum over (score DESC, doc_id) kept while <= budget. The
     // Spark side's bucket-cumsum + boundary-resolution plan is provably

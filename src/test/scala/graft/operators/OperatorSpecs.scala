@@ -1920,3 +1920,60 @@ class MaterializeMixSpec extends SparkSpec {
       yield (id, "a", e)))
   }
 }
+
+class BpeLearnSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis.learnBpeMerges
+
+  private def learn(texts: Seq[String], base: Seq[String], rounds: Int) =
+    learnBpeMerges(texts.toDF("text"), $"text", base, rounds)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+
+  test("learnBpeMerges: hand-computed two-round vocabulary on a planted corpus") {
+    // Sennrich et al. 2016 §3.2 worked shape: char-level base, corpus
+    // "ab ab ab cd" — round 1 merges (a,b) cnt 3; the merged symbol then
+    // leaves only (c,d) cnt 1 for round 2.
+    val out = learn(Seq("ab ab", "ab cd"), Seq("a", "b", "c", "d"), 2)
+    assert(out == Seq((1, "a", "b", "ab", 3L), (2, "c", "d", "cd", 1L)))
+  }
+
+  test("learnBpeMerges: left-to-right non-overlapping merge application") {
+    // "aaa" under merge (a,a): [aa, a], NOT [a, aa] and NOT a double
+    // count — so round 1 counts (a,a) twice per word, and round 2 sees
+    // the residual (aa, a) pair.
+    val out = learn(Seq("aaa aaa"), Seq("a"), 2)
+    assert(out == Seq((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L)))
+  }
+
+  test("learnBpeMerges: learned symbol participates in later rounds") {
+    // "abab": r1 (a,b) cnt 2 -> [ab, ab]; r2 (ab, ab) -> abab.
+    val out = learn(Seq("abab abab"), Seq("a", "b"), 2)
+    assert(out == Seq((1, "a", "b", "ab", 4L), (2, "ab", "ab", "abab", 2L)))
+  }
+
+  test("learnBpeMerges: count ties break (p1 asc, p2 asc), q133 convention") {
+    // (x,y) and (p,q) both count 1 -> (p,q) wins round 1.
+    val out = learn(Seq("xy pq"), Seq("x", "y", "p", "q"), 1)
+    assert(out == Seq((1, "p", "q", "pq", 1L)))
+  }
+
+  test("learnBpeMerges: stops early when the corpus runs out of pairs") {
+    // Single-char words have no adjacent pairs after round 1's merge.
+    val out = learn(Seq("ab ab"), Seq("a", "b"), 5)
+    assert(out == Seq((1, "a", "b", "ab", 2L)))
+  }
+
+  test("learnBpeMerges: pair counts are word-frequency weighted") {
+    // The dictionary collapse must weight pairs by word count, not by
+    // distinct word: "ab" x3 beats "cd" x1 + "cde" x1 distinct words.
+    val out = learn(Seq("ab ab ab cd cde"), Seq("a", "b", "c", "d", "e"), 1)
+    assert(out == Seq((1, "a", "b", "ab", 3L)))
+  }
+
+  test("learnBpeMerges: base segmentation is the greedy trie (unknowns fall through)") {
+    // 'z' is not in the base vocab: it segments as a single unknown code
+    // point and still participates in pair statistics.
+    val out = learn(Seq("za za"), Seq("a"), 1)
+    assert(out == Seq((1, "z", "a", "za", 2L)))
+  }
+}
