@@ -59,18 +59,30 @@ object Bench {
     // repo-local file stamped with a run nonce; the stdout line echoes the
     // nonce so tools/bench_compare.py can trust the file belongs to this run.
     val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // Key order is load-bearing (VERDICT r10 #1): the driver's capture
+    // window keeps the END of the line, so the keys that must survive
+    // truncation — errors, and above all the nonce that lets
+    // bench_compare.py trust the complete file artifact — go LAST.
+    // r10 emitted the nonce as the 4th key and it was provably truncated
+    // away with the head of the ~4 KB line.
     val full =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nonce":"$nonce","errors":$errJson,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errJson,"nonce":"$nonce"}"""
     try {
+      // temp-then-ATOMIC_MOVE (ADVICE r10): a reader racing the write —
+      // or a killed JVM — must see the previous complete file or the new
+      // one, never a partial JSON prefix.
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json"))
-      java.nio.file.Files.write(p,
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp,
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } catch { case e: Exception =>
       // stdout line still carries everything; the file is belt-and-braces
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
     }
-    // errors first: a tail truncation can hide timings, never failures
     println(full)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -26,6 +26,14 @@ object Sampling {
       out: String = "split"): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,
       s"split percents must sum to 100, got $splits")
+    // Both added names are guarded HERE, not only in leakageSafeSplit
+    // (ADVICE r10): a direct caller whose frame already carries 'bucket'
+    // or the out column would otherwise have it silently clobbered by
+    // withColumn — the exact hazard the r9 guard was added for.
+    Seq("bucket", out).foreach(c =>
+      require(!df.columns.contains(c),
+        s"df already has a '$c' column — deterministicSplit would " +
+          "overwrite it"))
     val bucket =
       conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
         .cast("long") % 100

@@ -1314,6 +1314,25 @@ class SamplingSpec extends SparkSpec {
       .foreach(r => assert(r._3 == plain(r._1)))
   }
 
+  test("deterministicSplit: rejects frames already carrying an added column") {
+    // ADVICE r10: the collision guard must protect the DIRECT entry
+    // point, not only leakageSafeSplit — 'bucket' and the out column
+    // would otherwise be silently clobbered by withColumn.
+    val hasBucket = Seq((1L, 7)).toDF("doc_id", "bucket")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.deterministicSplit(hasBucket, "doc_id")
+    }
+    assert(e1.getMessage.contains("bucket"))
+    val hasSplit = Seq((1L, "x")).toDF("doc_id", "split")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.deterministicSplit(hasSplit, "doc_id")
+    }
+    assert(e2.getMessage.contains("split"))
+    // a custom out name dodges the 'split' collision — and is guarded itself
+    assert(Sampling.deterministicSplit(hasSplit, "doc_id", out = "fold")
+      .columns.contains("fold"))
+  }
+
   test("filterTopQuantileByGroup: per-group cutpoint, ties kept, fraction >= keepFrac") {
     val df = ((1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
       (1 to 6).map(i => ("b", 100L + i, 2.0)) ++ // all tied

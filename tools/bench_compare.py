@@ -65,13 +65,18 @@ def load_query_times(path, local_path="BENCH_LOCAL.json"):
         try:
             local = json.load(open(local_path))
             if local.get("nonce") == nonce and isinstance(local.get("queries"), dict):
+                # informational, like the stale-file note below: stderr, so
+                # the stdout report stays machine-readable (ADVICE r10)
                 print(f"using {local_path} (nonce {nonce} matches): "
-                      f"{len(local['queries'])} per-query times")
+                      f"{len(local['queries'])} per-query times", file=sys.stderr)
                 return dict(local["queries"]), rc, False
             print(f"note: {local_path} nonce {local.get('nonce')!r} != run nonce "
                   f"{nonce!r} - stale file ignored", file=sys.stderr)
-        except (OSError, json.JSONDecodeError):
-            pass
+        except (OSError, json.JSONDecodeError) as e:
+            # docstring promises ignores are reported (ADVICE r10): a
+            # missing/corrupt file degrades to tail recovery, but loudly
+            print(f"note: {local_path} unreadable ({e}) - falling back to "
+                  f"stdout tail recovery", file=sys.stderr)
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
         return dict(parsed["queries"]), rc, False
     times = {name: float(sec) for name, sec in QUERY_RE.findall(tail)}
