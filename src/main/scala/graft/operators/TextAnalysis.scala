@@ -780,6 +780,94 @@ object TextAnalysis {
         round(col("__c"), 4).as("containment"))
   }
 
+  /** Exact-substring shared-SPAN detection — the dedup class Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better")
+    * target with their suffix-array ExactSubstr tool, realized at
+    * winnowing guarantees: maximal runs of same-offset shared winnowing
+    * fingerprints ([[graft.functions.WinnowFunctions
+    * .winnowFingerprintPositions]]) merged into per-pair spans, reported
+    * when ≥ `minSpanChars`. Aligned fixed-width chunk dedup (q86)
+    * structurally MISSES an offset-shifted copy — one inserted token
+    * shifts every later chunk boundary, so no chunk hash matches —
+    * while a shared char run keeps fingerprint-colliding at identical
+    * position OFFSETS regardless of where it starts in either document.
+    *
+    * Semantics (engine-exact, replayed by the SQL oracle):
+    *  1. per doc, robust-winnowing selections as (fp, gram pos);
+    *  2. corpus-hot fingerprints (appearing in > `maxDocFreq` docs) are
+    *     dropped — boilerplate carries no attribution signal and its
+    *     join fan-out is the all-pairs trap ([[winnowOverlapPairs]]'s
+    *     hardening, same broadcast anti-join);
+    *  3. matched positions (equal fp, doc_a < doc_b) group by OFFSET
+    *     `pos_a − pos_b`: only same-offset matches can belong to one
+    *     contiguous shared run;
+    *  4. gaps-and-islands per (pair, offset) ordered by pos_a: a new
+    *     span starts when the gap exceeds `maxGapGrams` (winnowing
+    *     guarantees consecutive selections ≤ w grams apart inside a
+    *     shared run; the default tolerates a few hot-dropped holes);
+    *  5. span_chars = last − first + k (the closing gram covers k
+    *     chars) — a CONSERVATIVE length (true span can extend ≤ ~w+k−2
+    *     chars past the outermost selections at each edge).
+    *
+    * Gram size k defaults to 16, DOUBLE the containment operator's 8
+    * (measured on the fixture corpus, whose ~31-token vocabulary is the
+    * adversarial case for short grams): at k=8 the median fingerprint
+    * appears in 3 docs and the 99th percentile in 74 — the hot filter
+    * then shreds every true span's chain (0/12 planted copies recovered)
+    * — while k=16 grams span ~3 tokens, median df 1, p99 = 4, and all
+    * 12 planted copies recover at ≥ 229 of their 240 shared chars.
+    * Larger k trades the minimum detectable run (w+k−1 = 23 chars)
+    * for discrimination — the right trade for EXACT-substring dedup,
+    * where targets are ≥ minSpanChars anyway.
+    *
+    * Scale shape: inverted-index join on fingerprint value (fan-out
+    * capped by `maxDocFreq`², never all-pairs); the island windows
+    * partition by (pair, offset) — group size is the pair's matched
+    * fingerprints, orders of magnitude below document length; document
+    * text never shuffles, only (id, fp, pos) projections do.
+    *
+    * Returns (doc_a, doc_b, a_start, b_start, span_chars): 1-based char
+    * offsets of each span's first selected gram in the two documents.
+    */
+  def winnowSharedSpans(df: DataFrame, textCol: String, idCol: String,
+      minSpanChars: Int = 64, maxDocFreq: Int = 20, maxGapGrams: Int = 16,
+      k: Int = 16, w: Int = 8): DataFrame = {
+    require(minSpanChars >= k,
+      s"minSpanChars ($minSpanChars) below k ($k) would report " +
+        "single-gram noise as spans")
+    require(maxGapGrams >= w,
+      s"maxGapGrams ($maxGapGrams) below w ($w) would split every run " +
+        "(winnowing selects at most every w-th gram)")
+    val fpAll = df.select(col(idCol).as("id"), explode(
+        graft.functions.WinnowFunctions
+          .winnowFingerprintPositions(col(textCol), k, w)).as("e"))
+      .select(col("id"), col("e.fp").as("f"), col("e.pos").as("p"))
+    val hot = broadcast(fpAll.select(col("f"), col("id")).distinct()
+      .groupBy(col("f")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq).select(col("f")))
+    val fp = fpAll.join(hot, Seq("f"), "left_anti")
+    val a = fp.select(col("id").as("doc_a"), col("f"), col("p").as("pa"))
+    val b = fp.select(col("id").as("doc_b"), col("f"), col("p").as("pb"))
+    val matches = a.join(b, Seq("f"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("__off"))
+    val wOrd = Window.partitionBy(col("doc_a"), col("doc_b"), col("__off"))
+      .orderBy(col("pa").asc)
+    matches
+      .withColumn("__brk",
+        when(col("pa") - lag(col("pa"), 1).over(wOrd) <= maxGapGrams, 0)
+          .otherwise(1)) // first row: lag null → otherwise → new island
+      .withColumn("__g", sum(col("__brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("__off"), col("__g"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (max(col("pa")) - min(col("pa")) + k).as("span_chars"))
+      .filter(col("span_chars") >= minSpanChars)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("span_chars"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF
     * (tf · ln(N/df), deterministic ties by term asc). Every stage is
     * distributed: token counts partial-aggregate map-side, document

@@ -238,6 +238,24 @@ object PipelineQueries {
         "text", "doc_id")
     }),
 
+    // Exact-substring shared spans (Lee et al. 2021's dedup class at
+    // winnowing guarantees) over planted OFFSET-SHIFTED copies: a 'zq '
+    // head token + the source's first 240 chars + a unique tail. The
+    // one-token head shifts every aligned 20-token chunk boundary, so
+    // q86's chunk fingerprints all differ (proven in WinnowSpanSpec) —
+    // same-offset fingerprint runs still merge into the shared span.
+    "q135_winnow_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .filter(col("doc_id") % 18 === 0 && length(col("text")) >= 300)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(lit("zq "), substring(col("text"), 1, 240),
+            lit(" winnow span tail "), col("doc_id").cast("string"))
+            .as("text"))
+      TextAnalysis.winnowSharedSpans(docs.unionByName(planted),
+        "text", "doc_id")
+    }),
+
     // Corpus vocabulary: top tokens per language — heavy stage is the
     // map-side-combined token count; the rank window only sees the
     // vocabulary-sized aggregate.
@@ -1579,6 +1597,77 @@ object PipelineQueries {
         |JOIN sz sa ON doc_a = sa.doc_id
         |JOIN sz sb ON doc_b = sb.doc_id
         |WHERE i::DOUBLE / least(sa.n, sb.n) >= 0.8""".stripMargin,
+    // q69/q70's gram-hash CTE at the span operator's k=16/w=8 (powers
+    // array extended to 257^15 mod 2^31−1), extended with the robust-
+    // winnowing position rule (rightmost minimal hash per window,
+    // recovered via list_position on the reversed window), then the
+    // span merge: same-offset matches, gaps-and-islands at maxGap 16
+    // grams, span length = last − first + k.
+    "q135_winnow_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000,
+        |    'zq ' || substr(text, 1, 240) || ' winnow span tail ' || doc_id
+        |  FROM documents WHERE doc_id % 18 = 0 AND length(text) >= 300),
+        |c AS (
+        |  SELECT doc_id, text AS s,
+        |    least(16, length(text)) AS kk, length(text) AS n
+        |  FROM base WHERE length(text) > 0),
+        |h AS (
+        |  SELECT doc_id, kk,
+        |    list_transform(range(1, n - kk + 2), j ->
+        |      list_sum(list_transform(range(0, kk), t ->
+        |        (unicode(substr(s, (j + t)::INT, 1))::BIGINT *
+        |         ([1, 257, 66049, 16974593, 67503107, 168429323,
+        |           336663071, 623063367, 1213495441, 483199522,
+        |           1775709275, 1090750511, 1150007217, 1346595130,
+        |           330081243, 1079017218])[(kk - t)::INT]) % 2147483647))
+        |      % 2147483647) AS hl
+        |  FROM c),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hl) <= 8 THEN [list_min(hl)]
+        |         ELSE list_transform(range(1, len(hl) - 6), j ->
+        |           list_min(list_slice(hl, j, j + 7)))
+        |    END AS fl,
+        |    CASE WHEN len(hl) <= 8 THEN
+        |           [len(hl) + 1 -
+        |            list_position(list_reverse(hl), list_min(hl))]
+        |         ELSE list_transform(range(1, len(hl) - 6), j ->
+        |           j + 8 - list_position(
+        |             list_reverse(list_slice(hl, j, j + 7)),
+        |             list_min(list_slice(hl, j, j + 7))))
+        |    END AS pl
+        |  FROM h),
+        |f0 AS (SELECT DISTINCT doc_id, f, p FROM (
+        |  SELECT doc_id, unnest(fl) AS f, unnest(pl) AS p FROM m)),
+        |fd AS (SELECT f FROM (
+        |  SELECT f, count(DISTINCT doc_id) AS c FROM f0 GROUP BY f)
+        |  WHERE c > 20),
+        |fk AS (SELECT f0.doc_id, f0.f, f0.p FROM f0
+        |  LEFT JOIN fd ON f0.f = fd.f WHERE fd.f IS NULL),
+        |mt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb,
+        |    a.p - b.p AS off
+        |  FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT da, db, off, pa, pb,
+        |    CASE WHEN pa - lag(pa) OVER (
+        |      PARTITION BY da, db, off ORDER BY pa) <= 16
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM mt),
+        |g AS (
+        |  SELECT da, db, off, pa, pb,
+        |    sum(brk) OVER (PARTITION BY da, db, off ORDER BY pa
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |  FROM isl),
+        |sp AS (
+        |  SELECT da AS doc_a, db AS doc_b, min(pa) AS a_start,
+        |    min(pb) AS b_start, max(pa) - min(pa) + 16 AS span_chars
+        |  FROM g GROUP BY da, db, off, gid)
+        |SELECT doc_a, doc_b, a_start, b_start, span_chars
+        |FROM sp WHERE span_chars >= 64""".stripMargin,
     "q34_token_stats_by_lang" ->
       """WITH t AS (
         |  SELECT lang, length(text) AS n,
