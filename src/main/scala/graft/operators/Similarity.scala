@@ -434,4 +434,100 @@ object Similarity {
         (col("__pos") + 1).as("rank"),
         round(col("__e.score"), 4).as("sim"))
   }
+
+  /** Quantized IVF approximate top-k — [[ivfTopK]] with the inverted
+    * lists stored as int8 CODES instead of float vectors, probed by the
+    * int-capable dot kernel: the production ANN memory shape (Jégou et
+    * al.'s IVF + scalar quantization without the product-codebook step).
+    * A float corpus that doesn't fit executor memory as cached lists
+    * often does at 4 bytes → 1 byte + one double scale per vector —
+    * at 100 TB that is the difference between probing cached lists and
+    * re-reading parquet per query batch.
+    *
+    * Composition, stage by stage:
+    *  - coarse quantizer: identical to [[ivfTopK]] (lowest-id init,
+    *    optional Lloyd refinement, broadcast float centroids — the
+    *    centroid table is metadata-sized, quantizing it saves nothing);
+    *  - index build: one corpus pass assigns each vector to its nearest
+    *    list on FLOAT cosine (build-time precision is free — it is the
+    *    same scan that quantizes), then stores only
+    *    (cid, id, scale, codes) — the int8 list entry;
+    *  - probe: queries quantize once, rank their `nprobe` nearest
+    *    centroids on float cosine, and score candidates with the
+    *    int-code dot ([[quantizedTopK]]'s arithmetic: ints upcast to
+    *    double, exact — products ≤ 127² need 14 bits), so the hot
+    *    per-candidate loop never touches a float vector.
+    *
+    * Recall loses both the IVF probe miss AND the quantization ranking
+    * noise — approximate by construction, so the driver gate is
+    * rows-only (q136/q137); the ≥ 0.9 recall CONTRACT at the gate
+    * parameters vs the exact float [[bruteForceTopK]] is asserted in
+    * SimilaritySpec with a corrupted-result negative control (the q91
+    * pattern). Zero-norm vectors are excluded on both sides, exactly as
+    * in [[quantizedTopK]] (NaN would heap-rank first).
+    */
+  def ivfTopKQuantized(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      kmeansIterations: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val init = emb.orderBy(col(idCol).asc).limit(numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("__cv"))
+    val cents = broadcast(
+      if (kmeansIterations > 0)
+        kmeansCentroids(emb, init, kmeansIterations, idCol, vecCol)
+      else init)
+
+    // Index build: float-cosine assignment (one pass), int8 list entries.
+    // Zero-norm vectors are dropped BEFORE assignment — they have no
+    // cosine direction (0/0 at the very first centroid ranking) and
+    // could never be a neighbor.
+    val assigned = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .filter(sqrt(dot(col("__v"), col("__v"))) > 0)
+      .join(cents)
+      .withColumn("__cs", cosine(col("__v"), col("__cv")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cid"), struct(col("__cs"), -col("cid"))).as("cid"),
+        first(col("__v")).as("__v"))
+      .withColumn("__q", graft.functions.VectorFunctions.int8Quantize(col("__v")))
+      .select(col("neighbor_id"), col("cid"), col("__q.scale").as("__vs"),
+        col("__q.codes").as("__vc"))
+      .withColumn("__vn", sqrt(dot(col("__vc"), col("__vc"))))
+      .filter(col("__vn") > 0)
+
+    // Probe ranking stays on float centroids (tiny); candidate scoring
+    // below runs entirely on codes.
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qs").desc, col("cid").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qq", graft.functions.VectorFunctions.int8Quantize(col("__qv")))
+      .withColumn("__qc", col("__qq.codes"))
+      .withColumn("__qn", sqrt(dot(col("__qc"), col("__qc"))))
+      .filter(col("__qn") > 0)
+      .join(cents)
+      .withColumn("__qs", cosine(col("__qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(wq))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qc"), col("__qn"), col("cid"))
+
+    // Scales cancel in the quantized cosine (see quantizedTopK) — the
+    // candidate score is the int-dot over code norms, reconstruction-
+    // faithful up to the rounding already baked into the codes.
+    probes.join(assigned, "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(col("__qc"), col("__vc")) / (col("__qn") * col("__vn")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topKBy(col("neighbor_id"), col("sim"), k).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).as("rank"),
+        round(col("__e.score"), 4).as("sim"))
+  }
 }

@@ -493,6 +493,33 @@ object PipelineQueries {
         Similarity.bruteForceTopK(emb, q, 5))
     }),
 
+    // Quantized IVF (the production ANN memory shape: int8 lists probed
+    // by the int-dot kernel). Approximate through two compounded stages
+    // (probe miss + code rounding) → rows/schema check only; the >= 0.9
+    // recall contract vs the exact FLOAT brute force at THESE parameters
+    // is asserted in SimilaritySpec with a negative control. Measured on
+    // the sf0.01 fixture: avg recall@5 0.94 / min 0.8 — the same class
+    // as the float IVF path (q41: 0.96/0.8); quantization costs ~0.02.
+    "q136_ann_ivf_quant" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopKQuantized(emb, emb.filter(col("vec_id") < 10), 5,
+        nprobe = 6, kmeansIterations = 2)
+    }),
+
+    // The quantized-IVF recall gate artifact (q91's pattern for the
+    // composed path): per-query recall@5 of the q136 configuration
+    // against the gated-green exact float brute force, in-Spark on the
+    // same fixture. Rows-only at the driver gate; the contract lives in
+    // SimilaritySpec.
+    "q137_ann_ivf_quant_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.ivfTopKQuantized(emb, q, 5, nprobe = 6,
+          kmeansIterations = 2),
+        Similarity.bruteForceTopK(emb, q, 5))
+    }),
+
     // ── Multimodal columns ───────────────────────────────────────────
     // The operators are BYTE-semantic (media = UTF-8 bytes; multibyte
     // behavior unit-tested in MultimodalSpec), but DuckDB cannot slice

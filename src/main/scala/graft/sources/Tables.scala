@@ -21,26 +21,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL); sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong` (done in [[graft.Sessions]],
-    * at build time — never mutated here). Read nanos as long and convert
-    * to a microsecond timestamp with integer division — `div`, not `/`:
-    * the nano value (~1.7e18) exceeds double's 2^53 integer range, so
-    * float division would silently corrupt timestamps. Matches DuckDB's
-    * ns→µs truncation of the same files.
+  /** `events.ts` arrives in one of two parquet encodings, harness-
+    * generation dependent — both normalized here to the SAME downstream
+    * contract (`ts` = µs TIMESTAMP, `ts_ns` = nanosecond epoch long, the
+    * collision-free ordering key window queries sort by — ADVICE r1):
     *
-    * `ts_ns` (the raw nanosecond long) is kept alongside as the
-    * collision-free ordering key: two events in the same microsecond
-    * would order differently here vs a ns-precision engine if windows
-    * sorted by the truncated `ts` (ADVICE r1). Window queries order by
-    * `ts_ns`, which is the same total order as the oracle's ns `ts`.
+    *  - TIMESTAMP(NANOS) (rounds ≤ 12): Spark 4 rejects it by default
+    *    (PARQUET_TYPE_ILLEGAL); sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong` (in [[graft.Sessions]], at
+    *    build time — never mutated here) so it reads as a nano LONG.
+    *    `ts_ns` is that raw value; `ts` truncates with integer `div`,
+    *    not `/` — the nano value (~1.7e18) exceeds double's 2^53 integer
+    *    range, so float division would silently corrupt timestamps.
+    *    Matches DuckDB's ns→µs truncation of the same files.
+    *  - TIMESTAMP(MICROS) (round 13+ data): reads natively as a (NTZ)
+    *    timestamp. Cast to the session-UTC instant type (bit-same wall
+    *    values — the session is pinned UTC) so output schemas stay
+    *    identical across harness generations; `ts_ns` = unix_micros ×
+    *    1000, exactly DuckDB's `epoch_ns(ts)` on the same file, so the
+    *    oracle's ordering keys and values still agree to the digit.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -956,6 +956,54 @@ class SimilaritySpec extends SparkSpec {
     assert(brokenRecall == 0.0)
   }
 
+  test("ivfTopKQuantized at the q136 gate parameters: recall@5 >= 0.9, " +
+      "negative control trips") {
+    // The quantized-IVF composition loses recall through BOTH the probe
+    // miss and code-rounding rank noise; this pins the compounded loss
+    // at the gate's exact configuration (C=16, nprobe=6, 2 Lloyd
+    // sweeps, k=5) against the exact FLOAT brute force — the strictest
+    // available ground truth.  Deterministic data + deterministic
+    // algorithm = a fixed recall; a silent collapse in either stage
+    // fails here, not at the rows-only driver gate.
+    val emb = (0L until 200L).map(i =>
+      (i, Seq.tabulate(16)(j => (((i * 37 + j * 13) % 991).toFloat / 991f) - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+    val approx = Similarity.ivfTopKQuantized(emb, queries, 5,
+      numCentroids = 16, nprobe = 6, kmeansIterations = 2)
+    val recall = Similarity.recallAtK(approx, exact)
+      .agg(avg($"recall")).as[Double].collect()(0)
+    assert(recall >= 0.9,
+      s"quantized-IVF mean recall $recall under the 0.9 contract")
+    val broken = approx.withColumn("neighbor_id", $"neighbor_id" + 1000000L)
+    val brokenRecall = Similarity.recallAtK(broken, exact)
+      .agg(avg($"recall")).as[Double].collect()(0)
+    assert(brokenRecall == 0.0,
+      s"corrupted results scored $brokenRecall — the tripwire is dead")
+  }
+
+  test("ivfTopKQuantized: shape contract and zero-norm exclusion") {
+    val emb = ((0L until 40L).map(i =>
+        (i, Seq.tabulate(8)(j => (((i * 31 + j * 7) % 97).toFloat / 97f) - 0.4f))) :+
+      (99L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 3 || $"vec_id" === 99L)
+    val out = Similarity.ivfTopKQuantized(emb, queries, 4,
+        numCentroids = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    // zero-norm query returns no rows; zero-norm corpus row never a
+    // neighbor (quantizedTopK's contract, inherited)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    assert(!out.exists(_._2 == 99L), "zero vector ranked as a neighbor")
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      assert(rows.length == 4)
+    }
+    assert(out.forall(r => r._1 != r._2))
+  }
+
   test("quantizedTopK: zero-norm vectors are excluded, not NaN-ranked first") {
     // ADVICE r8: a zero vector quantizes to (scale 0, all-zero codes),
     // its cosine is 0/0 = NaN, and the heap ranks NaN first — it must
