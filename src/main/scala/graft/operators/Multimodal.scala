@@ -132,6 +132,45 @@ object Multimodal {
       .toDF()
   }
 
+  /** Deterministic synthetic media corpus — the fixture generator for
+    * the media near-dup gates (q138/q139): per-id seeded payloads whose
+    * byte distribution follows an id-specific random direction, the
+    * stand-in for a corpus of visually DIVERSE images. (Text-derived
+    * payloads cannot play this role: every text payload's byte histogram
+    * carries the language's letter distribution, so all pairwise cosines
+    * collapse to ≈ 0.99 — see [[Similarity.mediaNearDupPairs]]'s
+    * centering note.) Each id draws 256 byte-weights from a cubed
+    * uniform (cubing skews mass onto a few hot byte values, like a real
+    * image's palette) and samples `nBytes` bytes by inverse CDF. A pure
+    * function of (id, seed): reproducible across partitionings, retries,
+    * and engines — the dbgen convention, distributed (one map stage,
+    * no shuffle, no driver data).
+    */
+  def syntheticMedia(ids: DataFrame, idCol: String = "doc_id",
+      nBytes: Int = 512, seed: Long = 7L): DataFrame = {
+    require(nBytes >= 1, s"nBytes must be >= 1, got $nBytes")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + seed)
+        val w = Array.fill(256) { val u = rnd.nextDouble(); u * u * u }
+        val cdf = w.scanLeft(0.0)(_ + _).tail
+        val total = cdf(255)
+        val bytes = Array.fill(nBytes) {
+          val x = rnd.nextDouble() * total
+          var lo = 0; var hi = 255
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cdf(mid) < x) lo = mid + 1 else hi = mid
+          }
+          lo.toByte
+        }
+        MediaBlob(id, bytes, "synthetic")
+      }
+    }.toDF()
+  }
+
   /** Sample `frames` evenly-strided byte-range "frames" per payload —
     * the row-explosion shape of video frame extraction (each output row
     * carries a fingerprinted slice, not the whole blob). Payloads with

@@ -1,8 +1,26 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** A built IVF index — the build-once half of the build/probe split
+  * ([[Similarity.buildIvfIndex]] / [[Similarity.probeIvfQuantized]]).
+  *
+  *  - `centroids`: (cid, __cv) float coarse-quantizer centroids —
+  *    metadata-sized (numCentroids rows), broadcast at probe time.
+  *  - `lists`: (cid, neighbor_id, scale, codes, norm) int8 inverted
+  *    lists; `norm` = sqrt(dot(codes, codes)) is precomputed at build
+  *    time so the probe's per-candidate work is exactly one int-dot.
+  *
+  * Persist with [[Similarity.writeIvfIndex]] (lists hive-partitioned by
+  * `cid`, so a probe's nprobe lists become partition PRUNING — zero I/O
+  * for unprobed lists) and reopen with [[Similarity.readIvfIndex]]. At
+  * 100 TB this split is the production shape: the index (Lloyd sweeps
+  * included) is built ONCE per corpus version, and every query batch
+  * pays only its probed lists.
+  */
+final case class IvfIndex(centroids: DataFrame, lists: DataFrame)
 
 /** Similarity search over an embedding column (`array<float>`): exact
   * brute-force cosine top-k as the correctness baseline, and an
@@ -39,6 +57,43 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Shared top-k emission tail (ADVICE r13: previously duplicated
+    * across the four top-k variants): per-query bounded-heap aggregate →
+    * posexplode → (query_id, neighbor_id, rank, sim). Each map task
+    * ships at most k candidates per query, so the shuffle is
+    * k × partitions rows instead of all candidates (see
+    * [[graft.functions.TopKAggregate]]). `scored` must carry
+    * (query_id, neighbor_id, sim).
+    */
+  private def topKEmit(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topKBy(col("neighbor_id"), col("sim"), k).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).as("rank"),
+        round(col("__e.score"), 4).as("sim"))
+
+  /** Coarse-quantizer centroid set shared by both IVF variants (ADVICE
+    * r13: factored so a fix to one cannot silently miss the other).
+    * Zero-norm vectors are excluded BEFORE the lowest-id init and from
+    * the refinement corpus (ADVICE r13's latent bug: a zero vector among
+    * the lowest ids became a centroid; its cosine to everything is NaN,
+    * which sorts first under the desc ordering and wins every max_by
+    * assignment — all inverted lists collapse into one and the "index"
+    * silently degenerates to a brute-force scan).
+    */
+  private def centroidInit(emb: DataFrame, numCentroids: Int,
+      kmeansIterations: Int, idCol: String, vecCol: String): DataFrame = {
+    val nonZero = emb.filter(dot(col(vecCol), col(vecCol)) > 0)
+    val init = nonZero.orderBy(col(idCol).asc).limit(numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("__cv"))
+    if (kmeansIterations > 0)
+      kmeansCentroids(nonZero, init, kmeansIterations, idCol, vecCol)
+    else init
+  }
+
   /** Exact top-k neighbors for each query vector (brute force).
     *
     * @param emb       corpus: (idCol, vecCol)
@@ -61,18 +116,7 @@ object Similarity {
       .join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         dot(col("__qv"), col("__v")) / (col("__qn") * col("__vn")))
-    // Top-k via the custom bounded-heap aggregate, not sort + window:
-    // each map task ships at most k candidates per query, so the shuffle
-    // is k × partitions rows instead of all N candidates (see
-    // graft.functions.TopKAggregate).
-    sims.groupBy(col("query_id"))
-      .agg(graft.functions.TopKAggregate
-        .topKBy(col("neighbor_id"), col("sim"), k).as("__top"))
-      .select(col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"),
-        (col("__pos") + 1).as("rank"),
-        round(col("__e.score"), 4).as("sim"))
+    topKEmit(sims, k)
   }
 
   /** Embedding-cosine near-dup pairs: all (a < b) pairs with
@@ -279,14 +323,7 @@ object Similarity {
       .withColumn("sim",
         (col("__qs") * col("__vs") * dot(col("__qc"), col("__vc"))) /
           ((col("__qs") * col("__qn")) * (col("__vs") * col("__vn"))))
-    sims.groupBy(col("query_id"))
-      .agg(graft.functions.TopKAggregate
-        .topKBy(col("neighbor_id"), col("sim"), k).as("__top"))
-      .select(col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"),
-        (col("__pos") + 1).as("rank"),
-        round(col("__e.score"), 4).as("sim"))
+    topKEmit(sims, k)
   }
 
   /** Distance-to-centroid outlier scoring — the embedding-space health
@@ -379,13 +416,14 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k — the scale path.
     *
-    * Coarse quantizer: the C lowest-id vectors act as initial centroids,
-    * optionally refined by `kmeansIterations` Lloyd sweeps
-    * ([[kmeansCentroids]]) — deterministic either way. Every corpus
-    * vector is assigned to its nearest centroid (one broadcast join +
-    * `max_by` aggregation); each query probes its `nprobe` nearest
-    * centroids and ranks only those lists. Recall < 1 by construction —
-    * verified by rows/schema, not a value oracle.
+    * Coarse quantizer: the C lowest-id NON-zero-norm vectors act as
+    * initial centroids (see [[centroidInit]]), optionally refined by
+    * `kmeansIterations` Lloyd sweeps ([[kmeansCentroids]]) —
+    * deterministic either way. Every corpus vector is assigned to its
+    * nearest centroid (one broadcast join + `max_by` aggregation); each
+    * query probes its `nprobe` nearest centroids and ranks only those
+    * lists. Recall < 1 by construction — verified by rows/schema, not a
+    * value oracle.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -396,16 +434,16 @@ object Similarity {
       kmeansIterations: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val init = emb.orderBy(col(idCol).asc).limit(numCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("__cv"))
     val cents = broadcast(
-      if (kmeansIterations > 0)
-        kmeansCentroids(emb, init, kmeansIterations, idCol, vecCol)
-      else init)
+      centroidInit(emb, numCentroids, kmeansIterations, idCol, vecCol))
 
     // Inverted lists: nearest centroid per corpus vector (argmax via
-    // max_by — one pass, no window).
+    // max_by — one pass, no window). Zero-norm vectors are excluded on
+    // both sides, as in the quantized path: they have no cosine
+    // direction, and under ANSI SQL their 0/0 ranking is a
+    // DIVIDE_BY_ZERO error, not even a quiet NaN.
     val assigned = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .filter(dot(col("__v"), col("__v")) > 0)
       .join(cents)
       .withColumn("__cs", cosine(col("__v"), col("__cv")))
       .groupBy(col("neighbor_id"))
@@ -416,23 +454,17 @@ object Similarity {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__qs").desc, col("cid").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .filter(dot(col("__qv"), col("__qv")) > 0)
       .join(cents)
       .withColumn("__qs", cosine(col("__qv"), col("__cv")))
       .withColumn("__pr", row_number().over(wq))
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("__qv"), col("cid"))
 
-    probes.join(assigned, "cid")
+    val scored = probes.join(assigned, "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("__qv"), col("__v")))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAggregate
-        .topKBy(col("neighbor_id"), col("sim"), k).as("__top"))
-      .select(col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"),
-        (col("__pos") + 1).as("rank"),
-        round(col("__e.score"), 4).as("sim"))
+    topKEmit(scored, k)
   }
 
   /** Quantized IVF approximate top-k — [[ivfTopK]] with the inverted
@@ -465,6 +497,12 @@ object Similarity {
     * SimilaritySpec with a corrupted-result negative control (the q91
     * pattern). Zero-norm vectors are excluded on both sides, exactly as
     * in [[quantizedTopK]] (NaN would heap-rank first).
+    *
+    * This is the one-shot composition of [[buildIvfIndex]] +
+    * [[probeIvfQuantized]] — correct at fixture scale, but it rebuilds
+    * the index (Lloyd sweeps included) on every call; production at
+    * 100 TB builds once via [[buildIvfIndex]]/[[writeIvfIndex]] and
+    * probes the stored, cid-partitioned lists.
     */
   def ivfTopKQuantized(
       emb: DataFrame,
@@ -474,33 +512,65 @@ object Similarity {
       nprobe: Int = 4,
       kmeansIterations: Int = 0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val init = emb.orderBy(col(idCol).asc).limit(numCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("__cv"))
-    val cents = broadcast(
-      if (kmeansIterations > 0)
-        kmeansCentroids(emb, init, kmeansIterations, idCol, vecCol)
-      else init)
+      vecCol: String = "embedding"): DataFrame =
+    probeIvfQuantized(
+      buildIvfIndex(emb, numCentroids, kmeansIterations, idCol, vecCol),
+      queries, k, nprobe, idCol, vecCol)
 
-    // Index build: float-cosine assignment (one pass), int8 list entries.
-    // Zero-norm vectors are dropped BEFORE assignment — they have no
-    // cosine direction (0/0 at the very first centroid ranking) and
-    // could never be a neighbor.
-    val assigned = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
-      .filter(sqrt(dot(col("__v"), col("__v"))) > 0)
-      .join(cents)
+  /** Build the quantized IVF index (the build-ONCE half): coarse
+    * quantizer via [[centroidInit]] (lowest-id non-zero init, optional
+    * Lloyd refinement), then one corpus pass that assigns each vector to
+    * its nearest list on FLOAT cosine (build-time precision is free — it
+    * is the same scan that quantizes) and stores only the int8 list
+    * entry (cid, neighbor_id, scale, codes, norm). Zero-norm vectors
+    * are dropped — they have no cosine direction and could never be a
+    * neighbor ([[quantizedTopK]]'s contract).
+    */
+  def buildIvfIndex(
+      emb: DataFrame,
+      numCentroids: Int = 16,
+      kmeansIterations: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfIndex = {
+    val cents =
+      centroidInit(emb, numCentroids, kmeansIterations, idCol, vecCol)
+    val lists = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .filter(dot(col("__v"), col("__v")) > 0)
+      .join(broadcast(cents))
       .withColumn("__cs", cosine(col("__v"), col("__cv")))
       .groupBy(col("neighbor_id"))
       .agg(max_by(col("cid"), struct(col("__cs"), -col("cid"))).as("cid"),
         first(col("__v")).as("__v"))
       .withColumn("__q", graft.functions.VectorFunctions.int8Quantize(col("__v")))
-      .select(col("neighbor_id"), col("cid"), col("__q.scale").as("__vs"),
-        col("__q.codes").as("__vc"))
-      .withColumn("__vn", sqrt(dot(col("__vc"), col("__vc"))))
-      .filter(col("__vn") > 0)
+      .select(col("cid"), col("neighbor_id"), col("__q.scale").as("scale"),
+        col("__q.codes").as("codes"))
+      .withColumn("norm", sqrt(dot(col("codes"), col("codes"))))
+      .filter(col("norm") > 0)
+    IvfIndex(cents, lists)
+  }
 
-    // Probe ranking stays on float centroids (tiny); candidate scoring
-    // below runs entirely on codes.
+  /** Probe-MANY half: rank each query's `nprobe` nearest centroids on
+    * float cosine (the centroid table is metadata-sized), then score
+    * only those lists with the int-code dot ([[quantizedTopK]]'s
+    * arithmetic — scales cancel in the cosine, the candidate score is
+    * the int-dot over code norms).
+    *
+    * The probed-cid set (≤ numCentroids values — metadata-sized, the
+    * same class as the centroid broadcast) is collected once and pushed
+    * as an `isin` filter in the LISTS' cid type, so a
+    * [[writeIvfIndex]]-stored lists table prunes to exactly the probed
+    * hive partitions (`PartitionFilters` in the scan — asserted by
+    * SimilaritySpec's plan test; unprobed lists cost zero I/O). An
+    * in-memory lists frame just gains a cheap filter.
+    */
+  def probeIvfQuantized(
+      index: IvfIndex,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(index.centroids)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__qs").desc, col("cid").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -513,21 +583,128 @@ object Similarity {
       .withColumn("__pr", row_number().over(wq))
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("__qc"), col("__qn"), col("cid"))
-
-    // Scales cancel in the quantized cosine (see quantizedTopK) — the
-    // candidate score is the int-dot over code norms, reconstruction-
-    // faithful up to the rounding already baked into the codes.
-    probes.join(assigned, "cid")
+    // Static partition pruning: collect the probed cids (bounded by
+    // numCentroids — metadata, not data) in the lists' own cid type (a
+    // hive-partitioned read may have narrowed long cids to int; a cast
+    // on the ATTRIBUTE side would block pruning, so the literals are
+    // cast instead).
+    val cidType = index.lists.schema("cid").dataType
+    val probedCids = probes.select(col("cid").cast(cidType)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val lists = index.lists.filter(col("cid").isin(probedCids: _*))
+    val scored = probes.join(lists, "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
-        dot(col("__qc"), col("__vc")) / (col("__qn") * col("__vn")))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAggregate
-        .topKBy(col("neighbor_id"), col("sim"), k).as("__top"))
-      .select(col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"),
-        (col("__pos") + 1).as("rank"),
-        round(col("__e.score"), 4).as("sim"))
+        dot(col("__qc"), col("codes")) / (col("__qn") * col("norm")))
+    topKEmit(scored, k)
+  }
+
+  /** Persist an [[IvfIndex]]: lists hive-partitioned by `cid` (so
+    * [[probeIvfQuantized]]'s isin filter becomes partition pruning —
+    * whole unprobed-list directories skipped), centroids as one small
+    * parquet. At 100 TB, numCentroids should be sized in the thousands
+    * so each list directory holds ~GB-class files.
+    */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    graft.sources.Layout.writePartitioned(index.lists, s"$path/lists",
+      Seq("cid"))
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reopen a stored [[IvfIndex]] for [[probeIvfQuantized]]. */
+  def readIvfIndex(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/lists"))
+
+  /** Mean-center a vector column: subtract the per-position corpus mean
+    * (computed exactly as [[centroidOutliers]]'s centroid — posexplode →
+    * grouped avg, each coordinate rounded to 6 decimals so the result is
+    * engine- and partitioning-stable), cast back to float. Cosine over
+    * centered vectors is corpus-correlation — for HISTOGRAM-type
+    * features this removes the shared component that makes every payload
+    * of one modality look alike (every text payload carries its
+    * language's letter distribution, so raw byte-histogram cosines sit
+    * at ≈ 0.99 corpus-wide and no threshold separates near-dups from
+    * background; centered, the doc-specific DEVIATIONS are compared —
+    * background pairs fall toward 0 while near-identical payloads stay
+    * ≈ 1). One corpus scan + one dim-sized aggregate + a metadata
+    * broadcast — scan-speed at 100 TB.
+    */
+  private def centerVectors(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val cent = e.select(posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(round(avg(col("x")), 6).as("c"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("__cent"))
+    e.crossJoin(broadcast(cent))
+      .select(col(idCol),
+        zip_with(col("__v"), col("__cent"), (v, c) => v - c)
+          .cast("array<float>").as(vecCol))
+  }
+
+  /** Multimodal near-duplicate pairs — the composition a multimodal
+    * curation pipeline runs for image/frame dedup (the r8 ask):
+    * [[Multimodal.extractFeatures]] histogram vectors → mean-centering
+    * ([[centerVectors]] — see its scaladoc for why raw histogram cosine
+    * cannot work) → banded hyperplane-LSH candidates → EXACT centered
+    * cosine verify ≥ `threshold` ([[hyperplaneNearDupPairs]]).
+    *
+    * Input: (doc_id, media, format) blobs; output (doc_a, doc_b, sim),
+    * doc_a < doc_b. Same scale shape as the text/embedding dedup
+    * family: features are fixed-width (blobs never shuffle), candidates
+    * are bucket-join-bounded, and the exact verify touches only
+    * candidate pairs. Recall contract (q139 + SimilaritySpec, with a
+    * negative control): full recall on near-identical payloads at the
+    * default band geometry — a pair at centered cosine ≥ 0.99 is missed
+    * with p < 1e-4 (Charikar; see [[hyperplaneNearDupPairs]]).
+    */
+  def mediaNearDupPairs(
+      blobs: DataFrame,
+      threshold: Double,
+      dims: Int = 64,
+      bands: Int = 8,
+      rowsPerBand: Int = 12,
+      seed: Long = 42L): DataFrame =
+    hyperplaneNearDupPairs(
+      centerVectors(Multimodal.extractFeatures(blobs, dims),
+        "doc_id", "feature"),
+      threshold, bands, rowsPerBand, seed, idCol = "doc_id",
+      vecCol = "feature")
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("sim"))
+
+  /** Exact all-pairs twin of [[mediaNearDupPairs]] (same features, same
+    * centering, blocked O(N²) self-join) — the ground truth its recall
+    * gate (q139) measures against; fixture-sized use only.
+    */
+  def mediaNearDupExact(
+      blobs: DataFrame,
+      threshold: Double,
+      dims: Int = 64): DataFrame =
+    cosineNearDupPairs(
+      centerVectors(Multimodal.extractFeatures(blobs, dims),
+        "doc_id", "feature"),
+      threshold, idCol = "doc_id", vecCol = "feature")
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("sim"))
+
+  /** Pair-set recall of an approximate near-dup pass against the exact
+    * one — [[recallAtK]]'s analogue for unordered pair output ((a, b)
+    * keys instead of ranked per-query lists). One row:
+    * (n_exact, n_approx, n_matched, recall); recall = 1.0 when `exact`
+    * is empty (nothing to find). Both inputs are candidate-bounded pair
+    * frames, so this costs nothing next to the passes it audits.
+    */
+  def pairRecall(approx: DataFrame, exact: DataFrame,
+      keys: Seq[String] = Seq("doc_a", "doc_b")): DataFrame = {
+    val a = approx.select(keys.map(col): _*)
+    val e = exact.select(keys.map(col): _*)
+    val m = e.join(a, keys, "left_semi")
+    e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(a.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(m.agg(count(lit(1)).as("n_matched")))
+      .select(col("n_exact"), col("n_approx"), col("n_matched"),
+        round(when(col("n_exact") === 0, 1.0)
+          .otherwise(col("n_matched").cast("double") /
+            col("n_exact").cast("double")), 4).as("recall"))
   }
 }

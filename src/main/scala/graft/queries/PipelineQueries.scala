@@ -51,6 +51,29 @@ object PipelineQueries {
           transform(col("embedding"), x => x + lit(0.01f)).as("embedding")))
   }
 
+  /** Synthetic media corpus + planted near-identical payloads for the
+    * multimodal near-dup gates (q138/q139): diverse payloads from
+    * [[Multimodal.syntheticMedia]] (id-specific byte distributions —
+    * see its scaladoc for why text payloads can't play this role),
+    * capped at 1000 ids so the exact all-pairs ground truth (q139)
+    * stays fixture-sized at sf0.1; every 10th payload re-appears
+    * (doc_id+300000) with 2 bytes appended — a ≈0.4% histogram shift,
+    * centered cosine ≥ 0.998 vs its original (measured), while
+    * background pairs top out at ≈0.51 at dims=64. The q60 margin
+    * discipline, media edition.
+    */
+  private def mediaWithDups(s: SparkSession, d: String): DataFrame = {
+    val base = Multimodal.syntheticMedia(
+      Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 1000))
+    base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("media"),
+            lit(Array(0x41.toByte, 0x41.toByte))).as("media"),
+          col("format")))
+  }
+
   /** Documents plus planted char-n-gram NEAR-duplicates (doc_id+200000,
     * a ~40-char boilerplate suffix appended) for every 15th doc of ≥300
     * chars: the suffix adds ≤ ~42 new distinct 3-grams, so the planted
@@ -519,6 +542,28 @@ object PipelineQueries {
           kmeansIterations = 2),
         Similarity.bruteForceTopK(emb, q, 5))
     }),
+
+    // Multimodal near-dup pairs (the r8 ask #4 composition): histogram
+    // features → mean-centering → hyperplane-LSH candidates → exact
+    // centered-cosine verify, over the planted synthetic-media fixture.
+    // Float-feature pipeline with no portable SQL rendering (the
+    // q76/q136 convention) → rows-only at the driver gate; the recall
+    // CONTRACT is q139 + SimilaritySpec's full-recall assertion with a
+    // corrupted-result negative control. Margins are measured, not
+    // hoped: planted ≥ 0.998, background ≤ 0.51, threshold 0.9.
+    "q138_media_neardup" -> ((s, d) =>
+      Similarity.mediaNearDupPairs(mediaWithDups(s, d), 0.9)),
+
+    // The media near-dup recall-gate artifact (q137's pattern for pair
+    // output): pair-set recall of the LSH path vs the exact all-pairs
+    // ground truth on the same fixture, in-Spark. One row; rows-only at
+    // the driver gate; SimilaritySpec asserts recall == 1.0 (full
+    // recall at the measured margins) and that the measurement trips on
+    // corrupted pairs.
+    "q139_media_neardup_recall" -> ((s, d) =>
+      Similarity.pairRecall(
+        Similarity.mediaNearDupPairs(mediaWithDups(s, d), 0.9),
+        Similarity.mediaNearDupExact(mediaWithDups(s, d), 0.9))),
 
     // ── Multimodal columns ───────────────────────────────────────────
     // The operators are BYTE-semantic (media = UTF-8 bytes; multibyte

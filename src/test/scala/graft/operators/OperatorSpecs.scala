@@ -1018,6 +1018,135 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(_._1 == 99L), "zero-norm query must return no rows")
     assert(out.count(_._1 == 0L) == 3 && out.count(_._1 == 1L) == 3)
   }
+
+  test("centroid init excludes zero-norm vectors (ADVICE r13): a zero vector " +
+      "among the lowest ids must not collapse the inverted lists") {
+    // Before the fix, id 0's zero vector became a centroid, its cosine
+    // to everything was NaN, NaN sorted first under desc, and EVERY
+    // vector was assigned to that one list — the index silently
+    // degenerated to a brute-force scan. The planted-cluster recovery
+    // below fails in that world (one list, nprobe=1 still works — so
+    // the sharper assertion is on the index shape itself).
+    val emb = ((0L, Seq.fill(8)(0f)) +: (1L to 40L).map { i =>
+      val axis = (i % 4).toInt
+      (i, Seq.tabulate(8)(j =>
+        (if (j == axis * 2) 10f else 0f) + ((i * 13 + j) % 5) * 0.1f))
+    }).toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(emb, numCentroids = 4,
+      kmeansIterations = 3)
+    // no centroid is the zero vector, and the lists did not collapse
+    val cents = index.centroids.collect()
+    assert(cents.length == 4)
+    // after Lloyd refinement centroid vectors are array<double>
+    cents.foreach { r =>
+      assert(r.getSeq[Double](1).exists(_ != 0.0),
+        s"zero-vector centroid: $r") }
+    val listSizes = index.lists.groupBy($"cid").count()
+      .as[(Long, Long)].collect().toMap
+    assert(listSizes.size == 4,
+      s"lists collapsed: ${listSizes.size} non-empty of 4")
+    // and cluster recovery still holds end-to-end at nprobe=1
+    val out = Similarity.ivfTopK(emb, emb.filter($"vec_id".between(1, 4)), 5,
+        numCentroids = 4, nprobe = 1, kmeansIterations = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    out.foreach { case (q, n) => assert(n % 4 == q % 4 && n != 0L,
+      s"neighbor $n not in query $q's cluster") }
+  }
+
+  test("stored IVF index: write/read round-trip probes identically and " +
+      "prunes to exactly the probed cid partitions") {
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.tabulate(8)(j => (((i * 31 + j * 7) % 97).toFloat / 97f) - 0.4f)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 3)
+    val index = Similarity.buildIvfIndex(emb, numCentroids = 8,
+      kmeansIterations = 1)
+    val inMem = Similarity.probeIvfQuantized(index, queries, 4, nprobe = 2)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(inMem.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(index, dir)
+    val stored = Similarity.readIvfIndex(spark, dir)
+    // AQE wraps the executed plan in AdaptiveSparkPlanExec and hides the
+    // scans from collect (LayoutSpec's known caveat) — disable it here;
+    // the STATIC partition pruning under test doesn't depend on it.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val probed = Similarity.probeIvfQuantized(stored, queries, 4, nprobe = 2)
+    assert(probed.as[(Long, Long, Int, Double)].collect().toSet == inMem,
+      "stored-index probe must reproduce the in-memory probe exactly")
+
+    // The production claim, asserted on the PLAN: the lists scan carries
+    // a partition filter and reads only the probed cid directories —
+    // unprobed lists cost zero I/O.
+    val totalCids = stored.lists.select($"cid").distinct().count()
+    val scans = probed.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata("Location").contains("/lists") => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScan over the lists table")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("cid")),
+      s"lists scan must carry a cid partition filter: ${scan.partitionFilters}")
+    assert(totalCids >= 7, s"fixture sanity: $totalCids non-empty lists")
+    val readPartitions = scan.selectedPartitions.partitionCount
+    assert(readPartitions < totalCids,
+      s"probe read $readPartitions of $totalCids partitions — no pruning")
+    // 3 queries × nprobe 2 touch at most 6 distinct lists (dedup'd)
+    assert(readPartitions <= 6 && readPartitions >= 1,
+      s"probe read $readPartitions partitions")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("mediaNearDupPairs ≡ exact all-pairs on planted synthetic media " +
+      "(full recall), and the recall gate trips on corrupted pairs") {
+    // The q138/q139 contract without the harness: diverse synthetic
+    // payloads (id-specific byte distributions), every 10th planted
+    // again with 2 bytes appended (centered cosine >= ~0.998 measured;
+    // background tops out ~0.5 at dims=64) — at these margins the LSH
+    // output must EQUAL the exact all-pairs ground truth.
+    val ids = (0L until 200L).toDF("doc_id")
+    val base = Multimodal.syntheticMedia(ids)
+    val planted = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 300000).as("doc_id"),
+        concat($"media", lit(Array(0x41.toByte, 0x41.toByte))).as("media"),
+        $"format")
+    val all = base.unionByName(planted)
+    val exact = Similarity.mediaNearDupExact(all, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.mediaNearDupPairs(all, 0.9)
+    val lshSet = lsh.as[(Long, Long, Double)].collect().toSet
+    assert(exact.size >= 20, s"planted pairs must clear the threshold")
+    assert(lshSet == exact, s"LSH missed ${(exact -- lshSet).mkString(",")}")
+    // every planted (base, base+300000) pair is found
+    (0L until 200L by 10).foreach { i =>
+      assert(lshSet.exists(p => p._1 == i && p._2 == i + 300000),
+        s"planted pair ($i, ${i + 300000}) missed") }
+    // the q139 artifact on the same frames: full recall, and the
+    // measurement is alive (corrupted pairs score 0)
+    val gate = Similarity.pairRecall(lsh, Similarity.mediaNearDupExact(all, 0.9))
+      .as[(Long, Long, Long, Double)].collect()(0)
+    assert(gate._1 == exact.size && gate._3 == exact.size && gate._4 == 1.0)
+    val corrupt = lsh.withColumn("doc_b", $"doc_b" + 9999999L)
+    val broken = Similarity.pairRecall(corrupt,
+        Similarity.mediaNearDupExact(all, 0.9))
+      .as[(Long, Long, Long, Double)].collect()(0)
+    assert(broken._4 == 0.0,
+      s"corrupted pairs scored ${broken._4} — the tripwire is dead")
+  }
+
+  test("pairRecall: counts, partial overlap, and the empty-exact convention") {
+    val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val approx = Seq((1L, 2L), (5L, 6L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val r = Similarity.pairRecall(approx, exact)
+      .as[(Long, Long, Long, Double)].collect()(0)
+    assert(r == ((3L, 3L, 2L, 0.6667)))
+    val empty = Similarity.pairRecall(approx, exact.filter($"doc_a" < 0))
+      .as[(Long, Long, Long, Double)].collect()(0)
+    assert(empty._1 == 0L && empty._4 == 1.0,
+      "empty exact set means nothing to find -> recall 1.0")
+  }
 }
 
 class AsOfJoinSpec extends SparkSpec {
@@ -1471,6 +1600,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out.width >= 320 && out.width < 1920)
     assert(out.height >= 180 && out.height < 1080)
     assert(out.n_frames == 1 + text.length % 30)
+  }
+
+  test("syntheticMedia: deterministic, id-diverse payloads") {
+    val ids = Seq(0L, 1L, 7L).toDF("doc_id")
+    val a = Multimodal.syntheticMedia(ids).as[MediaBlob].collect()
+      .map(b => b.doc_id -> b.media.toSeq).toMap
+    val b = Multimodal.syntheticMedia(ids).as[MediaBlob].collect()
+      .map(b => b.doc_id -> b.media.toSeq).toMap
+    assert(a == b, "same (id, seed) must regenerate identical payloads")
+    assert(a.values.forall(_.length == 512))
+    assert(a(0L) != a(1L) && a(1L) != a(7L),
+      "different ids must draw different payloads")
+    // a different seed changes the corpus
+    val c = Multimodal.syntheticMedia(ids, seed = 99L).as[MediaBlob].collect()
+      .map(b => b.doc_id -> b.media.toSeq).toMap
+    assert(c != a)
   }
 
   test("extractFeatures: L1-normalized byte histogram, ANN-composable shape") {
