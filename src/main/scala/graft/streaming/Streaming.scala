@@ -41,6 +41,31 @@ case class UserSession(user_id: Long, start: Timestamp, end: Timestamp,
 private case class SessionState(start: Long, end: Long, events: Long,
     total: Double)
 
+/** A document arriving on the LAYOUT stream: event time + shard key +
+  * id + token count ([[graft.operators.Sampling.packSequences]]'s input
+  * shape, streamed). Stream contract, mirroring the batch operator's
+  * determinism contract: within a shard, `doc_id` is unique and event
+  * time is NON-DECREASING in `doc_id` (ids are assigned in upstream
+  * ingest order) — that is what lets the watermark certify that every
+  * earlier-id document has already arrived.
+  */
+case class StreamPackDoc(ts: Timestamp, shard: String, doc_id: Long,
+    n_tokens: Long)
+
+/** A pack-coordinate assignment emitted by [[Streaming.packStream]] —
+  * the same (pack_id, pack_offset) frame the batch operator produces.
+  */
+case class PackedDoc(shard: String, doc_id: Long, n_tokens: Long,
+    pack_id: Long, pack_offset: Long)
+
+private case class PendingDoc(doc_id: Long, n_tokens: Long, tsMs: Long)
+
+/** State for [[Streaming.packStream]]: the shard's running token count
+  * (where the NEXT released document's first token lands) plus the
+  * within-watermark arrival buffer.
+  */
+private case class PackState(nextOffset: Long, pending: List[PendingDoc])
+
 /** Structured Streaming surface (beyond-reference extension; the
   * reference is batch-only — SURVEY.md §2.10). The same engine operators
   * re-expressed over unbounded input: `readStream` → transform →
@@ -340,6 +365,71 @@ object Streaming {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Incremental sequence packing — the streaming twin of
+    * [[graft.operators.Sampling.packSequences]] (q78), same
+    * concat-and-chunk semantics: within each shard, documents are laid
+    * out end-to-end in `doc_id` order and the token stream is chunked
+    * every `budget` tokens; each document is assigned the pack its
+    * FIRST token falls in and its offset inside that pack.
+    *
+    * The id-order layout is reconciled with unordered ARRIVAL through
+    * the watermark: arrivals buffer in shard state, and a document is
+    * released — in doc_id order, with its final coordinates — only once
+    * the watermark passes its event time, which (by [[StreamPackDoc]]'s
+    * contract: event time non-decreasing in doc_id per shard) certifies
+    * every earlier-id document has arrived. Emitted coordinates are
+    * final and identical to the batch operator's on the same documents
+    * (EquivalenceSpec drains the twin against q78's operator, arrival
+    * order shuffled). A document arriving AFTER the watermark passed
+    * its event time violates the delay contract and is dropped — the
+    * standard watermarked-operator discipline, made explicit here
+    * because flatMapGroupsWithState does not drop late rows itself (a
+    * late doc slipped into the layout would shift every later offset
+    * and break batch equivalence).
+    *
+    * Scale shape: one shuffle (groupByKey on shard); per-shard state is
+    * two longs plus the in-flight buffer, bounded by arrival disorder
+    * within the watermark delay — NOT by corpus size; the corpus never
+    * re-packs. Shards must bound per-key volume exactly as the batch
+    * operator's `partitionCols` must.
+    */
+  def packStream(docs: Dataset[StreamPackDoc], budget: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[PackedDoc] = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (shard: String, batch: Iterator[StreamPackDoc],
+            state: GroupState[PackState]) =>
+          val st = state.getOption.getOrElse(PackState(0L, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          // contract-violating late rows are dropped (see scaladoc);
+          // on a timeout invocation `batch` is empty and only the
+          // buffer drains
+          val arrived = batch
+            .map(d => PendingDoc(d.doc_id, d.n_tokens, d.ts.getTime))
+            .filter(_.tsMs > wm).toList
+          val (ready, hold) = (st.pending ++ arrived)
+            .sortBy(_.doc_id).partition(_.tsMs <= wm)
+          var off = st.nextOffset
+          val out = ready.map { d =>
+            val first = off
+            off += d.n_tokens
+            PackedDoc(shard, d.doc_id, d.n_tokens,
+              first / budget, first % budget)
+          }
+          state.update(PackState(off, hold))
+          // wake this shard when the watermark reaches its earliest
+          // buffered doc, even if no new data arrives for the key
+          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_.tsMs).min)
+          out.iterator
       }
   }
 }

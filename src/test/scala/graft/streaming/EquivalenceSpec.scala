@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.operators.{Dedup, TextAnalysis, Windows}
+import graft.operators.{Dedup, Sampling, TextAnalysis, Windows}
 
 /** Batch↔streaming equivalence gates: each MemoryStream twin is drained
   * over the SAME fixture as its gated batch operator and asserted equal
@@ -248,6 +248,112 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
       assert(s.n_changes == counts(k),
         s"key $k: n_changes ${s.n_changes} vs feed count ${counts(k)}")
     }
+  }
+
+  test("sequence packing: drained streaming twin ≡ batch packSequences, arrival-order shuffled") {
+    assume(fixtureExists("documents"))
+    val budget = 2048L
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+    val batch = Sampling.packSequences(docs, "n_tokens", budget,
+        Seq("lang"), "doc_id")
+      .select($"lang", $"doc_id", $"n_tokens", $"pack_id", $"pack_offset")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(batch.values.map(_._2).max >= 3,
+      "fixture must spread over multiple packs per shard")
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamPackDoc]
+    val q = Streaming.packStream(in.toDS(), budget,
+        watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("eqpack")
+      .outputMode("append").start()
+    // ts monotone in doc_id (the StreamPackDoc contract; the fixture
+    // span — 500 ms — sits far inside the 1 h watermark delay), but
+    // ARRIVAL order fully shuffled across three micro-batches.
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val fixture = docs.as[(Long, String, Long)].collect().toSeq
+      .map { case (id, lang, n) =>
+        StreamPackDoc(new Timestamp(t0 + id), lang, id, n) }
+    val rnd = new scala.util.Random(29)
+    val shuffled = rnd.shuffle(fixture)
+    shuffled.grouped((shuffled.size + 2) / 3).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    // nothing may release while the watermark sits below the fixture
+    // (the shuffle window is covered by the delay)
+    assert(spark.table("eqpack").count() == 0,
+      "no document may be laid out before the watermark certifies order")
+    // two advancer batches on a sentinel shard flush the buffer (the
+    // watermark used by batch N is batch N-1's max event time)
+    val maxTs = fixture.map(_.ts.getTime).max
+    in.addData(StreamPackDoc(new Timestamp(maxTs + 7200L * 1000), "zz", 0L, 1L))
+    q.processAllAvailable()
+    in.addData(StreamPackDoc(new Timestamp(maxTs + 14400L * 1000), "zz", 1L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("eqpack").as[PackedDoc].collect()
+      .filter(_.shard != "zz")
+      .map(p => (p.shard, p.doc_id) -> (p.n_tokens, p.pack_id, p.pack_offset))
+      .toMap
+    assert(streamed.keySet == batch.keySet,
+      s"doc sets diverge: stream-only=${(streamed.keySet -- batch.keySet).take(5)}, " +
+        s"batch-only=${(batch.keySet -- streamed.keySet).take(5)}")
+    streamed.foreach { case (k, v) =>
+      assert(batch(k) == v, s"doc $k: stream $v vs batch ${batch(k)}") }
+  }
+
+  test("sequence packing: emission is INCREMENTAL as the watermark advances, final ≡ batch") {
+    assume(fixtureExists("documents"))
+    val budget = 2048L
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+    val batch = Sampling.packSequences(docs, "n_tokens", budget,
+        Seq("lang"), "doc_id")
+      .select($"lang", $"doc_id", $"pack_id", $"pack_offset")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamPackDoc]
+    val q = Streaming.packStream(in.toDS(), budget,
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("eqpackinc")
+      .outputMode("append").start()
+    // event times a minute apart: the stream spans hours, so mid-stream
+    // watermarks release earlier documents while later ones still flow —
+    // the twin must not be a trivial end-of-stream flush
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val fixture = docs.as[(Long, String, Long)].collect().toSeq
+      .sortBy(_._1)
+      .map { case (id, lang, n) =>
+        StreamPackDoc(new Timestamp(t0 + id * 60000L), lang, id, n) }
+    var midStreamEmitted = 0L
+    fixture.grouped((fixture.size + 2) / 3).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+      midStreamEmitted = spark.table("eqpackinc").count()
+    }
+    assert(midStreamEmitted > 0 && midStreamEmitted < fixture.size,
+      s"expected partial mid-stream emission, got $midStreamEmitted of " +
+        s"${fixture.size}")
+    val maxTs = fixture.map(_.ts.getTime).max
+    in.addData(StreamPackDoc(new Timestamp(maxTs + 3600L * 1000), "zz", 0L, 1L))
+    q.processAllAvailable()
+    in.addData(StreamPackDoc(new Timestamp(maxTs + 7200L * 1000), "zz", 1L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("eqpackinc").as[PackedDoc].collect()
+      .filter(_.shard != "zz")
+      .map(p => (p.shard, p.doc_id) -> (p.pack_id, p.pack_offset)).toMap
+    assert(streamed == batch,
+      s"incremental layout diverges: stream-only=" +
+        s"${(streamed.toSet -- batch.toSet).take(5)}, batch-only=" +
+        s"${(batch.toSet -- streamed.toSet).take(5)}")
   }
 
   test("value histogram: the SAME operator run as a complete-mode stream ≡ batch (q112 shape)") {

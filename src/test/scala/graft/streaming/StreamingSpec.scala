@@ -16,6 +16,43 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
   }
 
+  test("packStream: contract-violating late arrivals are dropped, not laid out") {
+    // A doc arriving after the watermark passed its event time would
+    // shift every later offset if admitted — packStream must drop it
+    // (flatMapGroupsWithState does not drop late rows itself).
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamPackDoc]
+    val q = Streaming.packStream(in.toDS(), budget = 10L,
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("packlate")
+      .outputMode("append").start()
+    in.addData(StreamPackDoc(ts(0), "a", 1L, 4L),
+      StreamPackDoc(ts(1), "a", 2L, 4L))
+    q.processAllAvailable()
+    // advance the watermark far past both docs (wm ≈ 10:55)
+    in.addData(StreamPackDoc(ts(59), "a", 10L, 4L))
+    q.processAllAvailable()
+    // doc 3 claims an event time the watermark already passed → dropped
+    in.addData(StreamPackDoc(ts(2), "a", 3L, 4L),
+      StreamPackDoc(ts(59), "a", 11L, 4L))
+    q.processAllAvailable()
+    // flush docs 10/11 with two advancers (the watermark used by batch
+    // N is batch N-1's max event time — the sessionization convention)
+    in.addData(StreamPackDoc(Timestamp.valueOf("2024-01-01 12:30:00"), "zz", 0L, 1L))
+    q.processAllAvailable()
+    in.addData(StreamPackDoc(Timestamp.valueOf("2024-01-01 13:30:00"), "zz", 1L, 1L))
+    q.processAllAvailable()
+    drain(q)
+    val out = spark.table("packlate").as[PackedDoc].collect()
+      .filter(_.shard == "a").map(p => p.doc_id -> (p.pack_id, p.pack_offset))
+      .toMap
+    assert(!out.contains(3L), "late doc 3 must be dropped")
+    // docs 1,2 packed contiguously (offsets 0,4), doc 10 continues at 8
+    // — exactly as if doc 3 never existed
+    assert(out(1L) == ((0L, 0L)) && out(2L) == ((0L, 4L)))
+    assert(out(10L) == ((0L, 8L)) && out(11L) == ((1L, 2L)))
+  }
+
   test("dedupStream: in-stream and cross-batch dups suppressed, state evicted past watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamDoc]
