@@ -1099,6 +1099,34 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q137's recall-gate artifact is identical over a stored index " +
+      "(build-once/probe-many re-expression of the q136 configuration)") {
+    // The q136 gate fixture and parameters (C=16, nprobe=6, 2 Lloyd
+    // sweeps, k=5, 10 queries), probed twice: in-memory composition vs
+    // written-and-reopened index. The per-query recall frames must be
+    // IDENTICAL — the production split changes storage, not retrieval.
+    val emb = (0L until 200L).map(i =>
+      (i, Seq.tabulate(16)(j => (((i * 37 + j * 13) % 991).toFloat / 991f) - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+    val index = Similarity.buildIvfIndex(emb, numCentroids = 16,
+      kmeansIterations = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_gate").toString
+    Similarity.writeIvfIndex(index, dir)
+    val stored = Similarity.readIvfIndex(spark, dir)
+    val inMemRecall = Similarity.recallAtK(
+        Similarity.probeIvfQuantized(index, queries, 5, nprobe = 6), exact)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val storedRecall = Similarity.recallAtK(
+        Similarity.probeIvfQuantized(stored, queries, 5, nprobe = 6), exact)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(storedRecall == inMemRecall,
+      "stored-index recall artifact must equal the in-memory one")
+    val mean = storedRecall.toSeq.map(_._4).sum / storedRecall.size
+    assert(mean >= 0.9, s"stored-index mean recall $mean under the contract")
+  }
+
   test("mediaNearDupPairs ≡ exact all-pairs on planted synthetic media " +
       "(full recall), and the recall gate trips on corrupted pairs") {
     // The q138/q139 contract without the harness: diverse synthetic
