@@ -534,7 +534,16 @@ object Similarity {
       vecCol: String = "embedding"): IvfIndex = {
     val cents =
       centroidInit(emb, numCentroids, kmeansIterations, idCol, vecCol)
-    val lists = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+    IvfIndex(cents, assignLists(emb, cents, idCol, vecCol))
+  }
+
+  /** One corpus (or batch) pass turning vectors into int8 list entries
+    * under a FIXED centroid set — the shared assignment stage of
+    * [[buildIvfIndex]] and [[appendToIvfIndex]].
+    */
+  private def assignLists(emb: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
       .filter(dot(col("__v"), col("__v")) > 0)
       .join(broadcast(cents))
       .withColumn("__cs", cosine(col("__v"), col("__cv")))
@@ -546,8 +555,32 @@ object Similarity {
         col("__q.codes").as("codes"))
       .withColumn("norm", sqrt(dot(col("codes"), col("codes"))))
       .filter(col("norm") > 0)
-    IvfIndex(cents, lists)
-  }
+
+  /** Incrementally extend a built index with a batch of newly arrived
+    * vectors: the batch is assigned to the EXISTING centroids (one pass
+    * over the batch only) and unioned onto the lists — the corpus-side
+    * index is never rebuilt, re-scanned, or re-shuffled, the q74/q128
+    * incremental-corpus discipline applied to ANN. At 100 TB this is
+    * the difference between indexing a daily crawl delta at batch cost and
+    * re-clustering the corpus nightly; for a [[writeIvfIndex]]-stored
+    * index, the new assignments append as additional files under their
+    * existing cid partitions (hive append), probes see them on the next
+    * read.
+    *
+    * Centroids DRIFT as the corpus grows — the coarse quantizer stays
+    * frozen here by design (assignment determinism + zero old-list
+    * churn). Rebuild with [[buildIvfIndex]] on a cadence when the
+    * recall-gate artifact (q137's pattern, re-measured over the
+    * appended index) shows probe quality decaying.
+    */
+  def appendToIvfIndex(
+      index: IvfIndex,
+      newEmb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfIndex =
+    IvfIndex(index.centroids,
+      index.lists.unionByName(
+        assignLists(newEmb, index.centroids, idCol, vecCol)))
 
   /** Probe-MANY half: rank each query's `nprobe` nearest centroids on
     * float cosine (the centroid table is metadata-sized), then score

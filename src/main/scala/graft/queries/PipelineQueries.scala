@@ -543,6 +543,32 @@ object PipelineQueries {
         Similarity.bruteForceTopK(emb, q, 5))
     }),
 
+    // Incremental index maintenance for ANN (the q74/q128 discipline):
+    // the index is built over the first 80% of the corpus, the rest
+    // arrives as a batch and is assigned to the FROZEN centroids at
+    // batch cost (appendToIvfIndex — old lists untouched); the artifact
+    // is the recall of probing the appended index against the exact
+    // brute force over the FULL corpus. Rows-only (approximate by
+    // construction); the >= 0.9 contract and the
+    // append ≡ fixed-centroid-rebuild equivalence live in
+    // SimilaritySpec. nprobe = 10 of 16: centroids frozen at 80% of
+    // the corpus cost probe width — 6 lists (q136's operating point on
+    // fresh centroids) measures 0.82 avg at sf0.01, 10 restores the
+    // q136 recall class (0.94 avg / 0.8 min measured) — exactly the
+    // drift signal the scaladoc says should trigger a rebuild cadence.
+    "q140_ann_ivf_append_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      // scale-free 80/20 split: every 5th vector is the "new" batch
+      val appended = Similarity.appendToIvfIndex(
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
+          numCentroids = 16, kmeansIterations = 2),
+        emb.filter(col("vec_id") % 5 === 4))
+      Similarity.recallAtK(
+        Similarity.probeIvfQuantized(appended, q, 5, nprobe = 10),
+        Similarity.bruteForceTopK(emb, q, 5))
+    }),
+
     // Multimodal near-dup pairs (the r8 ask #4 composition): histogram
     // features → mean-centering → hyperplane-LSH candidates → exact
     // centered-cosine verify, over the planted synthetic-media fixture.

@@ -1164,6 +1164,57 @@ class SimilaritySpec extends SparkSpec {
       s"corrupted pairs scored ${broken._4} — the tripwire is dead")
   }
 
+  test("appendToIvfIndex: old lists untouched, batch assigned as a " +
+      "fixed-centroid rebuild would, q140 gate recall >= 0.9") {
+    val emb = (0L until 200L).map(i =>
+      (i, Seq.tabulate(16)(j => (((i * 37 + j * 13) % 991).toFloat / 991f) - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 5 =!= 4)
+    val batch = emb.filter($"vec_id" % 5 === 4)
+    val index = Similarity.buildIvfIndex(base, numCentroids = 16,
+      kmeansIterations = 2)
+    val appended = Similarity.appendToIvfIndex(index, batch)
+    // centroids frozen
+    assert(appended.centroids.collect().toSet == index.centroids.collect().toSet)
+    def entries(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, Double, Seq[Int], Double)] =
+      df.select($"cid", $"neighbor_id", $"scale", $"codes", $"norm")
+        .as[(Long, Long, Double, Seq[Int], Double)].collect().toSet
+    val old = entries(index.lists)
+    val app = entries(appended.lists)
+    // every old entry survives bit-identically; the new entries are
+    // exactly the batch, and their count matches (no drops, no dups)
+    assert(old.subsetOf(app), "append must not touch existing lists")
+    val newIds = (app -- old).map(_._2)
+    assert(newIds == batch.select($"vec_id").as[Long].collect().toSet)
+    // equivalence: an append is a fixed-centroid rebuild of the union —
+    // independently reconstructed by re-assigning the UNION under the
+    // frozen centroid set via a second append onto an empty-list index
+    val emptyIndex = graft.operators.IvfIndex(index.centroids,
+      index.lists.filter(lit(false)))
+    assert(entries(Similarity.appendToIvfIndex(emptyIndex, emb).lists) == app,
+      "append must equal the fixed-centroid assignment of the union")
+    // and the q140 artifact holds its contract on the appended index
+    val q = emb.filter($"vec_id" < 10)
+    // nprobe = 10, the q140 gate's operating point (frozen centroids
+    // cost probe width — see the query comment)
+    val recall = Similarity.recallAtK(
+        Similarity.probeIvfQuantized(appended, q, 5, nprobe = 10),
+        Similarity.bruteForceTopK(emb, q, 5))
+      .agg(avg($"recall")).as[Double].collect()(0)
+    assert(recall >= 0.9,
+      s"appended-index mean recall $recall under the 0.9 contract")
+    // negative control: probing an index that never saw the batch must
+    // lose the planted batch neighbors the full probe finds
+    val staleRecall = Similarity.recallAtK(
+        Similarity.probeIvfQuantized(index, q, 5, nprobe = 10),
+        Similarity.bruteForceTopK(emb, q, 5))
+      .agg(avg($"recall")).as[Double].collect()(0)
+    assert(staleRecall < recall,
+      s"stale index scored $staleRecall >= appended $recall — the batch " +
+        "vectors are not reachable, so the measurement should see the gap")
+  }
+
   test("pairRecall: counts, partial overlap, and the empty-exact convention") {
     val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
     val approx = Seq((1L, 2L), (5L, 6L), (7L, 8L)).toDF("doc_a", "doc_b")
