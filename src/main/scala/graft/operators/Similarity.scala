@@ -720,6 +720,36 @@ object Similarity {
       threshold, idCol = "doc_id", vecCol = "feature")
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("sim"))
 
+  /** Media GROUP dedup — [[semanticDedup]]'s composition for multimodal
+    * payloads (the image/frame-dedup action a curation pipeline takes
+    * on [[mediaNearDupPairs]]' evidence): LSH pairs over centered
+    * histogram features → connected components
+    * ([[Dedup.nearDupClusters]] label propagation) → min-id canonical
+    * per group. One row per input payload: (doc_id, canonical, kept) —
+    * filtering on `kept` is the dedup, keeping the mapping is the
+    * lineage record. Scale notes inherit from the parts: candidates
+    * bucket-join-bounded, clustering one shuffle per sweep with
+    * checkpointed lineage, blobs never shuffle (fixed-width features
+    * do).
+    */
+  def mediaDedup(
+      blobs: DataFrame,
+      threshold: Double,
+      dims: Int = 64,
+      bands: Int = 8,
+      rowsPerBand: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val pairs = mediaNearDupPairs(blobs, threshold, dims, bands,
+        rowsPerBand, seed)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.nearDupClusters(pairs)
+    blobs.select(col("doc_id"))
+      .join(clusters, col("doc_id") === clusters("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("canonical"))
+      .withColumn("kept", col("doc_id") === col("canonical"))
+  }
+
   /** Pair-set recall of an approximate near-dup pass against the exact
     * one — [[recallAtK]]'s analogue for unordered pair output ((a, b)
     * keys instead of ranked per-query lists). One row:

@@ -569,6 +569,15 @@ object PipelineQueries {
         Similarity.bruteForceTopK(emb, q, 5))
     }),
 
+    // Media GROUP dedup (q88's composition for payloads): q138's pairs
+    // -> connected components -> one kept representative per
+    // embedding-space media group. Rows-only (float-feature pipeline);
+    // at the measured margins the groups are exactly the planted
+    // (base, base+300000) pairs, so kept == doc_id < 300000 — asserted
+    // with the transitive three-member case in SimilaritySpec.
+    "q141_media_dedup" -> ((s, d) =>
+      Similarity.mediaDedup(mediaWithDups(s, d), 0.9)),
+
     // Multimodal near-dup pairs (the r8 ask #4 composition): histogram
     // features → mean-centering → hyperplane-LSH candidates → exact
     // centered-cosine verify, over the planted synthetic-media fixture.

@@ -1215,6 +1215,32 @@ class SimilaritySpec extends SparkSpec {
         "vectors are not reachable, so the measurement should see the gap")
   }
 
+  test("mediaDedup: transitive payload groups collapse to one kept representative") {
+    // group A = {0, 1000, 2000} (payload 0 with 2 and 4 bytes appended —
+    // 1000/2000 are near-dups of 0 and of each other), group B =
+    // {7, 1007}; everything else singleton — the semanticDedup spec's
+    // shape, media edition.
+    val ids = (0L until 60L).toDF("doc_id")
+    val base = Multimodal.syntheticMedia(ids)
+    def shifted(src: Long, newId: Long, extra: Int) =
+      base.filter($"doc_id" === src)
+        .select(lit(newId).as("doc_id"),
+          concat($"media", lit(Array.fill(extra)(0x41.toByte))).as("media"),
+          $"format")
+    val all = base.unionByName(shifted(0L, 1000L, 2))
+      .unionByName(shifted(0L, 2000L, 4))
+      .unionByName(shifted(7L, 1007L, 2))
+    val out = Similarity.mediaDedup(all, 0.9)
+      .as[(Long, Long, Boolean)].collect()
+    val canon = out.map(t => t._1 -> t._2).toMap
+    assert(canon(0L) == 0L && canon(1000L) == 0L && canon(2000L) == 0L)
+    assert(canon(7L) == 7L && canon(1007L) == 7L)
+    assert(canon(13L) == 13L, "singletons map to themselves")
+    assert(out.count(!_._3) == 3,
+      s"exactly the 3 shifted payloads drop: ${out.filterNot(_._3).mkString(",")}")
+    assert(out.length == 63)
+  }
+
   test("pairRecall: counts, partial overlap, and the empty-exact convention") {
     val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
     val approx = Seq((1L, 2L), (5L, 6L), (7L, 8L)).toDF("doc_a", "doc_b")
