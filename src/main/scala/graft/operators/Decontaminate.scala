@@ -82,6 +82,56 @@ object Decontaminate {
     * directly (no flag-then-filter round trip through a second
     * corpus-wide join).
     */
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * shingle screens ([[flagContaminated]] catches verbatim excerpts;
+    * this catches PARAPHRASED eval leakage, which re-wording defeats
+    * but an embedding model does not): every corpus vector is scored
+    * against the full eval set on exact cosine and flagged when its
+    * best match reaches `threshold`. Output one row per corpus vector:
+    * (idCol, bench_id, max_sim, contaminated) — `bench_id` is the
+    * best-matching eval doc (ties: lowest id), carried always so the
+    * audit trail exists for near-misses too.
+    *
+    * Exact by design, not LSH: an eval set is metadata-sized
+    * (thousands), so the scan is O(corpus × |bench|) with a broadcast
+    * bench side — one corpus pass, no candidate-miss risk on the
+    * operator whose false negatives ARE the incident. The corpus side
+    * shuffles only (id, sim, bench_id) triples into the per-vector
+    * max_by aggregate (map-side combined — one partial row per vector
+    * per task); at a truly large eval set, fall back to
+    * [[Similarity.hyperplaneNearDupPairs]]' banded path.
+    *
+    * `max_by(struct(sim, -bench_id))` ranking keeps determinism
+    * engine-exact: sims are bit-identical double arithmetic over the
+    * stored floats (the dot kernel's sequential accumulation = the
+    * oracle's list_sum order), rounded only at the output edge.
+    */
+  def semanticDecontaminate(
+      emb: DataFrame,
+      benchEmb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      benchIdCol: String = "bench_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dot = Similarity.dot _
+    val corpus = emb.select(col(idCol), col(vecCol).as("__v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__vn"))
+    val bench = broadcast(benchEmb.select(col(benchIdCol),
+      col(vecCol).as("__bv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__bn")))
+    corpus.join(bench)
+      .withColumn("__sim",
+        dot(col("__v"), col("__bv")) / (col("__vn") * col("__bn")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col(benchIdCol),
+          struct(col("__sim"), -col(benchIdCol))).as(benchIdCol),
+        max(col("__sim")).as("__ms"))
+      .select(col(idCol), col(benchIdCol),
+        round(col("__ms"), 4).as("max_sim"),
+        (col("__ms") >= threshold).as("contaminated"))
+  }
+
   def removeContaminated(docs: DataFrame, benchmark: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       n: Int = 13): DataFrame =

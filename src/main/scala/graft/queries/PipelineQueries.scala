@@ -569,6 +569,24 @@ object PipelineQueries {
         Similarity.bruteForceTopK(emb, q, 5))
     }),
 
+    // SEMANTIC decontamination (embedding-space eval-leakage screen —
+    // the paraphrase-robust complement of q80/q92's verbatim shingle
+    // screens): every corpus vector scored on exact cosine against a
+    // broadcast eval set (planted: every 50th vector, +0.01f-shifted —
+    // the embWithDups convention, sim ≈ 0.997 to its source while
+    // background best-matches stay ≤ ~0.6), flagged at 0.9 with
+    // best-match attribution. FULL value oracle — the float arithmetic
+    // is the engine-exact q39 dot convention, so unlike the LSH/IVF
+    // family this similarity query hash-matches.
+    "q142_semantic_decontaminate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val bench = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("bench_id"),
+          transform(col("embedding"), x => x + lit(0.01f)).as("embedding"))
+      graft.operators.Decontaminate.semanticDecontaminate(
+        emb, bench, threshold = 0.9)
+    }),
+
     // Media GROUP dedup (q88's composition for payloads): q138's pairs
     // -> connected components -> one kept representative per
     // embedding-space media group. Rows-only (float-feature pipeline);
@@ -1964,6 +1982,34 @@ object PipelineQueries {
         |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.9""".stripMargin,
+    // The q39 dot convention (sequential list_sum ≡ the dot kernel's
+    // accumulation order — sims bit-identical before the edge round);
+    // attribution ties resolved as min(bench_id) among exact-max rows,
+    // mirroring max_by(struct(sim, -bench_id)). Exact double equality
+    // p.sim = m.ms is engine-internal, so it is safe.
+    "q142_semantic_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT vec_id AS bench_id,
+        |    list_transform(embedding, x -> (x + 0.01::FLOAT)::FLOAT)
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |p AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> c.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim
+        |  FROM embeddings c CROSS JOIN bench b),
+        |m AS (SELECT vec_id, max(sim) AS ms FROM p GROUP BY vec_id),
+        |a AS (
+        |  SELECT p.vec_id, min(p.bench_id) AS bench_id
+        |  FROM p JOIN m ON p.vec_id = m.vec_id AND p.sim = m.ms
+        |  GROUP BY p.vec_id)
+        |SELECT m.vec_id, a.bench_id, round(m.ms, 4) AS max_sim,
+        |  m.ms >= 0.9 AS contaminated
+        |FROM m JOIN a USING (vec_id)""".stripMargin,
     // q60's exact pair ground truth + q45's recursive-closure convention
     // + min-id canonical per component, over every vector in the planted
     // union. count casts: see q78 (HUGEINT -> float64 in pandas).

@@ -1640,6 +1640,39 @@ class SamplingSpec extends SparkSpec {
 class DecontaminateSpec extends SparkSpec {
   import spark.implicits._
 
+  test("semanticDecontaminate: paraphrased eval vectors flagged with " +
+      "lowest-id tie-broken attribution; near-misses keep their audit row") {
+    val emb = (0L until 40L).map { i =>
+      val rnd = new java.util.Random(i * 4271L + 17L)
+      (i, Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    // bench: shifted copies of vectors 0 and 5 (the paraphrase stand-in,
+    // cosine ≈ 0.9999), an EXACT duplicate pair (ids 100/101, same
+    // vector — the tie case), and one unrelated vector
+    val shift = udf((v: Seq[Float]) => v.map(_ + 0.004f))
+    val b0 = emb.filter($"vec_id" === 0L)
+      .select(lit(100L).as("bench_id"), shift($"embedding").as("embedding"))
+    val b0b = b0.select(lit(101L).as("bench_id"), $"embedding")
+    val b5 = emb.filter($"vec_id" === 5L)
+      .select(lit(105L).as("bench_id"), shift($"embedding").as("embedding"))
+    val rnd = new java.util.Random(991L)
+    val bx = Seq((999L, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("bench_id", "embedding")
+    val bench = b0.unionByName(b0b).unionByName(b5).unionByName(bx)
+    val out = graft.operators.Decontaminate
+      .semanticDecontaminate(emb, bench, threshold = 0.9)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.length == 40, "one audit row per corpus vector")
+    val flagged = out.filter(_._4).map(r => r._1 -> r._2).toMap
+    assert(flagged.keySet == Set(0L, 5L),
+      s"exactly the planted sources flag: $flagged")
+    // vector 0 ties exactly between bench 100 and 101 -> lowest id wins
+    assert(flagged(0L) == 100L && flagged(5L) == 105L)
+    // near-misses carry best match + sim, not nothing
+    val unflagged = out.filterNot(_._4)
+    assert(unflagged.forall(r => r._3 < 0.9 && r._2 > 0))
+  }
+
   private val corpus = Seq(
     (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
     (2L, "completely different material about distributed query engines and optimizers"),
