@@ -587,6 +587,66 @@ object TextAnalysis {
         col("log_ppl"), col("oov_frac"))
   }
 
+  /** Bigram-LM perplexity with add-α smoothing — the next filter rung
+    * above [[unigramPerplexity]] (CCNet's production shape is a 5-gram
+    * KenLM; a corpus-trained add-α bigram model is the engine-native,
+    * oracle-exact step in that direction): it scores word ORDER, which
+    * the unigram screen cannot — scrambled or template-stitched text
+    * keeps its unigram score and loses its bigram score.
+    *
+    * Model, trained on `train` (default: the scored corpus itself):
+    * p(w2|w1) = (c(w1 w2) + α) / (c(w1) + α·V), V = |observed
+    * vocabulary|. An unseen history degrades to the uniform ≈ 1/V — the
+    * natural add-α backstop, no special-casing. Per doc: (n_bigrams,
+    * mean −ln p over adjacent pairs, unseen-bigram fraction); docs with
+    * < 2 tokens emit n_bigrams = 0 with NULL scores (q95's left-join
+    * convention).
+    *
+    * Scale shape: both count tables are VOCABULARY-bounded aggregates
+    * (map-side combined). Scoring joins shuffle (id, token-pair)
+    * projections — text never moves past the bigram projection — and
+    * the bigram table joins on its own key, NOT broadcast: observed
+    * bigram cardinality grows with the corpus, unlike the
+    * metadata-sized sides this repo reserves broadcasts for. Float
+    * note: the per-doc Σ −ln p inherits q95's convention — engine sum
+    * orders differ by ~1 ulp, absorbed by the 4-decimal edge rounding.
+    */
+  def bigramPerplexity(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", train: DataFrame = null,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val lm = Option(train).getOrElse(df)
+    def bigrams(src: DataFrame, cols: Column*): DataFrame =
+      src.select(cols :+ tokens(col(textCol)).as("__t"): _*)
+        .withColumn("__bg", explode(expr(
+          "zip_with(slice(__t, 1, greatest(size(__t)-1, 0)), " +
+            "slice(__t, 2, greatest(size(__t)-1, 0)), " +
+            "(a, b) -> named_struct('w1', a, 'w2', b))")))
+        .select(cols :+ col("__bg.w1") :+ col("__bg.w2"): _*)
+    val uni = lm.select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("__v"))
+    val big = bigrams(lm)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
+    val scored = bigrams(df, col(idCol))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log((coalesce(col("__c12").cast("double"), lit(0.0)) + alpha) /
+          (coalesce(col("__c1").cast("double"), lit(0.0)) +
+            lit(alpha) * col("__v")))).as("__nll"),
+        col("__c12").isNull.cast("int").as("__unseen"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__nll")) / count(lit(1)), 4).as("log_ppl"),
+        round(sum(col("__unseen")).cast("double") / count(lit(1)), 4)
+          .as("unseen_frac"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("log_ppl"), col("unseen_frac"))
+  }
+
   /** Gopher/FineWeb-style repetition signals — the quality-filter class
     * that catches template/spam/generated text which the [[qualityScore]]
     * band checks miss:

@@ -199,6 +199,16 @@ object PipelineQueries {
     "q95_unigram_ppl" -> ((s, d) =>
       TextAnalysis.unigramPerplexity(Tables.documents(s, d))),
 
+    // Bigram-LM perplexity, trained on the EVEN half of the corpus and
+    // scoring everything — odd docs carry genuinely unseen bigrams, so
+    // both the smoothing backstop and the unseen fraction are exercised
+    // (self-training would pin unseen_frac at 0 corpus-wide).
+    "q143_bigram_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramPerplexity(docs,
+        train = docs.filter(col("doc_id") % 2 === 0))
+    }),
+
     "q33_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -1652,6 +1662,39 @@ object PipelineQueries {
         |  GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
         |  s.log_ppl, s.oov_frac
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    // q95's conventions one n-gram up: the LM counts come from the even
+    // half only; per-doc sums differ across engines by ~1 ulp (absorbed
+    // by the 4-decimal round, q95's precedent); probabilities are exact
+    // int-count arithmetic in double, identical both engines.
+    "q143_bigram_ppl" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+        |      struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+        |    FROM tk WHERE len(t) >= 2)),
+        |c12 AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM db
+        |  WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |c1 AS (SELECT unnest(t) AS w1 FROM tk WHERE doc_id % 2 = 0),
+        |c1c AS (SELECT w1, count(*) AS c1 FROM c1 GROUP BY w1),
+        |v AS (SELECT count(*)::DOUBLE AS v FROM c1c),
+        |s AS (
+        |  SELECT db.doc_id, count(*) AS n_bigrams,
+        |    round(sum(-ln((coalesce(c12.c12, 0)::DOUBLE + 1.0) /
+        |      (coalesce(c1c.c1, 0)::DOUBLE + v.v))) / count(*), 4)
+        |      AS log_ppl,
+        |    round(sum((c12.c12 IS NULL)::INT)::DOUBLE / count(*), 4)
+        |      AS unseen_frac
+        |  FROM db LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1c USING (w1)
+        |    CROSS JOIN v
+        |  GROUP BY db.doc_id)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  s.log_ppl, s.unseen_frac
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     // Same rolling polynomial hash (B=257, M=2^31-1) via explicit power
     // weights — all intermediates < 2^55, safe in DuckDB's checked

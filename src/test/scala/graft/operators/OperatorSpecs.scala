@@ -377,6 +377,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).getAs[Int]("n_kept_lines") == 3)
   }
 
+  test("bigramPerplexity: hand-computed add-1 probabilities, unseen " +
+      "backstop, word-order sensitivity, short-doc convention") {
+    // self-trained corpus: tokens a b / a b / a c -> c1: a:3 b:2 c:1,
+    // V=3; bigrams: (a,b):2, (a,c):1
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(df)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // p(b|a) = (2+1)/(3+3) = 1/2; p(c|a) = (1+1)/(3+3) = 1/3
+    assert(math.abs(out(1L).getAs[Double]("log_ppl") - (-math.log(0.5))) < 1e-3)
+    assert(math.abs(out(3L).getAs[Double]("log_ppl") - (-math.log(1.0 / 3))) < 1e-3)
+    assert(out.values.forall(_.getAs[Double]("unseen_frac") == 0.0))
+    // unseen bigram against a fixed train corpus: (b,c) never seen ->
+    // p = (0+1)/(c1(b)=2 + 3) = 0.2, unseen_frac = 1
+    val scored = TextAnalysis.bigramPerplexity(
+        Seq((9L, "b c")).toDF("doc_id", "text"), train = df)
+      .collect()(0)
+    assert(math.abs(scored.getAs[Double]("log_ppl") - (-math.log(0.2))) < 1e-3)
+    assert(scored.getAs[Double]("unseen_frac") == 1.0)
+    // the discriminative property the unigram screen lacks: scrambled
+    // text keeps its unigram score but loses its bigram score
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val train = (0L until 20L).map(i => (i, phrase)).toDF("doc_id", "text")
+    val probe = Seq((100L, phrase),
+      (101L, "dog the over quick lazy brown the jumps fox"))
+      .toDF("doc_id", "text")
+    val bg = TextAnalysis.bigramPerplexity(probe, train = train)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_ppl")).toMap
+    val ug = TextAnalysis.unigramPerplexity(probe, train = train)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_ppl")).toMap
+    assert(ug(100L) == ug(101L), "unigram is order-blind by construction")
+    assert(bg(101L) > bg(100L) + 1.0,
+      s"scrambled text must lose its bigram score: ${bg(100L)} vs ${bg(101L)}")
+    // < 2 tokens: n_bigrams 0, null scores (the q95 convention)
+    val short = TextAnalysis.bigramPerplexity(
+        Seq((1L, "a b"), (2L, "solo"), (3L, " ")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(short(2L).getAs[Long]("n_bigrams") == 0L && short(2L).isNullAt(2))
+    assert(short(3L).getAs[Long]("n_bigrams") == 0L && short(3L).isNullAt(2))
+  }
+
   test("unigramPerplexity: frequent vocabulary scores lower; OOV floors at 1/N") {
     val df = Seq(
       (1L, "common common common common"),
