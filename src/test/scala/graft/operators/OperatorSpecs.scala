@@ -1139,6 +1139,18 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("probeIvfQuantized: an empty effective query set (all zero-norm) " +
+      "returns an empty frame, not a crash on the empty cid filter") {
+    val emb = (0L until 20L).map(i =>
+      (i, Seq.tabulate(8)(j => (((i * 31 + j * 7) % 97).toFloat / 97f) - 0.4f)))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(emb, numCentroids = 4)
+    val zeroQueries = Seq((99L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
+    assert(Similarity.probeIvfQuantized(index, zeroQueries, 3).count() == 0)
+    assert(Similarity.probeIvfQuantized(index,
+      emb.filter($"vec_id" < 0), 3).count() == 0)
+  }
+
   test("q137's recall-gate artifact is identical over a stored index " +
       "(build-once/probe-many re-expression of the q136 configuration)") {
     // The q136 gate fixture and parameters (C=16, nprobe=6, 2 Lloyd
