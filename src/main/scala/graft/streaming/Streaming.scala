@@ -41,6 +41,13 @@ case class UserSession(user_id: Long, start: Timestamp, end: Timestamp,
 private case class SessionState(start: Long, end: Long, events: Long,
     total: Double)
 
+/** A per-document contamination audit row emitted by
+  * [[Streaming.semanticDecontaminateStream]] — the same frame
+  * [[graft.operators.Decontaminate.semanticDecontaminate]] produces.
+  */
+case class ContaminationFlag(vec_id: Long, bench_id: Long, max_sim: Double,
+    contaminated: Boolean)
+
 /** A document arriving on the LAYOUT stream: event time + shard key +
   * id + token count ([[graft.operators.Sampling.packSequences]]'s input
   * shape, streamed). Stream contract, mirroring the batch operator's
@@ -365,6 +372,58 @@ object Streaming {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming twin of
+    * [[graft.operators.Decontaminate.semanticDecontaminate]]: screen an
+    * ingest stream of embedded documents against a fixed eval set. The
+    * batch operator's broadcast-join + max_by shape becomes a STATELESS
+    * per-row map here — the eval set is metadata-sized, so it rides the
+    * closure (the executor-side analogue of the broadcast; per-partition
+    * norms precomputed, the [[graft.operators.Multimodal]] mapPartitions
+    * discipline), and each arriving doc scores against it with no
+    * watermark, no state store, and no shuffle: unbounded input at
+    * map-stage cost.
+    *
+    * Value-identical to the batch operator on the same rows
+    * (EquivalenceSpec): dots accumulate in index order in double —
+    * exactly the batch dot kernel's order — ties break to the lowest
+    * bench id by scanning the set in ascending id order with a
+    * strictly-greater update, and the edge rounding replays Spark's
+    * HALF_UP. Zero-norm corpus vectors are upstream's problem in both
+    * twins (their cosine is NaN); the eval set must be zero-norm-free.
+    */
+  def semanticDecontaminateStream(emb: DataFrame,
+      bench: Seq[(Long, Array[Float])],
+      threshold: Double): Dataset[ContaminationFlag] = {
+    import emb.sparkSession.implicits._
+    def norm(v: IndexedSeq[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    require(bench.nonEmpty, "eval set must be non-empty")
+    val prepared = bench.sortBy(_._1).map { case (id, v) =>
+      val d = v.map(_.toDouble).toIndexedSeq
+      require(norm(d) > 0, s"zero-norm eval vector $id has no cosine direction")
+      (id, d, norm(d))
+    }
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (docId, vf) =>
+          val v = vf.map(_.toDouble).toIndexedSeq
+          val vn = norm(v)
+          var bestId = -1L
+          var best = Double.NegativeInfinity
+          prepared.foreach { case (bid, bv, bn) =>
+            var dot = 0.0
+            var i = 0
+            val n = math.min(v.length, bv.length)
+            while (i < n) { dot += v(i) * bv(i); i += 1 }
+            val sim = dot / (vn * bn)
+            if (sim > best) { best = sim; bestId = bid }
+          }
+          val rounded = BigDecimal(best)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          ContaminationFlag(docId, bestId, rounded, best >= threshold)
+        }
       }
   }
 

@@ -356,6 +356,42 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
         s"${(batch.toSet -- streamed.toSet).take(5)}")
   }
 
+  test("semantic decontamination: stateless streaming twin ≡ batch operator (q142 fixture shape)") {
+    assume(fixtureExists("embeddings"))
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val benchDf = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("bench_id"),
+        transform($"embedding", x => x + lit(0.01f)).as("embedding"))
+    val batch = graft.operators.Decontaminate
+      .semanticDecontaminate(emb, benchDf, threshold = 0.9)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(batch.values.count(_._3) >= 2, "planted sources must flag")
+
+    // the closure-captured eval set: the same +0.01f float arithmetic,
+    // collected — metadata-sized by the operator's contract
+    val bench = benchDf.as[(Long, Seq[Float])].collect()
+      .map { case (i, v) => (i, v.toArray) }.toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.semanticDecontaminateStream(
+        in.toDF().toDF("vec_id", "embedding"), bench, threshold = 0.9)
+      .writeStream.format("memory").queryName("eqsemdecon")
+      .outputMode("append").start()
+    val fixture = emb.as[(Long, Seq[Float])].collect().toSeq
+    fixture.grouped((fixture.size + 2) / 3).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("eqsemdecon").as[ContaminationFlag].collect()
+      .map(f => f.vec_id -> ((f.bench_id, f.max_sim, f.contaminated))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, v) =>
+      assert(batch(k) == v, s"doc $k: stream $v vs batch ${batch(k)}") }
+  }
+
   test("value histogram: the SAME operator run as a complete-mode stream ≡ batch (q112 shape)") {
     assume(fixtureExists("events"))
     // Sketches.histogram is declarative enough to run unchanged on an
