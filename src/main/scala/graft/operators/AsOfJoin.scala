@@ -64,4 +64,54 @@ object AsOfJoin {
       .select(probe.columns.map(c => col(s"__row.$c").as(c)) ++
         payloadCols.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** [[asOfBackward]] with a staleness bound — the attribution-window
+    * form (a click attributes to the last purchase only if it happened
+    * within `tolerance`; an as-of price is only valid so long): the
+    * most recent prior build row still wins, but when it is older than
+    * `tolerance` time units the payload is nulled, exactly as if no
+    * build row existed. Since the most recent prior row IS the nearest
+    * prior row, "nearest within tolerance" and "most recent, bounded"
+    * coincide — no second pass needed.
+    *
+    * `timeCol` must be NUMERIC (epoch ns/µs/s — the [[graft.sources
+    * .Tables]] `ts_ns` convention) so the staleness test is plain long
+    * arithmetic inside the same single-shuffle plan; the matched build
+    * time rides the window struct, so the bound costs zero extra
+    * shuffles or joins.
+    */
+  def asOfBackwardWithin(probe: DataFrame, build: DataFrame, keyCol: String,
+      timeCol: String, payloadCols: Seq[String],
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    val clash = probe.columns.toSet.intersect(payloadCols.toSet)
+    require(clash.isEmpty, s"payload collides with probe columns: $clash")
+
+    val probeRow = struct(probe.columns.map(col): _*)
+    val probeRowType = probe.select(probeRow.as("r")).schema("r").dataType
+    // matched build TIME rides the window payload so the staleness test
+    // is a per-row projection after the one window pass
+    val payload = struct(col(timeCol).as("__bt") +:
+      payloadCols.map(col): _*)
+    val payloadType = build.select(payload.as("p")).schema("p").dataType
+
+    val b = build.filter(col(timeCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+        lit(0).as("__tag"), payload.as("__p"),
+        lit(null).cast(probeRowType).as("__row"))
+    val p = probe.select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+      lit(1).as("__tag"), lit(null).cast(payloadType).as("__p"),
+      probeRow.as("__row"))
+
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = col("__m").isNotNull &&
+      (col("__t") - col("__m.__bt") <= tolerance)
+    b.unionByName(p)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(probe.columns.map(c => col(s"__row.$c").as(c)) ++
+        payloadCols.map(c =>
+          when(fresh, col(s"__m.$c")).as(c)): _*)
+  }
 }

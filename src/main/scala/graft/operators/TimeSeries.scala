@@ -158,6 +158,51 @@ object TimeSeries {
     * alongside the timestamp) so simultaneous events resolve identically
     * across engines and retries.
     */
+  /** Per-entity exponential moving average over event time — the
+    * recursive smoother (sᵢ = α·xᵢ + (1−α)·sᵢ₋₁, s₀ = x₀) that a plain
+    * window cannot express: every output depends on the ENTIRE ordered
+    * prefix, and the algebraic unrolling (α Σ (1−α)^(i−j)·xⱼ) is
+    * numerically explosive for long series, so the honest distributed
+    * form is one grouped fold per entity — collect the entity's series
+    * sorted by `order`, fold the recurrence left-to-right with
+    * higher-order functions, re-explode one row per input event.
+    *
+    * Determinism: the fold runs the recurrence SEQUENTIALLY in input
+    * order in double — the exact arithmetic an oracle's recursive CTE
+    * replays step for step, so the output is bit-identical across
+    * engines (no summation-order residual; rounding is cosmetic).
+    *
+    * Scale shape: ONE shuffle (the entity grouping); per-entity state is
+    * the series itself — the same per-entity-volume exposure as any
+    * entity window ([[rollingTimeWindow]]'s note applies: bound series
+    * length upstream, or chunk with boundary handoff à la
+    * [[saltedRollingTimeWindow]] if an entity's history outgrows a
+    * task).
+    */
+  def ewma(df: DataFrame, entity: String, order: Seq[String],
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val sorted = array_sort(collect_list(
+      struct(order.map(col) :+ col(valueCol).cast("double").as("__x"): _*)))
+    val a = lit(alpha)
+    df.groupBy(col(entity))
+      .agg(sorted.as("__s"))
+      .withColumn("__vals", expr("transform(__s, e -> e.__x)"))
+      // a group always has >= 1 row, so the fold's seed element exists
+      .withColumn("__ew",
+        aggregate(slice(col("__vals"), lit(2),
+            greatest(size(col("__vals")) - 1, lit(0))),
+          array(element_at(col("__vals"), 1)),
+          (acc, x) => concat(acc,
+            array(a * x + (lit(1.0) - a) * element_at(acc, -1)))))
+      .select(col(entity),
+        posexplode(arrays_zip(col("__s"), col("__ew"))).as(Seq("__i", "__z")))
+      .select(col(entity) +:
+        order.map(c => col(s"__z.__s.$c").as(c)) :+
+        col("__z.__s.__x").as(valueCol) :+
+        round(col("__z.__ew"), 4).as("ewma"): _*)
+  }
+
   def funnel(df: DataFrame, entity: String, order: Seq[Column],
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

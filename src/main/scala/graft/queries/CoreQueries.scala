@@ -491,6 +491,23 @@ object CoreQueries {
         .select("event_id", "user_id", "purchase_id")
     }),
 
+    // Tolerance-bounded as-of: q64's attribution with a 1-hour staleness
+    // window — a click more than an hour after the user's last purchase
+    // attributes to NOTHING (null), the marketing-attribution norm. Same
+    // single-shuffle union-window plan; the matched purchase time rides
+    // the window struct so the bound is a free projection.
+    "q144_asof_tolerance" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val clicks = e.filter($"event_type" === "click")
+        .select("event_id", "user_id", "ts_ns")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_ns", $"event_id".as("purchase_id"))
+      AsOfJoin.asOfBackwardWithin(clicks, purchases, "user_id", "ts_ns",
+          Seq("purchase_id"), tolerance = 3600L * 1000000000L)
+        .select("event_id", "user_id", "purchase_id")
+    }),
+
     // Keyless range join: heavy shipments counted into sampled orders'
     // synthetic fulfillment windows [o_orderdate, +(o_orderkey%3+1)
     // days] — the bucketed equi-join form of a containment join Spark
@@ -1036,6 +1053,17 @@ object CoreQueries {
         |FROM g""".stripMargin,
     "q64_asof_join" ->
       """SELECT c.event_id, c.user_id, p.event_id AS purchase_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    // q64's ASOF + the staleness CASE: the most recent prior purchase is
+    // still the match candidate; older than 1 h -> null attribution.
+    "q144_asof_tolerance" ->
+      """SELECT c.event_id, c.user_id,
+        |  CASE WHEN p.ts IS NOT NULL AND c.ts - p.ts <= INTERVAL 1 HOUR
+        |    THEN p.event_id END AS purchase_id
         |FROM (SELECT event_id, user_id, ts FROM events
         |      WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events

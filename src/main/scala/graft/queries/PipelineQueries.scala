@@ -199,6 +199,16 @@ object PipelineQueries {
     "q95_unigram_ppl" -> ((s, d) =>
       TextAnalysis.unigramPerplexity(Tables.documents(s, d))),
 
+    // Per-user EWMA of event values at α=0.2 — the recursive smoother a
+    // window can't express; the fold runs the recurrence sequentially
+    // in (ts_ns, event_id) order, bit-identical to the oracle's
+    // recursive CTE (no summation-order residual).
+    "q145_ewma" -> ((s, d) =>
+      graft.operators.TimeSeries.ewma(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("value")),
+        "user_id", Seq("ts_ns", "event_id"), "value", alpha = 0.2)),
+
     // Bigram-LM perplexity, trained on the EVEN half of the corpus and
     // scoring everything — odd docs carry genuinely unseen bigrams, so
     // both the smoothing backstop and the unseen fraction are exercised
@@ -1663,6 +1673,26 @@ object PipelineQueries {
         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
         |  s.log_ppl, s.oov_frac
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    // The recursive CTE replays the fold step for step ((1.0 - 0.2)
+    // written as the same IEEE subtraction the operator constant-folds,
+    // so every coefficient is the identical double); epoch_ns(ts) is
+    // the q63 ts_ns convention.
+    "q145_ewma" ->
+      """WITH RECURSIVE x AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+        |    value::DOUBLE AS value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts_ns, event_id, value, rn, value AS s
+        |  FROM x WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.user_id, x.ts_ns, x.event_id, x.value, x.rn,
+        |    0.2 * x.value + (1.0 - 0.2) * r.s
+        |  FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+        |SELECT user_id, ts_ns, event_id, value, round(s, 4) AS ewma
+        |FROM r""".stripMargin,
     // q95's conventions one n-gram up: the LM counts come from the even
     // half only; per-doc sums differ across engines by ~1 ulp (absorbed
     // by the 4-decimal round, q95's precedent); probabilities are exact

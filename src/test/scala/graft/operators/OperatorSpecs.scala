@@ -1322,6 +1322,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("q50").isEmpty)         // key 2 has no build rows at all
   }
 
+  test("asOfBackwardWithin: stale matches null out; MaxValue tolerance ≡ asOfBackward") {
+    val probe = Seq((1L, 90L, "early"), (1L, 150L, "fresh"), (1L, 200L, "stale"),
+      (2L, 50L, "nokey")).toDF("k", "t", "tag")
+    val build = Seq((1L, 100L, "b100"), (3L, 1L, "b1")).toDF("k", "t", "v")
+    val out = AsOfJoin.asOfBackwardWithin(probe, build, "k", "t", Seq("v"),
+        tolerance = 60L)
+      .select("tag", "v").as[(String, Option[String])].collect().toMap
+    assert(out("early").isEmpty)           // no prior build row
+    assert(out("fresh").contains("b100"))  // 150-100 = 50 <= 60
+    assert(out("stale").isEmpty)           // 200-100 = 100 > 60 -> nulled
+    assert(out("nokey").isEmpty)
+    // unbounded tolerance degenerates to the plain backward as-of
+    val unbounded = AsOfJoin.asOfBackwardWithin(probe, build, "k", "t",
+        Seq("v"), tolerance = Long.MaxValue)
+      .select("tag", "v").as[(String, Option[String])].collect().toSet
+    val plain = AsOfJoin.asOfBackward(probe, build, "k", "t", Seq("v"))
+      .select("tag", "v").as[(String, Option[String])].collect().toSet
+    assert(unbounded == plain)
+    // same single-shuffle, join-free plan as the plain form
+    val plan = AsOfJoin.asOfBackwardWithin(probe, build, "k", "t", Seq("v"), 60L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1)
+    assert(!plan.contains("Join"))
+  }
+
   test("asOfBackward plan: ONE shuffle, no join") {
     // the whole point vs the range-join/correlated formulations: union +
     // one keyed window — a single hashpartitioning exchange, no

@@ -523,6 +523,45 @@ class SnapshotDiffSpec extends SparkSpec {
         Seq((1L, 1)).toDF("k", "b"), Seq("k"))
     }
   }
+  test("ewma: hand-computed recurrence, per-entity isolation, JVM replay equivalence") {
+    val df = Seq(
+      (1L, 1L, 10L, 10.0), (1L, 2L, 20L, 20.0), (1L, 3L, 30L, 0.0),
+      (2L, 4L, 5L, 7.0))
+      .toDF("user_id", "event_id", "ts_ns", "value")
+    val out = graft.operators.TimeSeries.ewma(df, "user_id",
+        Seq("ts_ns", "event_id"), "value", alpha = 0.5)
+      .select("user_id", "event_id", "ewma")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // s = 10; 0.5*20+0.5*10 = 15; 0.5*0+0.5*15 = 7.5; entity 2 seeds fresh
+    assert(out((1L, 1L)) == 10.0 && out((1L, 2L)) == 15.0)
+    assert(out((1L, 3L)) == 7.5)
+    assert(out((2L, 4L)) == 7.0)
+    // JVM-side replay on the events fixture: the fold must equal a
+    // sequential Scala recurrence bit-for-bit (incl. the HALF_UP edge)
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"ts_ns", $"event_id", $"value")
+    val got = graft.operators.TimeSeries.ewma(ev, "user_id",
+        Seq("ts_ns", "event_id"), "value", alpha = 0.2)
+      .select("user_id", "event_id", "ewma")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val alpha = 0.2
+    val expected = ev.as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).iterator.flatMap { case (_, rows) =>
+        var s = Double.NaN
+        rows.sortBy(r => (r._2, r._3)).zipWithIndex.map { case (r, i) =>
+          s = if (i == 0) r._4 else alpha * r._4 + (1.0 - alpha) * s
+          (r._1, r._3) -> BigDecimal(s)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }.toMap
+    assert(got.size == expected.size && got == expected,
+      s"fold diverges from the sequential replay on ${
+        got.count { case (k, v) => expected(k) != v }} rows")
+  }
 }
 
 class IncrementalAggSpec extends SparkSpec {
