@@ -434,28 +434,16 @@ object Similarity {
       kmeansIterations: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(
-      centroidInit(emb, numCentroids, kmeansIterations, idCol, vecCol))
-
-    // Inverted lists: nearest centroid per corpus vector (argmax via
-    // max_by — one pass, no window). Zero-norm vectors are excluded on
-    // both sides, as in the quantized path: they have no cosine
-    // direction, and under ANSI SQL their 0/0 ranking is a
-    // DIVIDE_BY_ZERO error, not even a quiet NaN.
-    val assigned = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
-      .filter(dot(col("__v"), col("__v")) > 0)
-      .join(cents)
-      .withColumn("__cs", cosine(col("__v"), col("__cv")))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(col("cid"), struct(col("__cs"), -col("cid"))).as("cid"),
-        first(col("__v")).as("__v"))
+    val cents =
+      centroidInit(emb, numCentroids, kmeansIterations, idCol, vecCol)
+    val assigned = assignNearest(emb, cents, idCol, vecCol)
 
     // Each query probes its nprobe nearest lists.
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__qs").desc, col("cid").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .filter(dot(col("__qv"), col("__qv")) > 0)
-      .join(cents)
+      .join(broadcast(cents))
       .withColumn("__qs", cosine(col("__qv"), col("__cv")))
       .withColumn("__pr", row_number().over(wq))
       .filter(col("__pr") <= nprobe)
@@ -537,11 +525,14 @@ object Similarity {
     IvfIndex(cents, assignLists(emb, cents, idCol, vecCol))
   }
 
-  /** One corpus (or batch) pass turning vectors into int8 list entries
-    * under a FIXED centroid set — the shared assignment stage of
-    * [[buildIvfIndex]] and [[appendToIvfIndex]].
+  /** Nearest-centroid assignment under a FIXED centroid set (argmax via
+    * max_by — one pass, no window), shared by the float IVF
+    * ([[ivfTopK]]) and the quantized build/append path. Zero-norm
+    * vectors are excluded: they have no cosine direction, and under
+    * ANSI SQL their 0/0 ranking is a DIVIDE_BY_ZERO error, not even a
+    * quiet NaN.
     */
-  private def assignLists(emb: DataFrame, cents: DataFrame,
+  private def assignNearest(emb: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
       .filter(dot(col("__v"), col("__v")) > 0)
@@ -550,6 +541,15 @@ object Similarity {
       .groupBy(col("neighbor_id"))
       .agg(max_by(col("cid"), struct(col("__cs"), -col("cid"))).as("cid"),
         first(col("__v")).as("__v"))
+
+  /** One corpus (or batch) pass turning vectors into int8 list entries
+    * under a FIXED centroid set — the shared assignment stage of
+    * [[buildIvfIndex]] and [[appendToIvfIndex]]: [[assignNearest]] +
+    * quantization.
+    */
+  private def assignLists(emb: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    assignNearest(emb, cents, idCol, vecCol)
       .withColumn("__q", graft.functions.VectorFunctions.int8Quantize(col("__v")))
       .select(col("cid"), col("neighbor_id"), col("__q.scale").as("scale"),
         col("__q.codes").as("codes"))
