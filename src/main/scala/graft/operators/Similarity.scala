@@ -692,6 +692,14 @@ object Similarity {
     * default band geometry — a pair at centered cosine ≥ 0.99 is missed
     * with p < 1e-4 (Charikar; see [[hyperplaneNearDupPairs]]).
     */
+  /** Centered histogram features — the shared feature stage of the
+    * media near-dup family (one definition; the LSH path and its exact
+    * ground-truth twin must never drift apart).
+    */
+  private def centeredMediaFeatures(blobs: DataFrame, dims: Int): DataFrame =
+    centerVectors(Multimodal.extractFeatures(blobs, dims),
+      "doc_id", "feature")
+
   def mediaNearDupPairs(
       blobs: DataFrame,
       threshold: Double,
@@ -699,9 +707,7 @@ object Similarity {
       bands: Int = 8,
       rowsPerBand: Int = 12,
       seed: Long = 42L): DataFrame =
-    hyperplaneNearDupPairs(
-      centerVectors(Multimodal.extractFeatures(blobs, dims),
-        "doc_id", "feature"),
+    hyperplaneNearDupPairs(centeredMediaFeatures(blobs, dims),
       threshold, bands, rowsPerBand, seed, idCol = "doc_id",
       vecCol = "feature")
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("sim"))
@@ -714,9 +720,7 @@ object Similarity {
       blobs: DataFrame,
       threshold: Double,
       dims: Int = 64): DataFrame =
-    cosineNearDupPairs(
-      centerVectors(Multimodal.extractFeatures(blobs, dims),
-        "doc_id", "feature"),
+    cosineNearDupPairs(centeredMediaFeatures(blobs, dims),
       threshold, idCol = "doc_id", vecCol = "feature")
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("sim"))
 

@@ -203,6 +203,51 @@ object TimeSeries {
         round(col("__z.__ew"), 4).as("ewma"): _*)
   }
 
+  /** Holt linear (level + trend) exponential smoothing per entity —
+    * [[ewma]]'s two-state sibling, the classic double-smoother for
+    * drifting series (an EWMA lags a trending signal by construction;
+    * Holt tracks the slope): lᵢ = α·xᵢ + (1−α)(lᵢ₋₁ + bᵢ₋₁),
+    * bᵢ = β(lᵢ − lᵢ₋₁) + (1−β)bᵢ₋₁, seeded l₀ = x₀, b₀ = 0. Emits per
+    * input row the smoothed `level`, the `trend`, and the one-step
+    * `forecast` (lᵢ + bᵢ — what the smoother would predict next).
+    *
+    * Same shape and determinism contract as [[ewma]]: one grouped fold
+    * per entity, recurrence run sequentially in double, bit-identical
+    * to an oracle's recursive CTE; same per-entity-volume exposure as
+    * any entity window.
+    */
+  def holtSmooth(df: DataFrame, entity: String, order: Seq[String],
+      valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    val sorted = array_sort(collect_list(
+      struct(order.map(col) :+ col(valueCol).cast("double").as("__x"): _*)))
+    val a = lit(alpha); val bb = lit(beta)
+    df.groupBy(col(entity))
+      .agg(sorted.as("__s"))
+      .withColumn("__vals", expr("transform(__s, e -> e.__x)"))
+      // accumulator: running array of (l, b) state structs
+      .withColumn("__lb",
+        aggregate(slice(col("__vals"), lit(2),
+            greatest(size(col("__vals")) - 1, lit(0))),
+          array(struct(element_at(col("__vals"), 1).as("l"),
+            lit(0.0).as("b"))),
+          (acc, x) => {
+            val prev = element_at(acc, -1)
+            val l = a * x + (lit(1.0) - a) * (prev("l") + prev("b"))
+            val b = bb * (l - prev("l")) + (lit(1.0) - bb) * prev("b")
+            concat(acc, array(struct(l.as("l"), b.as("b"))))
+          }))
+      .select(col(entity),
+        posexplode(arrays_zip(col("__s"), col("__lb"))).as(Seq("__i", "__z")))
+      .select(col(entity) +:
+        order.map(c => col(s"__z.__s.$c").as(c)) :+
+        col("__z.__s.__x").as(valueCol) :+
+        round(col("__z.__lb.l"), 4).as("level") :+
+        round(col("__z.__lb.b"), 4).as("trend") :+
+        round(col("__z.__lb.l") + col("__z.__lb.b"), 4).as("forecast"): _*)
+  }
+
   def funnel(df: DataFrame, entity: String, order: Seq[Column],
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -209,6 +209,16 @@ object PipelineQueries {
           col("event_id"), col("value")),
         "user_id", Seq("ts_ns", "event_id"), "value", alpha = 0.2)),
 
+    // Holt level+trend smoothing (q145's two-state sibling) at
+    // α=0.2, β=0.1 — same fold, same bit-exact recursive-CTE oracle
+    // discipline; emits level/trend/one-step forecast per event.
+    "q146_holt_smooth" -> ((s, d) =>
+      graft.operators.TimeSeries.holtSmooth(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("value")),
+        "user_id", Seq("ts_ns", "event_id"), "value",
+        alpha = 0.2, beta = 0.1)),
+
     // Bigram-LM perplexity, trained on the EVEN half of the corpus and
     // scoring everything — odd docs carry genuinely unseen bigrams, so
     // both the smoothing backstop and the unseen fraction are exercised
@@ -1692,6 +1702,29 @@ object PipelineQueries {
         |    0.2 * x.value + (1.0 - 0.2) * r.s
         |  FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1)
         |SELECT user_id, ts_ns, event_id, value, round(s, 4) AS ewma
+        |FROM r""".stripMargin,
+    // q145's replay discipline with two state columns; the trend row
+    // recomputes the new level expression inline (SQL cannot reference
+    // a sibling alias) — identical double arithmetic either way.
+    "q146_holt_smooth" ->
+      """WITH RECURSIVE x AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+        |    value::DOUBLE AS value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts_ns, event_id, value, rn,
+        |    value AS l, 0.0::DOUBLE AS b
+        |  FROM x WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.user_id, x.ts_ns, x.event_id, x.value, x.rn,
+        |    0.2 * x.value + (1.0 - 0.2) * (r.l + r.b) AS l,
+        |    0.1 * ((0.2 * x.value + (1.0 - 0.2) * (r.l + r.b)) - r.l)
+        |      + (1.0 - 0.1) * r.b AS b
+        |  FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+        |SELECT user_id, ts_ns, event_id, value, round(l, 4) AS level,
+        |  round(b, 4) AS trend, round(l + b, 4) AS forecast
         |FROM r""".stripMargin,
     // q95's conventions one n-gram up: the LM counts come from the even
     // half only; per-doc sums differ across engines by ~1 ulp (absorbed

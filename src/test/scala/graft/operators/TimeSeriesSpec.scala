@@ -523,6 +523,60 @@ class SnapshotDiffSpec extends SparkSpec {
         Seq((1L, 1)).toDF("k", "b"), Seq("k"))
     }
   }
+  test("holtSmooth: hand-computed level/trend, trend tracking, JVM replay equivalence") {
+    // α = β = 0.5, xs = [10, 20]: l1=10 b1=0; l2 = 0.5·20+0.5·10 = 15,
+    // b2 = 0.5·(15−10)+0.5·0 = 2.5, forecast2 = 17.5
+    val df = Seq((1L, 1L, 10L, 10.0), (1L, 2L, 20L, 20.0))
+      .toDF("user_id", "event_id", "ts_ns", "value")
+    val out = graft.operators.TimeSeries.holtSmooth(df, "user_id",
+        Seq("ts_ns", "event_id"), "value", alpha = 0.5, beta = 0.5)
+      .select("event_id", "level", "trend", "forecast")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((10.0, 0.0, 10.0)))
+    assert(out(2L) == ((15.0, 2.5, 17.5)))
+    // on a perfect linear ramp the forecast converges to the next value
+    // while a plain EWMA lags it — the reason this operator exists
+    val ramp = (1L to 40L).map(i => (7L, i, i * 10L, i.toDouble * 5))
+      .toDF("user_id", "event_id", "ts_ns", "value")
+    val last = graft.operators.TimeSeries.holtSmooth(ramp, "user_id",
+        Seq("ts_ns", "event_id"), "value", alpha = 0.5, beta = 0.5)
+      .orderBy($"event_id".desc).select("forecast")
+      .as[Double].head()
+    val ewmaLast = graft.operators.TimeSeries.ewma(ramp, "user_id",
+        Seq("ts_ns", "event_id"), "value", alpha = 0.5)
+      .orderBy($"event_id".desc).select("ewma").as[Double].head()
+    assert(math.abs(last - 205.0) < 0.5, s"Holt forecast $last should track the ramp's next value 205")
+    assert(205.0 - ewmaLast > 4.0, s"EWMA $ewmaLast must lag the ramp — else Holt is pointless here")
+    // JVM sequential replay on the events fixture (the q146 gate's
+    // arithmetic), HALF_UP edge included
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"ts_ns", $"event_id", $"value")
+    val got = graft.operators.TimeSeries.holtSmooth(ev, "user_id",
+        Seq("ts_ns", "event_id"), "value", alpha = 0.2, beta = 0.1)
+      .select("user_id", "event_id", "level", "trend", "forecast")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ev.as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).iterator.flatMap { case (_, rows) =>
+        var l = 0.0; var b = 0.0
+        rows.sortBy(r => (r._2, r._3)).zipWithIndex.map { case (r, i) =>
+          if (i == 0) { l = r._4; b = 0.0 }
+          else {
+            val nl = 0.2 * r._4 + (1.0 - 0.2) * (l + b)
+            b = 0.1 * (nl - l) + (1.0 - 0.1) * b
+            l = nl
+          }
+          (r._1, r._3) -> ((r4(l), r4(b), r4(l + b)))
+        }
+      }.toMap
+    assert(got.size == expected.size && got == expected)
+  }
+
   test("ewma: hand-computed recurrence, per-entity isolation, JVM replay equivalence") {
     val df = Seq(
       (1L, 1L, 10L, 10.0), (1L, 2L, 20L, 20.0), (1L, 3L, 30L, 0.0),
