@@ -105,6 +105,16 @@ object Decontaminate {
     * engine-exact: sims are bit-identical double arithmetic over the
     * stored floats (the dot kernel's sequential accumulation = the
     * oracle's list_sum order), rounded only at the output edge.
+    *
+    * Zero-norm contract (shared with the streaming twin, ADVICE r14 —
+    * NaN sims previously ranked ABOVE every real match and flagged the
+    * row contaminated): a zero-norm corpus vector has no cosine
+    * direction, so its row is the defined audit row (bench_id null,
+    * max_sim null, contaminated false); zero-norm eval vectors
+    * contribute null sims and are thereby ignored (an eval set that is
+    * ALL zero-norm yields an empty frame here — the stream twin fails
+    * loudly instead, the one place the twins must differ because a
+    * lazy plan cannot validate eagerly).
     */
   def semanticDecontaminate(
       emb: DataFrame,
@@ -121,15 +131,17 @@ object Decontaminate {
       sqrt(dot(col(vecCol), col(vecCol))).as("__bn")))
     corpus.join(bench)
       .withColumn("__sim",
-        dot(col("__v"), col("__bv")) / (col("__vn") * col("__bn")))
+        when(col("__vn") > 0 && col("__bn") > 0,
+          dot(col("__v"), col("__bv")) / (col("__vn") * col("__bn"))))
       .groupBy(col(idCol))
       .agg(
         max_by(col(benchIdCol),
           struct(col("__sim"), -col(benchIdCol))).as(benchIdCol),
         max(col("__sim")).as("__ms"))
-      .select(col(idCol), col(benchIdCol),
+      .select(col(idCol),
+        when(col("__ms").isNotNull, col(benchIdCol)).as(benchIdCol),
         round(col("__ms"), 4).as("max_sim"),
-        (col("__ms") >= threshold).as("contaminated"))
+        coalesce(col("__ms") >= threshold, lit(false)).as("contaminated"))
   }
 
   def removeContaminated(docs: DataFrame, benchmark: DataFrame,

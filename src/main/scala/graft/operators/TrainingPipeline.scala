@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus→training-shards composition — every stage of
+  * the LLM-data-pipeline surface chained under ONE call, because the
+  * composed form is what a real user runs and pairwise gates cannot see
+  * three-stage drift (the q90 precedent: its bugs surfaced only on
+  * composition). Stages, each individually oracle-gated:
+  *
+  *  1. [[Curation.curate]] (q90) — exact-dup canonicals, benchmark
+  *     decontamination, Gopher battery, quality score, repetition;
+  *  2. [[Dedup.minhashNearDupPairs]] → [[Dedup.nearDupClusters]] →
+  *     [[Sampling.leakageSafeSplit]] (q130) — near-dup components of the
+  *     CURATED corpus key the split draw, train rows proceed;
+  *  3. [[Sampling.domainMixPlan]] → [[Sampling.materializeMix]]
+  *     (q101/q121) — observed train-token shares vs the target mix,
+  *     epoch-replicated (doc, epoch) rows;
+  *  4. [[Sampling.epochOrder]] (q131) — (id:epoch)-hashed deterministic
+  *     training order: (shard, pos) coordinates;
+  *  5. [[Sampling.packSequences]] (q78) in pos order per shard — the
+  *     [[graft.sources.Layout.planTrainingShards]] layout generalized to
+  *     the multi-epoch mix: (pack_id, pack_offset) per row.
+  *
+  * Output: one row per (document, epoch) with its full training-layout
+  * coordinate — (idCol, domainCol, epoch, shard, pos, n_tokens, pack_id,
+  * pack_offset). Every coordinate is a pure function of the input ids
+  * and text: reproducible across engines, retries, and reruns.
+  */
+object TrainingPipeline {
+
+  /** Scale shape, stage by stage: curation emits a narrow keep-list that
+    * is materialized ONCE (localCheckpoint — id-width, corpus-cardinality,
+    * the same discipline as [[Dedup.nearDupClusters]]' labels) because the
+    * LSH stage re-scans its input ~3 times (its documented pass/cache
+    * trade) — each pass re-reads the RAW corpus at scan speed and
+    * re-joins the checkpointed ids instead of re-running curation. The
+    * split/plan/mix joins are all broadcast (cluster table, grand total,
+    * weight table are config- or pair-sized). Token counts ride a narrow
+    * (id, n_tokens) shuffle join onto the mix rows. epochOrder and the
+    * pack window both partition by `shard`, so stages 4+5 share one
+    * exchange (the [[graft.sources.Layout.planTrainingShards]] plan
+    * shape). Document text never shuffles anywhere: the only
+    * corpus-sized shuffle keys are fingerprints, shingle projections,
+    * and (id, token-count) pairs.
+    *
+    * A 100 TB run would materialize the curated corpus between stages 1
+    * and 2 ([[graft.sources.Layout.writePartitioned]]) rather than
+    * re-scan raw input per LSH pass; the query form keeps the chain
+    * lazy so the whole layout is one plan.
+    */
+  def corpusToShards(docs: DataFrame, benchmark: DataFrame,
+      targets: Map[String, Double],
+      textCol: String = "text", idCol: String = "doc_id",
+      domainCol: String = "source",
+      shards: Int = 8, budget: Long = 2048L,
+      nearDupThreshold: Double = 0.8): DataFrame = {
+    // Stage 1 — curate; keep-list materialized once (narrow: ids only)
+    val keepIds = Curation.curate(docs, benchmark, textCol, idCol)
+      .filter(col("keep")).select(col(idCol))
+      .localCheckpoint()
+    val kept = docs.join(keepIds, Seq(idCol))
+    // Stage 2 — near-dup components of the curated corpus key the split
+    val pairs = Dedup.minhashNearDupPairs(kept, textCol, idCol,
+      nearDupThreshold)
+    val clusters = Dedup.nearDupClusters(pairs)
+    val split = Sampling.leakageSafeSplit(
+      kept.select(col(idCol), col(domainCol), col(textCol)), clusters, idCol)
+    val train = split.filter(col("split") === "train")
+    // Stage 3 — mix plan on observed TRAIN token shares, materialized
+    val tokens = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val plan = Sampling.domainMixPlan(train, domainCol, tokens, targets)
+    val mix = Sampling.materializeMix(
+      train.select(col(idCol), col(domainCol)), domainCol, plan, idCol)
+    // token counts join the (doc, epoch) rows as a narrow pair frame
+    val withTok = mix.join(
+      train.select(col(idCol), tokens.as("n_tokens")), Seq(idCol))
+    // Stages 4+5 — epoch-keyed order, then pack per shard in pos order;
+    // both windows partition by shard → one exchange
+    val ordered = Sampling.epochOrder(withTok, idCol, "epoch", shards)
+    Sampling.packSequences(ordered, "n_tokens", budget, Seq("shard"), "pos")
+      .select(col(idCol), col(domainCol), col("epoch"), col("shard"),
+        col("pos"), col("n_tokens"), col("pack_id"), col("pack_offset"))
+  }
+}

@@ -982,6 +982,21 @@ object PipelineQueries {
         Similarity.dot(col("codes"),
             sequence(lit(1), size(col("codes"))))
           .cast("long").as("poschk"))
+    }),
+
+    // The end-to-end corpus→training-shards composition (VERDICT r14
+    // #1): curate (q90) → leakage-safe split (q130) → mix plan +
+    // materialize (q101/q121) → epoch order (q131) → pack (q78) in one
+    // chain, full value oracle on the final (doc, epoch, shard, pos,
+    // pack) coordinates — each stage's oracle CTE chained verbatim.
+    "q147_training_pipeline" -> ((s, d) => {
+      val bench = Tables.documents(s, d)
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select(substring(col("text"), 41, 200).as("text"))
+      graft.operators.TrainingPipeline.corpusToShards(
+        docsWithDups(s, d), bench,
+        targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
+          (2 to 11).map(i => s"src$i" -> 0.05).toMap)
     })
   )
 
@@ -1683,10 +1698,12 @@ object PipelineQueries {
         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
         |  s.log_ppl, s.oov_frac
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
-    // The recursive CTE replays the fold step for step ((1.0 - 0.2)
-    // written as the same IEEE subtraction the operator constant-folds,
-    // so every coefficient is the identical double); epoch_ns(ts) is
-    // the q63 ts_ns convention.
+    // The recursive CTE replays the fold step for step. Coefficients are
+    // written (1.0::DOUBLE - 0.2::DOUBLE) — explicit casts force DuckDB
+    // into the same IEEE double subtraction Spark constant-folds, rather
+    // than DECIMAL-exact 0.8 cast after the fact (measured: both routes
+    // land on 0x3FE999999999999A here, but the cast removes the literal-
+    // typing bet — ADVICE r14). epoch_ns(ts) is the q63 ts_ns convention.
     "q145_ewma" ->
       """WITH RECURSIVE x AS (
         |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
@@ -1699,7 +1716,7 @@ object PipelineQueries {
         |  FROM x WHERE rn = 1
         |  UNION ALL
         |  SELECT x.user_id, x.ts_ns, x.event_id, x.value, x.rn,
-        |    0.2 * x.value + (1.0 - 0.2) * r.s
+        |    0.2::DOUBLE * x.value + (1.0::DOUBLE - 0.2::DOUBLE) * r.s
         |  FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1)
         |SELECT user_id, ts_ns, event_id, value, round(s, 4) AS ewma
         |FROM r""".stripMargin,
@@ -1719,9 +1736,11 @@ object PipelineQueries {
         |  FROM x WHERE rn = 1
         |  UNION ALL
         |  SELECT x.user_id, x.ts_ns, x.event_id, x.value, x.rn,
-        |    0.2 * x.value + (1.0 - 0.2) * (r.l + r.b) AS l,
-        |    0.1 * ((0.2 * x.value + (1.0 - 0.2) * (r.l + r.b)) - r.l)
-        |      + (1.0 - 0.1) * r.b AS b
+        |    0.2::DOUBLE * x.value
+        |      + (1.0::DOUBLE - 0.2::DOUBLE) * (r.l + r.b) AS l,
+        |    0.1::DOUBLE * ((0.2::DOUBLE * x.value
+        |        + (1.0::DOUBLE - 0.2::DOUBLE) * (r.l + r.b)) - r.l)
+        |      + (1.0::DOUBLE - 0.1::DOUBLE) * r.b AS b
         |  FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1)
         |SELECT user_id, ts_ns, event_id, value, round(l, 4) AS level,
         |  round(b, 4) AS trend, round(l + b, 4) AS forecast
@@ -3109,6 +3128,199 @@ object PipelineQueries {
         |    AS sumsq,
         |  list_sum(list_transform(range(1, len(codes) + 1),
         |    i -> codes[i]::BIGINT * i))::BIGINT AS poschk
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // The composed pipeline: q90's verdict CTEs verbatim → kept set →
+    // q130's shingle/closure/split CTEs restricted to kept → train →
+    // q121's mix CTEs over train-token shares → q131's (id:epoch) hash
+    // order → q78's pack arithmetic per shard in pos order. Every block
+    // is an already-green oracle, chained; renames only where CTE names
+    // would collide (r→calm, pairs→kpairs etc.).
+    "q147_training_pipeline" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        |  FROM base),
+        |canon AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY f),
+        |bt AS (
+        |  SELECT list_filter(string_split_regex(substr(text, 41, 200),
+        |    '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 300),
+        |bg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM bt),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM base),
+        |dg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM dt),
+        |hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
+        |lt AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM base),
+        |gs AS (
+        |  SELECT doc_id, len(tk) AS n,
+        |    coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+        |      AS chars,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x)))
+        |      AS stops,
+        |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS alpha,
+        |    length(lt) - length(replace(lt, '#', ''))
+        |      + len(regexp_extract_all(lt, '\.{3}')) AS sym,
+        |    len(string_split(lt, chr(10))) AS nl,
+        |    len(regexp_extract_all(lt, '(?m)^[ \t]*[•‣▪*-]')) AS bl,
+        |    len(regexp_extract_all(lt, '(?m)(\.\.\.|…)[ \t]*$')) AS el
+        |  FROM lt),
+        |gp AS (
+        |  SELECT doc_id,
+        |    (n >= 50 AND n <= 100000)
+        |    AND coalesce(CASE WHEN n > 0 THEN chars::DOUBLE / n >= 3.0
+        |      AND chars::DOUBLE / n <= 10.0 END, FALSE)
+        |    AND coalesce(CASE WHEN n > 0 THEN sym::DOUBLE / n <= 0.1 END,
+        |      FALSE)
+        |    AND coalesce(CASE WHEN n > 0 THEN alpha::DOUBLE / n >= 0.8 END,
+        |      FALSE)
+        |    AND stops >= 2
+        |    AND bl::DOUBLE / nl <= 0.9
+        |    AND el::DOUBLE / nl <= 0.3 AS pass
+        |  FROM gs),
+        |qm AS (
+        |  SELECT doc_id, length(text) AS nch,
+        |    CASE WHEN len(t) > 0 THEN
+        |      list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+        |      END AS atl,
+        |    CASE WHEN len(t) > 0 THEN
+        |      len(list_filter(t, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'],
+        |        x)))::DOUBLE / len(t) END AS swr,
+        |    CASE WHEN length(text) > 0 THEN
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(text) END AS ar
+        |  FROM base JOIN dt USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id, 0.25::DOUBLE * (
+        |    coalesce(nch BETWEEN 100 AND 10000, false)::INT +
+        |    coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
+        |    coalesce(swr >= 0.03, false)::INT +
+        |    coalesce(ar >= 0.6, false)::INT) AS quality
+        |  FROM qm),
+        |tc AS (
+        |  SELECT doc_id, tok, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM dt) GROUP BY 1, 2),
+        |tm AS (SELECT doc_id, max(cnt) AS mx FROM tc GROUP BY 1),
+        |calm AS (
+        |  SELECT dt.doc_id,
+        |    coalesce(CASE WHEN len(dt.t) > 0 THEN
+        |      tm.mx::DOUBLE / len(dt.t) <= 0.5 END, FALSE) AS calm
+        |  FROM dt LEFT JOIN tm USING (doc_id)),
+        |v AS (
+        |  SELECT fp.doc_id,
+        |    CASE WHEN fp.doc_id <> canon.canon THEN 'duplicate'
+        |         WHEN hit.doc_id IS NOT NULL THEN 'contaminated'
+        |         WHEN NOT gp.pass THEN 'gopher'
+        |         WHEN q.quality < 0.5 THEN 'low_quality'
+        |         WHEN NOT calm.calm THEN 'repetitive'
+        |    END AS reason
+        |  FROM fp JOIN canon USING (f)
+        |  LEFT JOIN hit ON hit.doc_id = fp.doc_id
+        |  JOIN gp ON gp.doc_id = fp.doc_id
+        |  JOIN q ON q.doc_id = fp.doc_id
+        |  JOIN calm ON calm.doc_id = fp.doc_id),
+        |kept AS (SELECT doc_id FROM v WHERE reason IS NULL),
+        |ksh AS (
+        |  SELECT dt.doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM dt JOIN kept USING (doc_id)),
+        |ksz AS (SELECT doc_id, count(*) AS n FROM ksh GROUP BY doc_id),
+        |kix AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM ksh a JOIN ksh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |kpairs AS (
+        |  SELECT doc_a, doc_b FROM kix
+        |  JOIN ksz sa ON doc_a = sa.doc_id
+        |  JOIN ksz sb ON doc_b = sb.doc_id
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |kedges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM kpairs
+        |  UNION ALL SELECT doc_b, doc_a FROM kpairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM kedges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN kedges e ON r.t = e.s),
+        |lbl AS (
+        |  SELECT s AS doc_id, least(s, min(t)) AS cluster
+        |  FROM reach GROUP BY s),
+        |train AS (
+        |  SELECT k.doc_id FROM kept k LEFT JOIN lbl l USING (doc_id)
+        |  WHERE ('0x' || substr(md5(coalesce(l.cluster, k.doc_id)::VARCHAR),
+        |    1, 15))::BIGINT % 100 < 90),
+        |tn AS (
+        |  SELECT dt.doc_id, d.source, len(dt.t)::BIGINT AS n_tokens
+        |  FROM dt JOIN train USING (doc_id) JOIN documents d USING (doc_id)),
+        |perdom AS (
+        |  SELECT source, sum(n_tokens)::BIGINT AS tokens FROM tn
+        |  GROUP BY source),
+        |tot AS (SELECT sum(tokens)::BIGINT AS total FROM perdom),
+        |wt AS (
+        |  SELECT source,
+        |    round(least(
+        |      (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+        |        WHEN 'src2' THEN 0.05 WHEN 'src3' THEN 0.05
+        |        WHEN 'src4' THEN 0.05 WHEN 'src5' THEN 0.05
+        |        WHEN 'src6' THEN 0.05 WHEN 'src7' THEN 0.05
+        |        WHEN 'src8' THEN 0.05 WHEN 'src9' THEN 0.05
+        |        WHEN 'src10' THEN 0.05 WHEN 'src11' THEN 0.05
+        |        ELSE 0.0 END::DOUBLE)
+        |      / (tokens::DOUBLE / total::DOUBLE), 4.0), 6) AS sw
+        |  FROM perdom, tot),
+        |cps AS (
+        |  SELECT tn.doc_id, tn.source, tn.n_tokens,
+        |    (floor(sw)::INT + CASE WHEN
+        |      (('0x' || substr(md5(tn.doc_id::VARCHAR || ':epoch'), 1, 15))
+        |        ::BIGINT % 10000)::DOUBLE < (sw - floor(sw)) * 10000
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM tn JOIN wt USING (source)),
+        |mixr AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    unnest(range(1, copies + 1))::INT AS epoch
+        |  FROM cps WHERE copies > 0),
+        |hh AS (
+        |  SELECT doc_id, source, n_tokens, epoch,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR),
+        |      1, 15))::BIGINT AS hv
+        |  FROM mixr),
+        |ord AS (
+        |  SELECT doc_id, source, n_tokens, epoch, (hv % 8)::INT AS shard,
+        |    row_number() OVER (PARTITION BY hv % 8
+        |      ORDER BY hv ASC, doc_id ASC, epoch ASC) - 1 AS pos
+        |  FROM hh),
+        |pk AS (
+        |  SELECT doc_id, source, epoch, shard, pos, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens)::BIGINT AS f
+        |  FROM ord)
+        |SELECT doc_id, source, epoch, shard, pos, n_tokens,
+        |  f // 2048 AS pack_id, f % 2048 AS pack_offset
+        |FROM pk""".stripMargin
   )
 }

@@ -45,8 +45,8 @@ private case class SessionState(start: Long, end: Long, events: Long,
   * [[Streaming.semanticDecontaminateStream]] — the same frame
   * [[graft.operators.Decontaminate.semanticDecontaminate]] produces.
   */
-case class ContaminationFlag(vec_id: Long, bench_id: Long, max_sim: Double,
-    contaminated: Boolean)
+case class ContaminationFlag(vec_id: Long, bench_id: Option[Long],
+    max_sim: Option[Double], contaminated: Boolean)
 
 /** A document arriving on the LAYOUT stream: event time + shard key +
   * id + token count ([[graft.operators.Sampling.packSequences]]'s input
@@ -391,38 +391,49 @@ object Streaming {
     * exactly the batch dot kernel's order — ties break to the lowest
     * bench id by scanning the set in ascending id order with a
     * strictly-greater update, and the edge rounding replays Spark's
-    * HALF_UP. Zero-norm corpus vectors are upstream's problem in both
-    * twins (their cosine is NaN); the eval set must be zero-norm-free.
+    * HALF_UP. Zero-norm handling is the SHARED twin contract (ADVICE
+    * r14 — NaN sims previously flagged batch rows contaminated while
+    * killing the stream with a NegativeInfinity BigDecimal): a
+    * zero-norm CORPUS vector has no cosine direction, so both twins
+    * emit the defined audit row (bench_id null, max_sim null,
+    * contaminated false); zero-norm EVAL vectors are ignored by both
+    * (here filtered eagerly — an all-zero eval set still fails loudly).
     */
   def semanticDecontaminateStream(emb: DataFrame,
       bench: Seq[(Long, Array[Float])],
       threshold: Double): Dataset[ContaminationFlag] = {
     import emb.sparkSession.implicits._
     def norm(v: IndexedSeq[Double]): Double = math.sqrt(v.map(x => x * x).sum)
-    require(bench.nonEmpty, "eval set must be non-empty")
     val prepared = bench.sortBy(_._1).map { case (id, v) =>
       val d = v.map(_.toDouble).toIndexedSeq
-      require(norm(d) > 0, s"zero-norm eval vector $id has no cosine direction")
       (id, d, norm(d))
-    }
+    }.filter(_._3 > 0) // zero-norm eval vectors can match nothing: ignored
+                       // in both twins (batch null-guards their sims)
+    require(prepared.nonEmpty, "eval set must have a non-zero-norm vector")
     emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         it.map { case (docId, vf) =>
           val v = vf.map(_.toDouble).toIndexedSeq
           val vn = norm(v)
-          var bestId = -1L
-          var best = Double.NegativeInfinity
-          prepared.foreach { case (bid, bv, bn) =>
-            var dot = 0.0
-            var i = 0
-            val n = math.min(v.length, bv.length)
-            while (i < n) { dot += v(i) * bv(i); i += 1 }
-            val sim = dot / (vn * bn)
-            if (sim > best) { best = sim; bestId = bid }
+          if (vn > 0) {
+            var bestId = -1L
+            var best = Double.NegativeInfinity
+            prepared.foreach { case (bid, bv, bn) =>
+              var dot = 0.0
+              var i = 0
+              val n = math.min(v.length, bv.length)
+              while (i < n) { dot += v(i) * bv(i); i += 1 }
+              val sim = dot / (vn * bn)
+              if (sim > best) { best = sim; bestId = bid }
+            }
+            val rounded = BigDecimal(best)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            ContaminationFlag(docId, Some(bestId), Some(rounded),
+              best >= threshold)
+          } else {
+            // no cosine direction: the defined audit row, not a NaN
+            ContaminationFlag(docId, None, None, contaminated = false)
           }
-          val rounded = BigDecimal(best)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          ContaminationFlag(docId, bestId, rounded, best >= threshold)
         }
       }
   }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-stage invariants of the composed corpus→shards pipeline — the
+  * things no single-stage gate can see (the full value oracle is q147;
+  * this spec checks the STRUCTURE the composition promises).
+  */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // gopher/quality-green doc bodies: 120 tokens, 50% stopwords, doc-
+  // specific filler so no accidental cross-doc shingle overlap
+  private def body(tag: String): String =
+    (1 to 60).map(i => s"the w${tag}x$i").mkString(" ")
+
+  private val leaky = (1 to 60).map(i => s"the item$i").mkString(" ")
+
+  private lazy val docs = {
+    val a = (1 to 12).map(i => (i.toLong, "a", body(s"a$i")))
+    val b = (21 to 26).map(i => (i.toLong, "b", body(s"b$i")))
+    val dup = Seq((101L, "a", body("a1")))          // exact dup of id 1
+    val cont = Seq((31L, "b", leaky))               // contaminated
+    val near = Seq((41L, "b", body("nd")),          // near-dup pair:
+      (42L, "b", body("nd") + " zzqq"))             // one appended token
+    (a ++ b ++ dup ++ cont ++ near).toDF("doc_id", "source", "text")
+  }
+
+  private lazy val out = TrainingPipeline.corpusToShards(
+    docs, Seq(leaky.take(200)).toDF("text"),
+    targets = Map("a" -> 0.7, "b" -> 0.3), shards = 4, budget = 50L)
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+
+  test("curation rejects never reach the layout; dups/contamination gone") {
+    val ids = out.map(_._1).toSet
+    assert(!ids.contains(101L), "exact-dup copy must be curated out")
+    assert(!ids.contains(31L), "contaminated doc must be curated out")
+    // the canonical (id 1) survives curation — if absent from the layout
+    // it can only be a val/test split draw, so its dup twin being gone
+    // while other a-domain docs remain is the meaningful check above
+  }
+
+  test("near-dup cluster members never straddle the split boundary") {
+    val ids = out.map(_._1).toSet
+    assert(ids.contains(41L) == ids.contains(42L),
+      s"cluster (41,42) straddles the split: present=${
+        ids.filter(Set(41L, 42L))}")
+  }
+
+  test("each doc's epoch copies are contiguous from 1") {
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val epochs = rows.map(_._3).sorted.toSeq
+      assert(epochs == (1 to epochs.size), s"doc $id epochs: $epochs")
+    }
+  }
+
+  test("per-shard pos is a 0-based rank; pack coords replay the running sum") {
+    out.groupBy(_._4).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (0 until rows.size),
+        s"shard $shard pos not contiguous")
+      var run = 0L
+      sorted.foreach { case (id, _, ep, _, _, nTok, packId, packOff) =>
+        assert(packId == run / 50 && packOff == run % 50,
+          s"doc $id epoch $ep in shard $shard: expected pack " +
+            s"(${run / 50},${run % 50}), got ($packId,$packOff)")
+        run += nTok
+      }
+    }
+  }
+
+  test("token counts in the layout match the curated docs' token counts") {
+    val expected = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, _, _, _, nTok, _, _) =>
+      assert(nTok == expected(id), s"doc $id n_tokens $nTok")
+    }
+  }
+}

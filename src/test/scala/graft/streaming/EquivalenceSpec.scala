@@ -358,16 +358,24 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
 
   test("semantic decontamination: stateless streaming twin ≡ batch operator (q142 fixture shape)") {
     assume(fixtureExists("embeddings"))
+    // planted zero-norm vector: both twins must emit the defined audit
+    // row (null bench, null sim, not contaminated), not NaN/crash
+    val dim = graft.sources.Tables.embeddings(spark, dir)
+      .select(size($"embedding")).as[Int].head()
     val emb = graft.sources.Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding")
-    val benchDf = emb.filter($"vec_id" % 50 === 0)
+      .unionByName(Seq((999999L, Seq.fill(dim)(0.0f)))
+        .toDF("vec_id", "embedding"))
+    val benchDf = emb.filter($"vec_id" % 50 === 0 && $"vec_id" < 999999L)
       .select($"vec_id".as("bench_id"),
         transform($"embedding", x => x + lit(0.01f)).as("embedding"))
     val batch = graft.operators.Decontaminate
       .semanticDecontaminate(emb, benchDf, threshold = 0.9)
-      .as[(Long, Long, Double, Boolean)].collect()
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(batch.values.count(_._3) >= 2, "planted sources must flag")
+    assert(batch(999999L) == ((None, None, false)),
+      s"zero-norm batch row: ${batch(999999L)}")
 
     // the closure-captured eval set: the same +0.01f float arithmetic,
     // collected — metadata-sized by the operator's contract
