@@ -13,9 +13,52 @@ package graft
   *    exits non-zero — a broken query can no longer improve the bench.
   */
 object Bench {
+
+  /** Fixed CPU work unit for machine-state calibration: 1.5e8 xorshift64
+    * steps, pure register arithmetic — no allocation, no memory
+    * bandwidth sensitivity, deterministic instruction count. Returns the
+    * final state so the JIT cannot elide the loop.
+    */
+  private def xorshiftLoop(): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < 150000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    x
+  }
+
+  /** Machine-state self-calibration (VERDICT r14 #2): time the fixed
+    * work unit once on a single thread (`st`) and once on `threads`
+    * concurrent threads (`mt` = wall time of the slowest). On a quiet
+    * box mt ≈ st; co-tenant CPU pressure inflates mt first (oversubscribed
+    * cores) and st under full contention — the exact interference mode
+    * BASELINE.md's round-7 experiment measured at up to 9×. Timed
+    * UNTRACKED (outside the query timings) before and after the suite so
+    * tools/bench_compare.py can scale its thresholds by the observed
+    * machine state — or refuse to adjudicate — instead of every judge
+    * re-litigating noise.
+    */
+  private def calibrate(threads: Int): (Double, Double) = {
+    xorshiftLoop() // JIT warmup: the timed runs measure steady state
+    val t0 = System.nanoTime()
+    xorshiftLoop()
+    val st = (System.nanoTime() - t0) / 1e6
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val pool = (1 to threads).map { _ =>
+      new Thread(() => { sink.addAndGet(xorshiftLoop()); () })
+    }
+    val t1 = System.nanoTime()
+    pool.foreach(_.start())
+    pool.foreach(_.join())
+    val mt = (System.nanoTime() - t1) / 1e6
+    (st, mt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (stBefore, mtBefore) = calibrate(cpus.toInt)
     val spark = Sessions.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -39,6 +82,7 @@ object Bench {
     }
     val errors = timed.collect { case (n, _, Left(m)) => n -> m }
     errors.foreach { case (n, m) => System.err.println(s"[bench] $n FAILED: $m") }
+    val (stAfter, mtAfter) = calibrate(cpus.toInt)
 
     def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
@@ -65,8 +109,13 @@ object Bench {
     // bench_compare.py trust the complete file artifact — go LAST.
     // r10 emitted the nonce as the 4th key and it was provably truncated
     // away with the head of the ~4 KB line.
+    // calib sits BEFORE queries: if the stdout line truncates, the
+    // nonce-matched BENCH_LOCAL.json file carries it in full anyway
+    val calib = s"""{"threads":$cpus,"st_before_ms":${sec3(stBefore)},""" +
+      s""""mt_before_ms":${sec3(mtBefore)},"st_after_ms":${sec3(stAfter)},""" +
+      s""""mt_after_ms":${sec3(mtAfter)}}"""
     val full =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errJson,"nonce":"$nonce"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","sf":"$sfDir","calib":$calib,"queries":$qs,"errors":$errJson,"nonce":"$nonce"}"""
     try {
       // temp-then-ATOMIC_MOVE (ADVICE r10): a reader racing the write —
       // or a killed JVM — must see the previous complete file or the new

@@ -616,6 +616,58 @@ class SnapshotDiffSpec extends SparkSpec {
       s"fold diverges from the sequential replay on ${
         got.count { case (k, v) => expected(k) != v }} rows")
   }
+
+  test("smoothers: bit-exact across partitionings, hot entity streams, null poisons") {
+    // hot entity 1 (5000 rows — dwarfs the others) + small entities +
+    // an entity whose value goes null mid-series: the round-15 streamed
+    // fold must (a) produce IDENTICAL bits at any shuffle partitioning
+    // (the q118 'across chunkings' discipline — here the partition
+    // count is the only layout knob the operator has), (b) handle the
+    // hot entity without materializing its history in the fold (state
+    // is O(1) by construction; this pins the output), (c) propagate a
+    // null value into a null state for every later row of that entity,
+    // exactly like the recursive-CTE oracle's NULL arithmetic.
+    val rows =
+      (1L to 5000L).map(i => (1L, i, i * 7L, Some((i % 97).toDouble))) ++
+      (1L to 5L).map(i => (2L, 1000L + i, i * 11L, Some(i * 2.0))) ++
+      Seq((3L, 2001L, 10L, Some(4.0)), (3L, 2002L, 20L, None),
+        (3L, 2003L, 30L, Some(6.0)))
+    val df = rows.toDF("user_id", "event_id", "ts_ns", "value")
+    def run(parts: String) = {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val e = graft.operators.TimeSeries.ewma(df, "user_id",
+            Seq("ts_ns", "event_id"), "value", alpha = 0.2)
+          .select("user_id", "event_id", "ewma")
+          .as[(Long, Long, Option[Double])].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        val h = graft.operators.TimeSeries.holtSmooth(df, "user_id",
+            Seq("ts_ns", "event_id"), "value", alpha = 0.2, beta = 0.1)
+          .select("user_id", "event_id", "level", "trend")
+          .as[(Long, Long, Option[Double], Option[Double])].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+        (e, h)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+    val (e1, h1) = run("1")
+    val (e7, h7) = run("7")
+    val (e32, h32) = run("32")
+    assert(e1 == e7 && e7 == e32, "ewma bits differ across partitionings")
+    assert(h1 == h7 && h7 == h32, "holt bits differ across partitionings")
+    // null poisoning: the null row and every later row of entity 3 are
+    // null; entities before/after are untouched
+    assert(e32((3L, 2001L)).contains(4.0))
+    assert(e32((3L, 2002L)).isEmpty && e32((3L, 2003L)).isEmpty)
+    assert(h32((3L, 2002L)) == ((None, None)))
+    assert(h32((3L, 2003L)) == ((None, None)))
+    // hot entity spot check: the fold ran the full 5000-row recurrence
+    // (seed 1.0, deterministic) — compare against a local replay
+    var s = 1.0
+    (2L to 5000L).foreach(i => s = 0.2 * (i % 97).toDouble + 0.8 * s)
+    assert(e32((1L, 5000L)).contains(BigDecimal(s)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
 }
 
 class IncrementalAggSpec extends SparkSpec {

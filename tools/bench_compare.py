@@ -27,6 +27,15 @@ used instead — the stdout capture window truncates ~4 KB of 133 query timings,
 the file never does. A nonce mismatch means the file is from a different run
 and is ignored (reported).
 
+Machine-state calibration (round 15): graft.Bench emits "calib" — a fixed
+single-thread CPU loop (st) and a 32-way parallel loop (mt), each timed
+untracked before and after the suite. When both the bench input and the
+reference carry calibration, the flag threshold is scaled by the observed
+slowdown ratio; beyond --refuse-above (default 2.5x) the box is declared
+not-quiet and per-query adjudication is refused outright (timings carry no
+signal at that interference level — BASELINE.md measured up to 9x with zero
+code change). Artifacts without calib degrade to the unscaled threshold.
+
 Exit code: 0 = clean (or only non-plan-changed queries over threshold);
            1 = a plan-changed query is over threshold, or the input had rc != 0;
            2 = usage / unreadable input.
@@ -43,11 +52,11 @@ NONCE_RE = re.compile(r'"nonce"\s*:\s*"([0-9a-f-]+)"')
 
 
 def load_query_times(path, local_path="BENCH_LOCAL.json"):
-    """Return (times: dict, rc: int|None, truncated: bool)."""
+    """Return (times: dict, rc: int|None, truncated: bool, calib: dict|None)."""
     with open(path) as f:
         doc = json.load(f)
     if isinstance(doc, dict) and "queries" in doc and isinstance(doc["queries"], dict):
-        return dict(doc["queries"]), doc.get("rc"), False
+        return dict(doc["queries"]), doc.get("rc"), False, doc.get("calib")
     # driver wrapper
     rc = doc.get("rc")
     parsed = doc.get("parsed")
@@ -69,7 +78,7 @@ def load_query_times(path, local_path="BENCH_LOCAL.json"):
                 # the stdout report stays machine-readable (ADVICE r10)
                 print(f"using {local_path} (nonce {nonce} matches): "
                       f"{len(local['queries'])} per-query times", file=sys.stderr)
-                return dict(local["queries"]), rc, False
+                return dict(local["queries"]), rc, False, local.get("calib")
             print(f"note: {local_path} nonce {local.get('nonce')!r} != run nonce "
                   f"{nonce!r} - stale file ignored", file=sys.stderr)
         except (OSError, json.JSONDecodeError) as e:
@@ -78,9 +87,31 @@ def load_query_times(path, local_path="BENCH_LOCAL.json"):
             print(f"note: {local_path} unreadable ({e}) - falling back to "
                   f"stdout tail recovery", file=sys.stderr)
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
-        return dict(parsed["queries"]), rc, False
+        return dict(parsed["queries"]), rc, False, parsed.get("calib")
     times = {name: float(sec) for name, sec in QUERY_RE.findall(tail)}
-    return times, rc, True
+    return times, rc, True, None
+
+
+def calibration_ratio(calib, ref_calib):
+    """How much slower the bench run's box was than the reference's quiet
+    box, per graft.Bench's untracked CPU calibration (st = single-thread
+    ms, mt = 32-way wall ms, each the WORSE of before/after). Returns
+    (ratio, note) — ratio >= 1.0, or (None, reason) when either side
+    lacks calibration (old artifacts)."""
+    if not isinstance(calib, dict):
+        return None, "bench input has no calib field (pre-r15 artifact)"
+    if not isinstance(ref_calib, dict):
+        return None, "reference has no calib field (pre-r15 artifact)"
+    try:
+        st = max(float(calib["st_before_ms"]), float(calib["st_after_ms"]))
+        mt = max(float(calib["mt_before_ms"]), float(calib["mt_after_ms"]))
+        ref_st = float(ref_calib["st_ms"])
+        ref_mt = float(ref_calib["mt_ms"])
+    except (KeyError, TypeError, ValueError) as e:
+        return None, f"calib field malformed: {e}"
+    ratio = max(st / ref_st, mt / ref_mt, 1.0)
+    return ratio, (f"st {st:.0f}ms vs quiet {ref_st:.0f}ms, "
+                   f"mt {mt:.0f}ms vs quiet {ref_mt:.0f}ms")
 
 
 def main():
@@ -97,6 +128,10 @@ def main():
     ap.add_argument("--local", default="BENCH_LOCAL.json",
                     help="graft.Bench's complete file artifact; used when its "
                          "nonce matches the bench input's (default BENCH_LOCAL.json)")
+    ap.add_argument("--refuse-above", type=float, default=2.5,
+                    help="calibration ratio beyond which the box is declared "
+                         "not-quiet and per-query adjudication is refused "
+                         "(default 2.5)")
     args = ap.parse_args()
 
     try:
@@ -106,10 +141,29 @@ def main():
         print(f"cannot read reference {args.ref}: {e}", file=sys.stderr)
         return 2
     try:
-        times, rc, truncated = load_query_times(args.bench, args.local)
+        times, rc, truncated, calib = load_query_times(args.bench, args.local)
     except (OSError, json.JSONDecodeError) as e:
         print(f"cannot read bench {args.bench}: {e}", file=sys.stderr)
         return 2
+
+    cal_ratio, cal_note = calibration_ratio(calib, ref_doc.get("calib"))
+    threshold = args.threshold
+    quiet = True
+    if cal_ratio is None:
+        print(f"note: no calibration scaling ({cal_note}); using raw "
+              f"threshold {threshold}x", file=sys.stderr)
+    elif cal_ratio > args.refuse_above:
+        quiet = False
+        print(f"BOX NOT QUIET: calibration {cal_ratio:.2f}x over the quiet "
+              f"reference ({cal_note}) - per-query adjudication refused; "
+              f"re-run in a quiet window before acting on any timing")
+    elif cal_ratio > 1.05:
+        threshold = args.threshold * cal_ratio
+        print(f"calibration: box {cal_ratio:.2f}x over quiet reference "
+              f"({cal_note}) - threshold scaled "
+              f"{args.threshold}x -> {threshold:.2f}x")
+    else:
+        print(f"calibration: box quiet ({cal_note})", file=sys.stderr)
 
     changed = {q.strip() for q in args.changed.split(",") if q.strip()}
     unknown_changed = changed - set(ref)
@@ -132,9 +186,16 @@ def main():
         if ref[q] < args.min_sec:
             continue
         ratio = times[q] / ref[q]
-        if ratio > args.threshold:
+        if ratio > threshold:
             (hard if q in changed else flagged).append((q, times[q], ref[q], ratio))
 
+    if not quiet:
+        # the box was measurably loaded: timings carry no signal. Report
+        # what WOULD have been flagged (informational), adjudicate nothing.
+        for q, t, r, ratio in hard + flagged:
+            print(f"unadjudicated {q}: {t:.2f}s vs quiet {r:.2f}s ({ratio:.1f}x) "
+                  f"- box not quiet, timing carries no signal")
+        hard, flagged = [], []
     for q, t, r, ratio in hard:
         print(f"REGRESSION {q}: {t:.2f}s vs quiet {r:.2f}s ({ratio:.1f}x, plan changed)")
     for q, t, r, ratio in flagged:
@@ -146,8 +207,8 @@ def main():
     if new:
         print(f"new queries not in reference ({len(new)}): {', '.join(new)} "
               f"- add quiet values to {args.ref}")
-    if not (hard or flagged or missing):
-        print(f"clean: {len(times)} queries all within {args.threshold}x of quiet reference")
+    if not (hard or flagged or missing) and quiet:
+        print(f"clean: {len(times)} queries all within {threshold:.2f}x of quiet reference")
     return 1 if hard else 0
 
 
