@@ -1267,6 +1267,101 @@ class SimilaritySpec extends SparkSpec {
         "vectors are not reachable, so the measurement should see the gap")
   }
 
+  test("compactIvfIndex: build -> append x3 -> compact recovers fresh-build " +
+      "recall; skip-compact negative control strictly lower; stored round-trip") {
+    // The decay geometry the frozen quantizer cannot see: base = 8 axis
+    // clusters; the appends deliver a dense 120-vector blob at the
+    // MIDPOINT of clusters 0 and 1 — a new mode sitting exactly on a
+    // frozen decision boundary, so its members split between the two
+    // lists by jitter and a blob query at nprobe=1 misses the neighbors
+    // across the split (drifted recall 0.927, measured). Compaction
+    // re-Lloyds from the stored lists alone (no corpus re-read), the
+    // heavy blob pulls centroids onto itself, and recall recovers to
+    // the fresh-build value (0.953). Deterministic end to end.
+    def jit(i: Long, j: Int, s: Double) =
+      ((((i * 37 + j * 13) % 991) / 991.0 - 0.5) * s).toFloat
+    val baseRows = (0L until 96L).map { i =>
+      val axis = (i % 8).toInt
+      (i, Seq.tabulate(16)(j =>
+        (if (j == axis * 2) 10f else 0f) + jit(i, j, 1.0)))
+    }
+    val blobRows = (100L until 220L).map { i =>
+      (i, Seq.tabulate(16)(j =>
+        (if (j == 0 || j == 2) 5f else 0f) + jit(i, j, 1.5)))
+    }
+    val emb = (baseRows ++ blobRows).toDF("vec_id", "embedding")
+    val baseDf = emb.filter($"vec_id" < 96)
+    val batches = Seq(
+      emb.filter($"vec_id" >= 100 && $"vec_id" < 140),
+      emb.filter($"vec_id" >= 140 && $"vec_id" < 180),
+      emb.filter($"vec_id" >= 180))
+    val drifted = batches.foldLeft(
+      Similarity.buildIvfIndex(baseDf, numCentroids = 8, kmeansIterations = 2))(
+      (ix, b) => Similarity.appendToIvfIndex(ix, b))
+    val compacted = Similarity.compactIvfIndex(drifted, iterations = 2)
+    val q = emb.filter($"vec_id" >= 100 && $"vec_id" < 130)
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+    def recall(ix: graft.operators.IvfIndex, nprobe: Int): Double =
+      Similarity.recallAtK(Similarity.probeIvfQuantized(ix, q, 5, nprobe), exact)
+        .agg(avg($"recall")).as[Double].collect()(0)
+    val fresh = recall(Similarity.buildIvfIndex(emb, numCentroids = 8,
+      kmeansIterations = 2), 1)
+    val driftedR = recall(drifted, 1)
+    val compactR = recall(compacted, 1)
+    assert(compactR >= fresh,
+      s"compacted recall $compactR under fresh-build recall $fresh")
+    assert(driftedR < compactR,
+      s"skip-compact control: drifted $driftedR not strictly below " +
+        s"compacted $compactR — compaction bought nothing on this fixture")
+    // entries move between lists but are never re-quantized: the
+    // (id, scale, codes, norm) payload survives bit-identically
+    def payloads(ix: graft.operators.IvfIndex) =
+      ix.lists.select($"neighbor_id", $"scale", $"codes", $"norm")
+        .as[(Long, Double, Seq[Int], Double)].collect().toSet
+    assert(payloads(compacted) == payloads(drifted),
+      "compaction must relabel, not requantize")
+    // stored round-trip: the compacted index probes identically after
+    // write/read (the established stored-index contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Similarity.writeIvfIndex(compacted, dir)
+    val inMem = Similarity.probeIvfQuantized(compacted, q, 5, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val stored = Similarity.probeIvfQuantized(
+        Similarity.readIvfIndex(spark, dir), q, 5, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(stored == inMem)
+  }
+
+  test("appendToStoredIvfIndex: hive-appends only the batch; read-back " +
+      "probes like the in-memory append") {
+    val emb = (0L until 100L).map(i =>
+      (i, Seq.tabulate(8)(j => (((i * 31 + j * 7) % 97).toFloat / 97f) - 0.4f)))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 5 =!= 4)
+    val batch = emb.filter($"vec_id" % 5 === 4)
+    val index = Similarity.buildIvfIndex(base, numCentroids = 8,
+      kmeansIterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sappend").toString
+    Similarity.writeIvfIndex(index, dir)
+    val before = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("cid=")).flatMap(_.listFiles()).map(_.getPath).toSet
+    Similarity.appendToStoredIvfIndex(spark, dir, batch)
+    val after = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("cid=")).flatMap(_.listFiles()).map(_.getPath).toSet
+    // append-mode: every pre-existing list file is still there untouched
+    assert(before.subsetOf(after), "stored append rewrote existing list files")
+    assert(after.size > before.size, "stored append wrote no new files")
+    val q = emb.filter($"vec_id" < 5)
+    val viaStore = Similarity.probeIvfQuantized(
+        Similarity.readIvfIndex(spark, dir), q, 4, nprobe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val viaMem = Similarity.probeIvfQuantized(
+        Similarity.appendToIvfIndex(index, batch), q, 4, nprobe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaStore == viaMem,
+      "stored-append probe must reproduce the in-memory append probe")
+  }
+
   test("mediaDedup: transitive payload groups collapse to one kept representative") {
     // group A = {0, 1000, 2000} (payload 0 with 2 and 4 bytes appended —
     // 1000/2000 are near-dups of 0 and of each other), group B =
