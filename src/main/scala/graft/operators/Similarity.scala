@@ -641,6 +641,15 @@ object Similarity {
     * assignments differ from build-time float assignments by at most
     * the code rounding (~0.4% of a coordinate) — inside the noise the
     * recall contract already absorbs.
+    *
+    * Gated in the spec, deliberately NOT as a bench artifact: on the
+    * natural embeddings fixture frozen-centroid drift is negligible
+    * (q140 holds 0.94 recall even frozen) and the int8 ranking noise
+    * floor buries the probe-miss component a compaction recovers
+    * (measured while building the gate: a planted new mode consolidates
+    * perfectly — one centroid captures all of it — yet recall moves
+    * inside the noise), so the contract is asserted where it is crisp:
+    * the spec's boundary-blob fixture with strict inequalities.
     */
   def compactIvfIndex(index: IvfIndex, iterations: Int = 2): IvfIndex = {
     require(iterations >= 1,

@@ -599,6 +599,7 @@ object PipelineQueries {
         Similarity.bruteForceTopK(emb, q, 5))
     }),
 
+
     // SEMANTIC decontamination (embedding-space eval-leakage screen —
     // the paraphrase-robust complement of q80/q92's verbatim shingle
     // screens): every corpus vector scored on exact cosine against a
