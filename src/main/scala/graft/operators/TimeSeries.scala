@@ -192,7 +192,7 @@ object TimeSeries {
     * state type S carries the recurrence; null state ⇒ all-null outputs.
     */
   private def foldSmoother[S](df: DataFrame, entity: String,
-      order: Seq[String], valueCol: String, outCols: Seq[(String)],
+      order: Seq[String], valueCol: String, outCols: Seq[String],
       seed: Double => S, step: (S, Double) => S,
       emit: S => Seq[Double]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
