@@ -494,6 +494,62 @@ object Sampling {
       .where(col("score") >= col("cutpoint"))
   }
 
+  /** Length-bucketed dynamic batching — the padding-efficiency layout
+    * for pipelines that do NOT concatenate documents ([[packSequences]]
+    * is the pretraining concat-and-chunk shape; fine-tuning / seq2seq
+    * training pads each sequence to its batch's max, so batching
+    * similar lengths together is the difference between ~0% and ~50%
+    * of compute spent on pad tokens): documents are bucketed by
+    * `ceil(n_tokens / bucketWidth)`, ordered inside each bucket by the
+    * md5 hash of their id (decorrelated like [[deterministicShuffle]] —
+    * adjacent source docs don't share a batch), and grouped into
+    * `batchSize`-document batches. Every row gets its full batch
+    * coordinate plus the padding audit: `padded_to` (the batch's max
+    * token count — what the loader pads to) and `pad_waste`
+    * (padded_to − n_tokens).
+    *
+    * Scale shape: a bucket holds corpus/|buckets| documents — far too
+    * many for one task's window sort (the ntile trap
+    * [[Sketches.quantileBuckets]] documents) — so batches are formed
+    * within (bucket, shard) where shard = id-hash mod `shards`: the
+    * rank window partitions on BOTH keys and every task sorts only its
+    * shard of a bucket. Batch membership is still a pure function of
+    * the ids (reproducible, append-moves-ranks like every rank-based
+    * layout); padding efficiency is unchanged by sharding because
+    * lengths inside a (bucket, shard) cell are within `bucketWidth` of
+    * each other by construction. The trailing partial batch per cell is
+    * emitted (standard loader behavior — it pads or drops downstream).
+    *
+    * Rows with NULL or negative token counts are excluded (they cannot
+    * be bucketed); zero-token docs batch in bucket 0.
+    */
+  def bucketBatches(df: DataFrame, tokenCol: String, bucketWidth: Int,
+      batchSize: Int, shards: Int, idCol: String = "doc_id"): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val scoped = df
+      .select(col(idCol), col(tokenCol).cast("long").as("n_tokens"))
+      .where(col("n_tokens").isNotNull && col("n_tokens") >= 0)
+      .withColumn("bucket",
+        expr(s"(n_tokens + ${bucketWidth - 1}) div $bucketWidth"))
+      .withColumn("__h", h)
+      .withColumn("shard", (col("__h") % shards).cast("int"))
+    val wCell = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val wBatch = Window.partitionBy(col("bucket"), col("shard"),
+      col("batch_idx"))
+    scoped
+      .withColumn("__rn", row_number().over(wCell) - 1)
+      .withColumn("batch_idx", expr(s"__rn div $batchSize").cast("int"))
+      .withColumn("pos_in_batch", col("__rn") % batchSize)
+      .withColumn("padded_to", max(col("n_tokens")).over(wBatch))
+      .withColumn("pad_waste", col("padded_to") - col("n_tokens"))
+      .drop("__h", "__rn")
+  }
+
   def stridedChunks(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", seqLen: Int = 64,
       stride: Int = 48): DataFrame = {

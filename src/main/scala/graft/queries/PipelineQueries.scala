@@ -985,6 +985,17 @@ object PipelineQueries {
           .cast("long").as("poschk"))
     }),
 
+    // Length-bucketed dynamic batching: similar-length docs batched
+    // together so a padding loader wastes ~bucketWidth, not ~max-doc;
+    // batches form within (bucket, id-hash shard) so no bucket funnels
+    // the corpus through one task's sort. Engine-exact integer/window
+    // arithmetic → full value oracle.
+    "q148_bucket_batches" -> ((s, d) =>
+      Sampling.bucketBatches(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", bucketWidth = 64, batchSize = 8, shards = 4)),
+
     // The end-to-end corpus→training-shards composition (VERDICT r14
     // #1): curate (q90) → leakage-safe split (q130) → mix plan +
     // materialize (q101/q121) → epoch order (q131) → pack (q78) in one
@@ -3129,6 +3140,38 @@ object PipelineQueries {
         |    AS sumsq,
         |  list_sum(list_transform(range(1, len(codes) + 1),
         |    i -> codes[i]::BIGINT * i))::BIGINT AS poschk
+        |FROM c""".stripMargin,
+
+    // Length-bucketed dynamic batching (round 15): the padding-
+    // efficiency layout for non-concatenating (fine-tuning/seq2seq)
+    // loaders — q78's packSequences is the pretraining concat shape,
+    // this is its padded-batch complement. Pure hash + window integer
+    // arithmetic — engine-exact, full value oracle.
+    "q148_bucket_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      ::BIGINT AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    (n_tokens + 63) // 64 AS bucket,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM t WHERE n_tokens IS NOT NULL AND n_tokens >= 0),
+        |r AS (
+        |  SELECT doc_id, n_tokens, bucket, (hv % 4)::INT AS shard,
+        |    row_number() OVER (PARTITION BY bucket, hv % 4
+        |      ORDER BY hv ASC, doc_id ASC) - 1 AS rn
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, n_tokens, bucket, shard,
+        |    (rn // 8)::INT AS batch_idx, (rn % 8)::INT AS pos_in_batch
+        |  FROM r)
+        |SELECT doc_id, n_tokens, bucket, shard, batch_idx, pos_in_batch,
+        |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx)
+        |    AS padded_to,
+        |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx)
+        |    - n_tokens AS pad_waste
         |FROM c""".stripMargin,
 
     // The composed pipeline: q90's verdict CTEs verbatim → kept set →

@@ -1555,6 +1555,41 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("bucketBatches: bucket bound caps pad waste, batches bounded and " +
+      "contiguous, reproducible, null/negative excluded") {
+    // lengths spread over many buckets + a planted null and negative
+    val docs = ((0L until 900L).map(i => (i, Some(((i * 131) % 700).toInt)))
+      ++ Seq((990L, None: Option[Int]), (991L, Some(-3)))).toDF("doc_id", "n")
+    val out = Sampling.bucketBatches(docs, "n", bucketWidth = 64,
+        batchSize = 8, shards = 4)
+      .select("doc_id", "n_tokens", "bucket", "shard", "batch_idx",
+        "pos_in_batch", "padded_to", "pad_waste")
+      .as[(Long, Long, Long, Int, Int, Int, Long, Long)].collect()
+    assert(out.length == 900, "null/negative token rows must be excluded")
+    // the whole point: padding waste is bounded by the bucket width,
+    // never by the corpus max length (which is ~700 here)
+    assert(out.forall(_._8 < 64), s"pad_waste >= bucketWidth: ${
+      out.filter(_._8 >= 64).take(3).toSeq}")
+    out.foreach { r =>
+      // bucket = ceil(n / 64); padded_to is the batch max
+      assert(r._3 == (r._2 + 63) / 64, r.toString)
+      assert(r._7 >= r._2 && r._8 == r._7 - r._2, r.toString)
+    }
+    // batches: <= batchSize members, pos contiguous from 0, one padded_to
+    out.groupBy(r => (r._3, r._4, r._5)).foreach { case (cell, rows) =>
+      assert(rows.length <= 8, s"batch $cell oversize")
+      assert(rows.map(_._6).sorted.toSeq == (0 until rows.length),
+        s"batch $cell pos not contiguous")
+      assert(rows.map(_._7).distinct.length == 1)
+      assert(rows.map(_._7).head == rows.map(_._2).max)
+    }
+    // reproducible: batch coordinates are a pure function of the ids
+    val again = Sampling.bucketBatches(docs, "n", 64, 8, 4)
+      .select("doc_id", "bucket", "shard", "batch_idx", "pos_in_batch")
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(again == out.map(r => (r._1, r._3, r._4, r._5, r._6)).toSet)
+  }
+
   test("sampleByStrata: per-stratum rates, deterministic, append-stable") {
     val docs = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
       .toDF("id", "lang")
