@@ -120,8 +120,17 @@ object Bench {
       // temp-then-ATOMIC_MOVE (ADVICE r10): a reader racing the write —
       // or a killed JVM — must see the previous complete file or the new
       // one, never a partial JSON prefix.
+      //
+      // Partial (SPARK_GRAFT_ONLY) runs default to BENCH_ONLY.json
+      // (VERDICT r15 #6): BENCH_LOCAL.json is the attested full-surface
+      // artifact that bench_compare.py nonce-matches against the driver's
+      // stdout line, and the documented isolated-rerun adjudication
+      // protocol clobbered it in BOTH r14 and r15 — a partial run must
+      // never overwrite the full-surface record it exists to adjudicate.
+      val defaultFile =
+        if (only.isDefined) "BENCH_ONLY.json" else "BENCH_LOCAL.json"
       val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", defaultFile))
       val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
       java.nio.file.Files.write(tmp,
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -130,7 +139,7 @@ object Bench {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } catch { case e: Exception =>
       // stdout line still carries everything; the file is belt-and-braces
-      System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
+      System.err.println(s"[bench] bench artifact file write failed: $e")
     }
     println(full)
     spark.stop()

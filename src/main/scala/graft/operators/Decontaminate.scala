@@ -112,9 +112,11 @@ object Decontaminate {
     * direction, so its row is the defined audit row (bench_id null,
     * max_sim null, contaminated false); zero-norm eval vectors
     * contribute null sims and are thereby ignored (an eval set that is
-    * ALL zero-norm yields an empty frame here — the stream twin fails
-    * loudly instead, the one place the twins must differ because a
-    * lazy plan cannot validate eagerly).
+    * ALL zero-norm therefore yields one all-null audit row — bench_id
+    * null, max_sim null, contaminated false — per corpus id, exactly
+    * like a zero-norm corpus row; the stream twin instead fails loudly
+    * up front, the one place the twins must differ because a lazy plan
+    * cannot validate eagerly — ADVICE r15).
     */
   def semanticDecontaminate(
       emb: DataFrame,

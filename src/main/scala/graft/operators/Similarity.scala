@@ -587,6 +587,14 @@ object Similarity {
     * re-Lloyd from the stored lists, no corpus re-read — on a cadence
     * keyed to that artifact, or [[buildIvfIndex]] for a from-scratch
     * rebuild when the corpus itself is being re-scanned anyway.
+    *
+    * Batch ids must be NEW (ADVICE r15): neither append path checks the
+    * existing lists (that check would cost a corpus-index scan per
+    * batch), so re-appending a batch creates duplicate `neighbor_id`
+    * entries — probes then return the duplicate as its own neighbor
+    * twice, and [[compactIvfIndex]] fails loudly on it. Idempotent
+    * ingest belongs upstream (dedup the batch ids before appending, the
+    * q74 discipline).
     */
   def appendToIvfIndex(
       index: IvfIndex,
@@ -650,6 +658,15 @@ object Similarity {
     * perfectly — one centroid captures all of it — yet recall moves
     * inside the noise), so the contract is asserted where it is crisp:
     * the spec's boundary-blob fixture with strict inequalities.
+    *
+    * List-id uniqueness contract (ADVICE r15): `neighbor_id` must be
+    * unique across the lists — the append paths ([[appendToIvfIndex]],
+    * [[appendToStoredIvfIndex]]) do not guard against re-appending a
+    * batch, and the per-id `groupBy` here would silently collapse any
+    * duplicate entries to one, making compaction NOT the pure relabel
+    * the contract promises (invisibly to the payload set-equality
+    * spec). The guard is in-plan: a duplicate id fails the job loudly,
+    * naming the id, instead of quietly "fixing" a double-append.
     */
   def compactIvfIndex(index: IvfIndex, iterations: Int = 2): IvfIndex = {
     require(iterations >= 1,
@@ -658,6 +675,9 @@ object Similarity {
       transform(col("codes"), c => c.cast("double") * col("scale"))
         .as("embedding"))
     val cents = kmeansCentroids(recon, index.centroids, iterations)
+    // metadata-bounded eager count (numCentroids rows) — feeds the
+    // duplicate-id guard below; kmeansCentroids already ran eager sweeps
+    val nCents = cents.count()
     val relabeled = index.lists
       .withColumn("__v",
         transform(col("codes"), c => c.cast("double") * col("scale")))
@@ -666,8 +686,19 @@ object Similarity {
       .withColumn("__cs", cosine(col("__v"), col("__cv")))
       .groupBy(col("neighbor_id"))
       .agg(max_by(struct(col("cid"), col("scale"), col("codes"), col("norm")),
-        struct(col("__cs"), -col("cid"))).as("__e"))
-      .select(col("__e.cid").as("cid"), col("neighbor_id"),
+        struct(col("__cs"), -col("cid"))).as("__e"),
+        // one row per (entry, centroid) reaches this agg, so a unique id
+        // contributes exactly |centroids| rows — more means duplicate
+        // list entries (double-append); the check piggybacks on the agg,
+        // no extra pass (ADVICE r15)
+        count(lit(1)).as("__n"))
+      .select(
+        when(col("__n") > nCents,
+          raise_error(concat(lit("compactIvfIndex: duplicate neighbor_id "),
+            col("neighbor_id").cast("string"),
+            lit(" in lists — was a batch appended twice?"))))
+          .otherwise(col("__e.cid")).as("cid"),
+        col("neighbor_id"),
         col("__e.scale").as("scale"), col("__e.codes").as("codes"),
         col("__e.norm").as("norm"))
     IvfIndex(cents, relabeled)
@@ -696,6 +727,17 @@ object Similarity {
     * REUSES it rather than recomputing the ranking window a second
     * time; a DataFrame-returning builder pays the probe pass exactly
     * once either way.
+    *
+    * Per-call retention (ADVICE r15): the checkpointed probe frame's
+    * storage blocks live until the SparkSession ends — they cannot be
+    * unpersisted here because the RETURNED plan references them, and a
+    * DataFrame gives no completion hook. Each is batch-sized (nprobe
+    * rows per query), so a long-running probe service calling this in a
+    * loop accumulates ~|batch| rows of block storage per call; such a
+    * service should periodically recycle its session, or call
+    * `spark.sharedState.cacheManager`-level cleanup between batches,
+    * the same lifecycle discipline as any checkpoint-per-request
+    * server.
     */
   def probeIvfQuantized(
       index: IvfIndex,

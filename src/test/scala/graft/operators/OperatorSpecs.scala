@@ -1332,6 +1332,32 @@ class SimilaritySpec extends SparkSpec {
     assert(stored == inMem)
   }
 
+  test("compactIvfIndex: duplicate list ids (double-append) fail loudly " +
+      "instead of silently collapsing (ADVICE r15)") {
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(j => (((i * 31 + j * 7) % 97).toFloat / 97f) - 0.4f)))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter($"vec_id" < 30)
+    val batch = emb.filter($"vec_id" >= 30)
+    val index = Similarity.buildIvfIndex(base, numCentroids = 4,
+      kmeansIterations = 1)
+    // the un-guarded hazard: the same batch appended twice
+    val doubled = Similarity.appendToIvfIndex(
+      Similarity.appendToIvfIndex(index, batch), batch)
+    val e = intercept[Exception] {
+      Similarity.compactIvfIndex(doubled, iterations = 1).lists
+        .write.format("noop").mode("overwrite").save()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(messages.contains("duplicate neighbor_id"),
+      s"expected the duplicate-id guard, got: $messages")
+    // and the clean single-append index compacts fine through the guard
+    Similarity.compactIvfIndex(Similarity.appendToIvfIndex(index, batch),
+      iterations = 1).lists.write.format("noop").mode("overwrite").save()
+  }
+
   test("appendToStoredIvfIndex: hive-appends only the batch; read-back " +
       "probes like the in-memory append") {
     val emb = (0L until 100L).map(i =>

@@ -35,10 +35,24 @@ slowdown ratio; beyond --refuse-above (default 2.5x) the box is declared
 not-quiet and per-query adjudication is refused outright (timings carry no
 signal at that interference level — BASELINE.md measured up to 9x with zero
 code change). Artifacts without calib degrade to the unscaled threshold.
+The calibration is only comparable at equal thread counts: a thread-count
+mismatch between the run's calib and the reference's falls back to the
+unscaled threshold with a note (ADVICE r15 — a SPARK_GRAFT_CPUS != 32 run
+would otherwise scale by a meaningless mt ratio).
+
+Per-query provenance (round 16): when the reference carries a "provenance"
+object ({query: {run, surface, calibrated}}), any flagged query whose
+recorded minimum predates the current surface size or a calibration-verified
+window is annotated "[stale-min candidate]" in the report — the judge reads
+staleness off the row instead of re-proving it with isolated re-runs
+(VERDICT r15 #1; the q05/q60-class adjudications).
 
 Exit code: 0 = clean (or only non-plan-changed queries over threshold);
            1 = a plan-changed query is over threshold, or the input had rc != 0;
-           2 = usage / unreadable input.
+           2 = usage / unreadable input;
+           3 = adjudication REFUSED (box not quiet per calibration) — NOT a
+               clean result: scripted gates must treat 3 as "re-run in a
+               quiet window", never as a pass (ADVICE r15).
 """
 import argparse
 import json
@@ -109,6 +123,14 @@ def calibration_ratio(calib, ref_calib):
         ref_mt = float(ref_calib["mt_ms"])
     except (KeyError, TypeError, ValueError) as e:
         return None, f"calib field malformed: {e}"
+    # the mt loop's wall time scales with oversubscription, so the ratio is
+    # only meaningful at EQUAL thread counts (ADVICE r15): a run calibrated
+    # at a different SPARK_GRAFT_CPUS falls back to no scaling, loudly
+    threads, ref_threads = calib.get("threads"), ref_calib.get("threads")
+    if threads is not None and ref_threads is not None \
+            and int(threads) != int(ref_threads):
+        return None, (f"calib thread counts differ (run {threads} vs "
+                      f"reference {ref_threads}) - mt ratio not comparable")
     ratio = max(st / ref_st, mt / ref_mt, 1.0)
     return ratio, (f"st {st:.0f}ms vs quiet {ref_st:.0f}ms, "
                    f"mt {mt:.0f}ms vs quiet {ref_mt:.0f}ms")
@@ -191,23 +213,50 @@ def main():
 
     if not quiet:
         # the box was measurably loaded: timings carry no signal. Report
-        # what WOULD have been flagged (informational), adjudicate nothing.
+        # what WOULD have been flagged (informational), adjudicate nothing
+        # — and exit 3, NOT 0 (ADVICE r15): refusal must be distinguishable
+        # from clean by scripted callers, or a loaded box passes plan-changed
+        # regressions silently.
         for q, t, r, ratio in hard + flagged:
             print(f"unadjudicated {q}: {t:.2f}s vs quiet {r:.2f}s ({ratio:.1f}x) "
                   f"- box not quiet, timing carries no signal")
-        hard, flagged = [], []
+        return 3
+
+    # provenance annotation (round 16): a flagged query whose recorded min
+    # predates the current surface or a calibrated window is a stale-min
+    # candidate — the q05/q60-class pattern the judge re-proved manually in
+    # rounds 13-15. The annotation is informational; it never changes the
+    # exit code (a plan-changed regression is a regression regardless).
+    prov = ref_doc.get("provenance") or {}
+    surface = ref_doc.get("n_queries")
+
+    def stale_note(q):
+        p = prov.get(q)
+        if not isinstance(p, dict):
+            return ""
+        reasons = []
+        if surface and p.get("surface") and int(p["surface"]) < int(surface):
+            reasons.append(f"min recorded at {p['surface']}-query surface")
+        if p.get("calibrated") is False:
+            reasons.append("min predates calibration")
+        if reasons:
+            return f" [stale-min candidate: {'; '.join(reasons)}]"
+        return ""
+
     for q, t, r, ratio in hard:
-        print(f"REGRESSION {q}: {t:.2f}s vs quiet {r:.2f}s ({ratio:.1f}x, plan changed)")
+        print(f"REGRESSION {q}: {t:.2f}s vs quiet {r:.2f}s ({ratio:.1f}x, "
+              f"plan changed){stale_note(q)}")
     for q, t, r, ratio in flagged:
         print(f"noise-or-regression {q}: {t:.2f}s vs quiet {r:.2f}s ({ratio:.1f}x) "
-              f"- plan unchanged this round; re-measure isolated before acting")
+              f"- plan unchanged this round; re-measure isolated before acting"
+              f"{stale_note(q)}")
     if missing:
         print(f"missing from bench input ({len(missing)}): {', '.join(missing)}"
               + (" [stdout truncation]" if truncated else ""))
     if new:
         print(f"new queries not in reference ({len(new)}): {', '.join(new)} "
               f"- add quiet values to {args.ref}")
-    if not (hard or flagged or missing) and quiet:
+    if not (hard or flagged or missing):
         print(f"clean: {len(times)} queries all within {threshold:.2f}x of quiet reference")
     return 1 if hard else 0
 
