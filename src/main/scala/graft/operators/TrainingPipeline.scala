@@ -49,13 +49,27 @@ object TrainingPipeline {
     * and 2 ([[graft.sources.Layout.writePartitioned]]) rather than
     * re-scan raw input per LSH pass; the query form keeps the chain
     * lazy so the whole layout is one plan.
+    *
+    * `maxBucket` (VERDICT r15 #2) threads the q73 hot-bucket cap into
+    * the LSH stage: boilerplate/templated content floods its band
+    * buckets and turns the candidate self-join quadratic — the exact
+    * skew the capped [[Dedup.minhashNearDupPairs]] variant was built
+    * for, and at 100 TB the NORM, not the edge case. The recall
+    * argument is the cap's own (several bands per true pair; hot-bucket-
+    * only pairs are template overlap the verify rejects anyway), and
+    * the composed-chain gate (q147: a planted 60-doc boilerplate
+    * cluster INSIDE the pipeline fixture, capped at 20) holds the full
+    * exact-ground-truth oracle at both test scales. Default uncapped
+    * only because a universal cap value does not exist — set it from
+    * the corpus's bucket-size profile, as q147 does.
     */
   def corpusToShards(docs: DataFrame, benchmark: DataFrame,
       targets: Map[String, Double],
       textCol: String = "text", idCol: String = "doc_id",
       domainCol: String = "source",
       shards: Int = 8, budget: Long = 2048L,
-      nearDupThreshold: Double = 0.8): DataFrame = {
+      nearDupThreshold: Double = 0.8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // Stage 1 — curate; keep-list materialized once (narrow: ids only)
     val keepIds = Curation.curate(docs, benchmark, textCol, idCol)
       .filter(col("keep")).select(col(idCol))
@@ -63,7 +77,7 @@ object TrainingPipeline {
     val kept = docs.join(keepIds, Seq(idCol))
     // Stage 2 — near-dup components of the curated corpus key the split
     val pairs = Dedup.minhashNearDupPairs(kept, textCol, idCol,
-      nearDupThreshold)
+      nearDupThreshold, maxBucket = maxBucket)
     val clusters = Dedup.nearDupClusters(pairs)
     val split = Sampling.leakageSafeSplit(
       kept.select(col(idCol), col(domainCol), col(textCol)), clusters, idCol)

@@ -117,6 +117,60 @@ object PipelineQueries {
   private val ClusterTemplate = "all rights reserved contact us terms of " +
     "service privacy policy cookies settings navigation home about page number "
 
+  /** 87 distinct lowercase words, no repeated trigram — the shared
+    * template of [[docsWithDupsAndBoilerplate]]'s planted cluster.
+    * Engineered to SURVIVE the q90 curation battery (≥50 tokens, mean
+    * word length 3–10, all-alpha, 6 Gopher stopwords, quality 4/4,
+    * max token frequency 1/100) so the cluster reaches the LSH stage,
+    * where the real gate lives.
+    */
+  private val BoilerplateTemplate: String =
+    "the website terms of service and privacy policy apply to every " +
+    "visitor with general conditions that govern all access for content " +
+    "shared on this platform including cookie settings data retention " +
+    "account registration newsletter subscription contact details support " +
+    "center legal notice copyright information trademark ownership " +
+    "liability disclaimer warranty limits arbitration clauses governing " +
+    "law jurisdiction venue severability waiver amendments notices " +
+    "assignment headings definitions interpretation precedence entire " +
+    "agreement between parties concerning usage rights granted herein " +
+    "subject always first when users browse pages or download files from " +
+    "servers hosted under managed"
+
+  /** 13 per-doc-unique suffix stems: doc i appends "sector{i} docket{i}
+    * …" — 13 unique tokens against the 85 shared template trigrams, so
+    * any two cluster members sit at Jaccard 85/111 ≈ 0.766: BELOW the
+    * 0.8 verify threshold (every hot-bucket candidate is verify-rejected
+    * → the cap provably cannot change the output) while ~86% of each
+    * doc's shingles are template-shared, so each LSH band has a bucket
+    * holding ~half the cluster (≈30 docs ≫ maxBucket 20 — the anti-join
+    * path actually fires; hotness is asserted in TrainingPipelineSpec).
+    */
+  private val BoilerplateSuffixStems: Seq[String] = Seq(
+    "sector", "docket", "ledger", "marker", "packet", "roster", "binder",
+    "folio", "module", "tablet", "beacon", "cipher", "anchor")
+
+  /** The q147 composed-chain fixture (VERDICT r15 #2): [[docsWithDups]]
+    * narrowed to the pipeline's three columns, plus a planted 60-doc
+    * boilerplate cluster (doc_id 500000+i, source src0) that floods its
+    * LSH band buckets far past the cap — the skew profile real crawls
+    * have — while staying under the near-dup verify threshold, so the
+    * capped and uncapped compositions must agree exactly and the exact
+    * ground-truth oracle gates both.
+    */
+  private def docsWithDupsAndBoilerplate(s: SparkSession, d: String)
+      : DataFrame = {
+    val base = docsWithDups(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val suffix = BoilerplateSuffixStems.map(w =>
+      concat(lit(w), col("id").cast("string")))
+    val cluster = s.range(60).select(
+      (col("id") + 500000).as("doc_id"),
+      concat_ws(" ", lit(BoilerplateTemplate) +: suffix: _*).as("text"),
+      lit("src0").as("source"))
+    base.unionByName(cluster)
+  }
+
   private def docsWithHotCluster(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val dups = docs.filter(col("doc_id") % 10 === 0)
@@ -1001,14 +1055,21 @@ object PipelineQueries {
     // materialize (q101/q121) → epoch order (q131) → pack (q78) in one
     // chain, full value oracle on the final (doc, epoch, shard, pos,
     // pack) coordinates — each stage's oracle CTE chained verbatim.
+    // Round 16 (VERDICT r15 #2): the fixture plants a 60-doc
+    // boilerplate cluster whose band buckets exceed maxBucket = 20, so
+    // the composition runs the q73 capped-LSH path end-to-end; the
+    // cluster's pairwise Jaccard (0.766) sits under the 0.8 verify
+    // threshold, so the exact ground-truth oracle is unchanged by the
+    // cap — full recall, gated.
     "q147_training_pipeline" -> ((s, d) => {
       val bench = Tables.documents(s, d)
         .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
         .select(substring(col("text"), 41, 200).as("text"))
       graft.operators.TrainingPipeline.corpusToShards(
-        docsWithDups(s, d), bench,
+        docsWithDupsAndBoilerplate(s, d), bench,
         targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
-          (2 to 11).map(i => s"src$i" -> 0.05).toMap)
+          (2 to 11).map(i => s"src$i" -> 0.05).toMap,
+        maxBucket = 20)
     })
   )
 
@@ -3184,7 +3245,27 @@ object PipelineQueries {
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT i + 500000,
+        |    'the website terms of service and privacy policy apply to ' ||
+        |    'every visitor with general conditions that govern all access ' ||
+        |    'for content shared on this platform including cookie settings ' ||
+        |    'data retention account registration newsletter subscription ' ||
+        |    'contact details support center legal notice copyright ' ||
+        |    'information trademark ownership liability disclaimer warranty ' ||
+        |    'limits arbitration clauses governing law jurisdiction venue ' ||
+        |    'severability waiver amendments notices assignment headings ' ||
+        |    'definitions interpretation precedence entire agreement between ' ||
+        |    'parties concerning usage rights granted herein subject always ' ||
+        |    'first when users browse pages or download files from servers ' ||
+        |    'hosted under managed' ||
+        |    ' sector' || i || ' docket' || i || ' ledger' || i ||
+        |    ' marker' || i || ' packet' || i || ' roster' || i ||
+        |    ' binder' || i || ' folio' || i || ' module' || i ||
+        |    ' tablet' || i || ' beacon' || i || ' cipher' || i ||
+        |    ' anchor' || i
+        |  FROM (SELECT unnest(range(60)) AS i)),
         |fp AS (
         |  SELECT doc_id,
         |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
@@ -3318,8 +3399,10 @@ object PipelineQueries {
         |  WHERE ('0x' || substr(md5(coalesce(l.cluster, k.doc_id)::VARCHAR),
         |    1, 15))::BIGINT % 100 < 90),
         |tn AS (
-        |  SELECT dt.doc_id, d.source, len(dt.t)::BIGINT AS n_tokens
-        |  FROM dt JOIN train USING (doc_id) JOIN documents d USING (doc_id)),
+        |  SELECT dt.doc_id, coalesce(d.source, 'src0') AS source,
+        |    len(dt.t)::BIGINT AS n_tokens
+        |  FROM dt JOIN train USING (doc_id)
+        |  LEFT JOIN documents d USING (doc_id)),
         |perdom AS (
         |  SELECT source, sum(n_tokens)::BIGINT AS tokens FROM tn
         |  GROUP BY source),

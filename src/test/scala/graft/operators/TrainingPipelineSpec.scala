@@ -72,6 +72,52 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket cap threads through the composition (VERDICT r15 #2): " +
+      "planted boilerplate floods band buckets past the cap, yet the capped " +
+      "layout is identical to the uncapped one (full recall)") {
+    // 86-token template (43 distinct tmplN words interleaved with 'the' —
+    // curation-green, no repeated trigram) + 13 per-doc-unique suffix
+    // tokens: cluster members sit at Jaccard 84/110 ≈ 0.76, under the
+    // 0.8 verify threshold, while ~86% of each doc's shingles are
+    // template-shared — the hot-bucket profile with zero true pairs.
+    val template = (1 to 43).flatMap(i => Seq("the", s"tmpl$i")).mkString(" ")
+    val stems = Seq("sector", "docket", "ledger", "marker", "packet",
+      "roster", "binder", "folio", "module", "tablet", "beacon", "cipher",
+      "anchor")
+    val cluster = (0 until 60).map(i =>
+      (500L + i, "a", template + " " + stems.map(w => s"$w$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val all = docs.unionByName(cluster)
+    // (a) the flood is real: replicate the operator's banding (k=32, b=8,
+    // r=4) through the public shingle/signature kernels and check the
+    // largest band bucket exceeds the cap — otherwise this gate would
+    // pass without ever exercising the anti-join path
+    val sh = cluster.select(col("doc_id"),
+        Dedup.wordShingles(col("text")).as("sh"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 32))
+    val hottest = sh.select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(7)),
+          j => concat_ws(",", transform(slice(col("sig"), j * 4 + 1, lit(4)),
+            h => h.cast("string"))))).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key")).count()
+      .agg(max(col("count"))).as[Long].collect()(0)
+    assert(hottest > 20,
+      s"fixture defect: hottest band bucket $hottest <= cap 20 — the " +
+        "capped path would not fire")
+    // (b) full recall: capped and uncapped compositions agree exactly,
+    // and the planted cluster reached the layout (survived curation)
+    def run(cap: Int) = TrainingPipeline.corpusToShards(
+      all, Seq(leaky.take(200)).toDF("text"),
+      targets = Map("a" -> 0.7, "b" -> 0.3), shards = 4, budget = 50L,
+      maxBucket = cap).collect().toSet
+    val capped = run(20)
+    assert(capped == run(Int.MaxValue),
+      "capped composition diverged from uncapped — the cap lost a pair")
+    assert(capped.exists(_.getLong(0) >= 500L),
+      "planted boilerplate never reached the layout — it was curated " +
+        "out, so the gate checked nothing")
+  }
+
   test("token counts in the layout match the curated docs' token counts") {
     val expected = docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
