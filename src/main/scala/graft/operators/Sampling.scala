@@ -522,16 +522,30 @@ object Sampling {
     *
     * Rows with NULL or negative token counts are excluded (they cannot
     * be bucketed); zero-token docs batch in bucket 0.
+    *
+    * Every input column BESIDES `tokenCol` rides through (round 16 —
+    * the [[TrainingPipeline.corpusToBatches]] composition needs the
+    * (domain, epoch) payload on the batch rows; the q148 two-column
+    * input is the degenerate case, its output unchanged); `tokenCol`
+    * re-emerges as the canonical `n_tokens`. The added names are
+    * clobber-guarded like every layout operator here.
     */
   def bucketBatches(df: DataFrame, tokenCol: String, bucketWidth: Int,
       batchSize: Int, shards: Int, idCol: String = "doc_id"): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    val added = Seq("bucket", "shard", "batch_idx", "pos_in_batch",
+      "padded_to", "pad_waste") ++
+      (if (tokenCol == "n_tokens") Nil else Seq("n_tokens"))
+    added.foreach(c => require(!df.columns.contains(c),
+      s"df already has a '$c' column — bucketBatches would overwrite it"))
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
+    val carried = df.columns.filterNot(_ == tokenCol).toSeq
     val scoped = df
-      .select(col(idCol), col(tokenCol).cast("long").as("n_tokens"))
+      .select(carried.map(col) :+
+        col(tokenCol).cast("long").as("n_tokens"): _*)
       .where(col("n_tokens").isNotNull && col("n_tokens") >= 0)
       .withColumn("bucket",
         expr(s"(n_tokens + ${bucketWidth - 1}) div $bucketWidth"))

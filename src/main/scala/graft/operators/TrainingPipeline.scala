@@ -70,6 +70,26 @@ object TrainingPipeline {
       shards: Int = 8, budget: Long = 2048L,
       nearDupThreshold: Double = 0.8,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val withTok = curatedMix(docs, benchmark, targets, textCol, idCol,
+      domainCol, nearDupThreshold, maxBucket)
+    // Stages 4+5 — epoch-keyed order, then pack per shard in pos order;
+    // both windows partition by shard → one exchange
+    val ordered = Sampling.epochOrder(withTok, idCol, "epoch", shards)
+    Sampling.packSequences(ordered, "n_tokens", budget, Seq("shard"), "pos")
+      .select(col(idCol), col(domainCol), col("epoch"), col("shard"),
+        col("pos"), col("n_tokens"), col("pack_id"), col("pack_offset"))
+  }
+
+  /** Stages 1–3 of the composition — curate → leakage-safe split → mix
+    * plan/materialize — shared verbatim between [[corpusToShards]] (the
+    * pretraining concat/pack layout) and [[corpusToBatches]] (the
+    * fine-tuning padded-batch layout): one row per (document, epoch)
+    * with (idCol, domainCol, epoch, n_tokens).
+    */
+  private def curatedMix(docs: DataFrame, benchmark: DataFrame,
+      targets: Map[String, Double], textCol: String, idCol: String,
+      domainCol: String, nearDupThreshold: Double,
+      maxBucket: Int): DataFrame = {
     // Stage 1 — curate; keep-list materialized once (narrow: ids only)
     val keepIds = Curation.curate(docs, benchmark, textCol, idCol)
       .filter(col("keep")).select(col(idCol))
@@ -88,13 +108,44 @@ object TrainingPipeline {
     val mix = Sampling.materializeMix(
       train.select(col(idCol), col(domainCol)), domainCol, plan, idCol)
     // token counts join the (doc, epoch) rows as a narrow pair frame
-    val withTok = mix.join(
-      train.select(col(idCol), tokens.as("n_tokens")), Seq(idCol))
-    // Stages 4+5 — epoch-keyed order, then pack per shard in pos order;
-    // both windows partition by shard → one exchange
-    val ordered = Sampling.epochOrder(withTok, idCol, "epoch", shards)
-    Sampling.packSequences(ordered, "n_tokens", budget, Seq("shard"), "pos")
-      .select(col(idCol), col(domainCol), col("epoch"), col("shard"),
-        col("pos"), col("n_tokens"), col("pack_id"), col("pack_offset"))
+    mix.join(train.select(col(idCol), tokens.as("n_tokens")), Seq(idCol))
+  }
+
+  /** [[corpusToShards]]' fine-tuning sibling (VERDICT r15 #3): the SAME
+    * curated / leakage-safe-split / mixed corpus, laid out for a loader
+    * that PADS each sequence to its batch's max instead of
+    * concatenating — i.e. [[Sampling.bucketBatches]] (q148) composed
+    * over stages 1–3 in place of epoch-order + pack. The batch draw is
+    * keyed on the (id:epoch) composite — [[Sampling.epochOrder]]'s
+    * convention — so a document's epoch copies scatter across batches
+    * instead of padding side by side, and membership stays a pure
+    * function of the ids.
+    *
+    * Output: one row per (document, epoch) with its full batch
+    * coordinate and padding audit — (idCol, domainCol, epoch,
+    * n_tokens, bucket, shard, batch_idx, pos_in_batch, padded_to,
+    * pad_waste).
+    *
+    * Scale shape: stages 1–3 are [[corpusToShards]]' (see its
+    * scaladoc); the batching stage adds exactly one narrow shuffle (the
+    * (bucket, shard)-cell rank window over (key, n_tokens) rows) — the
+    * q148 contract, with the same no-single-task-cell sharding.
+    */
+  def corpusToBatches(docs: DataFrame, benchmark: DataFrame,
+      targets: Map[String, Double],
+      textCol: String = "text", idCol: String = "doc_id",
+      domainCol: String = "source",
+      bucketWidth: Int = 64, batchSize: Int = 8, shards: Int = 4,
+      nearDupThreshold: Double = 0.8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val withTok = curatedMix(docs, benchmark, targets, textCol, idCol,
+      domainCol, nearDupThreshold, maxBucket)
+    val keyed = withTok.withColumn("__bk",
+      concat_ws(":", col(idCol).cast("string"), col("epoch").cast("string")))
+    Sampling.bucketBatches(keyed, "n_tokens", bucketWidth, batchSize,
+        shards, idCol = "__bk")
+      .select(col(idCol), col(domainCol), col("epoch"), col("n_tokens"),
+        col("bucket"), col("shard"), col("batch_idx"), col("pos_in_batch"),
+        col("padded_to"), col("pad_waste"))
   }
 }

@@ -1070,6 +1070,24 @@ object PipelineQueries {
         targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
           (2 to 11).map(i => s"src$i" -> 0.05).toMap,
         maxBucket = 20)
+    }),
+
+    // The composition's fine-tuning sibling (VERDICT r15 #3): the SAME
+    // curated → leakage-safe-split → mixed corpus (q147's stages 1–3,
+    // same fixture, same cap), laid out as q148's length-bucketed
+    // padded batches instead of q78's concat packs — batch membership
+    // keyed on the (id:epoch) composite so epoch copies scatter.
+    // Chained value oracle: q147's CTE blocks through the mix, then
+    // q148's batch arithmetic on the (id:epoch) hash.
+    "q149_batch_pipeline" -> ((s, d) => {
+      val bench = Tables.documents(s, d)
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select(substring(col("text"), 41, 200).as("text"))
+      graft.operators.TrainingPipeline.corpusToBatches(
+        docsWithDupsAndBoilerplate(s, d), bench,
+        targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
+          (2 to 11).map(i => s"src$i" -> 0.05).toMap,
+        maxBucket = 20)
     })
   )
 
@@ -1246,6 +1264,204 @@ object PipelineQueries {
       |  SELECT doc_id, text,
       |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
+
+  /** Shared oracle prefix of the composed pipelines (q147/q149):
+    * q90's verdict CTEs -> kept set -> q130's shingle/closure/split
+    * CTEs restricted to kept -> train -> q121's mix CTEs over
+    * train-token shares, ending at `mixr` - one row per (doc, epoch)
+    * with (doc_id, source, n_tokens, epoch). The two compositions
+    * append their own layout arithmetic: q131+q78 (shards/packs) for
+    * q147, q148 (length-bucketed padded batches) for q149.
+    */
+  private val MixPrefixSql: String =
+    """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT i + 500000,
+        |    'the website terms of service and privacy policy apply to ' ||
+        |    'every visitor with general conditions that govern all access ' ||
+        |    'for content shared on this platform including cookie settings ' ||
+        |    'data retention account registration newsletter subscription ' ||
+        |    'contact details support center legal notice copyright ' ||
+        |    'information trademark ownership liability disclaimer warranty ' ||
+        |    'limits arbitration clauses governing law jurisdiction venue ' ||
+        |    'severability waiver amendments notices assignment headings ' ||
+        |    'definitions interpretation precedence entire agreement between ' ||
+        |    'parties concerning usage rights granted herein subject always ' ||
+        |    'first when users browse pages or download files from servers ' ||
+        |    'hosted under managed' ||
+        |    ' sector' || i || ' docket' || i || ' ledger' || i ||
+        |    ' marker' || i || ' packet' || i || ' roster' || i ||
+        |    ' binder' || i || ' folio' || i || ' module' || i ||
+        |    ' tablet' || i || ' beacon' || i || ' cipher' || i ||
+        |    ' anchor' || i
+        |  FROM (SELECT unnest(range(60)) AS i)),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        |  FROM base),
+        |canon AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY f),
+        |bt AS (
+        |  SELECT list_filter(string_split_regex(substr(text, 41, 200),
+        |    '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 300),
+        |bg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM bt),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM base),
+        |dg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM dt),
+        |hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
+        |lt AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM base),
+        |gs AS (
+        |  SELECT doc_id, len(tk) AS n,
+        |    coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+        |      AS chars,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x)))
+        |      AS stops,
+        |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS alpha,
+        |    length(lt) - length(replace(lt, '#', ''))
+        |      + len(regexp_extract_all(lt, '\.{3}')) AS sym,
+        |    len(string_split(lt, chr(10))) AS nl,
+        |    len(regexp_extract_all(lt, '(?m)^[ \t]*[•‣▪*-]')) AS bl,
+        |    len(regexp_extract_all(lt, '(?m)(\.\.\.|…)[ \t]*$')) AS el
+        |  FROM lt),
+        |gp AS (
+        |  SELECT doc_id,
+        |    (n >= 50 AND n <= 100000)
+        |    AND coalesce(CASE WHEN n > 0 THEN chars::DOUBLE / n >= 3.0
+        |      AND chars::DOUBLE / n <= 10.0 END, FALSE)
+        |    AND coalesce(CASE WHEN n > 0 THEN sym::DOUBLE / n <= 0.1 END,
+        |      FALSE)
+        |    AND coalesce(CASE WHEN n > 0 THEN alpha::DOUBLE / n >= 0.8 END,
+        |      FALSE)
+        |    AND stops >= 2
+        |    AND bl::DOUBLE / nl <= 0.9
+        |    AND el::DOUBLE / nl <= 0.3 AS pass
+        |  FROM gs),
+        |qm AS (
+        |  SELECT doc_id, length(text) AS nch,
+        |    CASE WHEN len(t) > 0 THEN
+        |      list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+        |      END AS atl,
+        |    CASE WHEN len(t) > 0 THEN
+        |      len(list_filter(t, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'],
+        |        x)))::DOUBLE / len(t) END AS swr,
+        |    CASE WHEN length(text) > 0 THEN
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(text) END AS ar
+        |  FROM base JOIN dt USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id, 0.25::DOUBLE * (
+        |    coalesce(nch BETWEEN 100 AND 10000, false)::INT +
+        |    coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
+        |    coalesce(swr >= 0.03, false)::INT +
+        |    coalesce(ar >= 0.6, false)::INT) AS quality
+        |  FROM qm),
+        |tc AS (
+        |  SELECT doc_id, tok, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM dt) GROUP BY 1, 2),
+        |tm AS (SELECT doc_id, max(cnt) AS mx FROM tc GROUP BY 1),
+        |calm AS (
+        |  SELECT dt.doc_id,
+        |    coalesce(CASE WHEN len(dt.t) > 0 THEN
+        |      tm.mx::DOUBLE / len(dt.t) <= 0.5 END, FALSE) AS calm
+        |  FROM dt LEFT JOIN tm USING (doc_id)),
+        |v AS (
+        |  SELECT fp.doc_id,
+        |    CASE WHEN fp.doc_id <> canon.canon THEN 'duplicate'
+        |         WHEN hit.doc_id IS NOT NULL THEN 'contaminated'
+        |         WHEN NOT gp.pass THEN 'gopher'
+        |         WHEN q.quality < 0.5 THEN 'low_quality'
+        |         WHEN NOT calm.calm THEN 'repetitive'
+        |    END AS reason
+        |  FROM fp JOIN canon USING (f)
+        |  LEFT JOIN hit ON hit.doc_id = fp.doc_id
+        |  JOIN gp ON gp.doc_id = fp.doc_id
+        |  JOIN q ON q.doc_id = fp.doc_id
+        |  JOIN calm ON calm.doc_id = fp.doc_id),
+        |kept AS (SELECT doc_id FROM v WHERE reason IS NULL),
+        |ksh AS (
+        |  SELECT dt.doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM dt JOIN kept USING (doc_id)),
+        |ksz AS (SELECT doc_id, count(*) AS n FROM ksh GROUP BY doc_id),
+        |kix AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM ksh a JOIN ksh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |kpairs AS (
+        |  SELECT doc_a, doc_b FROM kix
+        |  JOIN ksz sa ON doc_a = sa.doc_id
+        |  JOIN ksz sb ON doc_b = sb.doc_id
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |kedges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM kpairs
+        |  UNION ALL SELECT doc_b, doc_a FROM kpairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM kedges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN kedges e ON r.t = e.s),
+        |lbl AS (
+        |  SELECT s AS doc_id, least(s, min(t)) AS cluster
+        |  FROM reach GROUP BY s),
+        |train AS (
+        |  SELECT k.doc_id FROM kept k LEFT JOIN lbl l USING (doc_id)
+        |  WHERE ('0x' || substr(md5(coalesce(l.cluster, k.doc_id)::VARCHAR),
+        |    1, 15))::BIGINT % 100 < 90),
+        |tn AS (
+        |  SELECT dt.doc_id, coalesce(d.source, 'src0') AS source,
+        |    len(dt.t)::BIGINT AS n_tokens
+        |  FROM dt JOIN train USING (doc_id)
+        |  LEFT JOIN documents d USING (doc_id)),
+        |perdom AS (
+        |  SELECT source, sum(n_tokens)::BIGINT AS tokens FROM tn
+        |  GROUP BY source),
+        |tot AS (SELECT sum(tokens)::BIGINT AS total FROM perdom),
+        |wt AS (
+        |  SELECT source,
+        |    round(least(
+        |      (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+        |        WHEN 'src2' THEN 0.05 WHEN 'src3' THEN 0.05
+        |        WHEN 'src4' THEN 0.05 WHEN 'src5' THEN 0.05
+        |        WHEN 'src6' THEN 0.05 WHEN 'src7' THEN 0.05
+        |        WHEN 'src8' THEN 0.05 WHEN 'src9' THEN 0.05
+        |        WHEN 'src10' THEN 0.05 WHEN 'src11' THEN 0.05
+        |        ELSE 0.0 END::DOUBLE)
+        |      / (tokens::DOUBLE / total::DOUBLE), 4.0), 6) AS sw
+        |  FROM perdom, tot),
+        |cps AS (
+        |  SELECT tn.doc_id, tn.source, tn.n_tokens,
+        |    (floor(sw)::INT + CASE WHEN
+        |      (('0x' || substr(md5(tn.doc_id::VARCHAR || ':epoch'), 1, 15))
+        |        ::BIGINT % 10000)::DOUBLE < (sw - floor(sw)) * 10000
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM tn JOIN wt USING (source)),
+        |mixr AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    unnest(range(1, copies + 1))::INT AS epoch
+        |  FROM cps WHERE copies > 0),""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q30_text_stats" -> (ToksCte +
@@ -3241,196 +3457,8 @@ object PipelineQueries {
     // order → q78's pack arithmetic per shard in pos order. Every block
     // is an already-green oracle, chained; renames only where CTE names
     // would collide (r→calm, pairs→kpairs etc.).
-    "q147_training_pipeline" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT i + 500000,
-        |    'the website terms of service and privacy policy apply to ' ||
-        |    'every visitor with general conditions that govern all access ' ||
-        |    'for content shared on this platform including cookie settings ' ||
-        |    'data retention account registration newsletter subscription ' ||
-        |    'contact details support center legal notice copyright ' ||
-        |    'information trademark ownership liability disclaimer warranty ' ||
-        |    'limits arbitration clauses governing law jurisdiction venue ' ||
-        |    'severability waiver amendments notices assignment headings ' ||
-        |    'definitions interpretation precedence entire agreement between ' ||
-        |    'parties concerning usage rights granted herein subject always ' ||
-        |    'first when users browse pages or download files from servers ' ||
-        |    'hosted under managed' ||
-        |    ' sector' || i || ' docket' || i || ' ledger' || i ||
-        |    ' marker' || i || ' packet' || i || ' roster' || i ||
-        |    ' binder' || i || ' folio' || i || ' module' || i ||
-        |    ' tablet' || i || ' beacon' || i || ' cipher' || i ||
-        |    ' anchor' || i
-        |  FROM (SELECT unnest(range(60)) AS i)),
-        |fp AS (
-        |  SELECT doc_id,
-        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
-        |  FROM base),
-        |canon AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY f),
-        |bt AS (
-        |  SELECT list_filter(string_split_regex(substr(text, 41, 200),
-        |    '\s+'), x -> x <> '') AS t
-        |  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 300),
-        |bg AS (
-        |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 8 THEN
-        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
-        |        array_to_string(list_slice(t, i, i + 7), ' ')))
-        |    ELSE [array_to_string(t, ' ')] END) AS g
-        |  FROM bt),
-        |dt AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-        |  FROM base),
-        |dg AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
-        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
-        |        array_to_string(list_slice(t, i, i + 7), ' ')))
-        |    ELSE [array_to_string(t, ' ')] END) AS g
-        |  FROM dt),
-        |hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
-        |lt AS (
-        |  SELECT doc_id, lower(text) AS lt,
-        |    list_filter(string_split_regex(lower(text), '\s+'),
-        |      x -> x <> '') AS tk
-        |  FROM base),
-        |gs AS (
-        |  SELECT doc_id, len(tk) AS n,
-        |    coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
-        |      AS chars,
-        |    len(list_filter(tk, x -> list_contains(
-        |      ['the','be','to','of','and','that','have','with'], x)))
-        |      AS stops,
-        |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
-        |      AS alpha,
-        |    length(lt) - length(replace(lt, '#', ''))
-        |      + len(regexp_extract_all(lt, '\.{3}')) AS sym,
-        |    len(string_split(lt, chr(10))) AS nl,
-        |    len(regexp_extract_all(lt, '(?m)^[ \t]*[•‣▪*-]')) AS bl,
-        |    len(regexp_extract_all(lt, '(?m)(\.\.\.|…)[ \t]*$')) AS el
-        |  FROM lt),
-        |gp AS (
-        |  SELECT doc_id,
-        |    (n >= 50 AND n <= 100000)
-        |    AND coalesce(CASE WHEN n > 0 THEN chars::DOUBLE / n >= 3.0
-        |      AND chars::DOUBLE / n <= 10.0 END, FALSE)
-        |    AND coalesce(CASE WHEN n > 0 THEN sym::DOUBLE / n <= 0.1 END,
-        |      FALSE)
-        |    AND coalesce(CASE WHEN n > 0 THEN alpha::DOUBLE / n >= 0.8 END,
-        |      FALSE)
-        |    AND stops >= 2
-        |    AND bl::DOUBLE / nl <= 0.9
-        |    AND el::DOUBLE / nl <= 0.3 AS pass
-        |  FROM gs),
-        |qm AS (
-        |  SELECT doc_id, length(text) AS nch,
-        |    CASE WHEN len(t) > 0 THEN
-        |      list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
-        |      END AS atl,
-        |    CASE WHEN len(t) > 0 THEN
-        |      len(list_filter(t, x -> list_contains(
-        |        ['the','a','an','and','of','to','in','is','for','on','with'],
-        |        x)))::DOUBLE / len(t) END AS swr,
-        |    CASE WHEN length(text) > 0 THEN
-        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-        |      / length(text) END AS ar
-        |  FROM base JOIN dt USING (doc_id)),
-        |q AS (
-        |  SELECT doc_id, 0.25::DOUBLE * (
-        |    coalesce(nch BETWEEN 100 AND 10000, false)::INT +
-        |    coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
-        |    coalesce(swr >= 0.03, false)::INT +
-        |    coalesce(ar >= 0.6, false)::INT) AS quality
-        |  FROM qm),
-        |tc AS (
-        |  SELECT doc_id, tok, count(*) AS cnt
-        |  FROM (SELECT doc_id, unnest(t) AS tok FROM dt) GROUP BY 1, 2),
-        |tm AS (SELECT doc_id, max(cnt) AS mx FROM tc GROUP BY 1),
-        |calm AS (
-        |  SELECT dt.doc_id,
-        |    coalesce(CASE WHEN len(dt.t) > 0 THEN
-        |      tm.mx::DOUBLE / len(dt.t) <= 0.5 END, FALSE) AS calm
-        |  FROM dt LEFT JOIN tm USING (doc_id)),
-        |v AS (
-        |  SELECT fp.doc_id,
-        |    CASE WHEN fp.doc_id <> canon.canon THEN 'duplicate'
-        |         WHEN hit.doc_id IS NOT NULL THEN 'contaminated'
-        |         WHEN NOT gp.pass THEN 'gopher'
-        |         WHEN q.quality < 0.5 THEN 'low_quality'
-        |         WHEN NOT calm.calm THEN 'repetitive'
-        |    END AS reason
-        |  FROM fp JOIN canon USING (f)
-        |  LEFT JOIN hit ON hit.doc_id = fp.doc_id
-        |  JOIN gp ON gp.doc_id = fp.doc_id
-        |  JOIN q ON q.doc_id = fp.doc_id
-        |  JOIN calm ON calm.doc_id = fp.doc_id),
-        |kept AS (SELECT doc_id FROM v WHERE reason IS NULL),
-        |ksh AS (
-        |  SELECT dt.doc_id, unnest(CASE WHEN len(t) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |    ELSE [array_to_string(t, ' ')] END) AS s
-        |  FROM dt JOIN kept USING (doc_id)),
-        |ksz AS (SELECT doc_id, count(*) AS n FROM ksh GROUP BY doc_id),
-        |kix AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM ksh a JOIN ksh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |kpairs AS (
-        |  SELECT doc_a, doc_b FROM kix
-        |  JOIN ksz sa ON doc_a = sa.doc_id
-        |  JOIN ksz sb ON doc_b = sb.doc_id
-        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
-        |kedges AS (
-        |  SELECT doc_a AS s, doc_b AS t FROM kpairs
-        |  UNION ALL SELECT doc_b, doc_a FROM kpairs),
-        |reach(s, t) AS (
-        |  SELECT s, t FROM kedges
-        |  UNION
-        |  SELECT r.s, e.t FROM reach r JOIN kedges e ON r.t = e.s),
-        |lbl AS (
-        |  SELECT s AS doc_id, least(s, min(t)) AS cluster
-        |  FROM reach GROUP BY s),
-        |train AS (
-        |  SELECT k.doc_id FROM kept k LEFT JOIN lbl l USING (doc_id)
-        |  WHERE ('0x' || substr(md5(coalesce(l.cluster, k.doc_id)::VARCHAR),
-        |    1, 15))::BIGINT % 100 < 90),
-        |tn AS (
-        |  SELECT dt.doc_id, coalesce(d.source, 'src0') AS source,
-        |    len(dt.t)::BIGINT AS n_tokens
-        |  FROM dt JOIN train USING (doc_id)
-        |  LEFT JOIN documents d USING (doc_id)),
-        |perdom AS (
-        |  SELECT source, sum(n_tokens)::BIGINT AS tokens FROM tn
-        |  GROUP BY source),
-        |tot AS (SELECT sum(tokens)::BIGINT AS total FROM perdom),
-        |wt AS (
-        |  SELECT source,
-        |    round(least(
-        |      (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
-        |        WHEN 'src2' THEN 0.05 WHEN 'src3' THEN 0.05
-        |        WHEN 'src4' THEN 0.05 WHEN 'src5' THEN 0.05
-        |        WHEN 'src6' THEN 0.05 WHEN 'src7' THEN 0.05
-        |        WHEN 'src8' THEN 0.05 WHEN 'src9' THEN 0.05
-        |        WHEN 'src10' THEN 0.05 WHEN 'src11' THEN 0.05
-        |        ELSE 0.0 END::DOUBLE)
-        |      / (tokens::DOUBLE / total::DOUBLE), 4.0), 6) AS sw
-        |  FROM perdom, tot),
-        |cps AS (
-        |  SELECT tn.doc_id, tn.source, tn.n_tokens,
-        |    (floor(sw)::INT + CASE WHEN
-        |      (('0x' || substr(md5(tn.doc_id::VARCHAR || ':epoch'), 1, 15))
-        |        ::BIGINT % 10000)::DOUBLE < (sw - floor(sw)) * 10000
-        |      THEN 1 ELSE 0 END) AS copies
-        |  FROM tn JOIN wt USING (source)),
-        |mixr AS (
-        |  SELECT doc_id, source, n_tokens,
-        |    unnest(range(1, copies + 1))::INT AS epoch
-        |  FROM cps WHERE copies > 0),
-        |hh AS (
+    "q147_training_pipeline" -> (MixPrefixSql + "\n" +
+      """hh AS (
         |  SELECT doc_id, source, n_tokens, epoch,
         |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR),
         |      1, 15))::BIGINT AS hv
@@ -3448,6 +3476,36 @@ object PipelineQueries {
         |  FROM ord)
         |SELECT doc_id, source, epoch, shard, pos, n_tokens,
         |  f // 2048 AS pack_id, f % 2048 AS pack_offset
-        |FROM pk""".stripMargin
+        |FROM pk""".stripMargin),
+
+    // q149 = the SAME prefix (curate -> leakage-safe split -> mix over
+    // the capped-LSH fixture) laid out as q148's padded batches, keyed
+    // on the (id:epoch) composite hash - engine-exact integer/window
+    // arithmetic, full value oracle.
+    "q149_batch_pipeline" -> (MixPrefixSql + "\n" +
+      """hb AS (
+        |  SELECT doc_id, source, n_tokens, epoch,
+        |    (n_tokens + 63) // 64 AS bucket,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR),
+        |      1, 15))::BIGINT AS hv,
+        |    doc_id::VARCHAR || ':' || epoch::VARCHAR AS bk
+        |  FROM mixr WHERE n_tokens IS NOT NULL AND n_tokens >= 0),
+        |rr AS (
+        |  SELECT doc_id, source, n_tokens, epoch, bucket,
+        |    (hv % 4)::INT AS shard,
+        |    row_number() OVER (PARTITION BY bucket, hv % 4
+        |      ORDER BY hv ASC, bk ASC) - 1 AS rn
+        |  FROM hb),
+        |cc AS (
+        |  SELECT doc_id, source, n_tokens, epoch, bucket, shard,
+        |    (rn // 8)::INT AS batch_idx, (rn % 8)::INT AS pos_in_batch
+        |  FROM rr)
+        |SELECT doc_id, source, epoch, n_tokens, bucket, shard, batch_idx,
+        |  pos_in_batch,
+        |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx)
+        |    AS padded_to,
+        |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx)
+        |    - n_tokens AS pad_waste
+        |FROM cc""".stripMargin)
   )
 }

@@ -118,6 +118,41 @@ class TrainingPipelineSpec extends SparkSpec {
         "out, so the gate checked nothing")
   }
 
+  test("corpusToBatches shares the curated mix with corpusToShards and " +
+      "keeps the q148 batch contract (VERDICT r15 #3)") {
+    val batches = TrainingPipeline.corpusToBatches(
+      docs, Seq(leaky.take(200)).toDF("text"),
+      targets = Map("a" -> 0.7, "b" -> 0.3),
+      bucketWidth = 16, batchSize = 4, shards = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getLong(8),
+        r.getLong(9)))
+    // the two layouts are views of ONE curated/split/mixed corpus: same
+    // (doc, epoch) multiset, same token counts
+    assert(batches.map(t => (t._1, t._3)).sorted.toSeq ==
+      out.map(t => (t._1, t._3)).sorted.toSeq,
+      "batch layout covers a different (doc, epoch) set than the pack layout")
+    val tokByDoc = out.map(t => t._1 -> t._6).toMap
+    batches.foreach { case (id, _, _, nTok, _, _, _, _, _, _) =>
+      assert(nTok == tokByDoc(id), s"doc $id n_tokens $nTok") }
+    // q148 contract: bucket arithmetic, cell-local contiguous positions,
+    // batch-max padding, bounded waste
+    batches.foreach { case (id, _, ep, nTok, bucket, _, _, _, paddedTo, waste) =>
+      assert(bucket == (nTok + 15) / 16, s"doc $id bucket")
+      assert(paddedTo >= nTok && waste == paddedTo - nTok, s"doc $id pad")
+      assert(waste < 16, s"doc $id epoch $ep pad_waste $waste >= bucketWidth")
+    }
+    batches.groupBy(t => (t._5, t._6, t._7)).foreach { case (cell, rows) =>
+      assert(rows.map(_._8).sorted.toSeq == (0 until rows.size),
+        s"batch $cell pos_in_batch not contiguous")
+      assert(rows.size <= 4, s"batch $cell oversize")
+      assert(rows.map(_._9).distinct.size == 1 &&
+        rows.head._9 == rows.map(_._4).max,
+        s"batch $cell padded_to is not the batch max")
+    }
+  }
+
   test("token counts in the layout match the curated docs' token counts") {
     val expected = docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
