@@ -126,5 +126,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       "int8_quantize(vec) - struct(scale, codes): per-vector symmetric " +
         "int8 quantization (scale = max|v|/127, code = floor(v/scale + 0.5))",
       (args: Seq[Expression]) => Int8QuantizeExpr(args.head))
+    reg(ext, "nfkc_fold",
+      "nfkc_fold(text) - NFKD compatibility decomposition, combining " +
+        "marks stripped, NFC recomposed (fullwidth/ligature/accent fold)",
+      (args: Seq[Expression]) => NfkcFoldExpr(args.head))
   }
 }

@@ -50,6 +50,21 @@ object Dedup {
         "\\p{N}", "0"),
       "\\s+", " "))
 
+  /** The Unicode-compatibility equivalence class (VERDICT r15 #5):
+    * [[aggressiveNormalize]] over the NFKC-style fold of
+    * [[graft.functions.UnicodeFunctions.nfkcFold]] (NFKD → strip
+    * combining marks → NFC). Catches the re-encoded mirror classes the
+    * byte-level classes cannot: fullwidth forms (ｈｅｌｌｏ ≡ hello),
+    * composed-vs-decomposed accents (café in 5 or 6 code points ≡
+    * cafe), ligatures (ﬁle ≡ file), compatibility digits. The fold runs
+    * BEFORE lowercasing (NFKC of Ｈ is H; lower then folds it), and the
+    * whole key stays a per-row codegen'd projection — same plan shape
+    * as every fingerprint class here, only the kernel changes (q125's
+    * documented contract).
+    */
+  def unicodeNormalize(text: Column): Column =
+    aggressiveNormalize(graft.functions.UnicodeFunctions.nfkcFold(text))
+
   /** Distinct word n-gram shingles; whole text as one shingle when
     * shorter than n tokens. Codegen'd single pass
     * ([[graft.functions.WordShinglesExpr]]) — the declarative

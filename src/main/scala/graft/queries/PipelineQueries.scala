@@ -1088,6 +1088,30 @@ object PipelineQueries {
         targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
           (2 to 11).map(i => s"src$i" -> 0.05).toMap,
         maxBucket = 20)
+    }),
+
+    // Unicode-compatibility dedup (VERDICT r15 #5): planted re-encoded
+    // mirrors — composed-accent twins (a→á, e→é, +600000) and
+    // fullwidth twins (a-z→ａ-ｚ, +700000) — must land in their
+    // original's equivalence class under the NFKC fold; the q125
+    // byte-level class provably misses both (its regexes never touch
+    // the code points). The corpus is pure ASCII (checked), so the
+    // oracle expresses the fold as the literal inverse translate of
+    // exactly the planted characters — identity on organic docs —
+    // then reuses q125's aggressive-normalize chain verbatim.
+    "q150_unicode_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val accent = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 600000)
+        .withColumn("text", translate(col("text"), "ae", "áé"))
+      val fullwidth = docs.filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", col("doc_id") + 700000)
+        .withColumn("text", translate(col("text"),
+          "abcdefghijklmnopqrstuvwxyz",
+          "ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ"))
+      Dedup.exactDedup(docs.unionByName(accent).unionByName(fullwidth),
+        "text", "doc_id",
+        fingerprinter = t => md5(Dedup.unicodeNormalize(t)))
     })
   )
 
@@ -3506,6 +3530,36 @@ object PipelineQueries {
         |    AS padded_to,
         |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx)
         |    - n_tokens AS pad_waste
-        |FROM cc""".stripMargin)
+        |FROM cc""".stripMargin),
+
+    // q150 = q125's dedup shape with the NFKC-fold kernel: the oracle
+    // folds by inverse-translating exactly the planted characters
+    // (identity on the pure-ASCII organic corpus), then the q125
+    // aggressive-normalize chain verbatim.
+    "q150_unicode_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000, translate(text, 'ae', 'áé')
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 700000, translate(text,
+        |    'abcdefghijklmnopqrstuvwxyz',
+        |    'ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ')
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |folded AS (
+        |  SELECT doc_id, translate(text,
+        |    'áéａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ',
+        |    'aeabcdefghijklmnopqrstuvwxyz') AS ft
+        |  FROM base),
+        |fp AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    regexp_replace(lower(ft), '[^\p{L}\p{N}\s]', '', 'g'),
+        |    '\p{N}', '0', 'g'), '\s+', ' ', 'g'))) AS f
+        |  FROM folded),
+        |c AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f)
+        |SELECT fp.doc_id, c.canonical_id,
+        |       fp.doc_id <> c.canonical_id AS is_dup
+        |FROM fp JOIN c USING (f)""".stripMargin
   )
 }

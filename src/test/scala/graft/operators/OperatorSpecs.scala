@@ -1332,6 +1332,71 @@ class SimilaritySpec extends SparkSpec {
     assert(stored == inMem)
   }
 
+  test("maintainIvfIndex (VERDICT r15 #7): the decayed fixture triggers " +
+      "compaction and recovers past the floor; the fresh fixture appends " +
+      "without compacting") {
+    // the compact test's decay geometry: 8 axis clusters + a dense blob
+    // on a frozen decision boundary, delivered as an append
+    def jit(i: Long, j: Int, s: Double) =
+      ((((i * 37 + j * 13) % 991) / 991.0 - 0.5) * s).toFloat
+    val baseRows = (0L until 96L).map { i =>
+      val axis = (i % 8).toInt
+      (i, Seq.tabulate(16)(j =>
+        (if (j == axis * 2) 10f else 0f) + jit(i, j, 1.0)))
+    }
+    val blobRows = (100L until 220L).map { i =>
+      (i, Seq.tabulate(16)(j =>
+        (if (j == 0 || j == 2) 5f else 0f) + jit(i, j, 1.5)))
+    }
+    val baseDf = baseRows.toDF("vec_id", "embedding")
+    val blob = blobRows.toDF("vec_id", "embedding")
+    val blobProbes = blob.filter($"vec_id" < 130)
+
+    // decayed path: base index + the whole blob arrives as one batch;
+    // probing the blob at nprobe=1 must fall under the floor -> compact
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_maint1").toString
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(baseDf,
+      numCentroids = 8, kmeansIterations = 2), dir1)
+    val decayed = Similarity.maintainIvfIndex(spark, dir1, blob, blobProbes,
+      recallFloor = 0.95)
+    assert(decayed.appended == 120L)
+    assert(decayed.compacted,
+      s"recall ${decayed.recallBefore} should be under the 0.95 floor")
+    assert(decayed.recallAfter > decayed.recallBefore &&
+      decayed.recallAfter >= 0.95,
+      s"post-maintenance recall ${decayed.recallAfter} must clear the floor")
+    // and the compacted index is what is now STORED
+    val storedRecall = {
+      val ix = Similarity.readIvfIndex(spark, dir1)
+      val recon = ix.lists.select($"neighbor_id".as("vec_id"),
+        transform($"codes", c => c.cast("double") * $"scale").as("embedding"))
+      Similarity.recallAtK(
+          Similarity.probeIvfQuantized(ix, blobProbes, 5, nprobe = 1),
+          Similarity.bruteForceTopK(recon, blobProbes, 5))
+        .agg(avg($"recall")).as[Double].collect()(0)
+    }
+    assert(math.abs(storedRecall - decayed.recallAfter) < 1e-9,
+      "report.recallAfter must describe the stored index")
+
+    // fresh path: an append that matches the frozen cluster structure
+    // (more axis members) decays nothing -> no compaction, report echoes
+    // the measured recall on both sides
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_maint2").toString
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(baseDf,
+      numCentroids = 8, kmeansIterations = 2), dir2)
+    val moreAxis = (300L until 340L).map { i =>
+      val axis = (i % 8).toInt
+      (i, Seq.tabulate(16)(j =>
+        (if (j == axis * 2) 10f else 0f) + jit(i, j, 1.0)))
+    }.toDF("vec_id", "embedding")
+    val axisProbes = baseDf.filter($"vec_id" < 20)
+    val fresh = Similarity.maintainIvfIndex(spark, dir2, moreAxis, axisProbes,
+      recallFloor = 0.95)
+    assert(!fresh.compacted,
+      s"fresh-append recall ${fresh.recallBefore} wrongly triggered compaction")
+    assert(fresh.recallAfter == fresh.recallBefore)
+  }
+
   test("compactIvfIndex: duplicate list ids (double-append) fail loudly " +
       "instead of silently collapsing (ADVICE r15)") {
     val emb = (0L until 40L).map(i =>
