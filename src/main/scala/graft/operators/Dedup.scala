@@ -169,12 +169,20 @@ object Dedup {
     *                            prefilter degrades to passing the whole
     *                            corpus (correct, but the scale contract
     *                            collapses)
+    * @param fingerprinter the equivalence class, pluggable like
+    *                      [[exactDedup]]'s (round 16): MUST match the
+    *                      class the stored `corpusFps` were written
+    *                      under — a class mismatch silently reports
+    *                      every batch doc as novel, the false-negative
+    *                      mode this operator exists to prevent
     */
   def incrementalExactDedup(newDocs: DataFrame, corpusFps: DataFrame,
       textCol: String, idCol: String, fpCol: String = "fp",
-      expectedBatchItems: Long = 100000L): DataFrame = {
+      expectedBatchItems: Long = 100000L,
+      fingerprinter: Column => Column = TextAnalysis.fingerprint)
+      : DataFrame = {
     val fp = newDocs.select(col(idCol),
-      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      fingerprinter(col(textCol)).as("__fp"))
     val w = Window.partitionBy(col("__fp"))
     val batch = fp.withColumn("canonical_id", min(col(idCol)).over(w))
     val known = Sketches

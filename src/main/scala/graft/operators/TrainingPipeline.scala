@@ -45,10 +45,10 @@ object TrainingPipeline {
     * corpus-sized shuffle keys are fingerprints, shingle projections,
     * and (id, token-count) pairs.
     *
-    * A 100 TB run would materialize the curated corpus between stages 1
-    * and 2 ([[graft.sources.Layout.writePartitioned]]) rather than
-    * re-scan raw input per LSH pass; the query form keeps the chain
-    * lazy so the whole layout is one plan.
+    * A 100 TB run materializes the curated corpus between stages 1
+    * and 2 rather than re-scanning raw input per LSH pass — pass
+    * `stageDir` (round 16; see [[curatedMix]]) to take that path; the
+    * default keeps the chain lazy so the whole layout is one plan.
     *
     * `maxBucket` (VERDICT r15 #2) threads the q73 hot-bucket cap into
     * the LSH stage: boilerplate/templated content floods its band
@@ -69,9 +69,10 @@ object TrainingPipeline {
       domainCol: String = "source",
       shards: Int = 8, budget: Long = 2048L,
       nearDupThreshold: Double = 0.8,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue,
+      stageDir: Option[String] = None): DataFrame = {
     val withTok = curatedMix(docs, benchmark, targets, textCol, idCol,
-      domainCol, nearDupThreshold, maxBucket)
+      domainCol, nearDupThreshold, maxBucket, stageDir)
     // Stages 4+5 — epoch-keyed order, then pack per shard in pos order;
     // both windows partition by shard → one exchange
     val ordered = Sampling.epochOrder(withTok, idCol, "epoch", shards)
@@ -85,16 +86,33 @@ object TrainingPipeline {
     * pretraining concat/pack layout) and [[corpusToBatches]] (the
     * fine-tuning padded-batch layout): one row per (document, epoch)
     * with (idCol, domainCol, epoch, n_tokens).
+    *
+    * `stageDir` (round 16) is the 100 TB knob the scaladoc above only
+    * PRESCRIBED until now: when set, the curated corpus is written to
+    * parquet there ([[graft.sources.Layout.writePartitioned]] without
+    * partitioning — the chain re-keys by fingerprint/shard anyway) and
+    * every downstream pass reads the materialized curated corpus
+    * instead of re-running the raw scan + keep-list join per LSH pass
+    * (~3×) plus once more per split/mix side. The default (None) keeps
+    * the whole layout one lazy plan — right at gate scale, where the
+    * extra write costs more than the re-scans it saves.
     */
   private def curatedMix(docs: DataFrame, benchmark: DataFrame,
       targets: Map[String, Double], textCol: String, idCol: String,
       domainCol: String, nearDupThreshold: Double,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, stageDir: Option[String] = None): DataFrame = {
     // Stage 1 — curate; keep-list materialized once (narrow: ids only)
     val keepIds = Curation.curate(docs, benchmark, textCol, idCol)
       .filter(col("keep")).select(col(idCol))
       .localCheckpoint()
-    val kept = docs.join(keepIds, Seq(idCol))
+    val kept = stageDir match {
+      case None => docs.join(keepIds, Seq(idCol))
+      case Some(dir) =>
+        docs.join(keepIds, Seq(idCol))
+          .select(col(idCol), col(domainCol), col(textCol))
+          .write.mode("overwrite").parquet(dir)
+        docs.sparkSession.read.parquet(dir)
+    }
     // Stage 2 — near-dup components of the curated corpus key the split
     val pairs = Dedup.minhashNearDupPairs(kept, textCol, idCol,
       nearDupThreshold, maxBucket = maxBucket)
@@ -137,9 +155,10 @@ object TrainingPipeline {
       domainCol: String = "source",
       bucketWidth: Int = 64, batchSize: Int = 8, shards: Int = 4,
       nearDupThreshold: Double = 0.8,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue,
+      stageDir: Option[String] = None): DataFrame = {
     val withTok = curatedMix(docs, benchmark, targets, textCol, idCol,
-      domainCol, nearDupThreshold, maxBucket)
+      domainCol, nearDupThreshold, maxBucket, stageDir)
     val keyed = withTok.withColumn("__bk",
       concat_ws(":", col(idCol).cast("string"), col("epoch").cast("string")))
     Sampling.bucketBatches(keyed, "n_tokens", bucketWidth, batchSize,

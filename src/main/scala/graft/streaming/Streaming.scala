@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -111,12 +111,22 @@ object Streaming {
     *    entry per distinct fingerprint forever (16 bytes/doc; viable
     *    for bounded corpora, unbounded at 100 TB/day — the scaladoc'd
     *    trade, not a default).
+    *
+    * `fingerprinter` is the equivalence class, pluggable like the batch
+    * twins' (round 16): whitespace/case default,
+    * [[graft.operators.Dedup.aggressiveNormalize]] or
+    * [[graft.operators.Dedup.unicodeNormalize]] under md5 for the
+    * CCNet / Unicode-fold classes — it must match the class of any
+    * batch pass it is paired with (same contract as
+    * [[graft.operators.Dedup.incrementalExactDedup]]).
     */
   def dedupStream(docs: DataFrame, watermarkDelay: String = "10 minutes",
       textCol: String = "text", tsCol: String = "ts",
-      withinWatermark: Boolean = true): DataFrame = {
+      withinWatermark: Boolean = true,
+      fingerprinter: Column => Column =
+        graft.operators.TextAnalysis.fingerprint): DataFrame = {
     val fp = docs
-      .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("fp", fingerprinter(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
     if (withinWatermark) fp.dropDuplicatesWithinWatermark("fp")
     else fp.dropDuplicates("fp")

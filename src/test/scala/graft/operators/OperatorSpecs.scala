@@ -610,6 +610,30 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, true, true)))   // batch-internal dup of 0, also known
   }
 
+  test("incrementalExactDedup: pluggable class (round 16) — a fullwidth " +
+      "re-encoded re-crawl is known under the unicode fold, novel under " +
+      "the default class") {
+    // corpus stored its fingerprints under the unicode class; the batch
+    // re-delivers doc 0's content re-encoded fullwidth
+    val content = "the quick brown fox jumps over the lazy dog near the river"
+    val uni: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => md5(Dedup.unicodeNormalize(t))
+    val corpus = Seq(content).toDF("t").select(uni($"t").as("fp"))
+    val batch = Seq((0L, content
+      .map(c => if (c >= 'a' && c <= 'z') (c + 0xFEE0).toChar else c)))
+      .toDF("doc_id", "text")
+    val known = Dedup.incrementalExactDedup(batch, corpus, "text", "doc_id",
+        fingerprinter = uni)
+      .as[(Long, Long, Boolean, Boolean)].collect()(0)
+    assert(known == ((0L, 0L, false, true)),
+      "fullwidth mirror must be recognized under the unicode class")
+    val missed = Dedup.incrementalExactDedup(batch, corpus, "text", "doc_id")
+      .as[(Long, Long, Boolean, Boolean)].collect()(0)
+    assert(!missed._4,
+      "byte-level class must miss it — the class-mismatch hazard the " +
+        "scaladoc documents")
+  }
+
   test("duplicatedChunkStats: shared spans flagged on both sides, hand-checked") {
     // chunk size 3: doc 10 = [A B C][D E F][G]; doc 11 reuses chunks 1-2
     // with a unique tail; doc 12 repeats one chunk content INSIDE itself;

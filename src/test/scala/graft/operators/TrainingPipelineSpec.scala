@@ -118,6 +118,26 @@ class TrainingPipelineSpec extends SparkSpec {
         "out, so the gate checked nothing")
   }
 
+  test("stageDir materializes the curated corpus (the 100 TB path) and " +
+      "changes nothing about the layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val staged = TrainingPipeline.corpusToShards(
+      docs, Seq(leaky.take(200)).toDF("text"),
+      targets = Map("a" -> 0.7, "b" -> 0.3), shards = 4, budget = 50L,
+      stageDir = Some(s"$dir/curated")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(staged == out.toSet,
+      "staged composition diverged from the lazy one")
+    // the curated corpus really was written: narrow schema, curated rows
+    val curated = spark.read.parquet(s"$dir/curated")
+    assert(curated.columns.sorted.toSeq == Seq("doc_id", "source", "text"))
+    val ids = curated.select($"doc_id").as[Long].collect().toSet
+    assert(!ids.contains(101L) && !ids.contains(31L),
+      "rejects leaked into the staged curated corpus")
+    assert(ids.contains(1L), "canonical doc missing from the staged corpus")
+  }
+
   test("corpusToBatches shares the curated mix with corpusToShards and " +
       "keeps the q148 batch contract (VERDICT r15 #3)") {
     val batches = TrainingPipeline.corpusToBatches(

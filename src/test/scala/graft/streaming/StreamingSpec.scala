@@ -136,6 +136,39 @@ class StreamingSpec extends SparkSpec {
       "exact variant holds fingerprint state forever")
   }
 
+  test("dedupStream pluggable class (round 16): a fullwidth mirror is " +
+      "suppressed under the unicode fold, passes under the default class") {
+    implicit val sqlCtx = spark.sqlContext
+    def fullwidth(s: String) =
+      s.map(c => if (c >= 'a' && c <= 'z') (c + 0xFEE0).toChar else c)
+    val uni: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => org.apache.spark.sql.functions.md5(
+        graft.operators.Dedup.unicodeNormalize(t))
+    val in = MemoryStream[StreamDoc]
+    val q = Streaming.dedupStream(in.toDF(), watermarkDelay = "10 minutes",
+        fingerprinter = uni)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("ddu").outputMode("append").start()
+    in.addData(StreamDoc(ts(0), 1, "alpha beta gamma"),
+      StreamDoc(ts(1), 2, fullwidth("alpha beta gamma")),
+      StreamDoc(ts(1), 3, "novel content here"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("ddu").as[Long].collect().toSet == Set(1L, 3L),
+      "fullwidth re-encoding must collapse onto the original's class")
+    // negative control: the byte-level default treats the mirror as novel
+    val in2 = MemoryStream[StreamDoc]
+    val q2 = Streaming.dedupStream(in2.toDF(), watermarkDelay = "10 minutes")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("ddv").outputMode("append").start()
+    in2.addData(StreamDoc(ts(0), 1, "alpha beta gamma"),
+      StreamDoc(ts(1), 2, fullwidth("alpha beta gamma")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("ddv").as[Long].collect().toSet == Set(1L, 2L),
+      "default class must miss the re-encoding (the documented hazard)")
+  }
+
   test("windowedCounts: watermarked tumbling windows aggregate per type") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
