@@ -153,6 +153,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: nfkcFold is idempotent and the identity on ASCII; " +
+      "unicodeNormalize ≡ aggressiveNormalize on ASCII") {
+    // arbitrary strings mixing ASCII with the fold's target classes
+    val unicodeChar = Gen.oneOf(
+      Gen.choose('a', 'z'), Gen.choose('A', 'Z'), Gen.choose('0', '9'),
+      Gen.oneOf(' ', '.', ',', '!'),
+      Gen.oneOf('é', 'ö', 'ñ', 'ï'),                 // composed accents
+      Gen.choose('ａ', 'ｚ'),                          // fullwidth a-z
+      Gen.oneOf('ﬁ', 'ﬂ', '　'))                      // ligatures, ideo space
+    val strGen = Gen.listOf(unicodeChar).map(_.mkString)
+    samples(strGen, 15).foreach { s =>
+      val df = Seq(s).toDF("t")
+      val once = df.select(graft.functions.UnicodeFunctions.nfkcFold($"t"))
+        .as[String].collect()(0)
+      val twice = Seq(once).toDF("t")
+        .select(graft.functions.UnicodeFunctions.nfkcFold($"t"))
+        .as[String].collect()(0)
+      assert(twice == once, s"fold not idempotent on ${s.take(30)}")
+      if (s.forall(_ < 0x80))
+        assert(once == s, "fold must be the identity on pure ASCII")
+      if (s.forall(_ < 0x80)) {
+        val Seq(u, a) = df.select(Dedup.unicodeNormalize($"t"),
+          Dedup.aggressiveNormalize($"t")).as[(String, String)]
+          .collect()(0).productIterator.map(_.asInstanceOf[String]).toSeq
+        assert(u == a, "unicode class must equal the CCNet class on ASCII")
+      }
+    }
+  }
+
   test("property: pivot output has one row per distinct key") {
     val g = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5),
       Gen.oneOf("A", "B"), Gen.choose(-5.0, 5.0)))
