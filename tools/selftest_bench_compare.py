@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Self-test for tools/bench_compare.py's exit-code and annotation
+contract (ADVICE r15 / round 16): the refusal path must be
+distinguishable from clean (exit 3), a calib thread-count mismatch must
+fall back to the unscaled threshold, and provenance-known stale minima
+must be annotated on flagged lines. Run: python3 tools/selftest_bench_compare.py
+(exits nonzero on first failure — no framework, stdlib only)."""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+TOOL = os.path.join(os.path.dirname(__file__), "bench_compare.py")
+
+
+def run(bench, ref, extra=()):
+    d = tempfile.mkdtemp()
+    bp, rp = os.path.join(d, "bench.json"), os.path.join(d, "ref.json")
+    json.dump(bench, open(bp, "w"))
+    json.dump(ref, open(rp, "w"))
+    p = subprocess.run(
+        [sys.executable, TOOL, bp, "--ref", rp,
+         "--local", os.path.join(d, "nope.json")] + list(extra),
+        capture_output=True, text=True)
+    return p.returncode, p.stdout + p.stderr
+
+
+def calib(st, mt, threads=32):
+    return {"threads": threads, "st_before_ms": st, "mt_before_ms": mt,
+            "st_after_ms": st, "mt_after_ms": mt}
+
+
+REF = {"queries": {"q01_a": 1.0, "q02_b": 1.0},
+       "n_queries": 2,
+       "calib": {"st_ms": 280.0, "mt_ms": 320.0, "threads": 32},
+       "provenance": {"q01_a": {"run": "audit", "surface": 2,
+                                "calibrated": True},
+                      "q02_b": {"run": "old", "surface": 1,
+                                "calibrated": False}}}
+
+
+def bench(q1, q2, cal):
+    return {"queries": {"q01_a": q1, "q02_b": q2}, "calib": cal, "sf": "x"}
+
+
+def check(name, cond, detail=""):
+    if not cond:
+        print(f"FAIL {name}: {detail}")
+        sys.exit(1)
+    print(f"ok   {name}")
+
+
+# 1. clean quiet run -> exit 0
+rc, out = run(bench(1.0, 1.0, calib(281, 321)), REF)
+check("clean-quiet-exit-0", rc == 0 and "clean" in out, f"rc={rc} {out}")
+
+# 2. not-quiet box -> exit 3, flags unadjudicated (NOT silently clean)
+rc, out = run(bench(5.0, 5.0, calib(900, 1000)), REF)
+check("refusal-exit-3", rc == 3, f"rc={rc} {out}")
+check("refusal-reports", "unadjudicated" in out and "NOT QUIET" in out, out)
+
+# 3. plan-changed regression on a quiet box -> exit 1
+rc, out = run(bench(3.0, 1.0, calib(281, 321)), REF, ["--changed", "q01_a"])
+check("regression-exit-1", rc == 1 and "REGRESSION q01_a" in out,
+      f"rc={rc} {out}")
+
+# 4. thread-count mismatch -> no scaling, note emitted, unscaled threshold
+rc, out = run(bench(1.0, 1.0, calib(281, 321, threads=16)), REF)
+check("thread-mismatch-note", rc == 0 and "thread counts differ" in out, out)
+
+# 5. provenance annotation: a flagged query whose min predates the
+#    current surface / calibration carries the stale-min note
+rc, out = run(bench(1.0, 2.0, calib(281, 321)), REF)
+check("stale-min-annotated", "stale-min candidate" in out
+      and "1-query surface" in out and "predates calibration" in out, out)
+# ...and the audit-confirmed row does NOT get the note when flagged
+rc, out = run(bench(2.0, 1.0, calib(281, 321)), REF)
+check("confirmed-not-annotated",
+      "q01_a" in out and "stale-min candidate" not in out, out)
+
+print("all bench_compare selftests passed")
