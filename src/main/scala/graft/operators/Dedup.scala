@@ -269,6 +269,14 @@ object Dedup {
     * scans (shingling is a per-row codegen'd pass at scan speed; the
     * verify sides additionally prune to candidate doc ids before the
     * arrays are compared).
+    *
+    * Equivalence classes compose UPSTREAM, not via a parameter: to run
+    * the LSH over a folded class (CCNet [[aggressiveNormalize]] or the
+    * Unicode [[unicodeNormalize]] fold — so a re-encoded mirror can
+    * near-dup its original), pre-project the text
+    * (`docs.withColumn(textCol, ...)`) before calling; the fold is a
+    * per-row codegen'd projection that fuses into the shingle scan, so
+    * the composed form costs the same as a baked-in parameter would.
     */
   def minhashNearDupPairs(
       df: DataFrame,

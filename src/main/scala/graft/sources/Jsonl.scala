@@ -59,4 +59,39 @@ object Jsonl {
       .select("_corrupt_record")
     (clean, bad)
   }
+
+  /** Streaming twin of [[readJsonlAudited]] — the shape corpus drops
+    * actually arrive in: a directory new (compressed) JSONL files land
+    * in continuously, consumed by Spark's file stream source with the
+    * SAME applied schema + PERMISSIVE quarantine contract. Compose with
+    * the [[graft.streaming.Streaming]] operators (watermarked dedup,
+    * incremental packing) for the live half of the ingest pipeline;
+    * `maxFilesPerTrigger` bounds per-microbatch work (0 = leave unset).
+    */
+  def readJsonlStreamAudited(spark: SparkSession, path: String,
+      schema: StructType, maxFilesPerTrigger: Int = 0): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema already has a '_corrupt_record' column")
+    val r = spark.readStream
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", StringType))
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).json(path)
+  }
+
+  /** [[corruptSplit]] for STREAMING frames, where caching is not
+    * available: Spark disallows plans whose raw-file scan is pruned to
+    * ONLY the internal corrupt column, so the quarantine side returns
+    * FULL rows — write them to the quarantine sink whole (which is what
+    * ingest forensics wants anyway); projecting the frame down to just
+    * `_corrupt_record` before the sink re-creates the unsupported plan.
+    */
+  def corruptSplitStream(df: DataFrame): (DataFrame, DataFrame) = {
+    val clean = df.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    (clean, bad)
+  }
 }

@@ -86,6 +86,36 @@ class JsonlSourceSpec extends SparkSpec {
       "the documents-family projection must not care which source fed it")
   }
 
+  test("streaming JSONL ingest: files landing across microbatches load " +
+      "with the same quarantine contract") {
+    val dir = Files.createTempDirectory("graft_jsonl_stream").toString
+    def drop(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(dir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    drop("d1.jsonl", Seq(
+      """{"doc_id": 1, "text": "first drop clean", "lang": "en", "source": "a"}""",
+      """broken line"""))
+    val (clean, bad) = Jsonl.corruptSplitStream(
+      Jsonl.readJsonlStreamAudited(spark, dir, docSchema,
+        maxFilesPerTrigger = 1))
+    val qc = clean.select("doc_id").writeStream.format("memory")
+      .queryName("jl_clean").outputMode("append").start()
+    // the quarantine sink takes FULL rows: column-pruning a raw-file
+    // scan down to only the corrupt column is the exact unsupported
+    // plan the corruptSplitStream scaladoc documents
+    val qb = bad.writeStream.format("memory")
+      .queryName("jl_bad").outputMode("append").start()
+    qc.processAllAvailable(); qb.processAllAvailable()
+    // second drop arrives later — the stream picks it up
+    drop("d2.jsonl", Seq(
+      """{"doc_id": 2, "text": "second drop clean", "lang": "en", "source": "a"}"""))
+    qc.processAllAvailable(); qb.processAllAvailable()
+    qc.stop(); qb.stop()
+    assert(spark.table("jl_clean").as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.table("jl_bad").select("_corrupt_record")
+      .as[String].collect().toSet == Set("broken line"))
+  }
+
   test("schema carrying _corrupt_record is rejected up front") {
     intercept[IllegalArgumentException] {
       Jsonl.readJsonlAudited(spark, "/tmp/nope",
