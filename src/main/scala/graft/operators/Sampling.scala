@@ -332,6 +332,63 @@ object Sampling {
           .as("sampling_weight"))
   }
 
+  /** Temperature-scaled domain-mix planner — [[domainMixPlan]]'s
+    * self-deriving sibling: instead of hand-written target shares, the
+    * targets come from the observed token shares themselves, flattened
+    * through an exponent — target_i = obs_i^α / Σ_j obs_j^α — the
+    * multinomial α-sampling of multilingual/multi-domain pre-training
+    * (Conneau 2019 XLM-R §5.1, Xue 2020 mT5 §3.2: α = 1 reproduces the
+    * natural distribution, α → 0 approaches uniform; published defaults
+    * sit at α ∈ [0.2, 0.7]). Output schema is identical to
+    * [[domainMixPlan]] — (domain, docs, tokens, obs_share, target_share,
+    * sampling_weight = min(target/obs, maxEpochs)) — so the plan feeds
+    * [[materializeMix]] unchanged.
+    *
+    * Determinism contract (the cross-engine sum problem): the
+    * normalizing denominator Σ_j obs_j^α is a floating sum whose value
+    * depends on accumulation order, which neither Spark nor an oracle
+    * engine guarantees. So powered shares are QUANTIZED first —
+    * q_i = round(obs_i^α · 10⁶) as a long — and the denominator is the
+    * exact integer Σ q_i: order-free in both engines, making
+    * target_share = q_i / Σ q_j a single correctly-rounded division.
+    * The 1e-6 quantization is the documented semantic (not an
+    * implementation leak); at α = 0.5 the power rides the
+    * correctly-rounded `sqrt` kernel (bit-identical across engines),
+    * while other α go through libm `pow` (1-ulp licensed) — the
+    * quantization absorbs a last-bit wobble except on a measure-zero
+    * rounding boundary, the same discipline as the q75/materializeMix
+    * threshold note.
+    *
+    * Scale shape: one corpus pass into a domain-cardinality aggregate;
+    * the grand total and the quantized denominator are aggregates OVER
+    * that config-sized frame, broadcast back — the three references to
+    * `perDomain` in the final plan collapse to one scan via exchange
+    * reuse (same shape [[domainMixPlan]] has carried since q101). No
+    * corpus shuffle beyond the per-domain partial aggregate.
+    */
+  def temperatureMixPlan(df: DataFrame, domainCol: String, weight: Column,
+      alpha: Double, maxEpochs: Double = 4.0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperature exponent alpha must be in (0, 1], got $alpha")
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("docs"), sum(weight).as("tokens"))
+    val grand = perDomain.agg(sum(col("tokens")).as("__total"))
+    val obs = col("tokens").cast("double") / col("__total").cast("double")
+    // α = 0.5 is the correctly-rounded path; see determinism contract.
+    val powered = if (alpha == 0.5) sqrt(obs) else pow(obs, lit(alpha))
+    val q = perDomain.crossJoin(broadcast(grand))
+      .withColumn("__obs", obs)
+      .withColumn("__q", round(powered * 1e6, 0).cast("long"))
+    val den = q.agg(sum(col("__q")).as("__denom"))
+    val target = col("__q").cast("double") / col("__denom").cast("double")
+    q.crossJoin(broadcast(den))
+      .select(col(domainCol), col("docs"), col("tokens"),
+        round(col("__obs"), 6).as("obs_share"),
+        round(target, 6).as("target_share"),
+        round(least(target / col("__obs"), lit(maxEpochs)), 6)
+          .as("sampling_weight"))
+  }
+
   /** Strided context-window chunking — the LM-training complement of
     * [[packSequences]]: instead of packing whole short documents into a
     * budget, slice each LONG document into overlapping `seqLen`-token

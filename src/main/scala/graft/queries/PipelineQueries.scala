@@ -1112,7 +1112,16 @@ object PipelineQueries {
       Dedup.exactDedup(docs.unionByName(accent).unionByName(fullwidth),
         "text", "doc_id",
         fingerprinter = t => md5(Dedup.unicodeNormalize(t)))
-    })
+    }),
+
+    // Temperature-scaled mix plan at the XLM-R-ish α = 0.5 (the
+    // correctly-rounded sqrt path of the determinism contract): the 20
+    // near-uniform fixture sources flatten toward uniform — every
+    // target lands between its obs share and 1/20, upweighting the
+    // small sources — with NO hand-written target map (contrast q101).
+    "q151_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMixPlan(Tables.documents(s, d), "source",
+        TextAnalysis.tokenCount(col("text")).cast("long"), alpha = 0.5))
   )
 
   /** Fixed gate vocabulary for q113 — stands in for a tokenizer vocab
@@ -3560,6 +3569,29 @@ object PipelineQueries {
         |c AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f)
         |SELECT fp.doc_id, c.canonical_id,
         |       fp.doc_id <> c.canonical_id AS is_dup
-        |FROM fp JOIN c USING (f)""".stripMargin
+        |FROM fp JOIN c USING (f)""".stripMargin,
+
+    // q101's perdom/tot CTEs, then the quantized-power normalization:
+    // q_i = round(sqrt(obs_i)*1e6)::BIGINT makes the denominator an
+    // exact integer sum (order-free in both engines) and target_share
+    // one correctly-rounded division — the operator's documented
+    // 1e-6-quantization semantic, not an approximation of it.
+    "q151_temperature_mix" -> (ToksCte +
+      """
+        |, perdom AS (
+        |  SELECT d.source, count(*) AS docs, sum(len(toks))::BIGINT AS tokens
+        |  FROM t JOIN documents d USING (doc_id) GROUP BY d.source),
+        |tot AS (SELECT sum(tokens)::BIGINT AS total FROM perdom),
+        |q AS (
+        |  SELECT source, docs, tokens,
+        |    tokens::DOUBLE / total::DOUBLE AS obs,
+        |    round(sqrt(tokens::DOUBLE / total::DOUBLE) * 1e6)::BIGINT AS qs
+        |  FROM perdom, tot),
+        |den AS (SELECT sum(qs)::BIGINT AS denom FROM q)
+        |SELECT source, docs, tokens, round(obs, 6) AS obs_share,
+        |  round(qs::DOUBLE / denom::DOUBLE, 6) AS target_share,
+        |  round(least((qs::DOUBLE / denom::DOUBLE) / obs, 4.0), 6)
+        |    AS sampling_weight
+        |FROM q, den""".stripMargin)
   )
 }

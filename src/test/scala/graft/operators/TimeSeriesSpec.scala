@@ -190,6 +190,69 @@ class MixPlanSpec extends SparkSpec {
         targets = Map("a" -> 0.5))
     }
   }
+
+  // Hand-computed against the documented quantization semantic:
+  // obs = .8/.1/.1 → q = round(sqrt(obs)·1e6) = 894427/316228/316228,
+  // denom = 1526883 (exact integer), target = q/denom.
+  test("temperatureMixPlan: α=0.5 flattens toward uniform — big domain " +
+      "down, small domains up, same schema as the hand-target planner") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 80) "web" else if (i < 90) "books" else "code", 10L))
+      .toDF("id", "source", "toks")
+    val out = Sampling.temperatureMixPlan(df, "source", col("toks"),
+        alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("web") == ((800L, 0.8, 0.585786, 0.732233)))
+    assert(out("books") == ((100L, 0.1, 0.207107, 2.071069)))
+    assert(out("code") == ((100L, 0.1, 0.207107, 2.071069)))
+    // flattening invariants: every target sits between obs and uniform
+    // (1/3 here), and the order of domains is preserved
+    assert(out("web")._3 < 0.8 && out("web")._3 > 1.0 / 3)
+    assert(out("books")._3 > 0.1 && out("books")._3 < 1.0 / 3)
+  }
+
+  test("temperatureMixPlan: α=1 reproduces the natural distribution — " +
+      "every sampling weight is 1") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 80) "web" else if (i < 90) "books" else "code", 10L))
+      .toDF("id", "source", "toks")
+    val out = Sampling.temperatureMixPlan(df, "source", col("toks"),
+        alpha = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    for ((dom, (obs, tgt, w)) <- out) {
+      assert(tgt == obs, s"$dom: α=1 target $tgt != obs $obs")
+      assert(w == 1.0, s"$dom: α=1 weight $w != 1")
+    }
+  }
+
+  test("temperatureMixPlan: plan feeds materializeMix unchanged") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 80) "web" else if (i < 90) "books" else "code", 10L))
+      .toDF("id", "source", "toks")
+    val plan = Sampling.temperatureMixPlan(df, "source", col("toks"), 0.5)
+    val mixed = Sampling.materializeMix(df, "source", plan, "id")
+    val byDom = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights .732/2.071/2.071 → ~58/80 web rows once, books/code twice
+    // (+ an id-hash ~7% third copy); exact counts are hash-deterministic,
+    // bounds are the contract here
+    assert(byDom("web") >= 50 && byDom("web") <= 80)
+    assert(byDom("books") >= 20 && byDom("books") <= 30)
+    assert(byDom("code") >= 20 && byDom("code") <= 30)
+  }
+
+  test("temperatureMixPlan: alpha outside (0, 1] is rejected") {
+    val df = Seq((1L, "a", 1L)).toDF("id", "source", "toks")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixPlan(df, "source", col("toks"), alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixPlan(df, "source", col("toks"), alpha = 1.5)
+    }
+  }
 }
 
 class LatestVersionSpec extends SparkSpec {
