@@ -55,10 +55,96 @@ object Bench {
     (st, mt)
   }
 
+  /** Streaming sum over [from, until) — the memory-bandwidth work unit.
+    * Sequential long reads defeat prefetch-independence games; the
+    * returned sum keeps the JIT honest.
+    */
+  private def membwSum(buf: Array[Long], from: Int, until: Int): Long = {
+    var s = 0L
+    var i = from
+    while (i < until) { s += buf(i); i += 1 }
+    s
+  }
+
+  /** Memory-BANDWIDTH calibration (round 16): the xorshift loop is pure
+    * register arithmetic BY DESIGN (deterministic instruction count, no
+    * memory sensitivity) — which makes it blind to co-tenant memory-
+    * bandwidth pressure, the one interference mode observed to slow the
+    * Spark suite ~30% while the CPU calibration read "quiet" (Spark's
+    * shuffle/hash/scan hot paths are bandwidth-bound; a register loop is
+    * not). This unit streams a 512 MiB long array — far beyond any LLC —
+    * so co-tenant DRAM traffic inflates it the way it inflates the
+    * actual bench: st = 4 sequential full passes on one thread; mt =
+    * `threads` threads each streaming a disjoint slice 64 times
+    * (aggregate footprint 512 MiB, traffic 32 GiB — saturates the socket,
+    * so it sees contention st alone might ride out). Wall time of the
+    * slowest thread, same convention as the CPU mt.
+    */
+  private def calibrateMem(threads: Int): (Double, Double) = {
+    val n = 64 * 1024 * 1024 // 64M longs = 512 MiB
+    val buf = new Array[Long](n)
+    var i = 0
+    while (i < n) { buf(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    sink.addAndGet(membwSum(buf, 0, n)) // JIT warmup + page touch
+    val t0 = System.nanoTime()
+    var pass = 0
+    while (pass < 4) { sink.addAndGet(membwSum(buf, 0, n)); pass += 1 }
+    val st = (System.nanoTime() - t0) / 1e6
+    val slice = n / threads
+    val pool = (0 until threads).map { t =>
+      new Thread(() => {
+        val from = t * slice
+        val until = if (t == threads - 1) n else from + slice
+        var p = 0
+        while (p < 64) { sink.addAndGet(membwSum(buf, from, until)); p += 1 }
+      })
+    }
+    val t1 = System.nanoTime()
+    pool.foreach(_.start())
+    pool.foreach(_.join())
+    val mt = (System.nanoTime() - t1) / 1e6
+    if (sink.get() == 42L) System.err.println("calib sink") // defeat elision
+    (st, mt)
+  }
+
+  /** Hypervisor steal time, cumulative jiffies from /proc/stat (field 8
+    * of the aggregate cpu line). The calibration loops sample INSTANTS —
+    * a co-tenant burst landing between the before/after samples inflates
+    * the suite invisibly (observed round 16: suite 29% over floor, both
+    * calib units quiet). The kernel's steal counter integrates over the
+    * WHOLE window, so its delta across the run is the one machine-state
+    * signal bursts cannot dodge. None when unreadable (non-Linux, or a
+    * hypervisor that does not expose steal).
+    */
+  private def stealJiffies(): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong)
+      finally src.close()
+    } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // calibration-only mode: print one calib sample as JSON and exit —
+    // the cheap way to record quiet-reference values for BENCH_REF.json
+    // (and to probe machine state before an adjudication re-run) without
+    // paying for a Spark session + full suite
+    if (sys.env.contains("SPARK_GRAFT_CALIB_ONLY")) {
+      val (st, mt) = calibrate(cpus.toInt)
+      val (mst, mmt) = calibrateMem(cpus.toInt)
+      def s3(t: Double) =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+      println(s"""{"threads":$cpus,"st_ms":${s3(st)},"mt_ms":${s3(mt)},""" +
+        s""""mem_st_ms":${s3(mst)},"mem_mt_ms":${s3(mmt)}}""")
+      return
+    }
+    val stealBefore = stealJiffies()
+    val wallStart = System.nanoTime()
     val (stBefore, mtBefore) = calibrate(cpus.toInt)
+    val (memStBefore, memMtBefore) = calibrateMem(cpus.toInt)
     val spark = Sessions.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -83,6 +169,17 @@ object Bench {
     val errors = timed.collect { case (n, _, Left(m)) => n -> m }
     errors.foreach { case (n, m) => System.err.println(s"[bench] $n FAILED: $m") }
     val (stAfter, mtAfter) = calibrate(cpus.toInt)
+    val (memStAfter, memMtAfter) = calibrateMem(cpus.toInt)
+    // steal% of the machine's capacity over the whole run window:
+    // delta jiffies (USER_HZ = 100 → 10 ms each, the Linux userland ABI
+    // constant) over elapsed wall time × all cores. -1 = unreadable.
+    val stealPct: Double = (for {
+      b <- stealBefore; a <- stealJiffies()
+    } yield {
+      val wallMs = (System.nanoTime() - wallStart) / 1e6
+      val ncpu = Runtime.getRuntime.availableProcessors().toDouble
+      100.0 * (a - b) * 10.0 / (wallMs * ncpu)
+    }).getOrElse(-1.0)
 
     def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
@@ -113,7 +210,12 @@ object Bench {
     // nonce-matched BENCH_LOCAL.json file carries it in full anyway
     val calib = s"""{"threads":$cpus,"st_before_ms":${sec3(stBefore)},""" +
       s""""mt_before_ms":${sec3(mtBefore)},"st_after_ms":${sec3(stAfter)},""" +
-      s""""mt_after_ms":${sec3(mtAfter)}}"""
+      s""""mt_after_ms":${sec3(mtAfter)},""" +
+      s""""mem_st_before_ms":${sec3(memStBefore)},""" +
+      s""""mem_mt_before_ms":${sec3(memMtBefore)},""" +
+      s""""mem_st_after_ms":${sec3(memStAfter)},""" +
+      s""""mem_mt_after_ms":${sec3(memMtAfter)},""" +
+      s""""steal_pct":${sec3(stealPct)}}"""
     val full =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","sf":"$sfDir","calib":$calib,"queries":$qs,"errors":$errJson,"nonce":"$nonce"}"""
     try {

@@ -40,6 +40,23 @@ mismatch between the run's calib and the reference's falls back to the
 unscaled threshold with a note (ADVICE r15 — a SPARK_GRAFT_CPUS != 32 run
 would otherwise scale by a meaningless mt ratio).
 
+Memory-bandwidth calibration (round 16): the CPU loop is register-only by
+design and therefore blind to co-tenant DRAM-bandwidth pressure — observed
+to slow the (bandwidth-bound) Spark suite ~30% while st/mt read quiet.
+graft.Bench additionally emits mem_st/mem_mt (streaming-sum over a 512 MiB
+array, 1-thread and 32-way) before and after the suite; when the reference
+carries quiet mem_st_ms/mem_mt_ms, those ratios join the max() that scales
+the threshold and triggers the refusal path. Either side lacking the mem
+unit degrades to CPU-only scaling, with a note.
+
+Whole-run hypervisor steal (round 16): both calibration loops sample
+INSTANTS, so a co-tenant burst landing between the before/after samples
+inflates the suite invisibly. graft.Bench reads /proc/stat's cumulative
+steal counter at run start and end and emits steal_pct — the fraction of
+the machine's capacity the hypervisor withheld over the WHOLE window. A
+p% steal uniformly inflates wall time by 1/(1-p); that factor joins the
+same max(). steal_pct = -1 means /proc/stat was unreadable (noted).
+
 Per-query provenance (round 16): when the reference carries a "provenance"
 object ({query: {run, surface, calibrated}}), any flagged query whose
 recorded minimum predates the current surface size or a calibration-verified
@@ -132,8 +149,51 @@ def calibration_ratio(calib, ref_calib):
         return None, (f"calib thread counts differ (run {threads} vs "
                       f"reference {ref_threads}) - mt ratio not comparable")
     ratio = max(st / ref_st, mt / ref_mt, 1.0)
-    return ratio, (f"st {st:.0f}ms vs quiet {ref_st:.0f}ms, "
-                   f"mt {mt:.0f}ms vs quiet {ref_mt:.0f}ms")
+    note = (f"st {st:.0f}ms vs quiet {ref_st:.0f}ms, "
+            f"mt {mt:.0f}ms vs quiet {ref_mt:.0f}ms")
+    # Memory-bandwidth unit (round 16): the CPU loop is register-only by
+    # design, so it is blind to co-tenant DRAM-bandwidth pressure — the
+    # mode observed to slow the (bandwidth-bound) Spark suite ~30% while
+    # st/mt read quiet. Include the mem ratios when BOTH sides carry them;
+    # older artifacts degrade to CPU-only scaling with a note.
+    mem_keys = ("mem_st_before_ms", "mem_st_after_ms",
+                "mem_mt_before_ms", "mem_mt_after_ms")
+    if all(k in calib for k in mem_keys) \
+            and "mem_st_ms" in ref_calib and "mem_mt_ms" in ref_calib:
+        try:
+            mst = max(float(calib["mem_st_before_ms"]),
+                      float(calib["mem_st_after_ms"]))
+            mmt = max(float(calib["mem_mt_before_ms"]),
+                      float(calib["mem_mt_after_ms"]))
+            ref_mst = float(ref_calib["mem_st_ms"])
+            ref_mmt = float(ref_calib["mem_mt_ms"])
+            ratio = max(ratio, mst / ref_mst, mmt / ref_mmt)
+            note += (f", mem_st {mst:.0f}ms vs quiet {ref_mst:.0f}ms, "
+                     f"mem_mt {mmt:.0f}ms vs quiet {ref_mmt:.0f}ms")
+        except (TypeError, ValueError) as e:
+            note += f" (mem calib malformed, ignored: {e})"
+    else:
+        note += " (no mem-bandwidth calib on one side; CPU-only scaling)"
+    # Hypervisor steal (round 16): the loops sample instants, so a
+    # co-tenant burst BETWEEN samples is invisible to them; the kernel's
+    # steal counter integrates over the whole run. steal_pct% of machine
+    # capacity stolen uniformly inflates wall time by 1/(1 - p) — fold
+    # that in. -1 means /proc/stat was unreadable (reported, not fatal).
+    sp = calib.get("steal_pct")
+    if sp is not None:
+        try:
+            sp = float(sp)
+            if 0.0 <= sp < 95.0:
+                ratio = max(ratio, 1.0 / (1.0 - sp / 100.0))
+                note += f", steal {sp:.1f}%"
+            elif sp >= 95.0:
+                ratio = max(ratio, 20.0)  # machine effectively not ours
+                note += f", steal {sp:.1f}%"
+            else:
+                note += " (steal unreadable)"
+        except (TypeError, ValueError):
+            note += " (steal_pct malformed, ignored)"
+    return ratio, note
 
 
 def main():

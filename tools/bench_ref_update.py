@@ -59,8 +59,28 @@ def load_run(path):
 def calib_ratio(calib, ref_calib):
     st = max(float(calib["st_before_ms"]), float(calib["st_after_ms"]))
     mt = max(float(calib["mt_before_ms"]), float(calib["mt_after_ms"]))
-    return max(st / float(ref_calib["st_ms"]),
-               mt / float(ref_calib["mt_ms"]), 1.0)
+    ratio = max(st / float(ref_calib["st_ms"]),
+                mt / float(ref_calib["mt_ms"]), 1.0)
+    # include the round-16 memory-bandwidth unit when both sides carry it
+    # (the CPU loop is blind to co-tenant DRAM pressure; see bench_compare)
+    mem_keys = ("mem_st_before_ms", "mem_st_after_ms",
+                "mem_mt_before_ms", "mem_mt_after_ms")
+    if all(k in calib for k in mem_keys) \
+            and "mem_st_ms" in ref_calib and "mem_mt_ms" in ref_calib:
+        mst = max(float(calib["mem_st_before_ms"]),
+                  float(calib["mem_st_after_ms"]))
+        mmt = max(float(calib["mem_mt_before_ms"]),
+                  float(calib["mem_mt_after_ms"]))
+        ratio = max(ratio, mst / float(ref_calib["mem_st_ms"]),
+                    mmt / float(ref_calib["mem_mt_ms"]))
+    # fold whole-run hypervisor steal in (see bench_compare): p% stolen
+    # uniformly inflates wall time by 1/(1 - p)
+    sp = calib.get("steal_pct")
+    if sp is not None and 0.0 <= float(sp) < 95.0:
+        ratio = max(ratio, 1.0 / (1.0 - float(sp) / 100.0))
+    elif sp is not None and float(sp) >= 95.0:
+        ratio = max(ratio, 20.0)
+    return ratio
 
 
 def main():

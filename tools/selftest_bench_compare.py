@@ -79,4 +79,44 @@ rc, out = run(bench(2.0, 1.0, calib(281, 321)), REF)
 check("confirmed-not-annotated",
       "q01_a" in out and "stale-min candidate" not in out, out)
 
+
+# 6. memory-bandwidth calib (round 16): when BOTH sides carry the mem
+#    unit, a bandwidth-loaded box scales the ratio even though the CPU
+#    loop reads quiet (the register-loop blind spot the unit exists for)
+MEMREF = dict(REF, calib=dict(REF["calib"], mem_st_ms=264.0,
+                              mem_mt_ms=157.0))
+
+
+def memcalib(st, mt, mem_st, mem_mt):
+    c = calib(st, mt)
+    c.update({"mem_st_before_ms": mem_st, "mem_mt_before_ms": mem_mt,
+              "mem_st_after_ms": mem_st, "mem_mt_after_ms": mem_mt})
+    return c
+
+
+rc, out = run(bench(1.0, 1.0, memcalib(281, 321, 530, 160)), MEMREF)
+check("mem-calib-scales", rc == 0 and "mem_st 530ms" in out
+      and "box 2.01x over quiet" in out, f"rc={rc} {out}")
+# bandwidth pressure past the refusal bar refuses even with quiet CPU
+rc, out = run(bench(1.0, 1.0, memcalib(281, 321, 700, 450)), MEMREF)
+check("mem-calib-refuses", rc == 3, f"rc={rc} {out}")
+# a run without the mem unit degrades to CPU-only scaling, loudly
+rc, out = run(bench(1.0, 1.0, calib(281, 321)), MEMREF)
+check("mem-calib-absent-note", rc == 0
+      and "no mem-bandwidth calib on one side" in out, out)
+
+# 7. whole-run hypervisor steal (round 16): a burst BETWEEN calibration
+#    samples is invisible to the loops; steal_pct integrates the window
+rc, out = run(bench(1.0, 1.0, dict(memcalib(281, 321, 265, 158),
+                                   steal_pct=30.0)), MEMREF)
+check("steal-scales", rc == 0 and "steal 30.0%" in out
+      and "box 1.43x over quiet" in out, f"rc={rc} {out}")
+rc, out = run(bench(1.0, 1.0, dict(memcalib(281, 321, 265, 158),
+                                   steal_pct=70.0)), MEMREF)
+check("steal-refuses", rc == 3, f"rc={rc} {out}")
+rc, out = run(bench(1.0, 1.0, dict(memcalib(281, 321, 265, 158),
+                                   steal_pct=-1.0)), MEMREF)
+check("steal-unreadable-note", rc == 0 and "steal unreadable" in out,
+      f"rc={rc} {out}")
+
 print("all bench_compare selftests passed")
