@@ -119,6 +119,88 @@ object Similarity {
     topKEmit(sims, k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training — the
+    * negatives that matter are the near-misses: for each anchor, the
+    * top-k most cosine-similar corpus vectors carrying a DIFFERENT
+    * label (the in-batch-plus-hard-negatives recipe of DPR, Karpukhin
+    * 2020 §5.2, and the BM25/ANN-mined negatives of ANCE, Xiong 2020).
+    * Output is [[bruteForceTopK]]'s exact schema — (query_id,
+    * neighbor_id, rank, sim), rank 1..k by (sim desc, neighbor_id asc)
+    * — restricted to label-mismatched candidates, so the frame drops
+    * straight into a training-pair writer.
+    *
+    * Same scale shape as the parent: anchors broadcast, corpus streams
+    * once, the label-mismatch predicate rides the broadcast join (the
+    * corpus is filtered BEFORE the per-query bounded-heap aggregate, so
+    * a same-label near-dup costs nothing), shuffle is k × partitions
+    * rows per query. Rows with a NULL label on either side are excluded
+    * by `=!=` semantics — an unlabeled vector can be neither anchor nor
+    * negative. At corpus scale compose [[probeIvfQuantized]]'s candidate
+    * lists with the same mismatch predicate instead of the brute scan.
+    */
+  def hardNegatives(
+      emb: DataFrame,
+      anchors: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = broadcast(anchors.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), col(labelCol).as("__ql"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__qn")))
+    val sims = emb.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl"), col(vecCol).as("__v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__vn"))
+      .join(q, col("neighbor_id") =!= col("query_id") &&
+        col("__nl") =!= col("__ql"))
+      .withColumn("sim",
+        dot(col("__qv"), col("__v")) / (col("__qn") * col("__vn")))
+    topKEmit(sims, k)
+  }
+
+  /** k-NN label agreement (neighborhood purity) — the mislabel /
+    * boundary-noise signal for labeled embedding corpora (the kNN
+    * heuristic behind confident-learning-style label cleaning, Northcutt
+    * 2021 §1: a row whose neighborhood votes against its label is a
+    * label-error candidate; purity ≈ 1 rows sit safely inside their
+    * class). COMPOSITIONAL over any (query_id, neighbor_id, rank, sim)
+    * neighbors frame — [[bruteForceTopK]] output for exact ground truth,
+    * [[ivfTopK]]/[[probeIvfQuantized]] output for the corpus-scale
+    * approximate path — so the purity arithmetic is written once and the
+    * neighbor source stays the caller's recall/cost decision.
+    *
+    * Output: (idCol, labelCol, agree, k_used, purity) — one row per
+    * query id present in `neighbors`; purity = agree / k_used, an exact
+    * int/int division (engine-identical, no rounding bet). k_used counts
+    * the neighbors actually present (a query with < k labeled neighbors
+    * is scored over what exists, not padded). Neighbors without a label
+    * row are dropped by the inner join — scored over labeled neighbors
+    * only.
+    *
+    * Scale shape: two joins on id-projections only ((id, label) pairs —
+    * vectors never move), then a map-side-combinable count/sum
+    * aggregate over N·k rows keyed by query id.
+    */
+  def labelPurity(
+      neighbors: DataFrame,
+      labels: DataFrame,
+      idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val ql = labels.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"))
+    val nl = labels.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    neighbors.join(ql, "query_id").join(nl, "neighbor_id")
+      .groupBy(col("query_id"), col("__ql"))
+      .agg(sum(when(col("__nl") === col("__ql"), 1).otherwise(0))
+          .as("agree"),
+        count(lit(1)).as("k_used"))
+      .select(col("query_id").as(idCol), col("__ql").as(labelCol),
+        col("agree"), col("k_used"),
+        round(col("agree").cast("double") / col("k_used").cast("double"), 4)
+          .as("purity"))
+  }
+
   /** Embedding-cosine near-dup pairs: all (a < b) pairs with
     * cosine ≥ threshold. Exact — a blocked self-join, O(N²) compute with
     * N²/partitions parallelism. This is the correctness baseline / ground

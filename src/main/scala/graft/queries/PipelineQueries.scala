@@ -1121,7 +1121,25 @@ object PipelineQueries {
     // small sources — with NO hand-written target map (contrast q101).
     "q151_temperature_mix" -> ((s, d) =>
       Sampling.temperatureMixPlan(Tables.documents(s, d), "source",
-        TextAnalysis.tokenCount(col("text")).cast("long"), alpha = 0.5))
+        TextAnalysis.tokenCount(col("text")).cast("long"), alpha = 0.5)),
+
+    // Hard-negative mining: q40's anchors/k with the label-mismatch
+    // predicate pushed into the broadcast join — for each anchor the 5
+    // most-similar DIFFERENT-label vectors, the contrastive-training
+    // negatives that matter.
+    "q152_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+
+    // Neighborhood label purity over the EXACT 5-NN of every vector
+    // (all-pairs ground truth, q39's scale class) — the mislabel signal;
+    // the corpus-scale path feeds ivfTopK output into the same purity
+    // arithmetic (composition spec-gated in SimilaritySpec).
+    "q153_knn_purity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.labelPurity(Similarity.bruteForceTopK(emb, emb, 5), emb)
+    })
   )
 
   /** Fixed gate vocabulary for q113 — stands in for a tokenizer vocab
@@ -3592,6 +3610,57 @@ object PipelineQueries {
         |  round(qs::DOUBLE / denom::DOUBLE, 6) AS target_share,
         |  round(least((qs::DOUBLE / denom::DOUBLE) / obs, 4.0), 6)
         |    AS sampling_weight
-        |FROM q, den""".stripMargin)
+        |FROM q, den""".stripMargin),
+
+    // q40's CTEs with the label-mismatch predicate (SQL <> is
+    // null-rejecting, matching the operator's =!= semantics).
+    "q152_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe, label AS ql
+        |  FROM embeddings WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(q.qe) + 1),
+        |      i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+        |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS sim
+        |  FROM q, embeddings e
+        |  WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // Exact all-pairs 5-NN (q39's scale class) -> label-agreement
+    // aggregate; purity is an exact int/int division, ::BIGINT casts
+    // align DuckDB's HUGEINT sum with Spark's long.
+    "q153_knn_purity" ->
+      """WITH sims AS (
+        |  SELECT a.vec_id AS qid, a.label AS ql,
+        |    b.vec_id AS nid, b.label AS nl,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim
+        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT qid, ql, nl, sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, nid) AS rank
+        |  FROM sims)
+        |SELECT qid AS vec_id, ql AS label,
+        |  sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)::BIGINT AS agree,
+        |  count(*)::BIGINT AS k_used,
+        |  round(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 4) AS purity
+        |FROM ranked WHERE rank <= 5
+        |GROUP BY qid, ql""".stripMargin
   )
 }

@@ -842,6 +842,63 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 2)
   }
 
+  test("hardNegatives: same-label near-dup excluded, different-label " +
+      "near-miss ranks first, null labels drop out") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), "A"),
+      (1L, Seq(0.999f, 0.01f, 0f), "A"), // near-dup, SAME label: not a negative
+      (2L, Seq(0.95f, 0.3f, 0f), "B"),   // the hard negative
+      (3L, Seq(0f, 1f, 0f), "B"),        // an easy negative
+      (4L, Seq(0.99f, 0.05f, 0f), null)  // unlabeled: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 0L), 3)
+      .orderBy("rank")
+      .select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 3L),
+      s"expected the two B-labeled rows by similarity, got ${out.toSeq}")
+  }
+
+  test("labelPurity: planted mislabel scores 0, clean rows score high, " +
+      "and the purity arithmetic composes with the IVF path unchanged") {
+    // two tight orthogonal clusters (even ids on dim 0, odd ids on
+    // dim 2), labels follow the cluster — EXCEPT vec 4, which sits in
+    // the even cluster but carries the odd cluster's label: the
+    // label-error the operator exists to surface
+    val rows = (0L until 10L).map { i =>
+      val axis = (i % 2).toInt
+      val v = Seq.tabulate(4)(j =>
+        (if (j == axis * 2) 10f else 0f) + ((i * 7 + j) % 3) * 0.1f)
+      val lab = if (i == 4L) "B" else if (axis == 0) "A" else "B"
+      (i, v, lab)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.labelPurity(
+      Similarity.bruteForceTopK(emb, emb, 3), emb)
+    val byId = exact.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(byId.size == 10)
+    // the mislabeled row: all 3 neighbors are even-cluster rows labeled
+    // A, its own label is B -> purity exactly 0
+    assert(byId(4L) == ((0L, 3L, 0.0)), s"planted mislabel: ${byId(4L)}")
+    // odd-cluster rows: 3-NN all odd-cluster, all labeled B -> purity 1
+    (1L until 10L by 2).foreach { id =>
+      assert(byId(id) == ((3L, 3L, 1.0)), s"clean vec $id: ${byId(id)}") }
+    // clean even rows: neighborhood is even-cluster; at most one of the
+    // 3 neighbors is the mislabeled vec 4 -> purity >= 2/3
+    (0L until 10L by 2).filter(_ != 4L).foreach { id =>
+      assert(byId(id)._3 >= 0.6666, s"clean vec $id: ${byId(id)}") }
+    // the IVF-fed composition reproduces the exact purity on the
+    // clustered fixture (nprobe=1 full recall, the q91-verified regime)
+    val approx = Similarity.labelPurity(
+      Similarity.ivfTopK(emb, emb, 3,
+        numCentroids = 2, nprobe = 1, kmeansIterations = 3), emb)
+    val a = approx.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(a == byId, "IVF-fed purity diverged from exact on full recall")
+  }
+
   test("kmeans-refined IVF recovers planted clusters (nprobe=1, full recall)") {
     // 4 tight clusters around orthogonal axes; k-means must pull the
     // centroids onto them, after which probing ONE list suffices.
