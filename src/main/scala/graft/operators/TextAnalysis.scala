@@ -276,6 +276,69 @@ object TextAnalysis {
     learned.toSeq.toDF("round", "p1", "p2", "merged", "cnt")
   }
 
+  /** BPE ENCODE — the inference half of [[learnBpeMerges]] (Sennrich et
+    * al. 2016 §3.2 applied, not trained): segment every document under
+    * `baseVocab`, then apply the learned `merges` in training order, and
+    * emit per document the loader-facing encoding: `(id, n_words,
+    * n_pieces, encoded)` where `encoded` joins each word's final pieces
+    * with '+' and words with ' ' in document order (piece concatenation
+    * reproduces the word — the [[graft.functions.SubwordFunctions
+    * .subwordPieces]] unknown-fallback identity — so the encoding is
+    * lossless up to whitespace).
+    *
+    * Scale design (the same Sennrich dictionary trick the trainer uses):
+    * merges are applied over the DISTINCT-WORD dictionary — |vocab|-sized,
+    * not corpus-sized — because each merge application is an interpreted
+    * `aggregate`-HOF fold ([[applyBpeMerge]]) and running `merges.size`
+    * chained folds over every corpus token would put an interpreted loop
+    * in the scan path. The corpus itself is touched exactly twice: once
+    * to build the dictionary (distinct aggregate, map-side combined) and
+    * once to encode — a (pos, word) projection joins the finished
+    * word→pieces table (word-keyed shuffle; AQE broadcasts it when the
+    * observed vocabulary is small) and re-assembles per document. The
+    * dictionary is `localCheckpoint`ed every [[EncodeCheckpointEvery]]
+    * merges — without it the lazy plan chains every fold into one
+    * expression tree (the q134 quadratic-re-execution discipline, and at
+    * a real 32k-merge vocabulary, an un-analyzable plan).
+    *
+    * Output size is corpus-scale by definition (it IS the encoded
+    * corpus); nothing here sorts globally — the per-document re-assembly
+    * sorts inside the document's own aggregation buffer.
+    */
+  def encodeBpe(df: DataFrame, text: Column, baseVocab: Seq[String],
+      merges: Seq[(String, String)], idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode_outer(tokens(text)).as(Seq("pos", "word")))
+    var dict = toks.where(col("word").isNotNull)
+      .select(col("word")).distinct()
+      .select(col("word"),
+        element_at(graft.functions.SubwordFunctions
+          .subwordPieces(array(col("word")), baseVocab), 1).as("pieces"))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      dict = dict.withColumn("pieces", applyBpeMerge(col("pieces"), a, b))
+      if ((i + 1) % EncodeCheckpointEvery == 0 && i + 1 < merges.size)
+        dict = dict.localCheckpoint()
+    }
+    val wordEnc = dict.select(col("word"),
+      concat_ws("+", col("pieces")).as("w_enc"),
+      size(col("pieces")).as("np"))
+    toks.join(wordEnc, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("word")).as("n_words"),
+        coalesce(sum(when(col("np").isNotNull, col("np").cast("long"))),
+          lit(0L)).as("n_pieces"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w_enc")))),
+          s => s.getField("w_enc"))).as("encoded"))
+  }
+
+  /** Checkpoint cadence for [[encodeBpe]]'s merge folds over the word
+    * dictionary: plan depth stays bounded, materialization cost amortizes
+    * over 16 vocabulary-sized (never corpus-sized) steps.
+    */
+  private val EncodeCheckpointEvery = 16
+
   /** Composite quality score in [0,1]: four equal-weight heuristics a
     * pretraining filter would apply (length band, token-length band,
     * stopword presence, alphabetic density). Deterministic thresholds so

@@ -1139,6 +1139,22 @@ object PipelineQueries {
     "q153_knn_purity" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.labelPurity(Similarity.bruteForceTopK(emb, emb, 5), emb)
+    }),
+
+    // BPE ENCODE composed over BPE LEARN (q134's loop, then its merges
+    // APPLIED corpus-wide): the full tokenizer round trip — learn 3
+    // merges, encode every document to its piece sequence. The merge
+    // table collect is 3 rows (the Lloyd/argmax metadata shape); the
+    // encode itself is the Sennrich dictionary join, corpus touched
+    // twice, no interpreted fold ever sees a corpus row.
+    "q154_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.learnBpeMerges(docs, col("text"),
+          SubwordVocab10k, rounds = 3)
+        .orderBy(col("round"))
+        .select(col("p1"), col("p2")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      TextAnalysis.encodeBpe(docs, col("text"), SubwordVocab10k, merges)
     })
   )
 
@@ -1191,7 +1207,53 @@ object PipelineQueries {
     * sequences. Round blocks are generated programmatically — the SQL is
     * identical per round except for CTE numbering.
     */
-  private def bpeLearnOracle(rounds: Int): String = {
+  private def bpeLearnOracle(rounds: Int): String =
+    bpeDictSql(rounds, applyLast = false) + "\n" +
+      (1 to rounds).map(i =>
+        s"SELECT CAST($i AS INT) AS round, p1, p2, p1 || p2 AS merged, " +
+          s"cnt FROM m$i").mkString("\nUNION ALL\n")
+
+  /** DuckDB replay of [[TextAnalysis.encodeBpe]] ∘ [[TextAnalysis
+    * .learnBpeMerges]] (q154): the q134 dictionary loop with the LAST
+    * round's merge also applied (the learn oracle stops at the argmax —
+    * the encoder needs the post-merge piece sequences), then the corpus
+    * re-assembled: each document's (pos, word) projection joins the
+    * finished word→pieces table and string_aggs back in document order —
+    * the same dictionary-join shape as the Spark side.
+    */
+  private def bpeEncodeOracle(rounds: Int): String =
+    bpeDictSql(rounds, applyLast = true) +
+      s""",
+         |ct AS (
+         |  SELECT doc_id, list_filter(string_split_regex(
+         |    coalesce(text, ''), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |dw AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+         |    i -> {'pos': i, 'word': t[i]})) AS u
+         |  FROM ct),
+         |dw2 AS (SELECT doc_id, u.pos AS pos, u.word AS word FROM dw),
+         |wp AS (
+         |  SELECT word, string_agg(piece, '+' ORDER BY idx) AS w_enc,
+         |    count(*)::BIGINT AS np
+         |  FROM p$rounds GROUP BY word)
+         |SELECT c.doc_id,
+         |  count(w.word)::BIGINT AS n_words,
+         |  coalesce(sum(wp.np), 0)::BIGINT AS n_pieces,
+         |  coalesce(string_agg(wp.w_enc, ' ' ORDER BY w.pos), '')
+         |    AS encoded
+         |FROM ct c
+         |LEFT JOIN dw2 w ON w.doc_id = c.doc_id
+         |LEFT JOIN wp ON wp.word = w.word
+         |GROUP BY c.doc_id""".stripMargin
+
+  /** Shared dictionary-loop CTE prefix for [[bpeLearnOracle]] (q134) and
+    * [[bpeEncodeOracle]] (q154): greedy segmentation over the
+    * word-frequency dictionary, then per round a weighted pair count, the
+    * (cnt desc, p1, p2) argmax, and — for every round but optionally the
+    * last — the recursive merge walk emitting the next round's pieces.
+    */
+  private def bpeDictSql(rounds: Int, applyLast: Boolean): String = {
     def roundCtes(i: Int): String = {
       val prev = if (i == 1) "p0" else s"p${i - 1}"
       val count =
@@ -1223,11 +1285,8 @@ object PipelineQueries {
            |  WHERE r.pos <= l.m),
            |p$i AS (SELECT word, idx, piece FROM r$i WHERE idx >= 1)"""
           .stripMargin
-      if (i < rounds) count + apply else count
+      if (i < rounds || applyLast) count + apply else count
     }
-    val selects = (1 to rounds).map(i =>
-      s"SELECT CAST($i AS INT) AS round, p1, p2, p1 || p2 AS merged, " +
-        s"cnt FROM m$i").mkString("\nUNION ALL\n")
     """WITH RECURSIVE
       |words AS (
       |  SELECT word, count(*) AS n FROM (
@@ -1273,7 +1332,7 @@ object PipelineQueries {
       |  WHERE r.pos <= length(r.word)),
       |p0 AS (SELECT word, idx, piece FROM seg WHERE idx >= 1),
       |""".stripMargin +
-      (1 to rounds).map(roundCtes).mkString(",\n") + "\n" + selects
+      (1 to rounds).map(roundCtes).mkString(",\n")
   }
 
   /** Exact blocked char-3-gram Jaccard ground truth — shared by q38 (the
@@ -3661,6 +3720,11 @@ object PipelineQueries {
         |  round(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*)::DOUBLE, 4) AS purity
         |FROM ranked WHERE rank <= 5
-        |GROUP BY qid, ql""".stripMargin
+        |GROUP BY qid, ql""".stripMargin,
+
+    // q154 = q134's dictionary loop with the final merge applied, then
+    // the corpus re-assembled through the word→pieces join — the same
+    // two-scan shape as the operator.
+    "q154_bpe_encode" -> bpeEncodeOracle(rounds = 3)
   )
 }

@@ -2707,6 +2707,72 @@ class BpeLearnSpec extends SparkSpec {
   }
 }
 
+class BpeEncodeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis.{encodeBpe, learnBpeMerges}
+
+  private def encode(docs: Seq[(Long, String)], base: Seq[String],
+      merges: Seq[(String, String)]) =
+    encodeBpe(docs.toDF("doc_id", "text"), $"text", base, merges)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+
+  test("encodeBpe: hand-computed encoding, words joined in document order") {
+    // merge (a,b): "ab" -> one piece; "cd" stays c+d under the char base.
+    val out = encode(Seq((1L, "ab cd"), (2L, "cd ab ab")),
+      Seq("a", "b", "c", "d"), Seq(("a", "b")))
+    assert(out == Seq(
+      (1L, 2L, 3L, "ab c+d"),
+      (2L, 3L, 4L, "c+d ab ab")))
+  }
+
+  test("encodeBpe: merges apply in training order (learned symbol feeds the next)") {
+    // (a,b) then (ab,c): "abc" collapses fully only if round 2 sees
+    // round 1's merged symbol.
+    val out = encode(Seq((1L, "abc")), Seq("a", "b", "c"),
+      Seq(("a", "b"), ("ab", "c")))
+    assert(out == Seq((1L, 1L, 1L, "abc")))
+  }
+
+  test("encodeBpe: zero merges is the plain greedy segmentation") {
+    val out = encode(Seq((1L, "ab")), Seq("a", "b"), Seq.empty)
+    assert(out == Seq((1L, 1L, 2L, "a+b")))
+  }
+
+  test("encodeBpe: empty and null text encode to the empty document") {
+    val docs = Seq((1L, ""), (2L, null: String), (3L, "a"))
+    val out = encode(docs, Seq("a"), Seq.empty)
+    assert(out == Seq((1L, 0L, 0L, ""), (2L, 0L, 0L, ""), (3L, 1L, 1L, "a")))
+  }
+
+  test("encodeBpe: piece concatenation reproduces the word (lossless contract)") {
+    // Learn real merges on a corpus, encode it, strip the separators:
+    // every document must reconstruct its whitespace-normalized text.
+    val docs = Seq((1L, "the cat sat"), (2L, "the bat"), (3L, "cat cat sat"))
+    val df = docs.toDF("doc_id", "text")
+    val base = ('a' to 'z').map(_.toString)
+    val merges = learnBpeMerges(df, $"text", base, rounds = 3)
+      .orderBy($"round").select($"p1", $"p2")
+      .as[(String, String)].collect().toSeq
+    assert(merges.size == 3)
+    val out = encodeBpe(df, $"text", base, merges)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    for (((id, text), (oid, _, _, enc)) <- docs.sortBy(_._1).zip(out)) {
+      assert(oid == id)
+      assert(enc.replace("+", "") == text)
+    }
+  }
+
+  test("encodeBpe: long merge lists cross the checkpoint cadence intact") {
+    // 18 merges (> EncodeCheckpointEvery = 16): merge i fuses the
+    // accumulated prefix of "abcdefghijklmnopqrs" with its next letter,
+    // so only a chain applied fully IN ORDER yields the single piece.
+    val word = ('a' to 's').mkString
+    val merges = (2 to 19).map(i => (word.take(i - 1), word.substring(i - 1, i)))
+    val out = encode(Seq((1L, word)), ('a' to 's').map(_.toString), merges)
+    assert(out == Seq((1L, 1L, 1L, word)))
+  }
+}
+
 class WinnowSpanSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.TextAnalysis.winnowSharedSpans
