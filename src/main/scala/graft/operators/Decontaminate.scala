@@ -151,4 +151,53 @@ object Decontaminate {
       n: Int = 13): DataFrame =
     docs.join(contaminatedIds(docs, benchmark, textCol, idCol, n),
       Seq(idCol), "left_anti")
+
+  /** FUZZY decontamination — the third published decontamination class,
+    * between the other two: [[flagContaminated]] catches VERBATIM
+    * excerpts (any shared 13-shingle) but a single edit every dozen
+    * tokens breaks every long shingle; [[semanticDecontaminate]] catches
+    * PARAPHRASES but needs an embedding model. This is the
+    * Jaccard-similarity screen (the Llama-2 §A.6 / Dolma "fuzzy dedup
+    * against eval" shape): a corpus document is contaminated when its
+    * word-shingle Jaccard against some benchmark document reaches
+    * `threshold` — the lightly-EDITED near-verbatim leak, which defeats
+    * the exact screen and needs no model to catch.
+    *
+    * Built by composition, not re-implementation: the benchmark becomes
+    * a [[Dedup.minhashCorpusIndex]] and the corpus screens against it
+    * through [[Dedup.incrementalMinhashDedup]] — the same banded-LSH
+    * candidate join + exact-Jaccard verify (and the same k-mismatch
+    * guard), with the index side broadcast because an eval set is
+    * metadata-sized. At r = 2 per band a true J ≥ 0.8 pair is missed
+    * with p ≤ (1 − 0.64)¹⁶ ≈ 4·10⁻⁸ — the full-recall contract the
+    * exact-Jaccard oracle checks. The corpus side shuffles only band-key
+    * projections and candidate ids; document text never moves.
+    *
+    * Output one row per corpus document, [[semanticDecontaminate]]'s
+    * audit shape: (idCol, benchIdCol, jaccard, contaminated) with the
+    * best match (ties: lowest benchmark id) when one exists at
+    * threshold, and (null, null, false) otherwise. Unlike the semantic
+    * screen, near-MISS audit rows are deliberately absent: a candidate
+    * pair below threshold exists only if its band keys collided, so
+    * emitting it would make the output nondeterministic in exactly the
+    * rows that don't matter — the contract stops at the threshold.
+    */
+  def fuzzyDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      benchIdCol: String = "bench_id", threshold: Double = 0.8,
+      k: Int = 32, bands: Int = 16): DataFrame = {
+    val index = broadcast(
+      Dedup.minhashCorpusIndex(benchmark, textCol, benchIdCol, k))
+    val pairs = Dedup.incrementalMinhashDedup(docs, index, textCol, idCol,
+      threshold, k, bands)
+    val best = pairs.groupBy(col(idCol)).agg(
+      max_by(col("corpus_id"),
+        struct(col("jaccard"), -col("corpus_id"))).as(benchIdCol),
+      max(col("jaccard")).as("__mj"))
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col(benchIdCol),
+        col("__mj").as("jaccard"),
+        col("__mj").isNotNull.as("contaminated"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (builder brief: dedup, similarity
@@ -1155,6 +1155,21 @@ object PipelineQueries {
         .select(col("p1"), col("p2")).collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
       TextAnalysis.encodeBpe(docs, col("text"), SubwordVocab10k, merges)
+    }),
+
+    // Fuzzy decontamination (the near-verbatim class between q80's exact
+    // shingles and q142's semantic screen): benchmark = every 25th doc
+    // with one appended token — J = (T−2)/(T−1) against its original,
+    // above 0.8 for any doc of ≥ 7 tokens, yet sharing NO 13-shingle run
+    // boundary-to-boundary edits couldn't break. Full-recall contract:
+    // the LSH candidates must reproduce the oracle's exact all-pairs
+    // Jaccard screen (q128's bound: miss p ≤ 4e-8 at J = 0.8).
+    "q155_fuzzy_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat(col("text"), lit(" zq7f")).as("text"))
+      Decontaminate.fuzzyDecontaminate(docs, bench)
     })
   )
 
@@ -3725,6 +3740,55 @@ object PipelineQueries {
     // q154 = q134's dictionary loop with the final merge applied, then
     // the corpus re-assembled through the word→pieces join — the same
     // two-scan shape as the operator.
-    "q154_bpe_encode" -> bpeEncodeOracle(rounds = 3)
+    "q154_bpe_encode" -> bpeEncodeOracle(rounds = 3),
+
+    // q155 = exact all-pairs word-3-shingle Jaccard between the corpus
+    // and the planted benchmark (q128's CTE shape), aggregated to the
+    // per-doc best-match audit row — the LSH path must lose nothing.
+    "q155_fuzzy_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bench_id, text || ' zq7f' AS text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |ct AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bt AS (
+        |  SELECT bench_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |csh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM ct),
+        |bsh AS (
+        |  SELECT bench_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM bt),
+        |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+        |bsz AS (SELECT bench_id, count(*) AS n FROM bsh GROUP BY bench_id),
+        |ix AS (
+        |  SELECT c.doc_id, b.bench_id, count(*) AS i
+        |  FROM csh c JOIN bsh b ON c.s = b.s
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT ix.doc_id, ix.bench_id,
+        |    round(i::DOUBLE / (cs.n + bs.n - i), 4) AS j
+        |  FROM ix
+        |  JOIN csz cs ON ix.doc_id = cs.doc_id
+        |  JOIN bsz bs ON ix.bench_id = bs.bench_id
+        |  WHERE i::DOUBLE / (cs.n + bs.n - i) >= 0.8),
+        |best AS (
+        |  SELECT doc_id, bench_id, j, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY j DESC, bench_id ASC) AS rn
+        |  FROM p)
+        |SELECT d.doc_id, b.bench_id, b.j AS jaccard,
+        |  (b.bench_id IS NOT NULL) AS contaminated
+        |FROM documents d
+        |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""".stripMargin
   )
 }

@@ -2100,6 +2100,50 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"benchmark shingles must broadcast:\n$plan")
   }
+
+  test("fuzzyDecontaminate: edited near-verbatim leak flagged where the " +
+      "exact shingle screen misses it; heavy edits stay clean") {
+    // 14-token doc; the "leak" changes one token in the middle — every
+    // 13-shingle is broken (flagContaminated at n=13 sees nothing) but
+    // word-3-shingle Jaccard stays high: 12 shingles each, 9 shared,
+    // J = 9/15 = 0.6.
+    val docText = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliett kilo lima mike november"
+    val docs = Seq(
+      (1L, docText),
+      (2L, "completely unrelated material about distributed query engines"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, docText.replace("golf", "ZZZZ")),
+      (20L, "totally disjoint benchmark prompt about castle construction"))
+      .toDF("bench_id", "text")
+    val exact = graft.operators.Decontaminate.flagContaminated(
+        docs, bench, n = 13)
+      .as[(Long, Boolean)].collect().toMap
+    assert(exact == Map(1L -> false, 2L -> false),
+      "one mid-document edit defeats the exact 13-shingle screen")
+    val fuzzy = graft.operators.Decontaminate.fuzzyDecontaminate(
+        docs, bench, threshold = 0.6)
+      .as[(Long, Option[Long], Option[Double], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(fuzzy == Seq(
+      (1L, Some(10L), Some(0.6), true),
+      (2L, None, None, false)))
+  }
+
+  test("fuzzyDecontaminate: best match is (jaccard desc, lowest bench id); " +
+      "below-threshold docs get the null audit row") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    // bench 30/31: exact copies (J = 1, tie -> lowest id 30); bench 40:
+    // lower-J match (appended token, J = 6/7 ≈ 0.857).
+    val bench = Seq(
+      (31L, "a b c d e f g h"), (30L, "a b c d e f g h"),
+      (40L, "a b c d e f g h zz")).toDF("bench_id", "text")
+    val out = graft.operators.Decontaminate.fuzzyDecontaminate(
+        docs, bench, threshold = 0.8)
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSeq
+    assert(out == Seq((1L, Some(30L), Some(1.0), true)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
