@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL-level curation — the CHEAPEST dedup/filter class a crawl pipeline
+  * runs, before any content is even fetched or compared: a web corpus
+  * arrives keyed by URL, and the same page surfaces under dozens of
+  * cosmetic URL variants (tracking parameters, fragments, case-folded
+  * hosts, default ports, trailing slashes). Canonicalizing URLs and
+  * scoring HOSTS (C4 filters by domain blocklist; RefinedWeb/CCNet treat
+  * the registered domain as the curation unit) is the step that makes
+  * every downstream content operator touch each page once.
+  *
+  * Everything here is pure Column arithmetic over RE2∩Java-dialect
+  * regexes (the [[TextAnalysis.redactPii]] discipline), so normalization
+  * is character-identical cross-engine and the DuckDB oracle replays it
+  * verbatim. Per-row, scan speed; the only shuffles are the 16-byte
+  * fingerprint window ([[Dedup.exactDedup]]'s single-scan form) and the
+  * host-cardinality aggregate.
+  */
+object Urls {
+
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Query parameters dropped by [[normalizeUrl]]: the click-tracking
+    * decorations that never change page content (Google/Facebook/
+    * Mailchimp click ids, `utm_*` campaign tags, bare `ref`).
+    */
+  val TrackingParams = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_eid)(=|$)"
+
+  /** Canonical URL form for crawl-level dedup. Steps, in order:
+    * fragment stripped; scheme and host(:port) lowercased (path and
+    * query are case-SIGNIFICANT — /Docs and /docs are different
+    * resources); default port stripped (`:80` for http, `:443` for
+    * https); tracking parameters ([[TrackingParams]]) dropped and the
+    * survivors sorted bytewise (param order never changes content, and
+    * sorting makes `?a=1&b=2` ≡ `?b=2&a=1`); empty query drops its `?`;
+    * empty path becomes `/` and one trailing slash folds off non-root
+    * paths.
+    *
+    * Contract edges: a string without a `scheme://` prefix passes
+    * through trimmed and fragment-stripped only (it is not a URL this
+    * operator understands — pass-through beats silently corrupting it);
+    * userinfo (`user:pass@host`) and path-segment equivalences
+    * (`//`, `/./`) are out of scope — the crawl frontier should never
+    * emit them, and folding them needs a real parser, not a canonical
+    * form.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(u,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://.*$", 1))
+    val hostPort = lower(regexp_extract(u, SchemePrefix + "([^/?#]*).*$", 1))
+    val rest = regexp_extract(u, SchemePrefix + "[^/?#]*(.*)$", 1)
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rawPath = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParams)))
+    val qNorm = concat_ws("&", params)
+    val path = when(rawPath === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "^(.+?)/$", "$1"))
+    when(u.rlike(SchemePrefix),
+      concat(scheme, lit("://"), host, path,
+        when(qNorm =!= "", concat(lit("?"), qNorm)).otherwise(lit(""))))
+      .otherwise(u)
+  }
+
+  /** Lowercased host of a `scheme://` URL, ports and everything after
+    * the authority excluded; null for strings the scheme regex rejects.
+    */
+  def hostOf(url: Column): Column = {
+    val h = lower(regexp_extract(trim(url), SchemePrefix + "([^/?#:]*).*$", 1))
+    when(h =!= "", h)
+  }
+
+  /** Crawl-level exact dedup keyed on the CANONICAL URL — one more
+    * pluggable fingerprint class for [[Dedup.exactDedup]] (q35
+    * whitespace/case, q125 CCNet-aggressive, q150 NFKC fold, and now the
+    * URL class): same single-scan window plan, the per-row key kernel is
+    * `md5(normalizeUrl(url))`. Returns (idCol, canonical_id, is_dup).
+    */
+  def urlDedup(df: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame =
+    Dedup.exactDedup(df, urlCol, idCol,
+      fingerprinter = u => md5(normalizeUrl(u)))
+
+  /** Host-level reputation — the RefinedWeb/CCNet move of scoring the
+    * DOMAIN, not the page: a host whose pages are mostly URL-duplicates
+    * of each other (session-id mills, calendar traps, faceted-search
+    * explosions) is spam-shaped, and the whole host is flagged so the
+    * frontier stops crawling it. One row per input document: (idCol,
+    * host, host_docs, host_dups, dup_frac, spam_host).
+    *
+    * Scale shape: one corpus scan computes (host, url fingerprint); the
+    * fingerprint window resolves URL-dup flags exactly as
+    * [[Dedup.exactDedup]] (16-byte keys, text never moves); the host
+    * aggregate is host-cardinality (tens of millions at web scale —
+    * far below page count) and map-side combines; the stats join back
+    * on the host key (AQE broadcasts it when small). Documents with no
+    * parseable host keep a null host and are never spam-flagged —
+    * `dup_frac` is exact int/int double arithmetic, engine-identical.
+    */
+  def hostReputation(df: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id", maxDupFrac: Double = 0.5): DataFrame = {
+    val perDoc = df.select(col(idCol), hostOf(col(urlCol)).as("host"),
+        md5(normalizeUrl(col(urlCol))).as("__fp"))
+      .withColumn("is_dup",
+        col(idCol) =!= min(col(idCol)).over(Window.partitionBy(col("__fp"))))
+    val hostAgg = perDoc.where(col("host").isNotNull)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("host_docs"),
+        sum(col("is_dup").cast("long")).as("host_dups"))
+    perDoc.join(hostAgg, Seq("host"), "left")
+      .select(col(idCol), col("host"), col("host_docs"), col("host_dups"),
+        (col("host_dups").cast("double") / col("host_docs").cast("double"))
+          .as("dup_frac"),
+        coalesce(col("host_dups").cast("double")
+          / col("host_docs").cast("double") > maxDupFrac, lit(false))
+          .as("spam_host"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Urls}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries (builder brief: dedup, similarity
@@ -1170,8 +1170,58 @@ object PipelineQueries {
         .select(col("doc_id").as("bench_id"),
           concat(col("text"), lit(" zq7f")).as("text"))
       Decontaminate.fuzzyDecontaminate(docs, bench)
-    })
+    }),
+
+    // Crawl-level URL dedup: every 10th doc's URL re-surfaces (id +
+    // 800000) under the full cosmetic-variant battery — uppercased
+    // scheme/host, default :443 port vs none, trailing slash vs none,
+    // reordered + tracking-decorated query, fragment — and must resolve
+    // to its original as canonical; the 90% organic rows (unique paths)
+    // must NOT merge. Oracle replays normalizeUrl step for step.
+    "q156_url_dedup" -> ((s, d) =>
+      Urls.urlDedup(urlFixture(Tables.documents(s, d)))),
+
+    // Host-level reputation over the same fixture: hosts h{0,10,20,30}
+    // (www and bare variants) carry all the planted URL-dups (every
+    // tenth id lands on them) at dup_frac exactly 0.5 — flagged at the
+    // 0.3 gate — while the other 36 host classes stay clean.
+    "q157_host_reputation" -> ((s, d) =>
+      Urls.hostReputation(urlFixture(Tables.documents(s, d)),
+        maxDupFrac = 0.3))
   )
+
+  /** Deterministic (doc_id, url) crawl fixture for q156/q157: the
+    * original URL exercises mixed-case www prefixes, default ports,
+    * trailing slashes, tracking-decorated and clean queries, fragments;
+    * the planted twin (id + 800000, every 10th doc) is the SAME resource
+    * under a different cosmetic rendering of every one of those axes.
+    * Both engines generate the strings from doc_id arithmetic (dbgen
+    * convention).
+    */
+  private def urlFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val orig = docs.select(id, concat(
+      lit("https://"),
+      when(id % 7 === 0, lit("www.")).otherwise(lit("")),
+      lit("h"), (id % 40).cast("string"), lit(".example.com"),
+      when(id % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), id.cast("string"),
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      when(id % 4 === 0, lit("?b=2&a=1&utm_source=feed"))
+        .when(id % 4 === 1, lit("?a=1&b=2")).otherwise(lit("")),
+      when(id % 6 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+    val twin = docs.filter(id % 10 === 0).select(
+      (id + 800000).as("doc_id"), concat(
+        lit("HTTPS://"),
+        when(id % 7 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("H"), (id % 40).cast("string"), lit(".EXAMPLE.COM"),
+        lit("/docs/"), id.cast("string"),
+        when(id % 4 === 0, lit("?a=1&utm_q=9&b=2"))
+          .when(id % 4 === 1, lit("?b=2&a=1"))
+          .otherwise(lit("?utm_only=1")),
+        lit("#twin")).as("url"))
+    orig.unionByName(twin)
+  }
 
   /** Fixed gate vocabulary for q113 — stands in for a tokenizer vocab
     * (the fixture corpus is synthetic data-engine prose, so these hit a
@@ -1349,6 +1399,75 @@ object PipelineQueries {
       |""".stripMargin +
       (1 to rounds).map(roundCtes).mkString(",\n")
   }
+
+  /** q156/q157's shared prefix: the urlFixture strings from doc_id
+    * arithmetic, then [[graft.operators.Urls.normalizeUrl]] and
+    * [[graft.operators.Urls.hostOf]] replayed literally — `norm` ends as
+    * (doc_id, url, nurl, host).
+    */
+  private val UrlNormCte =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    'https://' ||
+      |    CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
+      |    'h' || (doc_id % 40)::VARCHAR || '.example.com' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+      |    '/docs/' || doc_id::VARCHAR ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=feed'
+      |         WHEN doc_id % 4 = 1 THEN '?a=1&b=2' ELSE '' END ||
+      |    CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 800000,
+      |    'HTTPS://' ||
+      |    CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END ||
+      |    'H' || (doc_id % 40)::VARCHAR || '.EXAMPLE.COM' ||
+      |    '/docs/' || doc_id::VARCHAR ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '?a=1&utm_q=9&b=2'
+      |         WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+      |         ELSE '?utm_only=1' END ||
+      |    '#twin' AS url
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |n1 AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(trim(url), '#.*$', '') AS u
+      |  FROM urls),
+      |n2 AS (
+      |  SELECT doc_id, url, u,
+      |    lower(regexp_extract(u,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://.*$', 1)) AS sch,
+      |    lower(regexp_extract(u,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$', 1)) AS hp,
+      |    regexp_extract(u,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+      |  FROM n1),
+      |n3 AS (
+      |  SELECT *,
+      |    CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |         WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |         ELSE hp END AS hst,
+      |    regexp_extract(rest, '^([^?]*)', 1) AS rawpath,
+      |    regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS q
+      |  FROM n2),
+      |n4 AS (
+      |  SELECT *,
+      |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_eid)(=|$)'))),
+      |      '&') AS qn,
+      |    CASE WHEN rawpath = '' THEN '/'
+      |         ELSE regexp_replace(rawpath, '^(.+?)/$', '\1') END AS pth
+      |  FROM n3),
+      |norm AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://')
+      |      THEN sch || '://' || hst || pth ||
+      |        CASE WHEN qn <> '' THEN '?' || qn ELSE '' END
+      |      ELSE u END AS nurl,
+      |    nullif(lower(regexp_extract(trim(url),
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*).*$', 1)), '') AS host
+      |  FROM n4)""".stripMargin
 
   /** Exact blocked char-3-gram Jaccard ground truth — shared by q38 (the
     * block-local all-pairs operator) and q67 (the prefix-filtered
@@ -3745,6 +3864,33 @@ object PipelineQueries {
     // q155 = exact all-pairs word-3-shingle Jaccard between the corpus
     // and the planted benchmark (q128's CTE shape), aggregated to the
     // per-doc best-match audit row — the LSH path must lose nothing.
+    // q156/q157 = the urlFixture strings regenerated from doc_id
+    // arithmetic, then normalizeUrl replayed STEP FOR STEP (fragment,
+    // scheme/host case, default port, tracking params + bytewise param
+    // sort, trailing slash) — the same RE2∩Java regexes both engines.
+    "q156_url_dedup" -> (UrlNormCte +
+      """
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY nurl) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY nurl) AS is_dup
+        |FROM norm""".stripMargin),
+
+    "q157_host_reputation" -> (UrlNormCte +
+      """,
+        |dup AS (
+        |  SELECT doc_id, host,
+        |    doc_id <> min(doc_id) OVER (PARTITION BY nurl) AS is_dup
+        |  FROM norm),
+        |ha AS (
+        |  SELECT host, count(*)::BIGINT AS host_docs,
+        |    sum(is_dup::INT)::BIGINT AS host_dups
+        |  FROM dup WHERE host IS NOT NULL GROUP BY host)
+        |SELECT d.doc_id, d.host, ha.host_docs, ha.host_dups,
+        |  ha.host_dups::DOUBLE / ha.host_docs::DOUBLE AS dup_frac,
+        |  coalesce(ha.host_dups::DOUBLE / ha.host_docs::DOUBLE > 0.3,
+        |    false) AS spam_host
+        |FROM dup d LEFT JOIN ha ON d.host = ha.host""".stripMargin),
+
     "q155_fuzzy_decontaminate" ->
       """WITH bench AS (
         |  SELECT doc_id AS bench_id, text || ' zq7f' AS text

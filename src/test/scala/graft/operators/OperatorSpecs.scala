@@ -2146,6 +2146,77 @@ class DecontaminateSpec extends SparkSpec {
   }
 }
 
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Urls
+
+  private def norm(s: String): String =
+    Seq(Tuple1(s)).toDF("u").select(Urls.normalizeUrl($"u").as("n"))
+      .as[String].head()
+
+  test("normalizeUrl: each cosmetic axis folds independently") {
+    val canon = "https://h1.example.com/docs/5"
+    assert(norm("https://h1.example.com/docs/5") == canon)
+    assert(norm("HTTPS://H1.EXAMPLE.COM/docs/5") == canon, "scheme+host case")
+    assert(norm("https://h1.example.com:443/docs/5") == canon, "default port")
+    assert(norm("http://h1.example.com:80/x")
+      == "http://h1.example.com/x", "http default port")
+    assert(norm("https://h1.example.com:8443/docs/5")
+      == "https://h1.example.com:8443/docs/5", "non-default port kept")
+    assert(norm("https://h1.example.com/docs/5/") == canon, "trailing slash")
+    assert(norm("https://h1.example.com/docs/5#frag") == canon, "fragment")
+    assert(norm("https://h1.example.com/docs/5?utm_source=x&utm_q=1")
+      == canon, "tracking-only query drops its ?")
+    assert(norm("https://h1.example.com/docs/5?b=2&gclid=9&a=1")
+      == canon + "?a=1&b=2", "params filtered + sorted")
+  }
+
+  test("normalizeUrl: path and query case is significant; root path survives") {
+    assert(norm("https://h.com/Docs/A") == "https://h.com/Docs/A")
+    assert(norm("https://h.com/x?A=1") == "https://h.com/x?A=1")
+    assert(norm("https://h.com") == "https://h.com/", "empty path -> /")
+    assert(norm("https://h.com/") == "https://h.com/", "root slash kept")
+  }
+
+  test("normalizeUrl: non-URL strings pass through trimmed, not corrupted") {
+    assert(norm("  not a url at all  ") == "not a url at all")
+    assert(norm("h.com/no-scheme") == "h.com/no-scheme")
+  }
+
+  test("hostOf: lowercased authority without port; null when unparseable") {
+    val out = Seq("https://WWW.H2.Example.COM:443/x", "nope", "http://a.b/c")
+      .toDF("u").select(Urls.hostOf($"u")).as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("www.h2.example.com"), None, Some("a.b")))
+  }
+
+  test("urlDedup: variants of one resource collapse to the lowest id") {
+    val out = Urls.urlDedup(Seq(
+        (1L, "https://h.com/p?a=1&utm_source=x"),
+        (2L, "HTTPS://H.COM:443/p/?a=1#f"),
+        (3L, "https://h.com/other")).toDF("doc_id", "url"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
+  }
+
+  test("hostReputation: dup-mill host flagged, clean host not, null host never") {
+    val docs = Seq(
+      (1L, "https://mill.com/a"), (2L, "https://mill.com/a?utm_q=1"),
+      (3L, "https://mill.com/a#x"), (4L, "https://mill.com/b"),
+      (5L, "https://clean.com/a"), (6L, "https://clean.com/b"),
+      (7L, "garbage-no-scheme")).toDF("doc_id", "url")
+    val out = graft.operators.Urls.hostReputation(docs, maxDupFrac = 0.3)
+      .as[(Long, Option[String], Option[Long], Option[Long],
+        Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    // mill.com: 4 docs, 2 dups (ids 2,3 of /a) -> 0.5 > 0.3 -> spam
+    assert(out.filter(_._2.contains("mill.com")).forall(r =>
+      r._3.contains(4L) && r._4.contains(2L) && r._5.contains(0.5) && r._6))
+    assert(out.filter(_._2.contains("clean.com")).forall(r =>
+      r._4.contains(0L) && !r._6))
+    val noHost = out.find(_._1 == 7L).get
+    assert(noHost._2.isEmpty && noHost._3.isEmpty && !noHost._6)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
