@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the pre-training curation step that
@@ -151,6 +152,134 @@ object Decontaminate {
       n: Int = 13): DataFrame =
     docs.join(contaminatedIds(docs, benchmark, textCol, idCol, n),
       Seq(idCol), "left_anti")
+
+  /** SPAN decontamination — the exact-substring class (Lee et al. 2021's
+    * ExactSubstr applied corpus-vs-eval, the form the Llama/PaLM reports
+    * describe as "remove overlapping portions"): maximal shared
+    * character runs between a training document and a benchmark
+    * document, found at winnowing guarantees ([[TextAnalysis
+    * .winnowSharedSpans]]'s machinery pointed ACROSS frames) and
+    * reported as (doc, bench, doc_start, bench_start, span_chars) span
+    * rows. [[flagContaminated]] answers "is this document contaminated";
+    * this answers WHERE — the attribution a surgical pipeline needs,
+    * because the published remedy is to EXCISE the span
+    * ([[exciseSpans]]), not to drop a document that is 99% original.
+    *
+    * Exact by design like [[semanticDecontaminate]] — NO corpus-hot
+    * fingerprint drop (contrast `winnowSharedSpans`' `maxDocFreq`): a
+    * fingerprint shared by the benchmark and a million training docs is
+    * exactly the mass-leak this operator exists to find, and dropping it
+    * would be a silent false-negative class. The join fan-out is
+    * bench-occurrences × corpus-occurrences per fingerprint — bounded in
+    * practice by the eval set's size, and boilerplate runs shorter than
+    * `minSpanChars` die at the span-length gate; a boilerplate-heavy
+    * corpus should line-dedup ([[Dedup.lineDedup]]) BEFORE
+    * decontamination, which is the pipeline order [[Curation.curate]]
+    * establishes anyway.
+    *
+    * Scale shape: the benchmark's (fp, pos) index broadcasts (eval-sized
+    * × ~2/w selections per char); the corpus side is one scan projecting
+    * (id, fp, pos) — text never shuffles — and the island windows
+    * partition by (doc, bench, offset), group size = one pair's matched
+    * selections. Span semantics (offset grouping, gaps-and-islands,
+    * conservative `span_chars` = run + k) are exactly
+    * `winnowSharedSpans`' — see its scaladoc for the guarantees.
+    */
+  def spanDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      benchIdCol: String = "bench_id", minSpanChars: Int = 64,
+      maxGapGrams: Int = 16, k: Int = 16, w: Int = 8): DataFrame = {
+    require(minSpanChars >= k,
+      s"minSpanChars ($minSpanChars) below k ($k) would report " +
+        "single-gram noise as spans")
+    require(maxGapGrams >= w,
+      s"maxGapGrams ($maxGapGrams) below w ($w) would split every run " +
+        "(winnowing selects at most every w-th gram)")
+    def fps(df: DataFrame, id: String, p: String) = df.select(col(id),
+        explode(graft.functions.WinnowFunctions
+          .winnowFingerprintPositions(col(textCol), k, w)).as("e"))
+      .select(col(id), col("e.fp").as("f"), col("e.pos").as(p))
+    val matches = fps(docs, idCol, "pa")
+      .join(broadcast(fps(benchmark, benchIdCol, "pb")), Seq("f"))
+      .select(col(idCol), col(benchIdCol), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("__off"))
+    val wOrd = Window
+      .partitionBy(col(idCol), col(benchIdCol), col("__off"))
+      .orderBy(col("pa").asc)
+    matches
+      .withColumn("__brk",
+        when(col("pa") - lag(col("pa"), 1).over(wOrd) <= maxGapGrams, 0)
+          .otherwise(1))
+      .withColumn("__g", sum(col("__brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col(benchIdCol), col("__off"), col("__g"))
+      .agg(min(col("pa")).as("doc_start"), min(col("pb")).as("bench_start"),
+        (max(col("pa")) - min(col("pa")) + k).as("span_chars"))
+      .filter(col("span_chars") >= minSpanChars)
+      .select(col(idCol), col(benchIdCol), col("doc_start"),
+        col("bench_start"), col("span_chars"))
+  }
+
+  /** Span EXCISION — the remedy attached to [[spanDecontaminate]]'s
+    * findings: cut every reported span out of its document and stitch
+    * the remainder, so the 99%-original document stays in the corpus
+    * minus the leaked run. Returns one row per input document:
+    * (idCol, text — stitched, original when no spans — n_excised_chars).
+    *
+    * Per document: span [start, start+chars) intervals are merged into
+    * disjoint intervals FIRST (overlapping reports of one leak — e.g.
+    * the same span matched by two benchmark docs — must not excise
+    * twice), via a sort + fold over the document's own span list
+    * (bounded by its reported spans, never corpus-sized); the stitch is
+    * one more fold concatenating the inter-interval substrings. Both
+    * folds are interpreted HOFs but run over span-count-sized arrays on
+    * the contaminated-docs-only frame (the spans join is an id-keyed
+    * LEFT join; clean documents — the overwhelming mass — carry a null
+    * span list and pass through with text untouched).
+    */
+  def exciseSpans(docs: DataFrame, spans: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ivals = spans.groupBy(col(idCol)).agg(
+      array_sort(collect_list(struct(col("doc_start").as("s"),
+        (col("doc_start") + col("span_chars")).as("e")))).as("__iv"))
+    // merge sorted intervals: fold carrying (merged list, current lo/hi)
+    val merged = aggregate(
+      col("__iv"),
+      struct(slice(col("__iv"), 1, 0).as("out"),
+        lit(null).cast("struct<s:int,e:int>").as("cur")),
+      (acc, x) => {
+        val cur = acc.getField("cur")
+        val out = acc.getField("out")
+        when(cur.isNull, struct(out.as("out"), x.as("cur")))
+          .when(x.getField("s") <= cur.getField("e"),
+            struct(out.as("out"),
+              struct(cur.getField("s").as("s"),
+                greatest(cur.getField("e"), x.getField("e")).as("e"))
+                .as("cur")))
+          .otherwise(struct(concat(out, array(cur)).as("out"), x.as("cur")))
+      },
+      acc => when(acc.getField("cur").isNotNull,
+        concat(acc.getField("out"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("out")))
+    docs.join(ivals, Seq(idCol), "left")
+      .withColumn("__m", when(col("__iv").isNotNull, merged))
+      .select(col(idCol),
+        when(col("__m").isNull, col(textCol)).otherwise(concat(
+          aggregate(col("__m"),
+            struct(lit("").as("acc"), lit(1).as("from")),
+            (st, iv) => struct(
+              concat(st.getField("acc"),
+                col(textCol).substr(st.getField("from"),
+                  iv.getField("s") - st.getField("from"))).as("acc"),
+              iv.getField("e").as("from")),
+            st => st.getField("acc")),
+          col(textCol).substr(
+            element_at(col("__m"), -1).getField("e"), lit(1000000000))))
+          .as(textCol),
+        coalesce(aggregate(col("__m"), lit(0),
+          (n, iv) => n + iv.getField("e") - iv.getField("s")), lit(0))
+          .as("n_excised_chars"))
+  }
 
   /** FUZZY decontamination — the third published decontamination class,
     * between the other two: [[flagContaminated]] catches VERBATIM

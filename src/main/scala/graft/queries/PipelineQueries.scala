@@ -1172,6 +1172,26 @@ object PipelineQueries {
       Decontaminate.fuzzyDecontaminate(docs, bench)
     }),
 
+    // Span decontamination (the exact-substring class, Lee et al. 2021
+    // corpus-vs-eval): benchmark = 'zq '-headed 220-char excerpts of
+    // every 22nd long doc — the head shifts every aligned boundary, so
+    // only same-OFFSET winnow runs recover the span. Exact both sides
+    // (no hot-fingerprint drop): the oracle replays the full q135 gram-
+    // hash/winnow/island chain pointed across frames.
+    "q158_span_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Decontaminate.spanDecontaminate(docs, spanBenchFixture(docs))
+    }),
+
+    // Span EXCISION composed over q158's findings: the published remedy
+    // — cut the leaked run, keep the 99%-original document. Interval
+    // merge + stitch replayed in SQL over the same span CTE.
+    "q159_span_excise" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Decontaminate.exciseSpans(docs,
+        Decontaminate.spanDecontaminate(docs, spanBenchFixture(docs)))
+    }),
+
     // Crawl-level URL dedup: every 10th doc's URL re-surfaces (id +
     // 800000) under the full cosmetic-variant battery — uppercased
     // scheme/host, default :443 port vs none, trailing slash vs none,
@@ -1189,6 +1209,14 @@ object PipelineQueries {
       Urls.hostReputation(urlFixture(Tables.documents(s, d)),
         maxDupFrac = 0.3))
   )
+
+  /** q158/q159's benchmark: offset-shifted excerpts of every 22nd long
+    * document — the q135 fixture shape pointed at decontamination.
+    */
+  private def spanBenchFixture(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 22 === 0 && length(col("text")) >= 300)
+      .select(col("doc_id").as("bench_id"),
+        concat(lit("zq "), substring(col("text"), 31, 220)).as("text"))
 
   /** Deterministic (doc_id, url) crawl fixture for q156/q157: the
     * original URL exercises mixed-case www prefixes, default ports,
@@ -1399,6 +1427,72 @@ object PipelineQueries {
       |""".stripMargin +
       (1 to rounds).map(roundCtes).mkString(",\n")
   }
+
+  /** q158/q159's shared prefix: the q135 gram-hash / robust-winnowing /
+    * offset-island chain pointed ACROSS frames (corpus side 'c' vs the
+    * spanBenchFixture excerpts 'b'), WITHOUT the hot-fingerprint drop —
+    * [[graft.operators.Decontaminate.spanDecontaminate]] is exact by
+    * design. Ends at `sp` = (doc_id, bench_id, doc_start, bench_start,
+    * span_chars), unfiltered by minSpanChars.
+    */
+  private val SpanDecontCte =
+    """WITH base AS (
+      |  SELECT doc_id AS id, 'c' AS side, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'b', 'zq ' || substr(text, 31, 220)
+      |  FROM documents WHERE doc_id % 22 = 0 AND length(text) >= 300),
+      |c AS (
+      |  SELECT id, side, text AS s,
+      |    least(16, length(text)) AS kk, length(text) AS n
+      |  FROM base WHERE length(text) > 0),
+      |h AS (
+      |  SELECT id, side, kk,
+      |    list_transform(range(1, n - kk + 2), j ->
+      |      list_sum(list_transform(range(0, kk), t ->
+      |        (unicode(substr(s, (j + t)::INT, 1))::BIGINT *
+      |         ([1, 257, 66049, 16974593, 67503107, 168429323,
+      |           336663071, 623063367, 1213495441, 483199522,
+      |           1775709275, 1090750511, 1150007217, 1346595130,
+      |           330081243, 1079017218])[(kk - t)::INT]) % 2147483647))
+      |      % 2147483647) AS hl
+      |  FROM c),
+      |m AS (
+      |  SELECT id, side,
+      |    CASE WHEN len(hl) <= 8 THEN [list_min(hl)]
+      |         ELSE list_transform(range(1, len(hl) - 6), j ->
+      |           list_min(list_slice(hl, j, j + 7)))
+      |    END AS fl,
+      |    CASE WHEN len(hl) <= 8 THEN
+      |           [len(hl) + 1 -
+      |            list_position(list_reverse(hl), list_min(hl))]
+      |         ELSE list_transform(range(1, len(hl) - 6), j ->
+      |           j + 8 - list_position(
+      |             list_reverse(list_slice(hl, j, j + 7)),
+      |             list_min(list_slice(hl, j, j + 7))))
+      |    END AS pl
+      |  FROM h),
+      |f0 AS (SELECT DISTINCT id, side, f, p FROM (
+      |  SELECT id, side, unnest(fl) AS f, unnest(pl) AS p FROM m)),
+      |mt AS (
+      |  SELECT a.id AS da, b.id AS db, a.p AS pa, b.p AS pb,
+      |    a.p - b.p AS off
+      |  FROM f0 a JOIN f0 b ON a.f = b.f
+      |    AND a.side = 'c' AND b.side = 'b'),
+      |isl AS (
+      |  SELECT da, db, off, pa, pb,
+      |    CASE WHEN pa - lag(pa) OVER (
+      |      PARTITION BY da, db, off ORDER BY pa) <= 16
+      |      THEN 0 ELSE 1 END AS brk
+      |  FROM mt),
+      |g AS (
+      |  SELECT da, db, off, pa, pb,
+      |    sum(brk) OVER (PARTITION BY da, db, off ORDER BY pa
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      |  FROM isl),
+      |sp AS (
+      |  SELECT da AS doc_id, db AS bench_id, min(pa) AS doc_start,
+      |    min(pb) AS bench_start, max(pa) - min(pa) + 16 AS span_chars
+      |  FROM g GROUP BY da, db, off, gid)""".stripMargin
 
   /** q156/q157's shared prefix: the urlFixture strings from doc_id
     * arithmetic, then [[graft.operators.Urls.normalizeUrl]] and
@@ -3864,6 +3958,53 @@ object PipelineQueries {
     // q155 = exact all-pairs word-3-shingle Jaccard between the corpus
     // and the planted benchmark (q128's CTE shape), aggregated to the
     // per-doc best-match audit row — the LSH path must lose nothing.
+    "q158_span_decontaminate" -> (SpanDecontCte +
+      """
+        |SELECT doc_id, bench_id, doc_start, bench_start, span_chars
+        |FROM sp WHERE span_chars >= 64""".stripMargin),
+
+    // q159 = q158's spans interval-merged per doc (s <= running max(e)
+    // islands — the windowed equivalent of the operator's sorted fold)
+    // and the kept segments stitched back with substr arithmetic.
+    "q159_span_excise" -> (SpanDecontCte +
+      """,
+        |sp2 AS (SELECT * FROM sp WHERE span_chars >= 64),
+        |iv AS (
+        |  SELECT doc_id, doc_start AS s, doc_start + span_chars AS e
+        |  FROM sp2),
+        |mk AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s <= max(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) THEN 0 ELSE 1 END AS brk
+        |  FROM iv),
+        |gi AS (
+        |  SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid2
+        |  FROM mk),
+        |mrg AS (SELECT doc_id, min(s) AS s, max(e) AS e
+        |  FROM gi GROUP BY doc_id, gid2),
+        |seg AS (
+        |  SELECT doc_id, s, e,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+        |      AS frm
+        |  FROM mrg),
+        |parts AS (
+        |  SELECT seg.doc_id,
+        |    string_agg(substr(d.text, seg.frm::INT,
+        |      (seg.s - seg.frm)::INT), '' ORDER BY seg.s) AS head,
+        |    max(seg.e)::INT AS laste,
+        |    sum(seg.e - seg.s)::INT AS cut
+        |  FROM seg JOIN documents d ON d.doc_id = seg.doc_id
+        |  GROUP BY seg.doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN d.text
+        |       ELSE p.head || substr(d.text, p.laste) END AS text,
+        |  coalesce(p.cut, 0) AS n_excised_chars
+        |FROM documents d LEFT JOIN parts p ON p.doc_id = d.doc_id"""
+        .stripMargin),
+
     // q156/q157 = the urlFixture strings regenerated from doc_id
     // arithmetic, then normalizeUrl replayed STEP FOR STEP (fragment,
     // scheme/host case, default port, tracking params + bytewise param

@@ -2146,6 +2146,72 @@ class DecontaminateSpec extends SparkSpec {
   }
 }
 
+class SpanDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Decontaminate.{exciseSpans, spanDecontaminate}
+
+  // per-doc unique vocabulary -> no accidental cross-doc spans
+  private def docText(d: Int): String =
+    (0 until 60).map(j => f"w$d%02dx$j%02d").mkString(" ")
+
+  test("spanDecontaminate: offset-shifted benchmark excerpt found with " +
+      "span attribution; disjoint docs silent") {
+    val docs = Seq((1L, docText(1)), (2L, docText(2))).toDF("doc_id", "text")
+    // bench = 'zq ' head + 200 chars of doc 1 starting at char 41:
+    // the head shifts every position, only same-OFFSET runs merge
+    val bench = Seq((10L, "zq " + docText(1).substring(40, 240)))
+      .toDF("bench_id", "text")
+    val out = spanDecontaminate(docs, bench)
+      .as[(Long, Long, Int, Int, Int)].collect().toSeq
+    assert(out.size == 1, s"exactly one span: $out")
+    val (d, b, ds, bs, chars) = out.head
+    assert(d == 1L && b == 10L)
+    // conservative span sits inside the true 200-char excerpt
+    assert(ds >= 41 && ds + chars <= 41 + 200 + 1, s"doc span [$ds, +$chars)")
+    assert(bs >= 4 && chars >= 160, s"bench span [$bs, +$chars)")
+    assert(ds - bs == 41 - 4, "offset = head shift")
+  }
+
+  test("exciseSpans: single span cut, 1-based [start, start+chars)") {
+    val docs = Seq((1L, "0123456789abcdefghij")).toDF("doc_id", "text")
+    val spans = Seq((1L, 3, 4)).toDF("doc_id", "doc_start", "span_chars")
+    val out = exciseSpans(docs, spans).as[(Long, String, Int)].collect()
+    assert(out.toSeq == Seq((1L, "016789abcdefghij", 4)))
+  }
+
+  test("exciseSpans: overlapping spans merge before cutting (no double cut)") {
+    val docs = Seq((1L, "0123456789abcdefghij")).toDF("doc_id", "text")
+    val spans = Seq((1L, 3, 4), (1L, 5, 4), (1L, 3, 2))
+      .toDF("doc_id", "doc_start", "span_chars")
+    val out = exciseSpans(docs, spans).as[(Long, String, Int)].collect()
+    assert(out.toSeq == Seq((1L, "0189abcdefghij", 6)))
+  }
+
+  test("exciseSpans: disjoint spans cut independently; clean docs untouched") {
+    val docs = Seq((1L, "0123456789abcdefghij"), (2L, "keep me whole"))
+      .toDF("doc_id", "text")
+    val spans = Seq((1L, 1, 2), (1L, 11, 4))
+      .toDF("doc_id", "doc_start", "span_chars")
+    val out = exciseSpans(docs, spans).as[(Long, String, Int)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "23456789efghij", 6),
+      (2L, "keep me whole", 0)))
+  }
+
+  test("excision closes the loop: re-screening the excised corpus is clean") {
+    val docs = Seq((1L, docText(1)), (2L, docText(2))).toDF("doc_id", "text")
+    val bench = Seq((10L, "zq " + docText(1).substring(40, 240)))
+      .toDF("bench_id", "text")
+    val spans = spanDecontaminate(docs, bench)
+    val clean = exciseSpans(docs, spans)
+    val again = spanDecontaminate(clean, bench).count()
+    assert(again == 0L, "no spans survive excision")
+    val d1 = clean.filter($"doc_id" === 1L)
+      .as[(Long, String, Int)].head()
+    assert(d1._3 > 0 && d1._2.length == docText(1).length - d1._3)
+  }
+}
+
 class UrlsSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Urls
