@@ -89,6 +89,41 @@ object Urls {
     Dedup.exactDedup(df, urlCol, idCol,
       fingerprinter = u => md5(normalizeUrl(u)))
 
+  /** Domain-blocklist screen (the C4/RefinedWeb URL-filter stage): a
+    * document is blocked when its host equals a blocklist entry OR sits
+    * under one (`a.b.example.com` is blocked by `example.com` — the
+    * registrable-domain suffix rule). Returns (idCol, host, blocked);
+    * null-host rows are never blocked (they fail URL parsing, not
+    * policy — screen them separately if the frontier shouldn't emit
+    * them).
+    *
+    * Scale shape: real blocklists run to ~10⁵–10⁶ domains, so the wrong
+    * plan is an interpreted per-row loop over the list; instead the host
+    * EXPLODES into its label-suffix chain (`www.h7.example.com` → 4
+    * suffixes — bounded by label count, ≤ ~10, independent of corpus or
+    * blocklist size) and the chain left-semi-joins the blocklist
+    * broadcast. Per-doc fan-out is the label count; the blocklist ships
+    * once per executor.
+    */
+  def hostBlocklistFilter(df: DataFrame, blocklist: DataFrame,
+      urlCol: String = "url", idCol: String = "doc_id",
+      domainCol: String = "domain"): DataFrame = {
+    val hosts = df.select(col(idCol), hostOf(col(urlCol)).as("host"))
+    val labels = split(col("host"), "\\.")
+    val suffixes = transform(
+      sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+    val hits = hosts.where(col("host").isNotNull)
+      .select(col(idCol), explode(suffixes).as(domainCol))
+      .join(broadcast(blocklist.select(col(domainCol))), Seq(domainCol),
+        "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__b", lit(true))
+    hosts.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("host"),
+        coalesce(col("__b"), lit(false)).as("blocked"))
+  }
+
   /** Host-level reputation — the RefinedWeb/CCNet move of scoring the
     * DOMAIN, not the page: a host whose pages are mostly URL-duplicates
     * of each other (session-id mills, calendar traps, faceted-search

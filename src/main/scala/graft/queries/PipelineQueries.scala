@@ -1201,6 +1201,17 @@ object PipelineQueries {
     "q156_url_dedup" -> ((s, d) =>
       Urls.urlDedup(urlFixture(Tables.documents(s, d)))),
 
+    // Domain-blocklist screen over the same fixture: blocking
+    // h7.example.com must catch BOTH h7.example.com and
+    // www.h7.example.com (the suffix rule), h13 likewise;
+    // example.org is the never-matching negative control.
+    "q160_host_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val block = Seq("h7.example.com", "h13.example.com", "example.org")
+        .toDF("domain")
+      Urls.hostBlocklistFilter(urlFixture(Tables.documents(s, d)), block)
+    }),
+
     // Host-level reputation over the same fixture: hosts h{0,10,20,30}
     // (www and bare variants) carry all the planted URL-dups (every
     // tenth id lands on them) at dup_frac exactly 0.5 — flagged at the
@@ -4015,6 +4026,23 @@ object PipelineQueries {
         |  min(doc_id) OVER (PARTITION BY nurl) AS canonical_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY nurl) AS is_dup
         |FROM norm""".stripMargin),
+
+    // q160 = the host's label-suffix chain against the literal blocklist.
+    "q160_host_blocklist" -> (UrlNormCte +
+      """,
+        |sfx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(1, len(string_split(host, '.')) + 1),
+        |      i -> array_to_string(list_slice(string_split(host, '.'),
+        |        i, len(string_split(host, '.'))), '.'))) AS dom
+        |  FROM norm WHERE host IS NOT NULL),
+        |blk AS (SELECT DISTINCT doc_id FROM sfx
+        |  WHERE dom IN ('h7.example.com', 'h13.example.com',
+        |    'example.org'))
+        |SELECT n.doc_id, n.host, (b.doc_id IS NOT NULL) AS blocked
+        |FROM norm n LEFT JOIN blk b ON b.doc_id = n.doc_id"""
+        .stripMargin),
 
     "q157_host_reputation" -> (UrlNormCte +
       """,

@@ -2264,6 +2264,20 @@ class UrlsSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
   }
 
+  test("hostBlocklistFilter: suffix rule blocks subdomains, not lookalikes") {
+    val docs = Seq(
+      (1L, "https://example.com/x"), (2L, "https://a.b.example.com/x"),
+      (3L, "https://notexample.com/x"), (4L, "https://example.com.evil.io/x"),
+      (5L, "no-scheme")).toDF("doc_id", "url")
+    val block = Seq("example.com").toDF("domain")
+    val out = Urls.hostBlocklistFilter(docs, block)
+      .as[(Long, Option[String], Boolean)].collect().sortBy(_._1).map(r => r._1 -> r._3)
+    // 3: suffix must align on a label boundary; 4: entry is a suffix of
+    // the REGISTRABLE side only, example.com.evil.io is a different host
+    assert(out.toSeq == Seq(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> false))
+  }
+
   test("hostReputation: dup-mill host flagged, clean host not, null host never") {
     val docs = Seq(
       (1L, "https://mill.com/a"), (2L, "https://mill.com/a?utm_q=1"),
