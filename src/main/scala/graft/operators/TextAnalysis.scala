@@ -710,6 +710,87 @@ object TextAnalysis {
         col("log_ppl"), col("unseen_frac"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity — the published next rung
+    * above [[bigramPerplexity]]'s add-α (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form with a fixed discount D): add-α
+    * smooths toward the uniform distribution, while KN backs off to the
+    * CONTINUATION distribution — "how many distinct histories does this
+    * word follow" — which is why it is the standard n-gram smoother
+    * (KenLM's default, the model class CCNet filters with):
+    *
+    *   p(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+    *              + D·N1+(w1,·)/c(w1) · pcont(w2)
+    *
+    * with c(w1) = Σ_w2 c(w1w2) (the HISTORY count — tokens with a
+    * successor — not the raw unigram count, so the discounted mass
+    * normalizes exactly), N1+(w1,·) = distinct continuations of w1, and
+    * pcont(w2) = (N1+(·,w2) + 1)/(T + V + 1), T = distinct bigram
+    * types, V = vocabulary. The +1/+V+1 completes the continuation
+    * distribution so an unseen continuation TYPE keeps nonzero mass —
+    * the determinism-first analogue of KenLM's <unk> plumbing (pure KN
+    * assigns it exactly 0 and the score diverges); an unseen HISTORY
+    * backs off entirely to pcont, the textbook rule. All inputs are
+    * integer counts, the per-row arithmetic is a fixed expression tree
+    * of correctly-rounded double ops, and the oracle mirrors it
+    * literally; only the per-doc Σ −ln p carries the 1-ulp
+    * summation-order residual, absorbed by the 4-decimal edge rounding
+    * (q95/q143 convention).
+    *
+    * Scale shape (q143's): the bigram count table aggregates map-side
+    * and joins on its own (w1,w2) key — never broadcast, its cardinality
+    * grows with the corpus; history (c1, N1+(w1,·)) and continuation
+    * (N1+(·,w2)) tables are vocabulary-bounded projections OF that
+    * table, joined on their own keys; T and V ride a broadcast 1-row
+    * aggregate. Text never shuffles past the (id, w1, w2) projection.
+    */
+  def knBigramPerplexity(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", train: DataFrame = null,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val lm = Option(train).getOrElse(df)
+    def bigrams(src: DataFrame, cols: Column*): DataFrame =
+      src.select(cols :+ tokens(col(textCol)).as("__t"): _*)
+        .withColumn("__bg", explode(expr(
+          "zip_with(slice(__t, 1, greatest(size(__t)-1, 0)), " +
+            "slice(__t, 2, greatest(size(__t)-1, 0)), " +
+            "(a, b) -> named_struct('w1', a, 'w2', b))")))
+        .select(cols :+ col("__bg.w1") :+ col("__bg.w2"): _*)
+    val big = bigrams(lm)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
+    val hist = big.groupBy(col("w1")).agg(
+      sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1f"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("__n1b"))
+    val totals = broadcast(
+      big.agg(count(lit(1)).cast("double").as("__tt")).crossJoin(
+        lm.select(explode(tokens(col(textCol))).as("__w"))
+          .agg(count_distinct(col("__w")).cast("double").as("__v"))))
+    val d = lit(discount)
+    val pc = (coalesce(col("__n1b").cast("double"), lit(0.0)) + lit(1.0)) /
+      (col("__tt") + col("__v") + lit(1.0))
+    val c1 = col("__c1").cast("double")
+    val p = when(col("__c1").isNull, pc)
+      .otherwise(
+        greatest(coalesce(col("__c12").cast("double"), lit(0.0)) - d,
+          lit(0.0)) / c1 +
+          d * col("__n1f").cast("double") / c1 * pc)
+    val scored = bigrams(df, col(idCol))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(totals)
+      .select(col(idCol), (-log(p)).as("__nll"),
+        col("__c12").isNull.cast("int").as("__unseen"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__nll")) / count(lit(1)), 4).as("log_ppl"),
+        round(sum(col("__unseen")).cast("double") / count(lit(1)), 4)
+          .as("unseen_frac"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("log_ppl"), col("unseen_frac"))
+  }
+
   /** Gopher/FineWeb-style repetition signals — the quality-filter class
     * that catches template/spam/generated text which the [[qualityScore]]
     * band checks miss:

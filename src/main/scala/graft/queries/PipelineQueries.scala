@@ -283,6 +283,16 @@ object PipelineQueries {
         train = docs.filter(col("doc_id") % 2 === 0))
     }),
 
+    // Interpolated Kneser–Ney bigram perplexity, same even-half training
+    // split as q143 — the discounted/continuation arithmetic replayed
+    // literally in SQL; odd docs exercise both the unseen-history
+    // backoff and the +1-completed continuation tail.
+    "q161_kn_bigram_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.knBigramPerplexity(docs,
+        train = docs.filter(col("doc_id") % 2 === 0))
+    }),
+
     "q33_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -2412,6 +2422,51 @@ object PipelineQueries {
         |      AS unseen_frac
         |  FROM db LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1c USING (w1)
         |    CROSS JOIN v
+        |  GROUP BY db.doc_id)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  s.log_ppl, s.unseen_frac
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    // q161 = q143's CTE scaffold with the interpolated-KN arithmetic:
+    // history table (c1 = sum of successor counts, n1f = distinct
+    // continuations) and continuation table both project off the bigram
+    // counts; the per-row expression tree mirrors the Scala operator
+    // token for token so every division rounds identically.
+    "q161_kn_bigram_ppl" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+        |      struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+        |    FROM tk WHERE len(t) >= 2)),
+        |c12 AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM db
+        |  WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |hist AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*) AS n1f
+        |  FROM c12 GROUP BY w1),
+        |cont AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY w2),
+        |tot AS (SELECT
+        |  (SELECT count(*) FROM c12)::DOUBLE AS tt,
+        |  (SELECT count(DISTINCT w) FROM (
+        |    SELECT unnest(t) AS w FROM tk WHERE doc_id % 2 = 0))::DOUBLE
+        |    AS v),
+        |s AS (
+        |  SELECT db.doc_id, count(*) AS n_bigrams,
+        |    round(sum(-ln(CASE WHEN hist.c1 IS NULL
+        |      THEN (coalesce(cont.n1b, 0)::DOUBLE + 1.0)
+        |        / (tot.tt + tot.v + 1.0)
+        |      ELSE greatest(coalesce(c12.c12, 0)::DOUBLE - 0.75, 0.0)
+        |          / hist.c1::DOUBLE
+        |        + 0.75 * hist.n1f::DOUBLE / hist.c1::DOUBLE *
+        |          ((coalesce(cont.n1b, 0)::DOUBLE + 1.0)
+        |            / (tot.tt + tot.v + 1.0))
+        |      END)) / count(*), 4) AS log_ppl,
+        |    round(sum((c12.c12 IS NULL)::INT)::DOUBLE / count(*), 4)
+        |      AS unseen_frac
+        |  FROM db LEFT JOIN c12 USING (w1, w2) LEFT JOIN hist USING (w1)
+        |    LEFT JOIN cont USING (w2) CROSS JOIN tot
         |  GROUP BY db.doc_id)
         |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
         |  s.log_ppl, s.unseen_frac

@@ -417,6 +417,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short(3L).getAs[Long]("n_bigrams") == 0L && short(3L).isNullAt(2))
   }
 
+  test("knBigramPerplexity: hand-computed interpolated-KN probabilities, " +
+      "history backoff, continuation completion, order sensitivity") {
+    // self-trained: bigrams (a,b):2 (a,c):1; hist a: c1=3, n1f=2;
+    // cont b:1 c:1; T=2 types, V=3; pcont(x) = (n1b+1)/(T+V+1) = (n+1)/6
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramPerplexity(df)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // p(b|a) = (2-.75)/3 + .75*2/3 * 2/6 = 0.58333...
+    val pba = 1.25 / 3 + 0.75 * 2 / 3.0 * (2.0 / 6)
+    val pca = 0.25 / 3 + 0.75 * 2 / 3.0 * (2.0 / 6)
+    assert(math.abs(out(1L).getAs[Double]("log_ppl") - (-math.log(pba))) < 1e-3)
+    assert(math.abs(out(3L).getAs[Double]("log_ppl") - (-math.log(pca))) < 1e-3)
+    // unseen bigram, SEEN history: discounted mass * completed pcont(a)
+    val seenHist = TextAnalysis.knBigramPerplexity(
+        Seq((9L, "a a")).toDF("doc_id", "text"), train = df).collect()(0)
+    val paa = 0.75 * 2 / 3.0 * (1.0 / 6)
+    assert(math.abs(seenHist.getAs[Double]("log_ppl") - (-math.log(paa))) < 1e-3)
+    assert(seenHist.getAs[Double]("unseen_frac") == 1.0)
+    // unseen HISTORY: full backoff to the continuation distribution
+    val oovHist = TextAnalysis.knBigramPerplexity(
+        Seq((10L, "b a")).toDF("doc_id", "text"), train = df).collect()(0)
+    assert(math.abs(oovHist.getAs[Double]("log_ppl")
+      - (-math.log(1.0 / 6))) < 1e-3)
+    // KN keeps the order-sensitivity property
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val train = (0L until 20L).map(i => (i, phrase)).toDF("doc_id", "text")
+    val kn = TextAnalysis.knBigramPerplexity(
+        Seq((100L, phrase),
+          (101L, "dog the over quick lazy brown the jumps fox"))
+          .toDF("doc_id", "text"), train = train)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_ppl")).toMap
+    assert(kn(101L) > kn(100L) + 1.0,
+      s"scrambled text must lose its KN score: ${kn(100L)} vs ${kn(101L)}")
+    // < 2 tokens: n_bigrams 0, null scores
+    val short = TextAnalysis.knBigramPerplexity(
+        Seq((1L, "a b"), (2L, "solo")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(short(2L).getAs[Long]("n_bigrams") == 0L && short(2L).isNullAt(2))
+  }
+
   test("unigramPerplexity: frequent vocabulary scores lower; OOV floors at 1/N") {
     val df = Seq(
       (1L, "common common common common"),
