@@ -48,6 +48,13 @@ private case class SessionState(start: Long, end: Long, events: Long,
 case class ContaminationFlag(vec_id: Long, bench_id: Option[Long],
     max_sim: Option[Double], contaminated: Boolean)
 
+/** A per-document fuzzy-contamination audit row emitted by
+  * [[Streaming.fuzzyDecontaminateStream]] — the same frame
+  * [[graft.operators.Decontaminate.fuzzyDecontaminate]] produces.
+  */
+case class FuzzyFlag(doc_id: Long, bench_id: Option[Long],
+    jaccard: Option[Double], contaminated: Boolean)
+
 /** A document arriving on the LAYOUT stream: event time + shard key +
   * id + token count ([[graft.operators.Sampling.packSequences]]'s input
   * shape, streamed). Stream contract, mirroring the batch operator's
@@ -444,6 +451,83 @@ object Streaming {
             // no cosine direction: the defined audit row, not a NaN
             ContaminationFlag(docId, None, None, contaminated = false)
           }
+        }
+      }
+  }
+
+  /** Streaming twin of
+    * [[graft.operators.Decontaminate.fuzzyDecontaminate]]: screen an
+    * ingest stream of documents against a fixed eval set on word-shingle
+    * Jaccard. Like [[semanticDecontaminateStream]], the batch operator's
+    * broadcast-index join becomes a STATELESS per-row map — the
+    * benchmark's (shingle set, minhash signature, band keys) index is
+    * precomputed once on the driver and rides the closure; each arriving
+    * document computes its own signature, finds band-collision
+    * candidates, and exact-verifies Jaccard against candidates only. No
+    * watermark, no state, no shuffle.
+    *
+    * Value-identical to the batch twin BY CONSTRUCTION, not by parallel
+    * re-implementation: shingling and min-hashing call the SAME kernel
+    * statics the Catalyst expressions codegen
+    * ([[graft.functions.WordShinglesExpr.shingles]] /
+    * [[graft.functions.MinHashSignatureExpr.signature]]), band keys
+    * replay the batch slice-and-join layout bandwise, Jaccard is the
+    * same int/int double, ties break to the lowest bench id via an
+    * ascending scan with a strictly-greater update, and the edge
+    * rounding replays Spark's HALF_UP (EquivalenceSpec drains the twin
+    * against q155's operator). Null text fails loudly — the batch plan's
+    * signature-length guard errors on it too; the twins agree that a
+    * null document is an upstream bug, not data.
+    */
+  def fuzzyDecontaminateStream(docs: DataFrame,
+      bench: Seq[(Long, String)], threshold: Double = 0.8,
+      k: Int = 32, bands: Int = 16, shingleN: Int = 3)
+      : Dataset[FuzzyFlag] = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    import docs.sparkSession.implicits._
+    val r = k / bands
+    def index(text: String): (Set[String], Array[String]) = {
+      val arr = graft.functions.WordShinglesExpr.shingles(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), shingleN)
+      val sig = graft.functions.MinHashSignatureExpr.signature(arr, k)
+      val set = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString).toSet
+      (set, Array.tabulate(bands)(j =>
+        sig.slice(j * r, j * r + r).mkString(",")))
+    }
+    val prepared = bench.sortBy(_._1).map { case (id, t) =>
+      require(t != null, s"fuzzyDecontaminateStream: null text in bench $id")
+      val (set, keys) = index(t)
+      (id, set, keys)
+    }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, text) =>
+          require(text != null,
+            s"fuzzyDecontaminateStream: null text in doc $docId")
+          val (set, keys) = index(text)
+          var bestId = Option.empty[Long]
+          var bestJ = Double.NegativeInfinity
+          prepared.foreach { case (bid, bset, bkeys) =>
+            var collide = false
+            var j = 0
+            while (j < bands && !collide) {
+              if (keys(j) == bkeys(j)) collide = true
+              j += 1
+            }
+            if (collide) {
+              val inter = set.count(bset.contains)
+              val union = set.size + bset.size - inter
+              val jac = inter.toDouble / union.toDouble
+              if (jac >= threshold) {
+                val rounded = BigDecimal(jac)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (rounded > bestJ) { bestJ = rounded; bestId = Some(bid) }
+              }
+            }
+          }
+          FuzzyFlag(docId, bestId,
+            bestId.map(_ => bestJ), bestId.nonEmpty)
         }
       }
   }

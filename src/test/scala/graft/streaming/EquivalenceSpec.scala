@@ -400,6 +400,41 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
       assert(batch(k) == v, s"doc $k: stream $v vs batch ${batch(k)}") }
   }
 
+  test("fuzzy decontamination: stateless streaming twin ≡ batch operator (q155 fixture shape)") {
+    assume(fixtureExists("documents"))
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    // q155's fixture: every 25th doc re-surfaces in the benchmark with
+    // one appended token (J = (T-2)/(T-1) against its original)
+    val benchDf = docs.filter($"doc_id" % 25 === 0)
+      .select($"doc_id".as("bench_id"),
+        concat($"text", lit(" zq7f")).as("text"))
+    val batch = graft.operators.Decontaminate
+      .fuzzyDecontaminate(docs, benchDf)
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(batch.values.count(_._3) >= 10, "planted twins must flag")
+
+    val bench = benchDf.as[(Long, String)].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.fuzzyDecontaminateStream(
+        in.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("eqfuzzydecon")
+      .outputMode("append").start()
+    val fixture = docs.as[(Long, String)].collect().toSeq
+    fixture.grouped((fixture.size + 2) / 3).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("eqfuzzydecon").as[FuzzyFlag].collect()
+      .map(f => f.doc_id -> ((f.bench_id, f.jaccard, f.contaminated))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, v) =>
+      assert(batch(k) == v, s"doc $k: stream $v vs batch ${batch(k)}") }
+  }
+
   test("value histogram: the SAME operator run as a complete-mode stream ≡ batch (q112 shape)") {
     assume(fixtureExists("events"))
     // Sketches.histogram is declarative enough to run unchanged on an
