@@ -60,6 +60,27 @@ object Jsonl {
     (clean, bad)
   }
 
+  /** The WRITE half (round 16): publish a frame as sharded (optionally
+    * compressed) JSONL — the interchange format downstream tokenizer/
+    * loader stacks consume. Fully distributed (one file per task — the
+    * weather sinks' no-`coalesce(1)` discipline); `shards` > 0
+    * repartitions first, which is how a gzip corpus stays PARALLEL on
+    * re-read (the reader's note: .gz does not split, so publish many
+    * moderate shards, never one big file). Refuses a `_corrupt_record`
+    * column — quarantine rows go to a quarantine sink, not back into a
+    * corpus drop.
+    */
+  def writeJsonl(df: DataFrame, path: String, compression: String = "none",
+      shards: Int = 0): Unit = {
+    require(!df.columns.contains("_corrupt_record"),
+      "writeJsonl: refuse to publish quarantine rows into a corpus drop " +
+        "- split them off first (corruptSplit)")
+    val out = if (shards > 0) df.repartition(shards) else df
+    out.write.mode("overwrite")
+      .option("compression", compression)
+      .json(path)
+  }
+
   /** Streaming twin of [[readJsonlAudited]] — the shape corpus drops
     * actually arrive in: a directory new (compressed) JSONL files land
     * in continuously, consumed by Spark's file stream source with the

@@ -62,6 +62,25 @@ class JsonlSourceSpec extends SparkSpec {
     back.unpersist()
   }
 
+  test("writeJsonl: sharded gzip publish round-trips and stays parallel " +
+      "on re-read; quarantine columns are refused") {
+    val dir = Files.createTempDirectory("graft_jsonl_pub").toString + "/out"
+    Jsonl.writeJsonl(docs, dir, compression = "gzip", shards = 3)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.length == 3, s"3 shards requested: ${parts.toSeq}")
+    assert(parts.forall(_.getName.endsWith(".gz")))
+    val (clean, bad) = Jsonl.corruptSplit(
+      Jsonl.readJsonlAudited(spark, dir, docSchema))
+    assert(bad.count() == 0L)
+    assert(clean.select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().toSet ==
+      docs.as[(Long, String, String, String)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Jsonl.writeJsonl(docs.withColumn("_corrupt_record", lit("x")), dir)
+    }
+  }
+
   test("gzip-compressed JSONL reads transparently (the crawl-dump layout)") {
     val dir = Files.createTempDirectory("graft_jsonl_gz").toString
     docs.write.mode("overwrite").option("compression", "gzip").json(dir)
