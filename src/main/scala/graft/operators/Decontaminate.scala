@@ -281,6 +281,56 @@ object Decontaminate {
           .as("n_excised_chars"))
   }
 
+  /** Composed decontamination REPORT — every text-side screen this
+    * object implements, run against ONE benchmark and folded into a
+    * per-document verdict frame (the [[Curation.curate]] idea applied to
+    * the leakage stack): `exact` ([[flagContaminated]] — any shared
+    * `shingleTokens`-token run), (`fuzzy_bench`, `fuzzy_jaccard`)
+    * ([[fuzzyDecontaminate]] — the edited near-verbatim class),
+    * (`n_spans`, `span_chars_total`) ([[spanDecontaminate]] — where and
+    * how much leaked), and `contaminated` = any screen fired. The three
+    * classes fail differently by construction — an excerpt benchmark
+    * trips exact+span but not fuzzy (whole-doc Jaccard stays low), an
+    * edited near-copy trips all three — so the report is the audit
+    * artifact a release review actually reads: not "is it leaked" but
+    * "which way, against what, and how much".
+    *
+    * Scale shape: three corpus scans (one per screen — each is
+    * individually text-shuffle-free, so the corpus moves zero times and
+    * is read three times; cache/materialize the curated corpus when the
+    * three-scan cost dominates), all merge joins are id-keyed
+    * projections. The embedding-space screen
+    * ([[semanticDecontaminate]]) stays separate — it keys on vectors,
+    * not text.
+    */
+  def decontaminationReport(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      benchIdCol: String = "bench_id", shingleTokens: Int = 13,
+      jaccardThreshold: Double = 0.8, minSpanChars: Int = 64): DataFrame = {
+    val exact = flagContaminated(docs, benchmark, textCol, idCol,
+        n = shingleTokens)
+      .withColumnRenamed("contaminated", "exact")
+    val fuzzy = fuzzyDecontaminate(docs, benchmark, textCol, idCol,
+        benchIdCol, jaccardThreshold)
+      .select(col(idCol), col(benchIdCol).as("fuzzy_bench"),
+        col("jaccard").as("fuzzy_jaccard"),
+        col("contaminated").as("__fz"))
+    val spans = spanDecontaminate(docs, benchmark, textCol, idCol,
+        benchIdCol, minSpanChars)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_chars")).cast("long").as("span_chars_total"))
+    exact
+      .join(fuzzy, Seq(idCol), "left")
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("exact"), col("fuzzy_bench"),
+        col("fuzzy_jaccard"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("span_chars_total"), lit(0L)).as("span_chars_total"),
+        (col("exact") || coalesce(col("__fz"), lit(false)) ||
+          coalesce(col("n_spans"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** FUZZY decontamination — the third published decontamination class,
     * between the other two: [[flagContaminated]] catches VERBATIM
     * excerpts (any shared 13-shingle) but a single edit every dozen

@@ -1202,6 +1202,17 @@ object PipelineQueries {
         Decontaminate.spanDecontaminate(docs, spanBenchFixture(docs)))
     }),
 
+    // The composed decontamination REPORT: one benchmark carrying BOTH
+    // leak classes — offset-shifted excerpts (+1000000, every 22nd long
+    // doc) and one-token-edited near-copies (+2000000, every 25th) —
+    // screened by all three text-side classes at once. Discrimination is
+    // the point of the fixture: excerpt sources trip exact+span but NOT
+    // fuzzy (whole-doc Jaccard ~0.2); edited near-copies trip all three.
+    "q162_decontamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Decontaminate.decontaminationReport(docs, reportBenchFixture(docs))
+    }),
+
     // Crawl-level URL dedup: every 10th doc's URL re-surfaces (id +
     // 800000) under the full cosmetic-variant battery — uppercased
     // scheme/host, default :443 port vs none, trailing slash vs none,
@@ -1238,6 +1249,17 @@ object PipelineQueries {
     docs.filter(col("doc_id") % 22 === 0 && length(col("text")) >= 300)
       .select(col("doc_id").as("bench_id"),
         concat(lit("zq "), substring(col("text"), 31, 220)).as("text"))
+
+  /** q162's two-class benchmark: excerpt leaks (+1000000) and edited
+    * near-copy leaks (+2000000) in one eval set.
+    */
+  private def reportBenchFixture(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 22 === 0 && length(col("text")) >= 300)
+      .select((col("doc_id") + 1000000).as("bench_id"),
+        concat(lit("zq "), substring(col("text"), 31, 220)).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000).as("bench_id"),
+          concat(col("text"), lit(" zq7f")).as("text")))
 
   /** Deterministic (doc_id, url) crawl fixture for q156/q157: the
     * original URL exercises mixed-case www prefixes, default ports,
@@ -1456,13 +1478,21 @@ object PipelineQueries {
     * design. Ends at `sp` = (doc_id, bench_id, doc_start, bench_start,
     * span_chars), unfiltered by minSpanChars.
     */
-  private val SpanDecontCte =
-    """WITH base AS (
+  private val SpanDecontCte = spanCteCore(
+    """SELECT doc_id, 'b', 'zq ' || substr(text, 31, 220)
+      |  FROM documents WHERE doc_id % 22 = 0 AND length(text) >= 300"""
+      .stripMargin)
+
+  /** The span chain with a pluggable benchmark SELECT (id, 'b', text) —
+    * q158/q159 use the excerpt fixture, q162 a two-class benchmark.
+    */
+  private def spanCteCore(benchSelect: String): String =
+    s"""WITH base AS (
       |  SELECT doc_id AS id, 'c' AS side, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id, 'b', 'zq ' || substr(text, 31, 220)
-      |  FROM documents WHERE doc_id % 22 = 0 AND length(text) >= 300),
-      |c AS (
+      |  $benchSelect),
+      |c AS (""".stripMargin +
+    """
       |  SELECT id, side, text AS s,
       |    least(16, length(text)) AS kk, length(text) AS n
       |  FROM base WHERE length(text) > 0),
@@ -4024,6 +4054,93 @@ object PipelineQueries {
     // q155 = exact all-pairs word-3-shingle Jaccard between the corpus
     // and the planted benchmark (q128's CTE shape), aggregated to the
     // per-doc best-match audit row — the LSH path must lose nothing.
+    // q162 = the span chain over the two-class benchmark, then the q80
+    // 13-shingle EXISTS and the q155 exact-Jaccard best-match chains
+    // against the SAME bench, folded per doc.
+    "q162_decontamination_report" -> (spanCteCore(
+      """SELECT doc_id + 1000000, 'b', 'zq ' || substr(text, 31, 220)
+        |  FROM documents WHERE doc_id % 22 = 0 AND length(text) >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'b', text || ' zq7f'
+        |  FROM documents WHERE doc_id % 25 = 0""".stripMargin) +
+      """,
+        |spagg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |    sum(span_chars)::BIGINT AS span_chars_total
+        |  FROM sp WHERE span_chars >= 64 GROUP BY doc_id),
+        |bench AS (
+        |  SELECT doc_id + 1000000 AS bench_id,
+        |    'zq ' || substr(text, 31, 220) AS text
+        |  FROM documents WHERE doc_id % 22 = 0 AND length(text) >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' zq7f'
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |bt13 AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |    AS t FROM bench),
+        |bg13 AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 13 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 11), i ->
+        |        array_to_string(list_slice(t, i, i + 12), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM bt13),
+        |dt13 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |dg13 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 13 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 11), i ->
+        |        array_to_string(list_slice(t, i, i + 12), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM dt13),
+        |ex AS (SELECT DISTINCT doc_id FROM dg13 JOIN bg13 USING (g)),
+        |fbt AS (
+        |  SELECT bench_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |fcsh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM dt13),
+        |fbsh AS (
+        |  SELECT bench_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM fbt),
+        |fcsz AS (SELECT doc_id, count(*) AS n FROM fcsh GROUP BY doc_id),
+        |fbsz AS (SELECT bench_id, count(*) AS n FROM fbsh GROUP BY bench_id),
+        |fix AS (
+        |  SELECT c.doc_id, b.bench_id, count(*) AS i
+        |  FROM fcsh c JOIN fbsh b ON c.s = b.s
+        |  GROUP BY 1, 2),
+        |fpair AS (
+        |  SELECT fix.doc_id, fix.bench_id,
+        |    round(i::DOUBLE / (cs.n + bs.n - i), 4) AS j
+        |  FROM fix
+        |  JOIN fcsz cs ON fix.doc_id = cs.doc_id
+        |  JOIN fbsz bs ON fix.bench_id = bs.bench_id
+        |  WHERE i::DOUBLE / (cs.n + bs.n - i) >= 0.8),
+        |fbest AS (
+        |  SELECT doc_id, bench_id, j, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY j DESC, bench_id ASC) AS rn
+        |  FROM fpair)
+        |SELECT d.doc_id,
+        |  (ex.doc_id IS NOT NULL) AS exact,
+        |  fb.bench_id AS fuzzy_bench, fb.j AS fuzzy_jaccard,
+        |  coalesce(spagg.n_spans, 0) AS n_spans,
+        |  coalesce(spagg.span_chars_total, 0) AS span_chars_total,
+        |  ((ex.doc_id IS NOT NULL) OR fb.bench_id IS NOT NULL
+        |    OR coalesce(spagg.n_spans, 0) > 0) AS contaminated
+        |FROM documents d
+        |LEFT JOIN ex ON ex.doc_id = d.doc_id
+        |LEFT JOIN (SELECT * FROM fbest WHERE rn = 1) fb
+        |  ON fb.doc_id = d.doc_id
+        |LEFT JOIN spagg ON spagg.doc_id = d.doc_id""".stripMargin),
+
     "q158_span_decontaminate" -> (SpanDecontCte +
       """
         |SELECT doc_id, bench_id, doc_start, bench_start, span_chars
