@@ -133,6 +133,97 @@ object Layout {
   /** JSON-lines sink (interchange format; parquet remains the analytic
     * format — JSON trades 5-10× size for universality).
     */
+  /** Small-files compaction — the operational fix for the
+    * million-small-files problem every continuous ingest creates (each
+    * micro-batch/append writes a file per task; a year of 5-minute
+    * batches is ~10⁵ files per partition, and at 100 TB the NameNode/
+    * listing and per-file open costs dominate the scan long before the
+    * bytes do). Rewrites `inPath`'s parquet at `targetBytes`-sized files:
+    * the file inventory is LISTED driver-side (metadata — file count ×
+    * ~100 bytes, never data), the shard count is ceil(totalBytes /
+    * targetBytes), and ONE repartition shuffle lays the rows back out.
+    * Returns (filesBefore, filesAfter, totalBytes).
+    *
+    * Partitioned layouts pass their partition columns: rows then
+    * repartition on (partitionCols, random shard within partition) and
+    * the write re-partitions by the same columns, so compaction merges
+    * files WITHIN each hive partition and pruning survives. Writes to
+    * `outPath` — compact-then-swap is the caller's atomic-publish
+    * protocol (in-place rewrite of a live dataset is how readers see
+    * half a corpus); this keeps the operator a pure function of its
+    * input.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, targetBytes: Long,
+      partitionCols: Seq[String] = Seq.empty): (Long, Long, Long) = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    import spark.implicits._
+    // driver-side file inventory: (relative dir, files, bytes) — metadata
+    // only (~100 bytes per file), never data
+    def inventory(p: String): Seq[(String, Long, Long)] = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rootUri = fs.makeQualified(root).toUri
+      val it = fs.listFiles(root, true)
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-")) {
+          val rel = rootUri.relativize(
+            fs.makeQualified(f.getPath.getParent).toUri).getPath
+            .stripSuffix("/")
+          val (n, b) = acc.getOrElse(rel, (0L, 0L))
+          acc(rel) = (n + 1L, b + f.getLen)
+        }
+      }
+      acc.toSeq.map { case (d, (n, b)) => (d, n, b) }
+    }
+    def shardsFor(bytes: Long): Int =
+      math.max(1L, (bytes + targetBytes - 1L) / targetBytes)
+        .min(Int.MaxValue.toLong).toInt
+    val inv = inventory(inPath)
+    val filesBefore = inv.map(_._2).sum
+    val totalBytes = inv.map(_._3).sum
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (partitionCols.isEmpty) df.repartition(shardsFor(totalBytes))
+      else {
+        // per-PARTITION shard counts from the same inventory (a global
+        // count would let one hot partition swallow the whole budget or
+        // shred a cold one): parse each "k=v/k=v" dir into its partition
+        // values, broadcast-join the tiny (values -> n_shards) table
+        // back, salt rows uniformly within their partition's shard
+        // range, and lay out on (partitionCols, salt). Salt buckets that
+        // hash into one task merge into one file — file sizes stay
+        // O(targetBytes), count <= sum of per-partition shard counts.
+        val saltRows = inv.map { case (dir, _, bytes) =>
+          val values = dir.split("/").toSeq.map { seg =>
+            val i = seg.indexOf('=')
+            require(i > 0, s"compactParquet: '$dir' is not a hive layout")
+            seg.substring(0, i) -> seg.substring(i + 1)
+          }.toMap
+          (partitionCols.map(values(_)), shardsFor(bytes))
+        }
+        val saltDf = broadcast(saltRows.map { case (vs, ns) => (vs, ns) }
+          .toDF("__pv", "__ns")
+          .select(partitionCols.zipWithIndex.map { case (c, i) =>
+            element_at(col("__pv"), i + 1).as(s"__k_$c") } :+ col("__ns"): _*))
+        val joined = df.join(saltDf,
+          partitionCols.map(c => col(c).cast("string") === col(s"__k_$c"))
+            .reduce(_ && _))
+          .withColumn("__salt", (rand(42) * col("__ns")).cast("int"))
+        joined
+          .repartition(shardsFor(totalBytes),
+            partitionCols.map(col) :+ col("__salt"): _*)
+          .drop(partitionCols.map(c => s"__k_$c") :+ "__ns" :+ "__salt": _*)
+      }
+    val w = out.write.mode("overwrite")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(outPath)
+    val filesAfter = inventory(outPath).map(_._2).sum
+    (filesBefore, filesAfter, totalBytes)
+  }
+
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 

@@ -125,6 +125,48 @@ class LayoutSpec extends SparkSpec {
     assert(scan.metadata("Location").contains(dir))
   }
 
+  test("compactParquet: flat layout merges to ceil(bytes/target) files, " +
+      "rows intact") {
+    val in = Files.createTempDirectory("graft_compact_in").toString
+    val out = Files.createTempDirectory("graft_compact").toString + "/out"
+    val docs = (0L until 2000L).map(i => (i, s"value $i padpadpad"))
+      .toDF("id", "payload")
+    docs.repartition(16).write.mode("overwrite").parquet(in)
+    val preFiles = new java.io.File(in).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(preFiles == 16, "fixture: 16 small files")
+    val total = new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    val (before, after, bytes) =
+      Layout.compactParquet(spark, in, out, targetBytes = total / 3 + 1)
+    assert(before == 16L && bytes == total)
+    assert(after >= 2L && after <= 4L, s"~3 target-size files, got $after")
+    assert(spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq
+      == docs.as[(Long, String)].collect().sorted.toSeq)
+  }
+
+  test("compactParquet: hive layout compacts WITHIN partitions and " +
+      "pruning survives") {
+    val in = Files.createTempDirectory("graft_compact_p_in").toString
+    val out = Files.createTempDirectory("graft_compact_p").toString + "/out"
+    val docs = (0L until 1200L).map(i => (i, s"l${i % 3}", s"payload $i"))
+      .toDF("id", "lang", "payload")
+    docs.repartition(8).write.mode("overwrite")
+      .partitionBy("lang").parquet(in)
+    val (before, after, _) = Layout.compactParquet(spark, in, out,
+      targetBytes = Long.MaxValue, partitionCols = Seq("lang"))
+    assert(before == 24L, s"fixture: 8 files x 3 partitions, got $before")
+    assert(after == 3L, s"one target-size file per partition, got $after")
+    val back = spark.read.parquet(out)
+    assert(back.select("id", "lang", "payload")
+      .as[(Long, String, String)].collect().sorted.toSeq
+      == docs.as[(Long, String, String)].collect().sorted.toSeq)
+    val scan = planOf(back.filter($"lang" === "l1")).collect {
+      case s: FileSourceScanExec => s }.head
+    assert(scan.metadata("PartitionFilters").contains("lang"),
+      "partition pruning must survive compaction")
+  }
+
   test("zorderKey: bit interleave is exact and order-embeds both dims") {
     // 3 (=0b11) and 5 (=0b101) interleave to 0b100111 = 39:
     // spread(3)=0b0101, spread(5)=0b010001<<1=0b100010; 5|34=39.
