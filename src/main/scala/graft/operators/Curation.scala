@@ -63,4 +63,42 @@ object Curation {
     withCanon.join(hits, Seq(idCol), "left")
       .select(col(idCol), reason.isNull.as("keep"), reason.as("reason"))
   }
+
+  /** [[WebReasons]] — [[curateWeb]]'s precedence: the URL stages come
+    * FIRST because they are the cheap screens a crawl pipeline runs
+    * before touching content — `blocked_host` (policy: the host is on
+    * the blocklist, nothing else about the page matters), then
+    * `url_duplicate` (the same RESOURCE under a cosmetic URL variant —
+    * cheaper to attribute than content dedup and catches the refetch
+    * before bytes are compared), then [[Reasons]] unchanged.
+    */
+  val WebReasons: Seq[String] =
+    Seq("blocked_host", "url_duplicate") ++ Reasons
+
+  /** WEB-crawl curation — [[curate]] with the round-16 URL stages
+    * composed in front: one call from a crawl frame (id, url, text) +
+    * benchmark + domain blocklist to the per-document verdict, reason
+    * precedence [[WebReasons]]. Each stage is an individually-gated
+    * operator ([[Urls.hostBlocklistFilter]] q160, [[Urls.urlDedup]]
+    * q156, [[curate]] q90); the composition adds only id-keyed
+    * projection joins — the URL screens never see text, the content
+    * screens never see URLs, and the corpus text still never shuffles.
+    */
+  def curateWeb(docs: DataFrame, benchmark: DataFrame,
+      blocklist: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", urlCol: String = "url",
+      minQuality: Double = 0.5, maxTopWordFrac: Double = 0.5,
+      shingleTokens: Int = 8): DataFrame = {
+    val blocked = Urls.hostBlocklistFilter(docs, blocklist, urlCol, idCol)
+      .select(col(idCol), col("blocked").as("__blk"))
+    val udup = Urls.urlDedup(docs, urlCol, idCol)
+      .select(col(idCol), col("is_dup").as("__ud"))
+    val content = curate(docs, benchmark, textCol, idCol, minQuality,
+      maxTopWordFrac, shingleTokens)
+    val reason = when(col("__blk"), "blocked_host")
+      .when(col("__ud"), "url_duplicate")
+      .otherwise(col("reason"))
+    content.join(blocked, Seq(idCol)).join(udup, Seq(idCol))
+      .select(col(idCol), reason.isNull.as("keep"), reason.as("reason"))
+  }
 }

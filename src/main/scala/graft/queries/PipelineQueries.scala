@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Urls}
@@ -1213,6 +1213,22 @@ object PipelineQueries {
       Decontaminate.decontaminationReport(docs, reportBenchFixture(docs))
     }),
 
+    // WEB curation: the q90 content pipeline with the URL stages composed
+    // in front, over the urlFixture crawl frame (twins keep their
+    // source's text, so they are URL-dups AND content-dups —
+    // url_duplicate must win by precedence; h7/h13 docs are blocked
+    // hosts and blocked_host beats everything).
+    "q163_web_curation" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val bench = docs
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select(substring(col("text"), 41, 200).as("text"))
+      val block = Seq("h7.example.com", "h13.example.com", "example.org")
+        .toDF("domain")
+      graft.operators.Curation.curateWeb(webFixture(docs), bench, block)
+    }),
+
     // Crawl-level URL dedup: every 10th doc's URL re-surfaces (id +
     // 800000) under the full cosmetic-variant battery — uppercased
     // scheme/host, default :443 port vs none, trailing slash vs none,
@@ -1269,29 +1285,45 @@ object PipelineQueries {
     * Both engines generate the strings from doc_id arithmetic (dbgen
     * convention).
     */
+  private def origUrlExpr(id: Column): Column = concat(
+    lit("https://"),
+    when(id % 7 === 0, lit("www.")).otherwise(lit("")),
+    lit("h"), (id % 40).cast("string"), lit(".example.com"),
+    when(id % 3 === 0, lit(":443")).otherwise(lit("")),
+    lit("/docs/"), id.cast("string"),
+    when(id % 5 === 0, lit("/")).otherwise(lit("")),
+    when(id % 4 === 0, lit("?b=2&a=1&utm_source=feed"))
+      .when(id % 4 === 1, lit("?a=1&b=2")).otherwise(lit("")),
+    when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+
+  private def twinUrlExpr(id: Column): Column = concat(
+    lit("HTTPS://"),
+    when(id % 7 === 0, lit("WWW.")).otherwise(lit("")),
+    lit("H"), (id % 40).cast("string"), lit(".EXAMPLE.COM"),
+    lit("/docs/"), id.cast("string"),
+    when(id % 4 === 0, lit("?a=1&utm_q=9&b=2"))
+      .when(id % 4 === 1, lit("?b=2&a=1"))
+      .otherwise(lit("?utm_only=1")),
+    lit("#twin"))
+
   private def urlFixture(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
-    val orig = docs.select(id, concat(
-      lit("https://"),
-      when(id % 7 === 0, lit("www.")).otherwise(lit("")),
-      lit("h"), (id % 40).cast("string"), lit(".example.com"),
-      when(id % 3 === 0, lit(":443")).otherwise(lit("")),
-      lit("/docs/"), id.cast("string"),
-      when(id % 5 === 0, lit("/")).otherwise(lit("")),
-      when(id % 4 === 0, lit("?b=2&a=1&utm_source=feed"))
-        .when(id % 4 === 1, lit("?a=1&b=2")).otherwise(lit("")),
-      when(id % 6 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
-    val twin = docs.filter(id % 10 === 0).select(
-      (id + 800000).as("doc_id"), concat(
-        lit("HTTPS://"),
-        when(id % 7 === 0, lit("WWW.")).otherwise(lit("")),
-        lit("H"), (id % 40).cast("string"), lit(".EXAMPLE.COM"),
-        lit("/docs/"), id.cast("string"),
-        when(id % 4 === 0, lit("?a=1&utm_q=9&b=2"))
-          .when(id % 4 === 1, lit("?b=2&a=1"))
-          .otherwise(lit("?utm_only=1")),
-        lit("#twin")).as("url"))
-    orig.unionByName(twin)
+    docs.select(id, origUrlExpr(id).as("url"))
+      .unionByName(docs.filter(id % 10 === 0)
+        .select((id + 800000).as("doc_id"), twinUrlExpr(id).as("url")))
+  }
+
+  /** q163's crawl frame: urlFixture WITH the document text carried —
+    * twins keep their ORIGINAL text, so they are simultaneously URL-dups
+    * and exact content-dups (and `url_duplicate` must win by
+    * precedence).
+    */
+  private def webFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id, col("text"), origUrlExpr(id).as("url"))
+      .unionByName(docs.filter(id % 10 === 0)
+        .select((id + 800000).as("doc_id"), col("text"),
+          twinUrlExpr(id).as("url")))
   }
 
   /** Fixed gate vocabulary for q113 — stands in for a tokenizer vocab
@@ -1550,9 +1582,122 @@ object PipelineQueries {
     * [[graft.operators.Urls.hostOf]] replayed literally — `norm` ends as
     * (doc_id, url, nurl, host).
     */
-  private val UrlNormCte =
-    """WITH urls AS (
+  /** q90's full content-curation CTE chain over a pluggable `base`
+    * (doc_id, text) - fingerprint canon, 8-shingle contamination vs the
+    * %25-excerpt benchmark, gopher battery, quality score, repetition -
+    * ending at v(doc_id, reason). Shared by q90 and q163.
+    */
+  private def curateCtes(baseBody: String): String =
+    s"""base AS (
+      |  $baseBody),
+      |fp AS (""".stripMargin +
+    """
       |  SELECT doc_id,
+      |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+      |  FROM base),
+        |canon AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY f),
+        |bt AS (
+        |  SELECT list_filter(string_split_regex(substr(text, 41, 200),
+        |    '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 300),
+        |bg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM bt),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM base),
+        |dg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+        |        array_to_string(list_slice(t, i, i + 7), ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM dt),
+        |hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
+        |lt AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM base),
+        |gs AS (
+        |  SELECT doc_id, len(tk) AS n,
+        |    coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+        |      AS chars,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x)))
+        |      AS stops,
+        |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS alpha,
+        |    length(lt) - length(replace(lt, '#', ''))
+        |      + len(regexp_extract_all(lt, '\.{3}')) AS sym,
+        |    len(string_split(lt, chr(10))) AS nl,
+        |    len(regexp_extract_all(lt, '(?m)^[ \t]*[•‣▪*-]')) AS bl,
+        |    len(regexp_extract_all(lt, '(?m)(\.\.\.|…)[ \t]*$')) AS el
+        |  FROM lt),
+        |gp AS (
+        |  SELECT doc_id,
+        |    (n >= 50 AND n <= 100000)
+        |    AND coalesce(CASE WHEN n > 0 THEN chars::DOUBLE / n >= 3.0
+        |      AND chars::DOUBLE / n <= 10.0 END, FALSE)
+        |    AND coalesce(CASE WHEN n > 0 THEN sym::DOUBLE / n <= 0.1 END,
+        |      FALSE)
+        |    AND coalesce(CASE WHEN n > 0 THEN alpha::DOUBLE / n >= 0.8 END,
+        |      FALSE)
+        |    AND stops >= 2
+        |    AND bl::DOUBLE / nl <= 0.9
+        |    AND el::DOUBLE / nl <= 0.3 AS pass
+        |  FROM gs),
+        |qm AS (
+        |  SELECT doc_id, length(text) AS nch,
+        |    CASE WHEN len(t) > 0 THEN
+        |      list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+        |      END AS atl,
+        |    CASE WHEN len(t) > 0 THEN
+        |      len(list_filter(t, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'],
+        |        x)))::DOUBLE / len(t) END AS swr,
+        |    CASE WHEN length(text) > 0 THEN
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(text) END AS ar
+        |  FROM base JOIN dt USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id, 0.25::DOUBLE * (
+        |    coalesce(nch BETWEEN 100 AND 10000, false)::INT +
+        |    coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
+        |    coalesce(swr >= 0.03, false)::INT +
+        |    coalesce(ar >= 0.6, false)::INT) AS quality
+        |  FROM qm),
+        |tc AS (
+        |  SELECT doc_id, tok, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM dt) GROUP BY 1, 2),
+        |tm AS (SELECT doc_id, max(cnt) AS mx FROM tc GROUP BY 1),
+        |r AS (
+        |  SELECT dt.doc_id,
+        |    coalesce(CASE WHEN len(dt.t) > 0 THEN
+        |      tm.mx::DOUBLE / len(dt.t) <= 0.5 END, FALSE) AS calm
+        |  FROM dt LEFT JOIN tm USING (doc_id)),
+        |v AS (
+        |  SELECT fp.doc_id,
+        |    CASE WHEN fp.doc_id <> canon.canon THEN 'duplicate'
+        |         WHEN hit.doc_id IS NOT NULL THEN 'contaminated'
+        |         WHEN NOT gp.pass THEN 'gopher'
+        |         WHEN q.quality < 0.5 THEN 'low_quality'
+        |         WHEN NOT r.calm THEN 'repetitive'
+        |    END AS reason
+        |  FROM fp JOIN canon USING (f)
+        |  LEFT JOIN hit ON hit.doc_id = fp.doc_id
+        |  JOIN gp ON gp.doc_id = fp.doc_id
+        |  JOIN q ON q.doc_id = fp.doc_id
+        |  JOIN r ON r.doc_id = fp.doc_id)""".stripMargin
+
+  /** The urlFixture SQL twins, parameterized over the projected columns
+    * (q156/q157/q160 need (doc_id, url); q163 carries text through).
+    */
+  private def urlFixtureSql(extraCols: String): String =
+    s"""SELECT doc_id,$extraCols
       |    'https://' ||
       |    CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
       |    'h' || (doc_id % 40)::VARCHAR || '.example.com' ||
@@ -1564,7 +1709,7 @@ object PipelineQueries {
       |    CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
       |  FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 800000,
+      |  SELECT doc_id + 800000,$extraCols
       |    'HTTPS://' ||
       |    CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END ||
       |    'H' || (doc_id % 40)::VARCHAR || '.EXAMPLE.COM' ||
@@ -1573,8 +1718,19 @@ object PipelineQueries {
       |         WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
       |         ELSE '?utm_only=1' END ||
       |    '#twin' AS url
-      |  FROM documents WHERE doc_id % 10 = 0),
-      |n1 AS (
+      |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private val UrlNormCte = urlNormCtes(urlFixtureSql(""))
+
+  /** The normalizeUrl/hostOf replay chain over a pluggable `urls` CTE
+    * body — ends at norm(doc_id, url, nurl, host); extra columns on
+    * `urls` (q163's text) stay reachable from `urls` itself.
+    */
+  private def urlNormCtes(urlsBody: String): String =
+    s"""WITH urls AS (
+      |  $urlsBody),
+      |n1 AS (""".stripMargin +
+    """
       |  SELECT doc_id, url,
       |    regexp_replace(trim(url), '#.*$', '') AS u
       |  FROM urls),
@@ -2931,113 +3087,47 @@ object PipelineQueries {
     // fp/canonical, q80's shingle contamination, q84's gopher battery,
     // q32's quality score, q81's top-word fraction — with the operator's
     // documented reason precedence as one CASE.
-    "q90_curation_pipeline" ->
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents
+    "q90_curation_pipeline" -> ("WITH " + curateCtes(
+      """SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
-        |fp AS (
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0"""
+        .stripMargin) +
+      "\nSELECT doc_id, reason IS NULL AS keep, reason FROM v"),
+
+    // q163 = the urlFixture chain WITH text (twins keep their source's
+    // text), the q160 blocklist + q156 url-dup screens off `norm`, and
+    // q90's full content chain over the same frame — folded under the
+    // WebReasons precedence.
+    "q163_web_curation" -> (urlNormCtes(urlFixtureSql(" text,")) + "," +
+      """
+        |sfx AS (
         |  SELECT doc_id,
-        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
-        |  FROM base),
-        |canon AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY f),
-        |bt AS (
-        |  SELECT list_filter(string_split_regex(substr(text, 41, 200),
-        |    '\s+'), x -> x <> '') AS t
-        |  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 300),
-        |bg AS (
-        |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 8 THEN
-        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
-        |        array_to_string(list_slice(t, i, i + 7), ' ')))
-        |    ELSE [array_to_string(t, ' ')] END) AS g
-        |  FROM bt),
-        |dt AS (
+        |    unnest(list_transform(
+        |      range(1, len(string_split(host, '.')) + 1),
+        |      i -> array_to_string(list_slice(string_split(host, '.'),
+        |        i, len(string_split(host, '.'))), '.'))) AS dom
+        |  FROM norm WHERE host IS NOT NULL),
+        |blk AS (SELECT DISTINCT doc_id FROM sfx
+        |  WHERE dom IN ('h7.example.com', 'h13.example.com',
+        |    'example.org')),
+        |ud AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-        |  FROM base),
-        |dg AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
-        |      list_distinct(list_transform(range(1, len(t) - 6), i ->
-        |        array_to_string(list_slice(t, i, i + 7), ' ')))
-        |    ELSE [array_to_string(t, ' ')] END) AS g
-        |  FROM dt),
-        |hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
-        |lt AS (
-        |  SELECT doc_id, lower(text) AS lt,
-        |    list_filter(string_split_regex(lower(text), '\s+'),
-        |      x -> x <> '') AS tk
-        |  FROM base),
-        |gs AS (
-        |  SELECT doc_id, len(tk) AS n,
-        |    coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
-        |      AS chars,
-        |    len(list_filter(tk, x -> list_contains(
-        |      ['the','be','to','of','and','that','have','with'], x)))
-        |      AS stops,
-        |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
-        |      AS alpha,
-        |    length(lt) - length(replace(lt, '#', ''))
-        |      + len(regexp_extract_all(lt, '\.{3}')) AS sym,
-        |    len(string_split(lt, chr(10))) AS nl,
-        |    len(regexp_extract_all(lt, '(?m)^[ \t]*[•‣▪*-]')) AS bl,
-        |    len(regexp_extract_all(lt, '(?m)(\.\.\.|…)[ \t]*$')) AS el
-        |  FROM lt),
-        |gp AS (
-        |  SELECT doc_id,
-        |    (n >= 50 AND n <= 100000)
-        |    AND coalesce(CASE WHEN n > 0 THEN chars::DOUBLE / n >= 3.0
-        |      AND chars::DOUBLE / n <= 10.0 END, FALSE)
-        |    AND coalesce(CASE WHEN n > 0 THEN sym::DOUBLE / n <= 0.1 END,
-        |      FALSE)
-        |    AND coalesce(CASE WHEN n > 0 THEN alpha::DOUBLE / n >= 0.8 END,
-        |      FALSE)
-        |    AND stops >= 2
-        |    AND bl::DOUBLE / nl <= 0.9
-        |    AND el::DOUBLE / nl <= 0.3 AS pass
-        |  FROM gs),
-        |qm AS (
-        |  SELECT doc_id, length(text) AS nch,
-        |    CASE WHEN len(t) > 0 THEN
-        |      list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
-        |      END AS atl,
-        |    CASE WHEN len(t) > 0 THEN
-        |      len(list_filter(t, x -> list_contains(
-        |        ['the','a','an','and','of','to','in','is','for','on','with'],
-        |        x)))::DOUBLE / len(t) END AS swr,
-        |    CASE WHEN length(text) > 0 THEN
-        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-        |      / length(text) END AS ar
-        |  FROM base JOIN dt USING (doc_id)),
-        |q AS (
-        |  SELECT doc_id, 0.25::DOUBLE * (
-        |    coalesce(nch BETWEEN 100 AND 10000, false)::INT +
-        |    coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
-        |    coalesce(swr >= 0.03, false)::INT +
-        |    coalesce(ar >= 0.6, false)::INT) AS quality
-        |  FROM qm),
-        |tc AS (
-        |  SELECT doc_id, tok, count(*) AS cnt
-        |  FROM (SELECT doc_id, unnest(t) AS tok FROM dt) GROUP BY 1, 2),
-        |tm AS (SELECT doc_id, max(cnt) AS mx FROM tc GROUP BY 1),
-        |r AS (
-        |  SELECT dt.doc_id,
-        |    coalesce(CASE WHEN len(dt.t) > 0 THEN
-        |      tm.mx::DOUBLE / len(dt.t) <= 0.5 END, FALSE) AS calm
-        |  FROM dt LEFT JOIN tm USING (doc_id)),
-        |v AS (
-        |  SELECT fp.doc_id,
-        |    CASE WHEN fp.doc_id <> canon.canon THEN 'duplicate'
-        |         WHEN hit.doc_id IS NOT NULL THEN 'contaminated'
-        |         WHEN NOT gp.pass THEN 'gopher'
-        |         WHEN q.quality < 0.5 THEN 'low_quality'
-        |         WHEN NOT r.calm THEN 'repetitive'
-        |    END AS reason
-        |  FROM fp JOIN canon USING (f)
-        |  LEFT JOIN hit ON hit.doc_id = fp.doc_id
-        |  JOIN gp ON gp.doc_id = fp.doc_id
-        |  JOIN q ON q.doc_id = fp.doc_id
-        |  JOIN r ON r.doc_id = fp.doc_id)
-        |SELECT doc_id, reason IS NULL AS keep, reason FROM v""".stripMargin,
+        |    doc_id <> min(doc_id) OVER (PARTITION BY nurl) AS isdup
+        |  FROM norm),
+        |""".stripMargin +
+      curateCtes("SELECT doc_id, text FROM urls") +
+      """,
+        |w AS (
+        |  SELECT v.doc_id,
+        |    CASE WHEN blk.doc_id IS NOT NULL THEN 'blocked_host'
+        |         WHEN ud.isdup THEN 'url_duplicate'
+        |         ELSE v.reason END AS reason
+        |  FROM v
+        |  LEFT JOIN blk ON blk.doc_id = v.doc_id
+        |  JOIN ud ON ud.doc_id = v.doc_id)
+        |SELECT doc_id, reason IS NULL AS keep, reason FROM w"""
+        .stripMargin),
+
 
     // Mirrors deterministicShuffle: 60-bit md5 hash, shard = hash mod 8,
     // pos = 0-based hash-order rank (id tie-break) within the shard.

@@ -551,6 +551,37 @@ class CurationSpec extends SparkSpec {
     assert(out(0) == ((1L, false, Some("contaminated"))))
     assert(out(1) == ((2L, false, Some("duplicate"))))
   }
+
+  test("curateWeb: URL stages precede content stages in exactly WebReasons order") {
+    val good = (1 to 60).map(i => s"the word$i").mkString(" ")
+    val docs = Seq(
+      // 1: clean on every axis
+      (1L, good, "https://ok.com/a"),
+      // 2: blocked host AND url-dup of 3 AND content-dup of 3 -> blocked_host
+      (2L, good + " x", "https://bad.com/p?utm_q=1"),
+      // 3: canonical on bad.com -> still blocked_host
+      (3L, good + " x", "HTTPS://BAD.COM/p"),
+      // 4/5: url twins on a clean host, same text -> canonical keeps,
+      // twin reports url_duplicate (beating content duplicate)
+      (4L, good + " y", "https://ok.com/b"),
+      (5L, good + " y", "https://ok.com/b#frag"),
+      // 6: content-dup of 4 under a DIFFERENT url -> content duplicate
+      (6L, good + " y", "https://ok.com/c"))
+      .toDF("doc_id", "text", "url")
+    val bench = Seq("nothing matches this benchmark").toDF("text")
+    val block = Seq("bad.com").toDF("domain")
+    val out = Curation.curateWeb(docs, bench, block)
+      .as[(Long, Boolean, Option[String])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, true, None),
+      (2L, false, Some("blocked_host")),
+      (3L, false, Some("blocked_host")),
+      (4L, true, None),
+      (5L, false, Some("url_duplicate")),
+      (6L, false, Some("duplicate"))))
+    assert(Curation.WebReasons ==
+      Seq("blocked_host", "url_duplicate") ++ Curation.Reasons)
+  }
 }
 
 class DedupSpec extends SparkSpec {
