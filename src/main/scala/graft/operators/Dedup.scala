@@ -481,6 +481,41 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware group dedup — near-dup clusters keep their BEST
+    * member, not their lowest id: the production canonical-selection
+    * rule (FineWeb/SemDeDup keep the highest-quality or most-complete
+    * copy; a min-id canonical throws away the better duplicate whenever
+    * the re-crawl fixed what the first crawl truncated). `score` ranks
+    * members (quality logit, completeness = text length, freshness —
+    * caller's choice; ties break to the LOWEST id, the familiar
+    * convention); documents in no cluster are their own canonical.
+    *
+    * Scale shape: clusters come from [[nearDupClusters]] (dup-graph-
+    * bounded); the best-member aggregate runs over the CLUSTERED docs
+    * only (map-side-combined `max_by` — never a per-cluster sort, and
+    * never the whole corpus), and the full-corpus mapping is two
+    * id/cluster-keyed projection joins. Text never shuffles; `score`
+    * evaluates once per row in the scan.
+    */
+  def qualityCanonicalDedup(docs: DataFrame, pairs: DataFrame,
+      score: Column, idCol: String = "doc_id"): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+    val scored = docs.select(col(idCol), score.as("__s"))
+    val member = scored.join(clusters, scored(idCol) === clusters("id"))
+      .select(col(idCol), col("__s"), col("cluster"))
+    val best = member.groupBy(col("cluster"))
+      .agg(max_by(col(idCol), struct(col("__s"), -col(idCol)))
+        .as("canonical_id"))
+    docs.select(col(idCol))
+      .join(member.select(col(idCol), col("cluster")), Seq(idCol), "left")
+      .join(best, Seq("cluster"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"),
+        (coalesce(col("canonical_id"), col(idCol)) =!= col(idCol))
+          .as("is_dup"))
+  }
+
   /** Blocked character-n-gram Jaccard near-dup pairs: all pairs within a
     * block (e.g. (lang, source)), never across blocks. The block-local
     * cross join is the documented trade-off vs LSH: exact recall inside

@@ -538,6 +538,22 @@ object PipelineQueries {
           coalesce(col("cluster"), docs("doc_id")).as("cluster"))
     }),
 
+    // Quality-aware canonical selection: every 10th long doc re-surfaces
+    // (id + 200000) with one MORE token — the more-complete copy. Under
+    // min-id dedup the original wins; under completeness (text length)
+    // the HIGHER-id twin must win its cluster — the q45 closure with the
+    // argmax flipped from "first" to "best".
+    "q164_best_canonical" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = base
+        .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 300)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zq8k")).as("text"))
+      val all = base.unionByName(planted)
+      val pairs = Dedup.minhashNearDupPairs(all, "text", "doc_id", 0.8)
+      Dedup.qualityCanonicalDedup(all, pairs, length(col("text")))
+    }),
+
     // Chunk-level exact dedup over planted partial copies: the planted
     // doc shares exactly its first two 20-token chunks with its source.
     "q86_chunk_dedup" -> ((s, d) =>
@@ -2956,6 +2972,57 @@ object PipelineQueries {
         |  FROM reach GROUP BY s)
         |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
         |FROM documents d LEFT JOIN lbl l USING (doc_id)""".stripMargin,
+    // q164 = q45's exact-pairs + recursive closure over the planted
+    // more-complete twins, argmax per cluster by (length desc, id asc).
+    "q164_best_canonical" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' zq8k'
+        |  FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 300),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM ix
+        |  JOIN sz sa ON doc_a = sa.doc_id
+        |  JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |lbl AS (
+        |  SELECT s AS doc_id, least(s, min(t)) AS cluster
+        |  FROM reach GROUP BY s),
+        |fl AS (
+        |  SELECT b.doc_id, coalesce(l.cluster, b.doc_id) AS cluster,
+        |    length(b.text) AS sc
+        |  FROM base b LEFT JOIN lbl l USING (doc_id)),
+        |best AS (
+        |  SELECT cluster, doc_id AS canonical_id FROM (
+        |    SELECT cluster, doc_id, row_number() OVER (
+        |      PARTITION BY cluster ORDER BY sc DESC, doc_id ASC) AS rn
+        |    FROM fl) WHERE rn = 1)
+        |SELECT f.doc_id, f.cluster, b.canonical_id,
+        |  b.canonical_id <> f.doc_id AS is_dup
+        |FROM fl f JOIN best b USING (cluster)""".stripMargin,
+
     "q39_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

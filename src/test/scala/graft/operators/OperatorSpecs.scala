@@ -2217,6 +2217,27 @@ class DecontaminateSpec extends SparkSpec {
   }
 }
 
+class QualityCanonicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualityCanonicalDedup: best member wins the cluster, ties to " +
+      "lowest id, singletons map to themselves") {
+    val docs = Seq(
+      (1L, 10), (2L, 30), (3L, 20), // cluster {1,2,3}: 2 scores highest
+      (4L, 7), (5L, 7),             // cluster {4,5}: tie -> lowest id 4
+      (9L, 99))                     // singleton
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup.qualityCanonicalDedup(
+        docs, pairs, col("score"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, true), (2L, 1L, 2L, false), (3L, 1L, 2L, true),
+      (4L, 4L, 4L, false), (5L, 4L, 4L, true),
+      (9L, 9L, 9L, false)))
+  }
+}
+
 class SpanDecontaminateSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Decontaminate.{exciseSpans, spanDecontaminate}
