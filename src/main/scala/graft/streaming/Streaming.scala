@@ -55,6 +55,19 @@ case class ContaminationFlag(vec_id: Long, bench_id: Option[Long],
 case class FuzzyFlag(doc_id: Long, bench_id: Option[Long],
     jaccard: Option[Double], contaminated: Boolean)
 
+/** A per-document exact-contamination flag emitted by
+  * [[Streaming.exactDecontaminateStream]] — the same frame
+  * [[graft.operators.Decontaminate.flagContaminated]] produces.
+  */
+case class ExactFlag(doc_id: Long, contaminated: Boolean)
+
+/** A shared-span row emitted by [[Streaming.spanDecontaminateStream]] —
+  * the same frame [[graft.operators.Decontaminate.spanDecontaminate]]
+  * produces.
+  */
+case class SpanRow(doc_id: Long, bench_id: Long, doc_start: Int,
+    bench_start: Int, span_chars: Int)
+
 /** A document arriving on the LAYOUT stream: event time + shard key +
   * id + token count ([[graft.operators.Sampling.packSequences]]'s input
   * shape, streamed). Stream contract, mirroring the batch operator's
@@ -528,6 +541,124 @@ object Streaming {
           }
           FuzzyFlag(docId, bestId,
             bestId.map(_ => bestJ), bestId.nonEmpty)
+        }
+      }
+  }
+
+  /** Streaming twin of
+    * [[graft.operators.Decontaminate.flagContaminated]] — with this and
+    * the span twin below, every decontamination class in the library has
+    * stream coverage (exact here, fuzzy and semantic above, spans
+    * below): the benchmark's distinct `n`-token shingle set rides the
+    * closure (eval-sized — the executor-side analogue of the batch
+    * broadcast) and each arriving document flags on ANY shared shingle.
+    * Same kernel static as the batch expression
+    * ([[graft.functions.WordShinglesExpr.shingles]]); stateless,
+    * shuffle-free.
+    */
+  def exactDecontaminateStream(docs: DataFrame, bench: Seq[String],
+      n: Int = 13): Dataset[ExactFlag] = {
+    require(n >= 1, s"shingle length must be >= 1, got $n")
+    import docs.sparkSession.implicits._
+    def shingleSet(t: String): Set[String] = {
+      val arr = graft.functions.WordShinglesExpr.shingles(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), n)
+      (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString).toSet
+    }
+    val benchShingles = bench.flatMap { t =>
+      require(t != null, "exactDecontaminateStream: null bench text")
+      shingleSet(t)
+    }.toSet
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, text) =>
+          require(text != null,
+            s"exactDecontaminateStream: null text in doc $docId")
+          ExactFlag(docId, shingleSet(text).exists(benchShingles.contains))
+        }
+      }
+  }
+
+  /** Streaming twin of
+    * [[graft.operators.Decontaminate.spanDecontaminate]]: the benchmark's
+    * (fp → positions) winnow index rides the closure, and each arriving
+    * document runs the WHOLE span pipeline per row — its own winnow
+    * selections (the same [[graft.functions.WinnowPosExpr.positions]]
+    * kernel static the batch expression codegens), fingerprint matches
+    * against every bench doc, same-offset grouping, and the
+    * gaps-and-islands merge — because a (doc, bench) pair's spans depend
+    * on nothing but those two documents. Emits the batch operator's
+    * exact (doc, bench, doc_start, bench_start, span_chars) rows as a
+    * per-row flatMap; stateless, shuffle-free, value-identical
+    * (EquivalenceSpec drains it against q158's operator — integer
+    * arithmetic end to end, so identity is exact, not rounded).
+    */
+  def spanDecontaminateStream(docs: DataFrame, bench: Seq[(Long, String)],
+      minSpanChars: Int = 64, maxGapGrams: Int = 16,
+      k: Int = 16, w: Int = 8): Dataset[SpanRow] = {
+    require(minSpanChars >= k,
+      s"minSpanChars ($minSpanChars) below k ($k) would report " +
+        "single-gram noise as spans")
+    require(maxGapGrams >= w,
+      s"maxGapGrams ($maxGapGrams) below w ($w) would split every run")
+    import docs.sparkSession.implicits._
+    def selections(t: String): Array[(Long, Int)] = {
+      val arr = graft.functions.WinnowPosExpr.positions(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), k, w)
+      Array.tabulate(arr.numElements()) { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getLong(0), r.getInt(1))
+      }
+    }
+    val benchIdx: Seq[(Long, Map[Long, Array[Int]])] =
+      bench.sortBy(_._1).map { case (id, t) =>
+        require(t != null, s"spanDecontaminateStream: null bench text $id")
+        (id, selections(t).groupBy(_._1).map { case (fp, ps) =>
+          fp -> ps.map(_._2)
+        })
+      }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, text) =>
+          require(text != null,
+            s"spanDecontaminateStream: null text in doc $docId")
+          val sel = selections(text)
+          benchIdx.iterator.flatMap { case (benchId, idx) =>
+            val byOff =
+              scala.collection.mutable.Map.empty[Int,
+                scala.collection.mutable.ArrayBuffer[(Int, Int)]]
+            sel.foreach { case (fp, pa) =>
+              idx.getOrElse(fp, Array.empty[Int]).foreach { pb =>
+                byOff.getOrElseUpdate(pa - pb,
+                  scala.collection.mutable.ArrayBuffer.empty) += ((pa, pb))
+              }
+            }
+            byOff.iterator.flatMap { case (_, matches) =>
+              val sorted = matches.sortBy(_._1)
+              val spans = scala.collection.mutable.ArrayBuffer
+                .empty[SpanRow]
+              var aStart, bStart, aLast = -1
+              sorted.foreach { case (pa, pb) =>
+                if (aStart < 0) { aStart = pa; bStart = pb; aLast = pa }
+                else if (pa - aLast <= maxGapGrams) {
+                  aLast = pa
+                  if (pb < bStart) bStart = pb
+                } else {
+                  val chars = aLast - aStart + k
+                  if (chars >= minSpanChars)
+                    spans += SpanRow(docId, benchId, aStart, bStart, chars)
+                  aStart = pa; bStart = pb; aLast = pa
+                }
+              }
+              if (aStart >= 0) {
+                val chars = aLast - aStart + k
+                if (chars >= minSpanChars)
+                  spans += SpanRow(docId, benchId, aStart, bStart, chars)
+              }
+              spans
+            }
+          }
         }
       }
   }

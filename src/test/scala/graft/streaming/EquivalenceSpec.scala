@@ -435,6 +435,68 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
       assert(batch(k) == v, s"doc $k: stream $v vs batch ${batch(k)}") }
   }
 
+  test("exact decontamination: stateless streaming twin ≡ batch operator (q80 fixture shape)") {
+    assume(fixtureExists("documents"))
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val benchDf = docs.filter($"doc_id" % 25 === 0 && length($"text") >= 300)
+      .select(substring($"text", 41, 200).as("text"))
+    val batch = graft.operators.Decontaminate
+      .flagContaminated(docs, benchDf, n = 8)
+      .as[(Long, Boolean)].collect().toMap
+    assert(batch.values.count(identity) >= 5, "planted sources must flag")
+
+    val bench = benchDf.as[String].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.exactDecontaminateStream(
+        in.toDF().toDF("doc_id", "text"), bench, n = 8)
+      .writeStream.format("memory").queryName("eqexactdecon")
+      .outputMode("append").start()
+    val fixture = docs.as[(Long, String)].collect().toSeq
+    fixture.grouped((fixture.size + 2) / 3).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("eqexactdecon").as[ExactFlag].collect()
+      .map(f => f.doc_id -> f.contaminated).toMap
+    assert(streamed == batch)
+  }
+
+  test("span decontamination: stateless streaming twin ≡ batch operator (q158 fixture shape)") {
+    assume(fixtureExists("documents"))
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val benchDf = docs.filter($"doc_id" % 22 === 0 && length($"text") >= 300)
+      .select($"doc_id".as("bench_id"),
+        concat(lit("zq "), substring($"text", 31, 220)).as("text"))
+    val batch = graft.operators.Decontaminate
+      .spanDecontaminate(docs, benchDf)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(batch.nonEmpty, "planted excerpts must produce spans")
+
+    val bench = benchDf.as[(Long, String)].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.spanDecontaminateStream(
+        in.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("eqspandecon")
+      .outputMode("append").start()
+    val fixture = docs.as[(Long, String)].collect().toSeq
+    fixture.grouped((fixture.size + 2) / 3).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("eqspandecon").as[SpanRow].collect()
+      .map(s => (s.doc_id, s.bench_id, s.doc_start, s.bench_start,
+        s.span_chars)).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("value histogram: the SAME operator run as a complete-mode stream ≡ batch (q112 shape)") {
     assume(fixtureExists("events"))
     // Sketches.histogram is declarative enough to run unchanged on an
