@@ -152,6 +152,12 @@ object Layout {
     * protocol (in-place rewrite of a live dataset is how readers see
     * half a corpus); this keeps the operator a pure function of its
     * input.
+    *
+    * Caveat: partition VALUES are matched against their directory names
+    * as strings, so values containing characters Hive percent-escapes in
+    * paths (`/`, `:`, control chars …) are out of scope — partition
+    * columns should be the low-cardinality clean keys (dates, sources,
+    * shards) good layout design uses anyway.
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
       inPath: String, outPath: String, targetBytes: Long,
