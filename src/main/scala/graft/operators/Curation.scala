@@ -70,35 +70,48 @@ object Curation {
     * the blocklist, nothing else about the page matters), then
     * `url_duplicate` (the same RESOURCE under a cosmetic URL variant —
     * cheaper to attribute than content dedup and catches the refetch
-    * before bytes are compared), then [[Reasons]] unchanged.
+    * before bytes are compared), then `spam_host` (round 17, VERDICT
+    * r16 #2: the host's URL-dup fraction marks it a session-id mill /
+    * calendar trap — host evidence is still cheaper than content, so it
+    * sits after the per-page URL screens and before every content
+    * reason), then [[Reasons]] unchanged.
     */
   val WebReasons: Seq[String] =
-    Seq("blocked_host", "url_duplicate") ++ Reasons
+    Seq("blocked_host", "url_duplicate", "spam_host") ++ Reasons
 
-  /** WEB-crawl curation — [[curate]] with the round-16 URL stages
-    * composed in front: one call from a crawl frame (id, url, text) +
-    * benchmark + domain blocklist to the per-document verdict, reason
-    * precedence [[WebReasons]]. Each stage is an individually-gated
-    * operator ([[Urls.hostBlocklistFilter]] q160, [[Urls.urlDedup]]
-    * q156, [[curate]] q90); the composition adds only id-keyed
-    * projection joins — the URL screens never see text, the content
-    * screens never see URLs, and the corpus text still never shuffles.
+  /** WEB-crawl curation — [[curate]] with the URL stages composed in
+    * front: one call from a crawl frame (id, url, text) + benchmark +
+    * domain blocklist to the per-document verdict, reason precedence
+    * [[WebReasons]]. Each stage is an individually-gated operator
+    * ([[Urls.hostBlocklistFilter]] q160, [[Urls.hostReputation]] q157 —
+    * which carries BOTH the per-document `is_dup` flag (q156's
+    * equivalence class, [[Urls.urlFingerprint]]) and the host `spam_host`
+    * verdict off one call, [[curate]] q90); the composition adds only
+    * id-keyed projection joins — the URL screens never see text, the
+    * content screens never see URLs, and the corpus text still never
+    * shuffles.
+    *
+    * `spamMaxDupFrac` is [[Urls.hostReputation]]'s gate: a host whose
+    * URL-dup fraction EXCEEDS it is spam and every one of its documents
+    * falls to `spam_host` (unless a stricter screen caught it first).
     */
   def curateWeb(docs: DataFrame, benchmark: DataFrame,
       blocklist: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", urlCol: String = "url",
       minQuality: Double = 0.5, maxTopWordFrac: Double = 0.5,
-      shingleTokens: Int = 8): DataFrame = {
+      shingleTokens: Int = 8, spamMaxDupFrac: Double = 0.5): DataFrame = {
     val blocked = Urls.hostBlocklistFilter(docs, blocklist, urlCol, idCol)
       .select(col(idCol), col("blocked").as("__blk"))
-    val udup = Urls.urlDedup(docs, urlCol, idCol)
-      .select(col(idCol), col("is_dup").as("__ud"))
+    val rep = Urls.hostReputation(docs, urlCol, idCol, spamMaxDupFrac)
+      .select(col(idCol), col("is_dup").as("__ud"),
+        col("spam_host").as("__spam"))
     val content = curate(docs, benchmark, textCol, idCol, minQuality,
       maxTopWordFrac, shingleTokens)
     val reason = when(col("__blk"), "blocked_host")
       .when(col("__ud"), "url_duplicate")
+      .when(col("__spam"), "spam_host")
       .otherwise(col("reason"))
-    content.join(blocked, Seq(idCol)).join(udup, Seq(idCol))
+    content.join(blocked, Seq(idCol)).join(rep, Seq(idCol))
       .select(col(idCol), reason.isNull.as("keep"), reason.as("reason"))
   }
 }

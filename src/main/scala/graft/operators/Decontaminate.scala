@@ -369,9 +369,13 @@ object Decontaminate {
       Dedup.minhashCorpusIndex(benchmark, textCol, benchIdCol, k))
     val pairs = Dedup.incrementalMinhashDedup(docs, index, textCol, idCol,
       threshold, k, bands)
+    // Tie order: min over (-jaccard, bench id) = best jaccard, ties to the
+    // LOWEST bench id. Negation rides the always-numeric jaccard, never the
+    // id (ADVICE r16: -id on a string-typed id silently casts to double —
+    // null — and the documented tie-break becomes nondeterministic).
     val best = pairs.groupBy(col(idCol)).agg(
-      max_by(col("corpus_id"),
-        struct(col("jaccard"), -col("corpus_id"))).as(benchIdCol),
+      min_by(col("corpus_id"),
+        struct(-col("jaccard"), col("corpus_id"))).as(benchIdCol),
       max(col("jaccard")).as("__mj"))
     docs.select(col(idCol))
       .join(best, Seq(idCol), "left")

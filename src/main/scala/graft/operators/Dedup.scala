@@ -487,8 +487,12 @@ object Dedup {
     * copy; a min-id canonical throws away the better duplicate whenever
     * the re-crawl fixed what the first crawl truncated). `score` ranks
     * members (quality logit, completeness = text length, freshness —
-    * caller's choice; ties break to the LOWEST id, the familiar
-    * convention); documents in no cluster are their own canonical.
+    * caller's choice, but it MUST be numeric: the tie order negates it;
+    * ties break to the LOWEST id, the familiar convention); documents in
+    * no cluster are their own canonical. The id column's type is free —
+    * the tie arithmetic never touches it (ADVICE r16: the earlier
+    * `struct(score, -id)` form implicitly cast string ids to double,
+    * i.e. null, making the documented tie-break nondeterministic).
     *
     * Scale shape: clusters come from [[nearDupClusters]] (dup-graph-
     * bounded); the best-member aggregate runs over the CLUSTERED docs
@@ -504,7 +508,7 @@ object Dedup {
     val member = scored.join(clusters, scored(idCol) === clusters("id"))
       .select(col(idCol), col("__s"), col("cluster"))
     val best = member.groupBy(col("cluster"))
-      .agg(max_by(col(idCol), struct(col("__s"), -col(idCol)))
+      .agg(min_by(col(idCol), struct(-col("__s"), col(idCol)))
         .as("canonical_id"))
     docs.select(col(idCol))
       .join(member.select(col(idCol), col("cluster")), Seq(idCol), "left")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL-level curation — the CHEAPEST dedup/filter class a crawl pipeline
@@ -16,9 +15,10 @@ import org.apache.spark.sql.functions._
   * Everything here is pure Column arithmetic over RE2∩Java-dialect
   * regexes (the [[TextAnalysis.redactPii]] discipline), so normalization
   * is character-identical cross-engine and the DuckDB oracle replays it
-  * verbatim. Per-row, scan speed; the only shuffles are the 16-byte
-  * fingerprint window ([[Dedup.exactDedup]]'s single-scan form) and the
-  * host-cardinality aggregate.
+  * verbatim. Per-row, scan speed; the only shuffles carry 16-byte
+  * fingerprint keys ([[Dedup.exactDedup]]'s single-scan window form in
+  * [[urlDedup]]; the skew-proof agg + join-back form in
+  * [[hostReputation]]) and the host-cardinality aggregate.
   */
 object Urls {
 
@@ -78,16 +78,32 @@ object Urls {
     when(h =!= "", h)
   }
 
+  /** The URL dedup key: `md5(normalizeUrl(url))`, with NULL urls given a
+    * per-row unique fingerprint derived from the id — so every null-url
+    * row is its OWN canonical and never flagged a duplicate. Without the
+    * coalesce, md5(null) is null and the dedup window funnels every
+    * null-url document into one group, flagging all but one `is_dup` —
+    * which contradicts the sibling contracts that unparseable input is
+    * never silently screened ([[hostBlocklistFilter]]'s null hosts are
+    * "never blocked"; [[normalizeUrl]]'s pass-through-beats-corruption)
+    * (ADVICE r16). Shared kernel of [[urlDedup]], [[hostReputation]],
+    * and the streaming twin — value-identical by construction.
+    */
+  def urlFingerprint(url: Column, id: Column): Column =
+    coalesce(md5(normalizeUrl(url)),
+      md5(concat(lit("null-url#"), id.cast("string"))))
+
   /** Crawl-level exact dedup keyed on the CANONICAL URL — one more
     * pluggable fingerprint class for [[Dedup.exactDedup]] (q35
     * whitespace/case, q125 CCNet-aggressive, q150 NFKC fold, and now the
     * URL class): same single-scan window plan, the per-row key kernel is
-    * `md5(normalizeUrl(url))`. Returns (idCol, canonical_id, is_dup).
+    * [[urlFingerprint]] (null urls are their own canonical). Returns
+    * (idCol, canonical_id, is_dup).
     */
   def urlDedup(df: DataFrame, urlCol: String = "url",
       idCol: String = "doc_id"): DataFrame =
     Dedup.exactDedup(df, urlCol, idCol,
-      fingerprinter = u => md5(normalizeUrl(u)))
+      fingerprinter = u => urlFingerprint(u, col(idCol)))
 
   /** Domain-blocklist screen (the C4/RefinedWeb URL-filter stage): a
     * document is blocked when its host equals a blocklist entry OR sits
@@ -113,10 +129,17 @@ object Urls {
     val suffixes = transform(
       sequence(lit(1), size(labels)),
       i => array_join(slice(labels, i, size(labels)), "."))
+    // The blocklist side normalizes to the document-host convention
+    // (lowercased, trimmed, trailing root-dot stripped) — real blocklist
+    // feeds carry uppercase entries, padding, and FQDN trailing dots, and
+    // a verbatim join silently never matches them: a false-NEGATIVE
+    // policy screen (ADVICE r16).
+    val cleaned = broadcast(blocklist.select(
+      regexp_replace(lower(trim(col(domainCol))), "\\.$", "")
+        .as(domainCol)))
     val hits = hosts.where(col("host").isNotNull)
       .select(col(idCol), explode(suffixes).as(domainCol))
-      .join(broadcast(blocklist.select(col(domainCol))), Seq(domainCol),
-        "left_semi")
+      .join(cleaned, Seq(domainCol), "left_semi")
       .select(col(idCol)).distinct()
       .withColumn("__b", lit(true))
     hosts.join(hits, Seq(idCol), "left")
@@ -129,29 +152,43 @@ object Urls {
     * of each other (session-id mills, calendar traps, faceted-search
     * explosions) is spam-shaped, and the whole host is flagged so the
     * frontier stops crawling it. One row per input document: (idCol,
-    * host, host_docs, host_dups, dup_frac, spam_host).
+    * host, is_dup — the per-document URL-duplicate flag, exposed so
+    * [[Curation.curateWeb]] reads both screens off ONE call — host_docs,
+    * host_dups, dup_frac, spam_host).
     *
-    * Scale shape: one corpus scan computes (host, url fingerprint); the
-    * fingerprint window resolves URL-dup flags exactly as
-    * [[Dedup.exactDedup]] (16-byte keys, text never moves); the host
-    * aggregate is host-cardinality (tens of millions at web scale —
-    * far below page count) and map-side combines; the stats join back
-    * on the host key (AQE broadcasts it when small). Documents with no
-    * parseable host keep a null host and are never spam-flagged —
-    * `dup_frac` is exact int/int double arithmetic, engine-identical.
+    * Scale shape: one corpus scan computes (host, [[urlFingerprint]]);
+    * URL-dup flags resolve via the AGG + JOIN-BACK form, not the window
+    * form [[Dedup.exactDedup]] defaults to (VERDICT r16): the window
+    * funnels every occurrence of one fingerprint through one task, and a
+    * calendar-trap host — millions of pages collapsing to a handful of
+    * canonical URLs, the very pathology this operator exists to catch —
+    * is exactly the hot-fingerprint case. The min(id) aggregate map-side
+    * combines (a hot fingerprint collapses to one row per map task
+    * before the shuffle) and the join back is a same-key join AQE
+    * skew-splits if needed; the second fingerprint scan it costs is
+    * already paid here, since the host aggregate forces a second pass
+    * anyway. The host aggregate is host-cardinality (tens of millions at
+    * web scale — far below page count) and map-side combines; the stats
+    * join back on the host key (AQE broadcasts it when small). Documents
+    * with no parseable host keep a null host and are never spam-flagged;
+    * null URLs are their own canonical ([[urlFingerprint]]) — `dup_frac`
+    * is exact int/int double arithmetic, engine-identical.
     */
   def hostReputation(df: DataFrame, urlCol: String = "url",
       idCol: String = "doc_id", maxDupFrac: Double = 0.5): DataFrame = {
     val perDoc = df.select(col(idCol), hostOf(col(urlCol)).as("host"),
-        md5(normalizeUrl(col(urlCol))).as("__fp"))
-      .withColumn("is_dup",
-        col(idCol) =!= min(col(idCol)).over(Window.partitionBy(col("__fp"))))
-    val hostAgg = perDoc.where(col("host").isNotNull)
+      urlFingerprint(col(urlCol), col(idCol)).as("__fp"))
+    val canon = perDoc.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__canon"))
+    val withDup = perDoc.join(canon, Seq("__fp"))
+      .withColumn("is_dup", col(idCol) =!= col("__canon"))
+    val hostAgg = withDup.where(col("host").isNotNull)
       .groupBy(col("host"))
       .agg(count(lit(1)).as("host_docs"),
         sum(col("is_dup").cast("long")).as("host_dups"))
-    perDoc.join(hostAgg, Seq("host"), "left")
-      .select(col(idCol), col("host"), col("host_docs"), col("host_dups"),
+    withDup.join(hostAgg, Seq("host"), "left")
+      .select(col(idCol), col("host"), col("is_dup"),
+        col("host_docs"), col("host_dups"),
         (col("host_dups").cast("double") / col("host_docs").cast("double"))
           .as("dup_frac"),
         coalesce(col("host_dups").cast("double")

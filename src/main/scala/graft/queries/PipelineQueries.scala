@@ -4383,7 +4383,7 @@ object PipelineQueries {
         |  SELECT host, count(*)::BIGINT AS host_docs,
         |    sum(is_dup::INT)::BIGINT AS host_dups
         |  FROM dup WHERE host IS NOT NULL GROUP BY host)
-        |SELECT d.doc_id, d.host, ha.host_docs, ha.host_dups,
+        |SELECT d.doc_id, d.host, d.is_dup, ha.host_docs, ha.host_dups,
         |  ha.host_dups::DOUBLE / ha.host_docs::DOUBLE AS dup_frac,
         |  coalesce(ha.host_dups::DOUBLE / ha.host_docs::DOUBLE > 0.3,
         |    false) AS spam_host

@@ -566,7 +566,15 @@ class CurationSpec extends SparkSpec {
       (4L, good + " y", "https://ok.com/b"),
       (5L, good + " y", "https://ok.com/b#frag"),
       // 6: content-dup of 4 under a DIFFERENT url -> content duplicate
-      (6L, good + " y", "https://ok.com/c"))
+      (6L, good + " y", "https://ok.com/c"),
+      // 7/8/9: a session-id-mill host — 8 and 9 are cosmetic URL variants
+      // of 7, so trap.net's dup_frac is 2/3 > 0.5 and the host is spam.
+      // The VARIANTS fall to url_duplicate (stricter screen first); the
+      // canonical 7 is caught ONLY by the host verdict -> spam_host
+      // (which in turn beats its content-duplicate reason)
+      (7L, good + " z", "https://trap.net/p"),
+      (8L, good + " z", "https://trap.net/p?utm_q=2"),
+      (9L, good + " z", "https://trap.net/p#s"))
       .toDF("doc_id", "text", "url")
     val bench = Seq("nothing matches this benchmark").toDF("text")
     val block = Seq("bad.com").toDF("domain")
@@ -578,9 +586,12 @@ class CurationSpec extends SparkSpec {
       (3L, false, Some("blocked_host")),
       (4L, true, None),
       (5L, false, Some("url_duplicate")),
-      (6L, false, Some("duplicate"))))
+      (6L, false, Some("duplicate")),
+      (7L, false, Some("spam_host")),
+      (8L, false, Some("url_duplicate")),
+      (9L, false, Some("url_duplicate"))))
     assert(Curation.WebReasons ==
-      Seq("blocked_host", "url_duplicate") ++ Curation.Reasons)
+      Seq("blocked_host", "url_duplicate", "spam_host") ++ Curation.Reasons)
   }
 }
 
@@ -2236,6 +2247,22 @@ class QualityCanonicalSpec extends SparkSpec {
       (4L, 4L, 4L, false), (5L, 4L, 4L, true),
       (9L, 9L, 9L, false)))
   }
+
+  test("qualityCanonicalDedup: STRING doc ids tie-break deterministically " +
+      "to the lowest id (ADVICE r16: -id cast string ids to null)") {
+    val docs = Seq(
+      ("docB", 7), ("docA", 7), ("docC", 5), // tie 7 -> docA wins
+      ("solo", 9))
+      .toDF("doc_id", "score")
+    val pairs = Seq(("docA", "docB"), ("docB", "docC"))
+      .toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup.qualityCanonicalDedup(
+        docs, pairs, col("score"))
+      .as[(String, String, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("docA", "docA", "docA", false), ("docB", "docA", "docA", true),
+      ("docC", "docA", "docA", true), ("solo", "solo", "solo", false)))
+  }
 }
 
 class SpanDecontaminateSpec extends SparkSpec {
@@ -2377,15 +2404,47 @@ class UrlsSpec extends SparkSpec {
       (5L, "https://clean.com/a"), (6L, "https://clean.com/b"),
       (7L, "garbage-no-scheme")).toDF("doc_id", "url")
     val out = graft.operators.Urls.hostReputation(docs, maxDupFrac = 0.3)
-      .as[(Long, Option[String], Option[Long], Option[Long],
+      .as[(Long, Option[String], Boolean, Option[Long], Option[Long],
         Option[Double], Boolean)].collect().sortBy(_._1).toSeq
     // mill.com: 4 docs, 2 dups (ids 2,3 of /a) -> 0.5 > 0.3 -> spam
     assert(out.filter(_._2.contains("mill.com")).forall(r =>
-      r._3.contains(4L) && r._4.contains(2L) && r._5.contains(0.5) && r._6))
+      r._4.contains(4L) && r._5.contains(2L) && r._6.contains(0.5) && r._7))
+    // per-doc is_dup rides the output (round 17): ids 2,3 are the /a dups
+    assert(out.map(r => r._1 -> r._3) == Seq(1L -> false, 2L -> true,
+      3L -> true, 4L -> false, 5L -> false, 6L -> false, 7L -> false))
     assert(out.filter(_._2.contains("clean.com")).forall(r =>
-      r._4.contains(0L) && !r._6))
+      r._5.contains(0L) && !r._7))
     val noHost = out.find(_._1 == 7L).get
-    assert(noHost._2.isEmpty && noHost._3.isEmpty && !noHost._6)
+    assert(noHost._2.isEmpty && noHost._4.isEmpty && !noHost._7)
+  }
+
+  test("urlDedup + hostReputation: null urls are their own canonical, " +
+    "never duplicates, never spam evidence") {
+    val docs = Seq((1L, Option("https://h.com/p")),
+      (2L, Option("https://h.com/p#f")), (3L, None), (4L, None), (5L, None))
+      .toDF("doc_id", "url")
+    val dd = Urls.urlDedup(docs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // without the urlFingerprint coalesce, 4 and 5 would collapse onto 3
+    assert(dd == Seq((1L, 1L, false), (2L, 1L, true), (3L, 3L, false),
+      (4L, 4L, false), (5L, 5L, false)))
+    val rep = graft.operators.Urls.hostReputation(docs, maxDupFrac = 0.3)
+      .as[(Long, Option[String], Boolean, Option[Long], Option[Long],
+        Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    assert(rep.filter(_._1 >= 3L).forall(r =>
+      r._2.isEmpty && !r._3 && !r._7))
+  }
+
+  test("hostBlocklistFilter: messy blocklist entries (case, padding, " +
+    "trailing dot) still match") {
+    val docs = Seq(
+      (1L, "https://spam.example.com/x"), (2L, "https://other.net/x"),
+      (3L, "https://sub.dotted.org/x")).toDF("doc_id", "url")
+    val block = Seq("  SPAM.Example.COM  ", "dotted.org.").toDF("domain")
+    val out = Urls.hostBlocklistFilter(docs, block)
+      .as[(Long, Option[String], Boolean)].collect().sortBy(_._1)
+      .map(r => r._1 -> r._3).toSeq
+    assert(out == Seq(1L -> true, 2L -> false, 3L -> true))
   }
 }
 

@@ -167,6 +167,71 @@ class LayoutSpec extends SparkSpec {
       "partition pruning must survive compaction")
   }
 
+  test("compactParquet: zero-padded and NULL partition values survive " +
+      "losslessly (ADVICE r16: value round-trip used to drop them)") {
+    val in = Files.createTempDirectory("graft_compact_z_in").toString
+    val out = Files.createTempDirectory("graft_compact_z").toString + "/out"
+    // month dirs: month=07 (inference reads back int 7 — the value that
+    // broke a cast-to-string match), month=8, and a NULL partition
+    // (__HIVE_DEFAULT_PARTITION__). Directory-string matching keeps all.
+    val docs = Seq((1L, "07"), (2L, "07"), (3L, "8"), (4L, null))
+      .toDF("id", "month")
+    docs.repartition(2).write.mode("overwrite")
+      .partitionBy("month").parquet(in)
+    val (before, after, _) = Layout.compactParquet(spark, in, out,
+      targetBytes = Long.MaxValue, partitionCols = Seq("month"))
+    assert(before >= 3L && after == 3L,
+      s"one file per surviving partition, got before=$before after=$after")
+    val back = spark.read.parquet(out).select("id", "month")
+      .as[(Long, Option[Int])].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, Some(7)), (2L, Some(7)), (3L, Some(8)),
+      (4L, None)), s"lossless rewrite, got $back")
+  }
+
+  test("compactParquetFlat: NO shuffle exchange; sizes ~target; rows intact") {
+    val in = Files.createTempDirectory("graft_compact_f_in").toString
+    val out = Files.createTempDirectory("graft_compact_f").toString + "/out"
+    val docs = (0L until 4000L).map(i => (i, s"value $i padpadpadpadpad"))
+      .toDF("id", "payload")
+    docs.repartition(20).write.mode("overwrite").parquet(in)
+    val inFiles = new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(inFiles.length == 20, "fixture: 20 small files")
+    val total = inFiles.map(_.length()).sum
+    val target = total / 4 + 1
+    val (before, after, bytes) =
+      Layout.compactParquetFlat(spark, in, out, targetBytes = target)
+    assert(before == 20L && bytes == total)
+    // greedy bin-packing: ~4 packs, each within 2x target on disk
+    assert(after >= 3L && after <= 6L, s"~4 target-size files, got $after")
+    val outFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(outFiles.forall(_.length() <= 2 * target),
+      s"every output file within 2x target ($target): " +
+        outFiles.map(_.length()).mkString(","))
+    assert(spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq
+      == docs.as[(Long, String)].collect().sorted.toSeq)
+    // the scale contract: scan -> write, no Exchange anywhere. The write
+    // plan IS the read plan (one file per read task), so assert on the
+    // read under the same packing confs the operator sets.
+    val savedMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val savedOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val planned = spark.read.parquet(in)
+      assert(planOf(planned).collect {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+        "compaction read plan must have no Exchange")
+      assert(planned.rdd.getNumPartitions >= 3 &&
+        planned.rdd.getNumPartitions <= 6,
+        "packing confs drive the task count = output file count")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", savedMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", savedOpen)
+    }
+  }
+
   test("zorderKey: bit interleave is exact and order-embeds both dims") {
     // 3 (=0b11) and 5 (=0b101) interleave to 0b100111 = 39:
     // spread(3)=0b0101, spread(5)=0b010001<<1=0b100010; 5|34=39.
