@@ -105,6 +105,20 @@ object TrainingPipeline {
     val keepIds = Curation.curate(docs, benchmark, textCol, idCol)
       .filter(col("keep")).select(col(idCol))
       .localCheckpoint()
+    mixFromKeep(docs, keepIds, targets, textCol, idCol, domainCol,
+      nearDupThreshold, maxBucket, stageDir)
+  }
+
+  /** Stages 2–3 over a caller-supplied keep-list — the curation stage is
+    * pluggable (round 17): [[curatedMix]] feeds [[Curation.curate]]'s
+    * keep-list, [[crawlToShards]] feeds [[Curation.curateWeb]]'s. The
+    * keep-list must already be materialized (localCheckpoint) by the
+    * caller — it is re-joined once per LSH pass.
+    */
+  private def mixFromKeep(docs: DataFrame, keepIds: DataFrame,
+      targets: Map[String, Double], textCol: String, idCol: String,
+      domainCol: String, nearDupThreshold: Double,
+      maxBucket: Int, stageDir: Option[String] = None): DataFrame = {
     val kept = stageDir match {
       case None => docs.join(keepIds, Seq(idCol))
       case Some(dir) =>
@@ -166,5 +180,42 @@ object TrainingPipeline {
       .select(col(idCol), col(domainCol), col("epoch"), col("n_tokens"),
         col("bucket"), col("shard"), col("batch_idx"), col("pos_in_batch"),
         col("padded_to"), col("pad_waste"))
+  }
+
+  /** The end-to-end CRAWL→training-shards composition (VERDICT r16 #5):
+    * [[corpusToShards]] with [[Curation.curateWeb]] (q163/q165) as the
+    * front door — one call from a raw (id, url, text, domain) crawl
+    * frame + benchmark + domain blocklist to the full training-layout
+    * coordinates. The URL screens (blocklist, URL-dedup, spam-host) run
+    * BEFORE any content stage touches text, exactly the order a real
+    * crawl pipeline pays for them; everything downstream — near-dup
+    * split keying, mix planning, epoch order, packing — is shared
+    * verbatim with [[corpusToShards]] / [[corpusToBatches]] through the
+    * same stage helper, so the three compositions cannot drift.
+    *
+    * Scale shape: [[corpusToShards]]' scaladoc applies unchanged; the
+    * web front door adds only fingerprint-/host-keyed shuffles (16-byte
+    * keys) and a broadcast blocklist — URLs never reach the content
+    * stages, text never reaches the URL stages.
+    */
+  def crawlToShards(docs: DataFrame, benchmark: DataFrame,
+      blocklist: DataFrame, targets: Map[String, Double],
+      textCol: String = "text", idCol: String = "doc_id",
+      urlCol: String = "url", domainCol: String = "source",
+      shards: Int = 8, budget: Long = 2048L,
+      nearDupThreshold: Double = 0.8,
+      maxBucket: Int = Int.MaxValue,
+      spamMaxDupFrac: Double = 0.5,
+      stageDir: Option[String] = None): DataFrame = {
+    val keepIds = Curation.curateWeb(docs, benchmark, blocklist, textCol,
+        idCol, urlCol, spamMaxDupFrac = spamMaxDupFrac)
+      .filter(col("keep")).select(col(idCol))
+      .localCheckpoint()
+    val withTok = mixFromKeep(docs, keepIds, targets, textCol, idCol,
+      domainCol, nearDupThreshold, maxBucket, stageDir)
+    val ordered = Sampling.epochOrder(withTok, idCol, "epoch", shards)
+    Sampling.packSequences(ordered, "n_tokens", budget, Seq("shard"), "pos")
+      .select(col(idCol), col(domainCol), col("epoch"), col("shard"),
+        col("pos"), col("n_tokens"), col("pack_id"), col("pack_offset"))
   }
 }

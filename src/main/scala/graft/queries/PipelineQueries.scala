@@ -1271,7 +1271,48 @@ object PipelineQueries {
     // 0.3 gate — while the other 36 host classes stay clean.
     "q157_host_reputation" -> ((s, d) =>
       Urls.hostReputation(urlFixture(Tables.documents(s, d)),
-        maxDupFrac = 0.3))
+        maxDupFrac = 0.3)),
+
+    // q163 + the spam_host stage (VERDICT r16 #2): the q165 fixture adds
+    // a session-id-mill host — every 20th doc contributes THREE
+    // mill.example.net rows, two of them cosmetic variants of the first,
+    // so the host's dup_frac is exactly 2/3 > 0.5 and the host is spam.
+    // The variant rows still fall to url_duplicate (stricter screen
+    // first); the mill CANONICALS are caught only by the host verdict —
+    // spam_host — which in turn beats their content-duplicate reason.
+    // Organic hosts top out at dup_frac 0.5 (the q157 twins), NOT > 0.5,
+    // so the spam screen provably never leaks onto them.
+    "q165_web_curation_spam" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val bench = docs
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select(substring(col("text"), 41, 200).as("text"))
+      val block = Seq("h7.example.com", "h13.example.com", "example.org")
+        .toDF("domain")
+      graft.operators.Curation.curateWeb(webSpamFixture(docs), bench, block)
+    }),
+
+    // The CRAWL→training-shards composition (VERDICT r16 #5): curateWeb
+    // (q165's full verdict chain — blocklist, URL dedup, spam host,
+    // content stages) in front of corpusToShards' split/mix/order/pack
+    // stages, over the mill crawl frame WITH source carried. Every
+    // planted row falls to a URL screen, so the layout is built from
+    // organically-kept docs only — and the oracle chains q165's web
+    // verdict CTEs into q147's split/mix/shard arithmetic verbatim.
+    "q166_crawl_shards" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val bench = docs
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select(substring(col("text"), 41, 200).as("text"))
+      val block = Seq("h7.example.com", "h13.example.com", "example.org")
+        .toDF("domain")
+      graft.operators.TrainingPipeline.crawlToShards(
+        webSpamFixture(docs, Seq("source")), bench, block,
+        targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
+          (2 to 11).map(i => s"src$i" -> 0.05).toMap)
+    })
   )
 
   /** q158/q159's benchmark: offset-shifted excerpts of every 22nd long
@@ -1340,6 +1381,37 @@ object PipelineQueries {
       .unionByName(docs.filter(id % 10 === 0)
         .select((id + 800000).as("doc_id"), col("text"),
           twinUrlExpr(id).as("url")))
+  }
+
+  /** q165/q166's crawl frame: [[webFixture]] + a session-id-mill host —
+    * every 20th doc plants three mill.example.net rows (+900000 the
+    * canonical, +910000/+920000 cosmetic variants of it), giving the
+    * mill host dup_frac 2/3 > 0.5 while every organic host stays ≤ 0.5.
+    * Mill rows carry their source's text, so the canonical's content
+    * reason (duplicate) is provably BEATEN by spam_host.
+    */
+  private def millUrl(id: Column, suffix: String): Column =
+    concat(lit("https://mill.example.net/p/"), id.cast("string"),
+      lit(suffix))
+
+  /** `extraCols` (q166: source) ride every fixture row so the crawl
+    * frame can feed the mix planner's domain column; planted rows
+    * inherit their source doc's values.
+    */
+  private def webSpamFixture(docs: DataFrame,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val id = col("doc_id")
+    val ex = extraCols.map(col)
+    def sel(src: DataFrame, newId: Column, url: Column): DataFrame =
+      src.select(newId.as("doc_id") +: ex :+ col("text") :+
+        url.as("url"): _*)
+    val every20 = docs.filter(id % 20 === 0)
+    sel(docs, id, origUrlExpr(id))
+      .unionByName(sel(docs.filter(id % 10 === 0), id + 800000,
+        twinUrlExpr(id)))
+      .unionByName(sel(every20, id + 900000, millUrl(id, "")))
+      .unionByName(sel(every20, id + 910000, millUrl(id, "?utm_x=1")))
+      .unionByName(sel(every20, id + 920000, millUrl(id, "#m")))
   }
 
   /** Fixed gate vocabulary for q113 — stands in for a tokenizer vocab
@@ -1738,12 +1810,33 @@ object PipelineQueries {
 
   private val UrlNormCte = urlNormCtes(urlFixtureSql(""))
 
+  /** webSpamFixture's SQL twin: the text-carrying urlFixture plus the
+    * three mill.example.net rows per every-20th doc.
+    */
+  private val WebSpamFixtureSql: String =
+    urlFixtureSql(" text,") +
+      """
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text,
+        |    'https://mill.example.net/p/' || doc_id::VARCHAR AS url
+        |  FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 910000, text,
+        |    'https://mill.example.net/p/' || doc_id::VARCHAR || '?utm_x=1'
+        |    AS url
+        |  FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 920000, text,
+        |    'https://mill.example.net/p/' || doc_id::VARCHAR || '#m' AS url
+        |  FROM documents WHERE doc_id % 20 = 0""".stripMargin
+
   /** The normalizeUrl/hostOf replay chain over a pluggable `urls` CTE
     * body — ends at norm(doc_id, url, nurl, host); extra columns on
     * `urls` (q163's text) stay reachable from `urls` itself.
     */
-  private def urlNormCtes(urlsBody: String): String =
-    s"""WITH urls AS (
+  private def urlNormCtes(urlsBody: String,
+      withPrefix: String = "WITH "): String =
+    s"""${withPrefix}urls AS (
       |  $urlsBody),
       |n1 AS (""".stripMargin +
     """
@@ -1834,6 +1927,101 @@ object PipelineQueries {
     * append their own layout arithmetic: q131+q78 (shards/packs) for
     * q147, q148 (length-bucketed padded batches) for q149.
     */
+  /** Stages 2–3 of the composed-pipeline oracles, shared verbatim by
+    * q147/q149 (curate keep-list) and q166 (curateWeb keep-list): the
+    * q130 shingle/closure/split CTEs restricted to `kept`, then q121's
+    * mix CTEs over train-token shares, ending at `mixr`. Requires `kept`
+    * (the caller's keep-list CTE), `dt` (tokenized base), and the
+    * `documents` table (source lookup) to be in scope.
+    */
+  private val SplitMixSql: String =
+    """ksh AS (
+        |  SELECT dt.doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM dt JOIN kept USING (doc_id)),
+        |ksz AS (SELECT doc_id, count(*) AS n FROM ksh GROUP BY doc_id),
+        |kix AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM ksh a JOIN ksh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |kpairs AS (
+        |  SELECT doc_a, doc_b FROM kix
+        |  JOIN ksz sa ON doc_a = sa.doc_id
+        |  JOIN ksz sb ON doc_b = sb.doc_id
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |kedges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM kpairs
+        |  UNION ALL SELECT doc_b, doc_a FROM kpairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM kedges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN kedges e ON r.t = e.s),
+        |lbl AS (
+        |  SELECT s AS doc_id, least(s, min(t)) AS cluster
+        |  FROM reach GROUP BY s),
+        |train AS (
+        |  SELECT k.doc_id FROM kept k LEFT JOIN lbl l USING (doc_id)
+        |  WHERE ('0x' || substr(md5(coalesce(l.cluster, k.doc_id)::VARCHAR),
+        |    1, 15))::BIGINT % 100 < 90),
+        |tn AS (
+        |  SELECT dt.doc_id, coalesce(d.source, 'src0') AS source,
+        |    len(dt.t)::BIGINT AS n_tokens
+        |  FROM dt JOIN train USING (doc_id)
+        |  LEFT JOIN documents d USING (doc_id)),
+        |perdom AS (
+        |  SELECT source, sum(n_tokens)::BIGINT AS tokens FROM tn
+        |  GROUP BY source),
+        |tot AS (SELECT sum(tokens)::BIGINT AS total FROM perdom),
+        |wt AS (
+        |  SELECT source,
+        |    round(least(
+        |      (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+        |        WHEN 'src2' THEN 0.05 WHEN 'src3' THEN 0.05
+        |        WHEN 'src4' THEN 0.05 WHEN 'src5' THEN 0.05
+        |        WHEN 'src6' THEN 0.05 WHEN 'src7' THEN 0.05
+        |        WHEN 'src8' THEN 0.05 WHEN 'src9' THEN 0.05
+        |        WHEN 'src10' THEN 0.05 WHEN 'src11' THEN 0.05
+        |        ELSE 0.0 END::DOUBLE)
+        |      / (tokens::DOUBLE / total::DOUBLE), 4.0), 6) AS sw
+        |  FROM perdom, tot),
+        |cps AS (
+        |  SELECT tn.doc_id, tn.source, tn.n_tokens,
+        |    (floor(sw)::INT + CASE WHEN
+        |      (('0x' || substr(md5(tn.doc_id::VARCHAR || ':epoch'), 1, 15))
+        |        ::BIGINT % 10000)::DOUBLE < (sw - floor(sw)) * 10000
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM tn JOIN wt USING (source)),
+        |mixr AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    unnest(range(1, copies + 1))::INT AS epoch
+        |  FROM cps WHERE copies > 0),""".stripMargin
+
+  /** q131 + q78's shard/pos/pack arithmetic over `mixr` — q147's layout
+    * suffix, shared with q166.
+    */
+  private val ShardLayoutSql: String =
+    """hh AS (
+      |  SELECT doc_id, source, n_tokens, epoch,
+      |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR),
+      |      1, 15))::BIGINT AS hv
+      |  FROM mixr),
+      |ord AS (
+      |  SELECT doc_id, source, n_tokens, epoch, (hv % 8)::INT AS shard,
+      |    row_number() OVER (PARTITION BY hv % 8
+      |      ORDER BY hv ASC, doc_id ASC, epoch ASC) - 1 AS pos
+      |  FROM hh),
+      |pk AS (
+      |  SELECT doc_id, source, epoch, shard, pos, n_tokens,
+      |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - n_tokens)::BIGINT AS f
+      |  FROM ord)
+      |SELECT doc_id, source, epoch, shard, pos, n_tokens,
+      |  f // 2048 AS pack_id, f % 2048 AS pack_offset
+      |FROM pk""".stripMargin
+
   private val MixPrefixSql: String =
     """WITH RECURSIVE base AS (
         |  SELECT doc_id, text FROM documents
@@ -1960,69 +2148,8 @@ object PipelineQueries {
         |  JOIN gp ON gp.doc_id = fp.doc_id
         |  JOIN q ON q.doc_id = fp.doc_id
         |  JOIN calm ON calm.doc_id = fp.doc_id),
-        |kept AS (SELECT doc_id FROM v WHERE reason IS NULL),
-        |ksh AS (
-        |  SELECT dt.doc_id, unnest(CASE WHEN len(t) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |    ELSE [array_to_string(t, ' ')] END) AS s
-        |  FROM dt JOIN kept USING (doc_id)),
-        |ksz AS (SELECT doc_id, count(*) AS n FROM ksh GROUP BY doc_id),
-        |kix AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM ksh a JOIN ksh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |kpairs AS (
-        |  SELECT doc_a, doc_b FROM kix
-        |  JOIN ksz sa ON doc_a = sa.doc_id
-        |  JOIN ksz sb ON doc_b = sb.doc_id
-        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
-        |kedges AS (
-        |  SELECT doc_a AS s, doc_b AS t FROM kpairs
-        |  UNION ALL SELECT doc_b, doc_a FROM kpairs),
-        |reach(s, t) AS (
-        |  SELECT s, t FROM kedges
-        |  UNION
-        |  SELECT r.s, e.t FROM reach r JOIN kedges e ON r.t = e.s),
-        |lbl AS (
-        |  SELECT s AS doc_id, least(s, min(t)) AS cluster
-        |  FROM reach GROUP BY s),
-        |train AS (
-        |  SELECT k.doc_id FROM kept k LEFT JOIN lbl l USING (doc_id)
-        |  WHERE ('0x' || substr(md5(coalesce(l.cluster, k.doc_id)::VARCHAR),
-        |    1, 15))::BIGINT % 100 < 90),
-        |tn AS (
-        |  SELECT dt.doc_id, coalesce(d.source, 'src0') AS source,
-        |    len(dt.t)::BIGINT AS n_tokens
-        |  FROM dt JOIN train USING (doc_id)
-        |  LEFT JOIN documents d USING (doc_id)),
-        |perdom AS (
-        |  SELECT source, sum(n_tokens)::BIGINT AS tokens FROM tn
-        |  GROUP BY source),
-        |tot AS (SELECT sum(tokens)::BIGINT AS total FROM perdom),
-        |wt AS (
-        |  SELECT source,
-        |    round(least(
-        |      (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
-        |        WHEN 'src2' THEN 0.05 WHEN 'src3' THEN 0.05
-        |        WHEN 'src4' THEN 0.05 WHEN 'src5' THEN 0.05
-        |        WHEN 'src6' THEN 0.05 WHEN 'src7' THEN 0.05
-        |        WHEN 'src8' THEN 0.05 WHEN 'src9' THEN 0.05
-        |        WHEN 'src10' THEN 0.05 WHEN 'src11' THEN 0.05
-        |        ELSE 0.0 END::DOUBLE)
-        |      / (tokens::DOUBLE / total::DOUBLE), 4.0), 6) AS sw
-        |  FROM perdom, tot),
-        |cps AS (
-        |  SELECT tn.doc_id, tn.source, tn.n_tokens,
-        |    (floor(sw)::INT + CASE WHEN
-        |      (('0x' || substr(md5(tn.doc_id::VARCHAR || ':epoch'), 1, 15))
-        |        ::BIGINT % 10000)::DOUBLE < (sw - floor(sw)) * 10000
-        |      THEN 1 ELSE 0 END) AS copies
-        |  FROM tn JOIN wt USING (source)),
-        |mixr AS (
-        |  SELECT doc_id, source, n_tokens,
-        |    unnest(range(1, copies + 1))::INT AS epoch
-        |  FROM cps WHERE copies > 0),""".stripMargin
+        |kept AS (SELECT doc_id FROM v WHERE reason IS NULL),""".stripMargin +
+      "\n" + SplitMixSql
 
   val oracle: Map[String, String] = Map(
     "q30_text_stats" -> (ToksCte +
@@ -3195,6 +3322,47 @@ object PipelineQueries {
         |SELECT doc_id, reason IS NULL AS keep, reason FROM w"""
         .stripMargin),
 
+    // q165 = q163's web verdict chain over the mill fixture with the
+    // spam_host stage between url_duplicate and the content reasons:
+    // ha/spam replay hostReputation's host aggregate (dup_frac > 0.5)
+    // off the SAME per-doc url-dup flags the ud CTE computes.
+    "q165_web_curation_spam" -> (urlNormCtes(WebSpamFixtureSql) + "," +
+      """
+        |sfx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(1, len(string_split(host, '.')) + 1),
+        |      i -> array_to_string(list_slice(string_split(host, '.'),
+        |        i, len(string_split(host, '.'))), '.'))) AS dom
+        |  FROM norm WHERE host IS NOT NULL),
+        |blk AS (SELECT DISTINCT doc_id FROM sfx
+        |  WHERE dom IN ('h7.example.com', 'h13.example.com',
+        |    'example.org')),
+        |ud AS (
+        |  SELECT doc_id, host,
+        |    doc_id <> min(doc_id) OVER (PARTITION BY nurl) AS isdup
+        |  FROM norm),
+        |ha AS (
+        |  SELECT host, count(*) AS hd, sum(isdup::INT) AS hdup
+        |  FROM ud WHERE host IS NOT NULL GROUP BY host),
+        |spam AS (SELECT host FROM ha
+        |  WHERE hdup::DOUBLE / hd::DOUBLE > 0.5),
+        |""".stripMargin +
+      curateCtes("SELECT doc_id, text FROM urls") +
+      """,
+        |w AS (
+        |  SELECT v.doc_id,
+        |    CASE WHEN blk.doc_id IS NOT NULL THEN 'blocked_host'
+        |         WHEN ud.isdup THEN 'url_duplicate'
+        |         WHEN sp.host IS NOT NULL THEN 'spam_host'
+        |         ELSE v.reason END AS reason
+        |  FROM v
+        |  LEFT JOIN blk ON blk.doc_id = v.doc_id
+        |  JOIN ud ON ud.doc_id = v.doc_id
+        |  LEFT JOIN spam sp ON sp.host = ud.host)
+        |SELECT doc_id, reason IS NULL AS keep, reason FROM w"""
+        .stripMargin),
+
 
     // Mirrors deterministicShuffle: 60-bit md5 hash, shard = hash mod 8,
     // pos = 0-based hash-order rank (id tie-break) within the shard.
@@ -4048,26 +4216,49 @@ object PipelineQueries {
     // order → q78's pack arithmetic per shard in pos order. Every block
     // is an already-green oracle, chained; renames only where CTE names
     // would collide (r→calm, pairs→kpairs etc.).
-    "q147_training_pipeline" -> (MixPrefixSql + "\n" +
-      """hh AS (
-        |  SELECT doc_id, source, n_tokens, epoch,
-        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR),
-        |      1, 15))::BIGINT AS hv
-        |  FROM mixr),
-        |ord AS (
-        |  SELECT doc_id, source, n_tokens, epoch, (hv % 8)::INT AS shard,
-        |    row_number() OVER (PARTITION BY hv % 8
-        |      ORDER BY hv ASC, doc_id ASC, epoch ASC) - 1 AS pos
-        |  FROM hh),
-        |pk AS (
-        |  SELECT doc_id, source, epoch, shard, pos, n_tokens,
-        |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      - n_tokens)::BIGINT AS f
-        |  FROM ord)
-        |SELECT doc_id, source, epoch, shard, pos, n_tokens,
-        |  f // 2048 AS pack_id, f % 2048 AS pack_offset
-        |FROM pk""".stripMargin),
+    "q147_training_pipeline" -> (MixPrefixSql + "\n" + ShardLayoutSql),
+
+    // q166 = q165's web verdict CTEs (keep-list = web-kept) chained into
+    // the SAME split/mix + shard-layout CTE suffixes q147 uses — the
+    // crawl front door swaps in, everything downstream is shared.
+    "q166_crawl_shards" -> (urlNormCtes(WebSpamFixtureSql,
+        "WITH RECURSIVE ") + "," +
+      """
+        |sfx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(1, len(string_split(host, '.')) + 1),
+        |      i -> array_to_string(list_slice(string_split(host, '.'),
+        |        i, len(string_split(host, '.'))), '.'))) AS dom
+        |  FROM norm WHERE host IS NOT NULL),
+        |blk AS (SELECT DISTINCT doc_id FROM sfx
+        |  WHERE dom IN ('h7.example.com', 'h13.example.com',
+        |    'example.org')),
+        |ud AS (
+        |  SELECT doc_id, host,
+        |    doc_id <> min(doc_id) OVER (PARTITION BY nurl) AS isdup
+        |  FROM norm),
+        |ha AS (
+        |  SELECT host, count(*) AS hd, sum(isdup::INT) AS hdup
+        |  FROM ud WHERE host IS NOT NULL GROUP BY host),
+        |spam AS (SELECT host FROM ha
+        |  WHERE hdup::DOUBLE / hd::DOUBLE > 0.5),
+        |""".stripMargin +
+      curateCtes("SELECT doc_id, text FROM urls") +
+      """,
+        |w AS (
+        |  SELECT v.doc_id,
+        |    CASE WHEN blk.doc_id IS NOT NULL THEN 'blocked_host'
+        |         WHEN ud.isdup THEN 'url_duplicate'
+        |         WHEN sp.host IS NOT NULL THEN 'spam_host'
+        |         ELSE v.reason END AS reason
+        |  FROM v
+        |  LEFT JOIN blk ON blk.doc_id = v.doc_id
+        |  JOIN ud ON ud.doc_id = v.doc_id
+        |  LEFT JOIN spam sp ON sp.host = ud.host),
+        |kept AS (SELECT doc_id FROM w WHERE reason IS NULL),"""
+        .stripMargin +
+      "\n" + SplitMixSql + "\n" + ShardLayoutSql),
 
     // q149 = the SAME prefix (curate -> leakage-safe split -> mix over
     // the capped-LSH fixture) laid out as q148's padded batches, keyed

@@ -181,4 +181,37 @@ class TrainingPipelineSpec extends SparkSpec {
       assert(nTok == expected(id), s"doc $id n_tokens $nTok")
     }
   }
+
+  test("crawlToShards: URL screens gate the layout; clean docs share the " +
+      "corpusToShards stages verbatim (round 17)") {
+    // crawl frame: every doc gets a unique clean URL; planted rejects —
+    // a blocked-host page, a URL-dup twin of id 1, and a 3-page spam
+    // mill (2/3 dup_frac) — must never reach the layout
+    val clean = docs.withColumn("url",
+      concat(lit("https://ok"), col("doc_id"), lit(".net/p/"),
+        col("doc_id")))
+    val planted = Seq(
+      (201L, "a", body("blk"), "https://evil.com/x"),
+      (202L, "a", body("a1x"), "https://ok1.net/p/1#twin"),
+      (203L, "a", body("m1"), "https://mill.io/s"),
+      (204L, "a", body("m1"), "https://mill.io/s?utm_q=1"),
+      (205L, "a", body("m1"), "https://mill.io/s#f"))
+      .toDF("doc_id", "source", "text", "url")
+    val crawl = clean.unionByName(planted)
+    val web = TrainingPipeline.crawlToShards(crawl,
+      Seq(leaky.take(200)).toDF("text"), Seq("evil.com").toDF("domain"),
+      targets = Map("a" -> 0.7, "b" -> 0.3), shards = 4, budget = 50L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val ids = web.map(_._1).toSet
+    assert(Seq(201L, 202L, 203L, 204L, 205L).forall(!ids.contains(_)),
+      s"URL-screened docs leaked into the layout: ${
+        ids.filter(_ >= 201L)}")
+    // with every planted row URL-rejected and all organic URLs unique,
+    // the layout must equal corpusToShards' over the same organic docs
+    assert(web.sortBy(r => (r._1, r._3)).toSeq ==
+      out.sortBy(r => (r._1, r._3)).toSeq,
+      "crawlToShards must share the split/mix/order/pack stages exactly")
+  }
 }
