@@ -121,14 +121,30 @@ object Urls {
     * broadcast. Per-doc fan-out is the label count; the blocklist ships
     * once per executor.
     */
+  /** The host's label-suffix chain (`www.h7.example.com` → 4 entries
+    * down to `com`) — the registrable-domain membership kernel, shared
+    * by [[hostBlocklistFilter]] and its streaming twin so the two
+    * screens agree by construction. Bounded by label count (≤ ~10),
+    * independent of corpus or blocklist size; null host → null chain.
+    */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
+
+  /** Blocklist-entry normalization, driver-side twin of the Column form
+    * the batch join applies (lowercase, trim, strip one trailing root
+    * dot) — ASCII domain convention.
+    */
+  def normalizeBlocklistEntry(d: String): String =
+    d.trim.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
+
   def hostBlocklistFilter(df: DataFrame, blocklist: DataFrame,
       urlCol: String = "url", idCol: String = "doc_id",
       domainCol: String = "domain"): DataFrame = {
     val hosts = df.select(col(idCol), hostOf(col(urlCol)).as("host"))
-    val labels = split(col("host"), "\\.")
-    val suffixes = transform(
-      sequence(lit(1), size(labels)),
-      i => array_join(slice(labels, i, size(labels)), "."))
+    val suffixes = hostSuffixes(col("host"))
     // The blocklist side normalizes to the document-host convention
     // (lowercased, trimmed, trailing root-dot stripped) — real blocklist
     // feeds carry uppercase entries, padding, and FQDN trailing dots, and

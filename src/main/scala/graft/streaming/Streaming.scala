@@ -152,6 +152,54 @@ object Streaming {
     else fp.dropDuplicates("fp")
   }
 
+  /** Streaming twin of [[graft.operators.Urls.urlDedup]] (round 17 —
+    * with this and the blocklist twin below, the crawl FRONT DOOR has
+    * stream parity like the decontamination classes got in round 16):
+    * first occurrence of each CANONICAL URL passes, refetches under
+    * cosmetic URL variants are suppressed at ingest. The key is the same
+    * Column kernel the batch operator fingerprints with
+    * ([[graft.operators.Urls.urlFingerprint]] — normalizeUrl + md5, null
+    * URLs unique per row, so a null-URL feed is never collapsed) —
+    * value-identical by construction. State disciplines and the
+    * batch-owns-history pairing are exactly [[dedupStream]]'s; state is
+    * one 16-byte key per distinct canonical URL within the watermark.
+    */
+  def urlDedupStream(docs: DataFrame,
+      watermarkDelay: String = "10 minutes", urlCol: String = "url",
+      idCol: String = "doc_id", tsCol: String = "ts",
+      withinWatermark: Boolean = true): DataFrame = {
+    val fp = docs
+      .withColumn("fp",
+        graft.operators.Urls.urlFingerprint(col(urlCol), col(idCol)))
+      .withWatermark(tsCol, watermarkDelay)
+    if (withinWatermark) fp.dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp")
+  }
+
+  /** Streaming twin of [[graft.operators.Urls.hostBlocklistFilter]] —
+    * a stateless pure map, the cheapest possible stream stage: the
+    * blocklist is metadata-sized by contract (~10⁵–10⁶ domains), so it
+    * rides the closure as a normalized literal list and each document's
+    * label-suffix chain ([[graft.operators.Urls.hostSuffixes]], the
+    * SAME kernel the batch join explodes) probes it via `isInCollection`
+    * — which Catalyst plans as an InSet hash probe, ≤ ~10 O(1) lookups
+    * per row, never a loop over the list. No state, no shuffle, no
+    * watermark needed. Entries normalize with the same rules as the
+    * batch join side ([[graft.operators.Urls.normalizeBlocklistEntry]]);
+    * null hosts are never blocked, the batch contract.
+    */
+  def hostBlocklistFilterStream(docs: DataFrame, blocklist: Seq[String],
+      urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    require(blocklist.nonEmpty, "hostBlocklistFilterStream: empty blocklist")
+    val cleaned = blocklist.map(graft.operators.Urls.normalizeBlocklistEntry)
+    docs.select(col(idCol),
+        graft.operators.Urls.hostOf(col(urlCol)).as("host"))
+      .withColumn("blocked", coalesce(
+        exists(graft.operators.Urls.hostSuffixes(col("host")),
+          s => s.isInCollection(cleaned)),
+        lit(false)))
+  }
+
   /** Chunk-granular ingest dedup — [[dedupStream]]'s sub-document twin
     * (streaming [[graft.operators.Dedup.duplicatedChunkStats]]): each
     * document explodes into its `chunkTokens`-token chunk fingerprints

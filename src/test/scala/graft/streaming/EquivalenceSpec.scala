@@ -129,6 +129,76 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("URL dedup: drained streaming twin ≡ batch urlDedup (q156 fixture " +
+      "shape); null urls never collapse") {
+    // organic unique URLs, then cosmetic variants arriving a minute later
+    val base = (1L to 40L).map(i =>
+      (i, s"https://h${i % 7}.example.com/docs/$i?a=1&b=2"))
+    val twins = base.filter(_._1 % 4 == 0).map { case (i, u) =>
+      (i + 1000, u.replace("https://", "HTTPS://")
+        .replace("?a=1&b=2", "?b=2&a=1&utm_s=x") + "#f")
+    }
+    val all = (base ++ twins).toDF("doc_id", "url")
+    val batchKept = graft.operators.Urls.urlDedup(all)
+      .filter(!$"is_dup").select($"doc_id").as[Long].collect().toSet
+    assert(batchKept == base.map(_._1).toSet, "batch: originals win")
+
+    for (withinWatermark <- Seq(false, true)) {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val name = s"equrldedup$withinWatermark"
+      val q = Streaming.urlDedupStream(
+          in.toDF().toDF("ts", "doc_id", "url"),
+          watermarkDelay = "1 hour", withinWatermark = withinWatermark)
+        .select("doc_id")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      in.addData(base.map { case (i, u) => (new Timestamp(t0), i, u) })
+      q.processAllAvailable()
+      in.addData(twins.map { case (i, u) =>
+        (new Timestamp(t0 + 60000L), i, u) })
+      q.processAllAvailable()
+      // null-URL rows are their OWN canonical: all three must survive
+      in.addData(Seq((new Timestamp(t0 + 120000L), 2001L, null: String),
+        (new Timestamp(t0 + 120000L), 2002L, null: String),
+        (new Timestamp(t0 + 120000L), 2003L, null: String)))
+      q.processAllAvailable()
+      q.stop()
+      val streamKept = spark.table(name).as[Long].collect().toSet
+      assert(streamKept == batchKept ++ Set(2001L, 2002L, 2003L),
+        s"withinWatermark=$withinWatermark: kept sets diverge")
+    }
+  }
+
+  test("host blocklist: stateless streaming twin ≡ batch operator, messy " +
+      "entries normalized on both sides") {
+    val docs = Seq(
+      (1L, "https://spam.example.com/x"), (2L, "https://a.b.example.com/x"),
+      (3L, "https://notexample.com/x"), (4L, "https://example.com.evil.io/x"),
+      (5L, "no-scheme"), (6L, "https://sub.dotted.org/y"))
+      .toDF("doc_id", "url")
+    val entries = Seq("  Example.COM  ", "dotted.org.")
+    val batch = graft.operators.Urls.hostBlocklistFilter(docs,
+        entries.toDF("domain"))
+      .as[(Long, Option[String], Boolean)].collect().sortBy(_._1).toSeq
+    assert(batch.map(r => r._1 -> r._3) == Seq(1L -> true, 2L -> true,
+      3L -> false, 4L -> false, 5L -> false, 6L -> true))
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.hostBlocklistFilterStream(
+        in.toDF().toDF("doc_id", "url"), entries)
+      .writeStream.format("memory").queryName("eqblocklist")
+      .outputMode("append").start()
+    in.addData(docs.as[(Long, String)].collect().toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("eqblocklist")
+      .as[(Long, Option[String], Boolean)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch, "stream twin must equal the batch screen")
+  }
+
   test("chunk dedup: drained streaming twin ≡ batch twin (q86 fixture shape)") {
     assume(fixtureExists("documents"))
     val chunkTokens = 20
