@@ -71,10 +71,17 @@ object TrainingPipeline {
       nearDupThreshold: Double = 0.8,
       maxBucket: Int = Int.MaxValue,
       stageDir: Option[String] = None): DataFrame = {
-    val withTok = curatedMix(docs, benchmark, targets, textCol, idCol,
-      domainCol, nearDupThreshold, maxBucket, stageDir)
-    // Stages 4+5 — epoch-keyed order, then pack per shard in pos order;
-    // both windows partition by shard → one exchange
+    shardLayout(curatedMix(docs, benchmark, targets, textCol, idCol,
+      domainCol, nearDupThreshold, maxBucket, stageDir),
+      idCol, domainCol, shards, budget)
+  }
+
+  /** Stages 4+5 — epoch-keyed order, then pack per shard in pos order;
+    * both windows partition by shard → one exchange. Shared verbatim by
+    * [[corpusToShards]] and [[crawlToShards]].
+    */
+  private def shardLayout(withTok: DataFrame, idCol: String,
+      domainCol: String, shards: Int, budget: Long): DataFrame = {
     val ordered = Sampling.epochOrder(withTok, idCol, "epoch", shards)
     Sampling.packSequences(ordered, "n_tokens", budget, Seq("shard"), "pos")
       .select(col(idCol), col(domainCol), col("epoch"), col("shard"),
@@ -170,9 +177,17 @@ object TrainingPipeline {
       bucketWidth: Int = 64, batchSize: Int = 8, shards: Int = 4,
       nearDupThreshold: Double = 0.8,
       maxBucket: Int = Int.MaxValue,
-      stageDir: Option[String] = None): DataFrame = {
-    val withTok = curatedMix(docs, benchmark, targets, textCol, idCol,
-      domainCol, nearDupThreshold, maxBucket, stageDir)
+      stageDir: Option[String] = None): DataFrame =
+    batchLayout(curatedMix(docs, benchmark, targets, textCol, idCol,
+      domainCol, nearDupThreshold, maxBucket, stageDir),
+      idCol, domainCol, bucketWidth, batchSize, shards)
+
+  /** The padded-batch layout stage over a (doc, epoch, n_tokens) mix —
+    * shared verbatim by [[corpusToBatches]] and [[crawlToBatches]].
+    */
+  private def batchLayout(withTok: DataFrame, idCol: String,
+      domainCol: String, bucketWidth: Int, batchSize: Int,
+      shards: Int): DataFrame = {
     val keyed = withTok.withColumn("__bk",
       concat_ws(":", col(idCol).cast("string"), col("epoch").cast("string")))
     Sampling.bucketBatches(keyed, "n_tokens", bucketWidth, batchSize,
@@ -211,11 +226,34 @@ object TrainingPipeline {
         idCol, urlCol, spamMaxDupFrac = spamMaxDupFrac)
       .filter(col("keep")).select(col(idCol))
       .localCheckpoint()
-    val withTok = mixFromKeep(docs, keepIds, targets, textCol, idCol,
-      domainCol, nearDupThreshold, maxBucket, stageDir)
-    val ordered = Sampling.epochOrder(withTok, idCol, "epoch", shards)
-    Sampling.packSequences(ordered, "n_tokens", budget, Seq("shard"), "pos")
-      .select(col(idCol), col(domainCol), col("epoch"), col("shard"),
-        col("pos"), col("n_tokens"), col("pack_id"), col("pack_offset"))
+    shardLayout(mixFromKeep(docs, keepIds, targets, textCol, idCol,
+      domainCol, nearDupThreshold, maxBucket, stageDir),
+      idCol, domainCol, shards, budget)
+  }
+
+  /** [[crawlToShards]]' fine-tuning sibling (round 17): the SAME
+    * web-curated / leakage-safe-split / mixed crawl corpus, laid out as
+    * [[corpusToBatches]]' length-bucketed padded batches. All four
+    * compositions now share their stages pairwise — curation front door
+    * ([[Curation.curate]] vs [[Curation.curateWeb]]) × layout back end
+    * (concat/pack vs padded batches) — through [[mixFromKeep]],
+    * [[shardLayout]], and [[batchLayout]], so none can drift.
+    */
+  def crawlToBatches(docs: DataFrame, benchmark: DataFrame,
+      blocklist: DataFrame, targets: Map[String, Double],
+      textCol: String = "text", idCol: String = "doc_id",
+      urlCol: String = "url", domainCol: String = "source",
+      bucketWidth: Int = 64, batchSize: Int = 8, shards: Int = 4,
+      nearDupThreshold: Double = 0.8,
+      maxBucket: Int = Int.MaxValue,
+      spamMaxDupFrac: Double = 0.5,
+      stageDir: Option[String] = None): DataFrame = {
+    val keepIds = Curation.curateWeb(docs, benchmark, blocklist, textCol,
+        idCol, urlCol, spamMaxDupFrac = spamMaxDupFrac)
+      .filter(col("keep")).select(col(idCol))
+      .localCheckpoint()
+    batchLayout(mixFromKeep(docs, keepIds, targets, textCol, idCol,
+      domainCol, nearDupThreshold, maxBucket, stageDir),
+      idCol, domainCol, bucketWidth, batchSize, shards)
   }
 }

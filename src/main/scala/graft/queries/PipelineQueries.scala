@@ -1324,6 +1324,23 @@ object PipelineQueries {
         webSpamFixture(docs, Seq("source")), bench, block,
         targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
           (2 to 11).map(i => s"src$i" -> 0.05).toMap)
+    }),
+
+    // The fourth corner of the composition matrix (round 17): curateWeb
+    // front door × padded-batch layout, same crawl fixture and targets
+    // as q166 — the chained oracle swaps only the layout suffix.
+    "q168_crawl_batches" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val bench = docs
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select(substring(col("text"), 41, 200).as("text"))
+      val block = Seq("h7.example.com", "h13.example.com", "example.org")
+        .toDF("domain")
+      graft.operators.TrainingPipeline.crawlToBatches(
+        webSpamFixture(docs, Seq("source")), bench, block,
+        targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
+          (2 to 11).map(i => s"src$i" -> 0.05).toMap)
     })
   )
 
@@ -2099,6 +2116,87 @@ object PipelineQueries {
       |SELECT doc_id, source, epoch, shard, pos, n_tokens,
       |  f // 2048 AS pack_id, f % 2048 AS pack_offset
       |FROM pk""".stripMargin
+
+  /** q148's padded-batch arithmetic over `mixr` — q149's layout suffix,
+    * shared with q168.
+    */
+  private val BatchLayoutSql: String =
+    """hb AS (
+      |  SELECT doc_id, source, n_tokens, epoch,
+      |    (n_tokens + 63) // 64 AS bucket,
+      |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR),
+      |      1, 15))::BIGINT AS hv,
+      |    doc_id::VARCHAR || ':' || epoch::VARCHAR AS bk
+      |  FROM mixr WHERE n_tokens IS NOT NULL AND n_tokens >= 0),
+      |rr AS (
+      |  SELECT doc_id, source, n_tokens, epoch, bucket,
+      |    (hv % 4)::INT AS shard,
+      |    row_number() OVER (PARTITION BY bucket, hv % 4
+      |      ORDER BY hv ASC, bk ASC) - 1 AS rn
+      |  FROM hb),
+      |cc AS (
+      |  SELECT doc_id, source, n_tokens, epoch, bucket, shard,
+      |    (rn // 8)::INT AS batch_idx, (rn % 8)::INT AS pos_in_batch
+      |  FROM rr)
+      |SELECT doc_id, source, epoch, n_tokens, bucket, shard, batch_idx,
+      |  pos_in_batch,
+      |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx)
+      |    AS padded_to,
+      |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx)
+      |    - n_tokens AS pad_waste
+      |FROM cc""".stripMargin
+
+  /** The q163/q165 web verdict chain over the `norm` CTE — blocklist
+    * suffix screen, per-doc URL-dup flags, hostReputation's host
+    * aggregate (dup_frac > 0.5 = spam), the q90 content chain, and the
+    * WebReasons precedence fold — ending at w(doc_id, reason). Shared
+    * by q165 (verdict output) and the q166/q168 compositions (keep-list
+    * input).
+    */
+  private lazy val WebVerdictCtes: String =
+    """
+      |sfx AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(
+      |      range(1, len(string_split(host, '.')) + 1),
+      |      i -> array_to_string(list_slice(string_split(host, '.'),
+      |        i, len(string_split(host, '.'))), '.'))) AS dom
+      |  FROM norm WHERE host IS NOT NULL),
+      |blk AS (SELECT DISTINCT doc_id FROM sfx
+      |  WHERE dom IN ('h7.example.com', 'h13.example.com',
+      |    'example.org')),
+      |ud AS (
+      |  SELECT doc_id, host,
+      |    doc_id <> min(doc_id) OVER (PARTITION BY nurl) AS isdup
+      |  FROM norm),
+      |ha AS (
+      |  SELECT host, count(*) AS hd, sum(isdup::INT) AS hdup
+      |  FROM ud WHERE host IS NOT NULL GROUP BY host),
+      |spam AS (SELECT host FROM ha
+      |  WHERE hdup::DOUBLE / hd::DOUBLE > 0.5),
+      |""".stripMargin +
+    curateCtes("SELECT doc_id, text FROM urls") +
+    """,
+      |w AS (
+      |  SELECT v.doc_id,
+      |    CASE WHEN blk.doc_id IS NOT NULL THEN 'blocked_host'
+      |         WHEN ud.isdup THEN 'url_duplicate'
+      |         WHEN sp.host IS NOT NULL THEN 'spam_host'
+      |         ELSE v.reason END AS reason
+      |  FROM v
+      |  LEFT JOIN blk ON blk.doc_id = v.doc_id
+      |  JOIN ud ON ud.doc_id = v.doc_id
+      |  LEFT JOIN spam sp ON sp.host = ud.host)""".stripMargin
+
+  /** Web twin of [[MixPrefixSql]]: the web verdict chain provides the
+    * keep-list, then the SAME split/mix CTEs — shared by q166 (shard
+    * layout) and q168 (batch layout).
+    */
+  private lazy val WebMixPrefixSql: String =
+    urlNormCtes(WebSpamFixtureSql, "WITH RECURSIVE ") + "," +
+      WebVerdictCtes + """,
+      |kept AS (SELECT doc_id FROM w WHERE reason IS NULL),""".stripMargin +
+      "\n" + SplitMixSql
 
   private val MixPrefixSql: String =
     """WITH RECURSIVE base AS (
@@ -3406,42 +3504,9 @@ object PipelineQueries {
     // spam_host stage between url_duplicate and the content reasons:
     // ha/spam replay hostReputation's host aggregate (dup_frac > 0.5)
     // off the SAME per-doc url-dup flags the ud CTE computes.
-    "q165_web_curation_spam" -> (urlNormCtes(WebSpamFixtureSql) + "," +
-      """
-        |sfx AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(
-        |      range(1, len(string_split(host, '.')) + 1),
-        |      i -> array_to_string(list_slice(string_split(host, '.'),
-        |        i, len(string_split(host, '.'))), '.'))) AS dom
-        |  FROM norm WHERE host IS NOT NULL),
-        |blk AS (SELECT DISTINCT doc_id FROM sfx
-        |  WHERE dom IN ('h7.example.com', 'h13.example.com',
-        |    'example.org')),
-        |ud AS (
-        |  SELECT doc_id, host,
-        |    doc_id <> min(doc_id) OVER (PARTITION BY nurl) AS isdup
-        |  FROM norm),
-        |ha AS (
-        |  SELECT host, count(*) AS hd, sum(isdup::INT) AS hdup
-        |  FROM ud WHERE host IS NOT NULL GROUP BY host),
-        |spam AS (SELECT host FROM ha
-        |  WHERE hdup::DOUBLE / hd::DOUBLE > 0.5),
-        |""".stripMargin +
-      curateCtes("SELECT doc_id, text FROM urls") +
-      """,
-        |w AS (
-        |  SELECT v.doc_id,
-        |    CASE WHEN blk.doc_id IS NOT NULL THEN 'blocked_host'
-        |         WHEN ud.isdup THEN 'url_duplicate'
-        |         WHEN sp.host IS NOT NULL THEN 'spam_host'
-        |         ELSE v.reason END AS reason
-        |  FROM v
-        |  LEFT JOIN blk ON blk.doc_id = v.doc_id
-        |  JOIN ud ON ud.doc_id = v.doc_id
-        |  LEFT JOIN spam sp ON sp.host = ud.host)
-        |SELECT doc_id, reason IS NULL AS keep, reason FROM w"""
-        .stripMargin),
+    "q165_web_curation_spam" -> (urlNormCtes(WebSpamFixtureSql,
+        "WITH RECURSIVE ") + "," + WebVerdictCtes +
+      "\nSELECT doc_id, reason IS NULL AS keep, reason FROM w"),
 
 
     // Mirrors deterministicShuffle: 60-bit md5 hash, shard = hash mod 8,
@@ -4301,74 +4366,18 @@ object PipelineQueries {
     // q166 = q165's web verdict CTEs (keep-list = web-kept) chained into
     // the SAME split/mix + shard-layout CTE suffixes q147 uses — the
     // crawl front door swaps in, everything downstream is shared.
-    "q166_crawl_shards" -> (urlNormCtes(WebSpamFixtureSql,
-        "WITH RECURSIVE ") + "," +
-      """
-        |sfx AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(
-        |      range(1, len(string_split(host, '.')) + 1),
-        |      i -> array_to_string(list_slice(string_split(host, '.'),
-        |        i, len(string_split(host, '.'))), '.'))) AS dom
-        |  FROM norm WHERE host IS NOT NULL),
-        |blk AS (SELECT DISTINCT doc_id FROM sfx
-        |  WHERE dom IN ('h7.example.com', 'h13.example.com',
-        |    'example.org')),
-        |ud AS (
-        |  SELECT doc_id, host,
-        |    doc_id <> min(doc_id) OVER (PARTITION BY nurl) AS isdup
-        |  FROM norm),
-        |ha AS (
-        |  SELECT host, count(*) AS hd, sum(isdup::INT) AS hdup
-        |  FROM ud WHERE host IS NOT NULL GROUP BY host),
-        |spam AS (SELECT host FROM ha
-        |  WHERE hdup::DOUBLE / hd::DOUBLE > 0.5),
-        |""".stripMargin +
-      curateCtes("SELECT doc_id, text FROM urls") +
-      """,
-        |w AS (
-        |  SELECT v.doc_id,
-        |    CASE WHEN blk.doc_id IS NOT NULL THEN 'blocked_host'
-        |         WHEN ud.isdup THEN 'url_duplicate'
-        |         WHEN sp.host IS NOT NULL THEN 'spam_host'
-        |         ELSE v.reason END AS reason
-        |  FROM v
-        |  LEFT JOIN blk ON blk.doc_id = v.doc_id
-        |  JOIN ud ON ud.doc_id = v.doc_id
-        |  LEFT JOIN spam sp ON sp.host = ud.host),
-        |kept AS (SELECT doc_id FROM w WHERE reason IS NULL),"""
-        .stripMargin +
-      "\n" + SplitMixSql + "\n" + ShardLayoutSql),
+    "q166_crawl_shards" -> (WebMixPrefixSql + "\n" + ShardLayoutSql),
+
+    // q168 = the same web mix prefix laid out as q149's padded batches —
+    // the fourth corner of the composition matrix (curate|curateWeb ×
+    // pack|batch), every CTE block shared with its three siblings.
+    "q168_crawl_batches" -> (WebMixPrefixSql + "\n" + BatchLayoutSql),
 
     // q149 = the SAME prefix (curate -> leakage-safe split -> mix over
     // the capped-LSH fixture) laid out as q148's padded batches, keyed
     // on the (id:epoch) composite hash - engine-exact integer/window
     // arithmetic, full value oracle.
-    "q149_batch_pipeline" -> (MixPrefixSql + "\n" +
-      """hb AS (
-        |  SELECT doc_id, source, n_tokens, epoch,
-        |    (n_tokens + 63) // 64 AS bucket,
-        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR),
-        |      1, 15))::BIGINT AS hv,
-        |    doc_id::VARCHAR || ':' || epoch::VARCHAR AS bk
-        |  FROM mixr WHERE n_tokens IS NOT NULL AND n_tokens >= 0),
-        |rr AS (
-        |  SELECT doc_id, source, n_tokens, epoch, bucket,
-        |    (hv % 4)::INT AS shard,
-        |    row_number() OVER (PARTITION BY bucket, hv % 4
-        |      ORDER BY hv ASC, bk ASC) - 1 AS rn
-        |  FROM hb),
-        |cc AS (
-        |  SELECT doc_id, source, n_tokens, epoch, bucket, shard,
-        |    (rn // 8)::INT AS batch_idx, (rn % 8)::INT AS pos_in_batch
-        |  FROM rr)
-        |SELECT doc_id, source, epoch, n_tokens, bucket, shard, batch_idx,
-        |  pos_in_batch,
-        |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx)
-        |    AS padded_to,
-        |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx)
-        |    - n_tokens AS pad_waste
-        |FROM cc""".stripMargin),
+    "q149_batch_pipeline" -> (MixPrefixSql + "\n" + BatchLayoutSql),
 
     // q150 = q125's dedup shape with the NFKC-fold kernel: the oracle
     // folds by inverse-translating exactly the planted characters

@@ -213,5 +213,17 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(web.sortBy(r => (r._1, r._3)).toSeq ==
       out.sortBy(r => (r._1, r._3)).toSeq,
       "crawlToShards must share the split/mix/order/pack stages exactly")
+    // ...and the fourth composition corner: crawlToBatches over the same
+    // crawl frame equals corpusToBatches over the clean corpus
+    val webBatches = TrainingPipeline.crawlToBatches(crawl,
+      Seq(leaky.take(200)).toDF("text"), Seq("evil.com").toDF("domain"),
+      targets = Map("a" -> 0.7, "b" -> 0.3))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batches = TrainingPipeline.corpusToBatches(docs,
+      Seq(leaky.take(200)).toDF("text"),
+      targets = Map("a" -> 0.7, "b" -> 0.3))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(webBatches.toSeq == batches.toSeq,
+      "crawlToBatches must share the curated mix + batch stages exactly")
   }
 }
