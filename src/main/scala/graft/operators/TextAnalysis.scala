@@ -481,6 +481,54 @@ object TextAnalysis {
     audit.toSeq.toDF("iter", "w0", "w_stop", "w_alpha", "w_logtok", "w_atl")
   }
 
+  /** Classifier CALIBRATION audit — reliability bins + Brier score, the
+    * third leg of the operating-point toolkit ([[calibrateThresholds]]
+    * tells you WHERE to cut, [[qualityAuc]] whether the score RANKS;
+    * this tells you whether the score's VALUE means what it says — a
+    * keep threshold of "0.8" is only meaningful if ~80% of 0.8-scored
+    * docs are actually good). One row per equal-width score bin:
+    * (bin, n, mean_score, frac_pos, abs_gap = |mean_score − frac_pos|,
+    * brier = mean (score − y)²) — the reliability-diagram table plus
+    * the per-bin Brier; ECE is one weighted sum over the bins.
+    *
+    * Determinism (the q167 discipline): scores quantize to 1e-6-granular
+    * longs per row, so every corpus-wide aggregate is an EXACT integer
+    * sum — mean_score = Σs₆/1e6/n and brier = Σ(s₆ − y·10⁶)²/10¹²/n are
+    * single IEEE divisions of exact integers, engine-identical with no
+    * output rounding needed. (Σ(s₆−y₆)² ≤ 10¹² per row: safe in a long
+    * to ~9·10⁶ rows per bin at the extreme; corpus-scale inputs should
+    * pre-aggregate per (bin, s₆) first — at 10⁶ distinct quantized
+    * scores the histogram bound of [[calibrateThresholds]] applies.)
+    *
+    * Scale shape: one corpus scan, one `bins`-cardinality grouped
+    * aggregate (map-side combined). Rows with a null score or label are
+    * excluded (unlabeled, not negative); scores are clamped into
+    * [0, 1]'s top bin on the right edge (s = 1.0 lands in the last bin).
+    */
+  def reliabilityBins(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val s6 = round(score * lit(1000000.0)).cast("long")
+    val y6 = when(label.cast("boolean"), 1000000L).otherwise(0L)
+    val d = df.where(score.isNotNull && label.isNotNull)
+      .select(s6.as("__s6"), y6.as("__y6"))
+    d.groupBy(least(floor(col("__s6") * bins / lit(1000000.0)),
+        lit(bins - 1)).cast("int").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__s6")).as("__ss"),
+        (sum(col("__y6")) / 1000000L).cast("long").as("__pos"),
+        sum((col("__s6") - col("__y6")) * (col("__s6") - col("__y6")))
+          .as("__sq"))
+      .select(col("bin"), col("n"),
+        (col("__ss").cast("double") / 1000000.0 / col("n"))
+          .as("mean_score"),
+        (col("__pos").cast("double") / col("n")).as("frac_pos"),
+        abs(col("__ss").cast("double") / 1000000.0 / col("n")
+          - col("__pos").cast("double") / col("n")).as("abs_gap"),
+        (col("__sq").cast("double") / 1.0e12 / col("n")).as("brier"))
+  }
+
   /** Classifier-threshold calibration: the precision/recall/F1 sweep a
     * curation stack runs before picking [[qualityLogit]]'s keep
     * threshold. One row per threshold: confusion counts + the derived

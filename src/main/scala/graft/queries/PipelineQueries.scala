@@ -566,6 +566,16 @@ object PipelineQueries {
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         TextAnalysis.qualityScore(col("text")) >= 0.5)),
 
+    // Calibration audit (round 17): is the SHIPPED logit's score value
+    // honest against the rule-battery teacher? Reliability bins + Brier
+    // in exact quantized-long arithmetic — q129 (where to cut) and q132
+    // (does it rank) get their third leg (does 0.8 mean 80%).
+    "q169_reliability_bins" -> ((s, d) =>
+      TextAnalysis.reliabilityBins(
+        Tables.documents(s, d).select(col("text")),
+        TextAnalysis.qualityLogit(col("text")),
+        TextAnalysis.qualityScore(col("text")) >= 0.5)),
+
     // Chunk-level exact dedup over planted partial copies: the planted
     // doc shares exactly its first two 20-token chunks with its source.
     "q86_chunk_dedup" -> ((s, d) =>
@@ -3327,6 +3337,52 @@ object PipelineQueries {
         |FROM fl f JOIN best b USING (cluster)""".stripMargin,
 
     "q167_fit_quality_logit" -> fitLogitOracle(8, 0.5),
+
+    // q169 = q100's z replay quantized to 1e-6 longs, the q32 teacher as
+    // the label, and the per-bin exact-integer aggregates divided once.
+    "q169_reliability_bins" -> (ToksCte +
+      """
+        |, m AS (
+        |  SELECT doc_id, length(text) AS nch, len(toks) AS nt,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+        |      / len(toks) END AS atl,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','for','on','with'],
+        |        x)))::DOUBLE / len(toks) END AS swr,
+        |    CASE WHEN length(text) > 0 THEN
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(text) END AS ar
+        |  FROM t),
+        |z AS (
+        |  SELECT doc_id, nch, nt, atl, swr, ar,
+        |    -4.0 + 6.0 * coalesce(swr, 0) +
+        |    3.0 * coalesce(ar, 0) + 0.3 * ln(1.0 + nt) -
+        |    0.2 * abs(coalesce(atl, 0) - 5.0) AS zz
+        |  FROM m),
+        |q AS (
+        |  SELECT doc_id,
+        |    round((1.0 / (1.0 + exp(-zz))) * 1000000.0)::BIGINT AS s6,
+        |    CASE WHEN 0.25::DOUBLE * (
+        |      coalesce(nch BETWEEN 100 AND 10000, false)::INT +
+        |      coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
+        |      coalesce(swr >= 0.03, false)::INT +
+        |      coalesce(ar >= 0.6, false)::INT) >= 0.5
+        |      THEN 1000000 ELSE 0 END::BIGINT AS y6
+        |  FROM z),
+        |b AS (
+        |  SELECT least(floor((s6 * 10) / 1000000.0), 9)::INT AS bin,
+        |    count(*)::BIGINT AS n, sum(s6)::BIGINT AS ss,
+        |    (sum(y6) / 1000000)::BIGINT AS pos,
+        |    sum((s6 - y6) * (s6 - y6))::BIGINT AS sq
+        |  FROM q GROUP BY 1)
+        |SELECT bin, n,
+        |  ss::DOUBLE / 1000000.0 / n AS mean_score,
+        |  pos::DOUBLE / n AS frac_pos,
+        |  abs(ss::DOUBLE / 1000000.0 / n - pos::DOUBLE / n) AS abs_gap,
+        |  sq::DOUBLE / 1000000000000.0 / n AS brier
+        |FROM b""".stripMargin),
 
     "q39_embed_neardup" ->
       """WITH p AS (

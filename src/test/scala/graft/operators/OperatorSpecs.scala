@@ -173,6 +173,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("reliabilityBins: hand-checked bins, exact gap/brier, right-edge " +
+      "clamp, null exclusion") {
+    val df = Seq(
+      (Option(0.95), Option(true)),   // bin 9
+      (Option(1.0), Option(true)),    // s=1.0 clamps into bin 9
+      (Option(0.85), Option(false)),  // bin 8
+      (Option(0.05), Option(false)),  // bin 0
+      (Option(0.15), Option(true)),   // bin 1
+      (None: Option[Double], Option(true)),      // excluded
+      (Option(0.5), None: Option[Boolean]))      // excluded
+      .toDF("s", "y")
+    val out = TextAnalysis.reliabilityBins(df, $"s", $"y")
+      .orderBy("bin")
+      .as[(Int, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq(0 -> 1L, 1 -> 1L, 8 -> 1L, 9 -> 2L), s"bins/counts: $out")
+    // bin 9: scores (0.95, 1.0), both positive -> mean 0.975, frac 1.0,
+    // gap 0.025, brier = ((0.05)^2 + 0^2)/2 = 0.00125
+    val expect = Seq(
+      (0.05, 0.0, 0.05, 0.0025),
+      (0.15, 1.0, 0.85, 0.7225),
+      (0.85, 0.0, 0.85, 0.7225),
+      (0.975, 1.0, 0.025, 0.00125))
+    out.zip(expect).foreach { case (r, (m, f, g, b)) =>
+      assert(math.abs(r._3 - m) < 1e-12 && math.abs(r._4 - f) < 1e-12 &&
+        math.abs(r._5 - g) < 1e-12 && math.abs(r._6 - b) < 1e-12,
+        s"bin ${r._1}: got $r want ($m,$f,$g,$b)")
+    }
+  }
+
   test("rocAuc: brute-force pair count with ties, groups, degenerate slices") {
     // hand fixture: ties across labels at 0.5, a perfect group, a
     // degenerate (all-positive) group, and null rows to exclude
