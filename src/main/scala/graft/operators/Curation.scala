@@ -64,6 +64,70 @@ object Curation {
       .select(col(idCol), reason.isNull.as("keep"), reason.as("reason"))
   }
 
+  /** Curation with span EXCISION instead of drop (round 17) — the
+    * published remedy for verbatim benchmark leaks (the C4/FineWeb
+    * line-removal idea at span granularity): a document whose ONLY
+    * failing screen is `contaminated` keeps its 99%-original text with
+    * the leaked run cut out, instead of being thrown away wholesale.
+    *
+    * Semantics, two [[curate]] passes around a surgical middle:
+    *  1. first verdict over the raw corpus;
+    *  2. docs whose reason is EXACTLY `contaminated` (any stricter
+    *     reason still rejects) get their shared spans localized
+    *     ([[Decontaminate.spanDecontaminate]] — winnow fingerprints, so
+    *     only runs the span screen can actually find) and excised
+    *     ([[Decontaminate.exciseSpans]] — interval-merged stitch);
+    *  3. the verdict RECOMPUTES over the patched corpus. Re-curation is
+    *     deliberate and total: excision changes fingerprints (a patched
+    *     canonical splits from its verbatim twins), can leave residual
+    *     shingle overlap (a sub-`minSpanChars` leak the span screen
+    *     refuses to report — the doc stays `contaminated`), and can
+    *     gut a short doc below the gopher/quality floors (`gopher` /
+    *     `low_quality` — cutting the leak is not a free pass). A doc is
+    *     RESCUED only if its patched text survives the full battery.
+    *
+    * Output one row per document: (idCol, keep, reason — the second
+    * verdict — excised = the doc went through the excision stage (pass-1
+    * `contaminated`; n_excised_chars = 0 when the span screen could not
+    * localize anything to cut), n_excised_chars, textCol = the text the
+    * verdict was rendered on: patched for excised docs, original
+    * otherwise).
+    *
+    * Scale shape: two [[curate]] passes (each one corpus scan + the
+    * 16-byte-key shuffles); the span/excise middle touches ONLY the
+    * contamination-sized subset (left_semi on the first verdict's
+    * contaminated ids, localCheckpointed — id-width), and the patch
+    * join-back is id-keyed. Document text shuffles nowhere.
+    */
+  def curateAndExcise(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      benchIdCol: String = "bench_id",
+      minQuality: Double = 0.5, maxTopWordFrac: Double = 0.5,
+      shingleTokens: Int = 8, minSpanChars: Int = 64,
+      maxGapGrams: Int = 16): DataFrame = {
+    val first = curate(docs, benchmark, textCol, idCol, minQuality,
+      maxTopWordFrac, shingleTokens)
+    val contIds = first.filter(col("reason") === "contaminated")
+      .select(col(idCol)).localCheckpoint()
+    val contDocs = docs.join(contIds, Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol))
+    val spans = Decontaminate.spanDecontaminate(contDocs, benchmark,
+      textCol, idCol, benchIdCol, minSpanChars, maxGapGrams)
+    val excised = Decontaminate.exciseSpans(contDocs, spans, textCol, idCol)
+    val patched = docs.select(col(idCol), col(textCol))
+      .join(excised.select(col(idCol), col(textCol).as("__ex"),
+        col("n_excised_chars")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ex"), col(textCol)).as(textCol),
+        col("__ex").isNotNull.as("excised"),
+        coalesce(col("n_excised_chars"), lit(0)).as("n_excised_chars"))
+    val second = curate(patched, benchmark, textCol, idCol, minQuality,
+      maxTopWordFrac, shingleTokens)
+    patched.join(second, Seq(idCol))
+      .select(col(idCol), col("keep"), col("reason"), col("excised"),
+        col("n_excised_chars"), col(textCol))
+  }
+
   /** [[WebReasons]] — [[curateWeb]]'s precedence: the URL stages come
     * FIRST because they are the cheap screens a crawl pipeline runs
     * before touching content — `blocked_host` (policy: the host is on

@@ -1240,6 +1240,17 @@ object PipelineQueries {
         Decontaminate.spanDecontaminate(docs, spanBenchFixture(docs)))
     }),
 
+    // Curation with span excision instead of drop (round 17): pass-1
+    // contaminated docs get their leaked runs cut and the verdict
+    // recomputes over the patched corpus — rescue only if the patched
+    // text survives the FULL battery (residual shingles, fingerprint
+    // splits, and gutted-below-the-floors docs all stay rejected).
+    // Output carries the patched text, so the oracle is string-exact.
+    "q170_curate_excise" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.operators.Curation.curateAndExcise(docs, spanBenchFixture(docs))
+    }),
+
     // The composed decontamination REPORT: one benchmark carrying BOTH
     // leak classes — offset-shifted excerpts (+1000000, every 22nd long
     // doc) and one-token-edited near-copies (+2000000, every 25th) —
@@ -1819,6 +1830,133 @@ object PipelineQueries {
         |  JOIN gp ON gp.doc_id = fp.doc_id
         |  JOIN q ON q.doc_id = fp.doc_id
         |  JOIN r ON r.doc_id = fp.doc_id)""".stripMargin
+
+  /** [[curateCtes]] with PREFIXED CTE names and a pluggable benchmark
+    * tokenizer body — q170 runs the chain TWICE in one statement (first
+    * verdict over raw text, second over the excision-patched corpus),
+    * so the two instances need disjoint names. Kept separate from
+    * [[curateCtes]] so the long-green q90/q163/q165-family oracles stay
+    * byte-identical; the chains are the same SQL modulo names and the
+    * bench tokenizer.
+    */
+  private def curateCtesPrefixed(p: String, baseBody: String,
+      btBody: String): String =
+    raw"""${p}base AS (
+      |  $baseBody),
+      |${p}fp AS (
+      |  SELECT doc_id,
+      |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+      |  FROM ${p}base),
+      |${p}canon AS (SELECT f, min(doc_id) AS canon FROM ${p}fp
+      |  GROUP BY f),
+      |${p}bt AS (
+      |  $btBody),
+      |${p}bg AS (
+      |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 8 THEN
+      |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+      |        array_to_string(list_slice(t, i, i + 7), ' ')))
+      |    ELSE [array_to_string(t, ' ')] END) AS g
+      |  FROM ${p}bt),
+      |${p}dt AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM ${p}base),
+      |${p}dg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+      |      list_distinct(list_transform(range(1, len(t) - 6), i ->
+      |        array_to_string(list_slice(t, i, i + 7), ' ')))
+      |    ELSE [array_to_string(t, ' ')] END) AS g
+      |  FROM ${p}dt),
+      |${p}hit AS (SELECT DISTINCT doc_id FROM ${p}dg
+      |  JOIN ${p}bg USING (g)),
+      |${p}lt AS (
+      |  SELECT doc_id, lower(text) AS lt,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '') AS tk
+      |  FROM ${p}base),
+      |${p}gs AS (
+      |  SELECT doc_id, len(tk) AS n,
+      |    coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+      |      AS chars,
+      |    len(list_filter(tk, x -> list_contains(
+      |      ['the','be','to','of','and','that','have','with'], x)))
+      |      AS stops,
+      |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+      |      AS alpha,
+      |    length(lt) - length(replace(lt, '#', ''))
+      |      + len(regexp_extract_all(lt, '\.{3}')) AS sym,
+      |    len(string_split(lt, chr(10))) AS nl,
+      |    len(regexp_extract_all(lt, '(?m)^[ \t]*[•‣▪*-]')) AS bl,
+      |    len(regexp_extract_all(lt, '(?m)(\.\.\.|…)[ \t]*$$')) AS el
+      |  FROM ${p}lt),
+      |${p}gp AS (
+      |  SELECT doc_id,
+      |    (n >= 50 AND n <= 100000)
+      |    AND coalesce(CASE WHEN n > 0 THEN chars::DOUBLE / n >= 3.0
+      |      AND chars::DOUBLE / n <= 10.0 END, FALSE)
+      |    AND coalesce(CASE WHEN n > 0 THEN sym::DOUBLE / n <= 0.1 END,
+      |      FALSE)
+      |    AND coalesce(CASE WHEN n > 0 THEN alpha::DOUBLE / n >= 0.8 END,
+      |      FALSE)
+      |    AND stops >= 2
+      |    AND bl::DOUBLE / nl <= 0.9
+      |    AND el::DOUBLE / nl <= 0.3 AS pass
+      |  FROM ${p}gs),
+      |${p}qm AS (
+      |  SELECT doc_id, length(text) AS nch,
+      |    CASE WHEN len(t) > 0 THEN
+      |      list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+      |      END AS atl,
+      |    CASE WHEN len(t) > 0 THEN
+      |      len(list_filter(t, x -> list_contains(
+      |        ['the','a','an','and','of','to','in','is','for','on','with'],
+      |        x)))::DOUBLE / len(t) END AS swr,
+      |    CASE WHEN length(text) > 0 THEN
+      |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+      |      / length(text) END AS ar
+      |  FROM ${p}base JOIN ${p}dt USING (doc_id)),
+      |${p}q AS (
+      |  SELECT doc_id, 0.25::DOUBLE * (
+      |    coalesce(nch BETWEEN 100 AND 10000, false)::INT +
+      |    coalesce(atl >= 3.0 AND atl <= 10.0, false)::INT +
+      |    coalesce(swr >= 0.03, false)::INT +
+      |    coalesce(ar >= 0.6, false)::INT) AS quality
+      |  FROM ${p}qm),
+      |${p}tc AS (
+      |  SELECT doc_id, tok, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(t) AS tok FROM ${p}dt)
+      |  GROUP BY 1, 2),
+      |${p}tm AS (SELECT doc_id, max(cnt) AS mx FROM ${p}tc GROUP BY 1),
+      |${p}r AS (
+      |  SELECT ${p}dt.doc_id,
+      |    coalesce(CASE WHEN len(${p}dt.t) > 0 THEN
+      |      ${p}tm.mx::DOUBLE / len(${p}dt.t) <= 0.5 END, FALSE) AS calm
+      |  FROM ${p}dt LEFT JOIN ${p}tm USING (doc_id)),
+      |${p}v AS (
+      |  SELECT ${p}fp.doc_id,
+      |    CASE WHEN ${p}fp.doc_id <> ${p}canon.canon THEN 'duplicate'
+      |         WHEN ${p}hit.doc_id IS NOT NULL THEN 'contaminated'
+      |         WHEN NOT ${p}gp.pass THEN 'gopher'
+      |         WHEN ${p}q.quality < 0.5 THEN 'low_quality'
+      |         WHEN NOT ${p}r.calm THEN 'repetitive'
+      |    END AS reason
+      |  FROM ${p}fp JOIN ${p}canon USING (f)
+      |  LEFT JOIN ${p}hit ON ${p}hit.doc_id = ${p}fp.doc_id
+      |  JOIN ${p}gp ON ${p}gp.doc_id = ${p}fp.doc_id
+      |  JOIN ${p}q ON ${p}q.doc_id = ${p}fp.doc_id
+      |  JOIN ${p}r ON ${p}r.doc_id = ${p}fp.doc_id)""".stripMargin
+
+  /** q170's benchmark tokenizer body — the spanBenchFixture texts
+    * ('zq ' + offset excerpt of every 22nd long doc), tokenized for the
+    * 8-shingle contamination screen: the SAME benchmark drives both the
+    * shingle flag and the span localization, so excision provably
+    * removes what the flag fired on.
+    */
+  private val SpanBenchBtBody: String =
+    raw"""SELECT list_filter(string_split_regex(
+      |    'zq ' || substr(text, 31, 220), '\s+'), x -> x <> '') AS t
+      |  FROM documents WHERE doc_id % 22 = 0 AND length(text) >= 300"""
+      .stripMargin
 
   /** The urlFixture SQL twins, parameterized over the projected columns
     * (q156/q157/q160 need (doc_id, url); q163 carries text through).
@@ -4679,6 +4817,65 @@ object PipelineQueries {
         |       ELSE p.head || substr(d.text, p.laste) END AS text,
         |  coalesce(p.cut, 0) AS n_excised_chars
         |FROM documents d LEFT JOIN parts p ON p.doc_id = d.doc_id"""
+        .stripMargin),
+
+    // q170 = SpanDecontCte (span localization) + the curate chain run
+    // TWICE via curateCtesPrefixed (a_ = raw corpus, b_ = patched) with
+    // q159's interval-merge/stitch in between, restricted to the pass-1
+    // contaminated set; the bench tokenizer is the span fixture on both
+    // passes so excision provably targets what the flag fired on.
+    "q170_curate_excise" -> (SpanDecontCte + ",\n" +
+      curateCtesPrefixed("a_", "SELECT doc_id, text FROM documents",
+        SpanBenchBtBody) + ",\n" +
+      """cont AS (SELECT doc_id FROM a_v WHERE reason = 'contaminated'),
+        |sp2 AS (
+        |  SELECT sp.* FROM sp JOIN cont USING (doc_id)
+        |  WHERE span_chars >= 64),
+        |iv AS (
+        |  SELECT doc_id, doc_start AS s, doc_start + span_chars AS e
+        |  FROM sp2),
+        |mk AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s <= max(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) THEN 0 ELSE 1 END AS brk
+        |  FROM iv),
+        |gi AS (
+        |  SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid2
+        |  FROM mk),
+        |mrg AS (SELECT doc_id, min(s) AS s, max(e) AS e
+        |  FROM gi GROUP BY doc_id, gid2),
+        |seg AS (
+        |  SELECT doc_id, s, e,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+        |      AS frm
+        |  FROM mrg),
+        |parts AS (
+        |  SELECT seg.doc_id,
+        |    string_agg(substr(d.text, seg.frm::INT,
+        |      (seg.s - seg.frm)::INT), '' ORDER BY seg.s) AS head,
+        |    max(seg.e)::INT AS laste,
+        |    sum(seg.e - seg.s)::INT AS cut
+        |  FROM seg JOIN documents d ON d.doc_id = seg.doc_id
+        |  GROUP BY seg.doc_id),
+        |patched AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN p.doc_id IS NULL THEN d.text
+        |         ELSE p.head || substr(d.text, p.laste) END AS text,
+        |    ct.doc_id IS NOT NULL AS excised,
+        |    coalesce(p.cut, 0) AS n_excised_chars
+        |  FROM documents d
+        |  LEFT JOIN cont ct ON ct.doc_id = d.doc_id
+        |  LEFT JOIN parts p ON p.doc_id = d.doc_id),
+        |""".stripMargin +
+      curateCtesPrefixed("b_", "SELECT doc_id, text FROM patched",
+        SpanBenchBtBody) +
+      """
+        |SELECT p.doc_id, bv.reason IS NULL AS keep, bv.reason,
+        |  p.excised, p.n_excised_chars, p.text
+        |FROM patched p JOIN b_v bv ON bv.doc_id = p.doc_id"""
         .stripMargin),
 
     // q156/q157 = the urlFixture strings regenerated from doc_id

@@ -647,6 +647,45 @@ class CurationSpec extends SparkSpec {
     assert(out(1) == ((2L, false, Some("duplicate"))))
   }
 
+  test("curateAndExcise: leak cut and doc rescued; gutted doc re-rejected " +
+      "as gopher; unlocalizable contamination stays rejected") {
+    val good = (1 to 60).map(i => s"the word$i").mkString(" ")
+    val good2 = (1 to 60).map(i => s"the item$i").mkString(" ")
+    val good3 = (1 to 60).map(i => s"the thing$i").mkString(" ")
+    val leak = (1 to 20).map(i => s"zqleak$i").mkString(" ")
+    // 35 tokens (stopword-laced so gopher's stop check passes on the
+    // FIRST pass) + the 20-token leak = 55 >= 50; after excision ~35
+    val short35 = (1 to 35)
+      .map(i => if (i % 2 == 0) "the" else s"w2x$i").mkString(" ")
+    val docs = Seq(
+      (1L, good + " " + leak),              // leak cut -> RESCUED
+      (2L, short35 + " " + leak),           // cut guts it under 50 tokens
+      (3L, good2 + " a b c d e f g h"),     // 8-token/15-char leak: the
+                                            // shingle screen fires, the
+                                            // 16-char-gram span screen
+                                            // CANNOT localize -> stays
+      (4L, good3))                          // clean control
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, leak), (11L, "a b c d e f g h"))
+      .toDF("bench_id", "text")
+    val out = Curation.curateAndExcise(docs, bench)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)), r.getBoolean(3),
+          r.getInt(4), r.getString(5)))).toMap
+    val (k1, r1, e1, n1, t1) = out(1L)
+    assert(k1 && r1.isEmpty && e1 && n1 > 100, s"doc 1 rescued: ${out(1L)}")
+    assert(!t1.contains("zqleak5") && t1.contains("word60"),
+      "doc 1: leak gone, original text intact")
+    val (k2, r2, e2, n2, _) = out(2L)
+    assert(!k2 && r2.contains("gopher") && e2 && n2 > 100,
+      s"doc 2 gutted below the token floor: ${out(2L)}")
+    val (k3, r3, e3, n3, t3) = out(3L)
+    assert(!k3 && r3.contains("contaminated") && e3 && n3 == 0 &&
+      t3 == good2 + " a b c d e f g h",
+      s"doc 3: unlocalizable leak survives the span screen: ${out(3L)}")
+    assert(out(4L) == ((true, None, false, 0, good3)), s"doc 4: ${out(4L)}")
+  }
+
   test("curateWeb: URL stages precede content stages in exactly WebReasons order") {
     val good = (1 to 60).map(i => s"the word$i").mkString(" ")
     val docs = Seq(
