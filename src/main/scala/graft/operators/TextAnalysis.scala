@@ -739,6 +739,53 @@ object TextAnalysis {
       (minSentences && noLorem && noBrace).as("pass"))
   }
 
+  /** Intra-document line dedup (round 17) — the boilerplate remedy C4's
+    * line rules don't cover: navigation menus, cookie banners, and
+    * footers repeat VERBATIM inside one page (header + footer renders,
+    * templated sections), and the cross-corpus dedup classes can't touch
+    * them because the page as a whole is unique. Keep the FIRST
+    * occurrence of each line per document (keyed on the
+    * whitespace/case-normalized line — cosmetic re-indents of one menu
+    * are one line), drop the repeats, stitch with the original newlines.
+    * Blank/whitespace-only lines are ALWAYS kept: they are structure
+    * (paragraph separators), not content, and collapsing them would
+    * reflow every document.
+    *
+    * Returns (idCol, textCol — deduped, n_lines, n_dropped).
+    *
+    * Shape: a per-row fold over the `\n` split — per-document
+    * independent work, no shuffle, scan speed. The fold carries the
+    * seen-key array, so it is O(lines²) per document interpreted — the
+    * [[c4Filter]]/exciseSpans end of the HOF trade, acceptable because
+    * line counts are tens-to-hundreds; a corpus of megaline documents
+    * would want the explode → (doc, key) min-position window →
+    * re-aggregate form instead (same semantics, one shuffle).
+    */
+  def dedupDocLines(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val norm = (l: Column) => lower(regexp_replace(trim(l), "\\s+", " "))
+    val folded = aggregate(
+      lines,
+      struct(slice(lines, 1, 0).as("out"),
+        slice(lines, 1, 0).as("seen")),
+      (acc, x) => {
+        val k = norm(x)
+        val out = acc.getField("out")
+        val seen = acc.getField("seen")
+        when(k === "", struct(concat(out, array(x)).as("out"),
+          seen.as("seen")))
+          .when(array_contains(seen, k), acc)
+          .otherwise(struct(concat(out, array(x)).as("out"),
+            concat(seen, array(k)).as("seen")))
+      },
+      acc => acc.getField("out"))
+    df.select(col(idCol),
+      array_join(folded, "\n").as(textCol),
+      size(lines).as("n_lines"),
+      (size(lines) - size(folded)).as("n_dropped"))
+  }
+
   /** Unigram-LM perplexity scoring — the shape of CCNet's LM quality
     * filter (Wenzek et al. 2020: score each document by a language
     * model's perplexity, keep the low-perplexity head), with the

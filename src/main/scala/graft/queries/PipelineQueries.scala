@@ -1240,6 +1240,21 @@ object PipelineQueries {
         Decontaminate.spanDecontaminate(docs, spanBenchFixture(docs)))
     }),
 
+    // Intra-document line dedup (round 17): planted pages carry a nav
+    // menu three times (once re-indented — the normalization must merge
+    // it) and a footer twice; first occurrences survive, repeats drop,
+    // stitch string-exact. Organic docs pass through untouched.
+    "q171_line_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val nav = lit("Home | About | Contact | Privacy | Terms")
+      val foot = lit("Copyright 2024 Example Site All Rights Reserved")
+      val planted = docs.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 950000).as("doc_id"),
+          concat(nav, lit("\n"), col("text"), lit("\n"), nav,
+            lit("\n  "), nav, lit("\n"), foot, lit("\n"), foot).as("text"))
+      TextAnalysis.dedupDocLines(docs.unionByName(planted))
+    }),
+
     // Curation with span excision instead of drop (round 17): pass-1
     // contaminated docs get their leaked runs cut and the verdict
     // recomputes over the patched corpus — rescue only if the patched
@@ -4818,6 +4833,52 @@ object PipelineQueries {
         |  coalesce(p.cut, 0) AS n_excised_chars
         |FROM documents d LEFT JOIN parts p ON p.doc_id = d.doc_id"""
         .stripMargin),
+
+    // q171 = the keep-first-per-normalized-key semantics as a
+    // min-ordinal window over the exploded lines (the declarative twin
+    // of the Spark side's per-row fold — same semantics, different
+    // mechanics, so the gate is implementation-independent).
+    "q171_line_dedup" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 950000,
+        |    'Home | About | Contact | Privacy | Terms' || chr(10) ||
+        |    text || chr(10) ||
+        |    'Home | About | Contact | Privacy | Terms' || chr(10) ||
+        |    '  ' || 'Home | About | Contact | Privacy | Terms' ||
+        |    chr(10) ||
+        |    'Copyright 2024 Example Site All Rights Reserved' ||
+        |    chr(10) ||
+        |    'Copyright 2024 Example Site All Rights Reserved'
+        |  FROM documents WHERE doc_id % 30 = 0),
+        |l AS (
+        |  SELECT doc_id, generate_subscripts(ls, 1) AS ord,
+        |    unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |        FROM base)),
+        |k AS (
+        |  SELECT doc_id, ord, line,
+        |    lower(regexp_replace(trim(line), '\s+', ' ', 'g')) AS key
+        |  FROM l),
+        |kept AS (
+        |  SELECT doc_id, ord, line FROM (
+        |    SELECT doc_id, ord, line, key,
+        |      min(ord) OVER (PARTITION BY doc_id, key) AS mo
+        |    FROM k) WHERE key = '' OR ord = mo),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY ord) AS text,
+        |    count(*)::BIGINT AS kept_n
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, len(string_split(text, chr(10)))::BIGINT
+        |    AS n_lines
+        |  FROM base)
+        |SELECT b.doc_id, a.text, t.n_lines::INT AS n_lines,
+        |  (t.n_lines - a.kept_n)::INT AS n_dropped
+        |FROM base b JOIN agg a USING (doc_id) JOIN tot t USING (doc_id)"""
+        .stripMargin,
 
     // q170 = SpanDecontCte (span localization) + the curate chain run
     // TWICE via curateCtesPrefixed (a_ = raw corpus, b_ = patched) with

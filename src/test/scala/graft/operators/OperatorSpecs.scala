@@ -173,6 +173,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dedupDocLines: normalized repeats drop, blanks always survive, " +
+      "first occurrence keeps its original rendering") {
+    val doc = "Menu A\nbody one\n\n  menu   a\nbody two\n\nMenu A\nfooter"
+    val out = TextAnalysis.dedupDocLines(Seq((1L, doc)).toDF("doc_id", "text"))
+      .as[(Long, String, Int, Int)].collect().head
+    // lines 4 ("  menu   a" — re-indented, multi-space) and 7 ("Menu A")
+    // normalize to line 1's key and drop; both blank lines survive
+    assert(out == ((1L, "Menu A\nbody one\n\nbody two\n\nfooter", 8, 2)),
+      s"got $out")
+    val clean = TextAnalysis.dedupDocLines(
+      Seq((2L, "a\nb\nc")).toDF("doc_id", "text"))
+      .as[(Long, String, Int, Int)].collect().head
+    assert(clean == ((2L, "a\nb\nc", 3, 0)))
+  }
+
   test("reliabilityBins: hand-checked bins, exact gap/brier, right-edge " +
       "clamp, null exclusion") {
     val df = Seq(
@@ -645,6 +660,20 @@ class CurationSpec extends SparkSpec {
     // both are contaminated; only the non-canonical reports duplicate
     assert(out(0) == ((1L, false, Some("contaminated"))))
     assert(out(1) == ((2L, false, Some("duplicate"))))
+  }
+
+  test("curateWeb plan: no cartesian product anywhere; the blocklist " +
+      "rides a broadcast") {
+    val good = (1 to 60).map(i => s"the word$i").mkString(" ")
+    val docs = Seq((1L, good, "https://ok.com/a"),
+      (2L, good + " x", "https://ok.com/b")).toDF("doc_id", "text", "url")
+    val plan = Curation.curateWeb(docs,
+        Seq("nothing here").toDF("text"), Seq("bad.com").toDF("domain"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "the web verdict must never plan a cartesian join")
+    assert(plan.contains("BroadcastExchange"),
+      "the blocklist must ship as a broadcast, not a shuffle side")
   }
 
   test("curateAndExcise: leak cut and doc rescued; gutted doc re-rejected " +
