@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,45 @@ object Curation {
       .when(!col("__calm"), "repetitive")
     withCanon.join(hits, Seq(idCol), "left")
       .select(col(idCol), reason.isNull.as("keep"), reason.as("reason"))
+  }
+
+  /** Per-HOST web-curation report (round 17) — the crawl-ops dashboard
+    * artifact on top of [[curateWeb]]: the frontier team doesn't read
+    * per-page verdicts, it reads "which HOSTS are wasting our crawl
+    * budget and why" — so the verdicts aggregate by host with the
+    * reason mix attributed. One row per host (null host = the
+    * unparseable-URL bucket, reported, never silently dropped):
+    * (host, docs, kept, n_blocked_host, n_url_duplicate, n_spam_host,
+    * n_content — any content-stage reason — keep_frac).
+    *
+    * Scale shape: [[curateWeb]]'s own (its scaladoc applies), plus one
+    * id-keyed projection join to re-attach hosts and ONE
+    * host-cardinality aggregate (map-side combined — hosts number tens
+    * of millions at web scale, far below page count). All counts are
+    * exact integers; `keep_frac` is one int/int double division,
+    * engine-identical.
+    */
+  def webCurationReport(docs: DataFrame, benchmark: DataFrame,
+      blocklist: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", urlCol: String = "url",
+      minQuality: Double = 0.5, maxTopWordFrac: Double = 0.5,
+      shingleTokens: Int = 8, spamMaxDupFrac: Double = 0.5): DataFrame = {
+    val verdicts = curateWeb(docs, benchmark, blocklist, textCol, idCol,
+      urlCol, minQuality, maxTopWordFrac, shingleTokens, spamMaxDupFrac)
+    val hosts = docs.select(col(idCol), Urls.hostOf(col(urlCol)).as("host"))
+    def n(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+    verdicts.join(hosts, Seq(idCol))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("docs"),
+        n(col("keep")).as("kept"),
+        n(col("reason") === "blocked_host").as("n_blocked_host"),
+        n(col("reason") === "url_duplicate").as("n_url_duplicate"),
+        n(col("reason") === "spam_host").as("n_spam_host"),
+        n(!col("keep") && !col("reason").isin(
+          "blocked_host", "url_duplicate", "spam_host")).as("n_content"))
+      .withColumn("keep_frac",
+        col("kept").cast("double") / col("docs").cast("double"))
   }
 
   /** Curation with span EXCISION instead of drop (round 17) — the

@@ -1341,6 +1341,22 @@ object PipelineQueries {
       graft.operators.Curation.curateWeb(webSpamFixture(docs), bench, block)
     }),
 
+    // Per-host crawl-ops report (round 17): q165's verdicts aggregated
+    // by host with the reason mix attributed — the mill host must show
+    // 1/3 spam_host + 2/3 url_duplicate and keep_frac 0, blocked hosts
+    // all-blocked, the null-host bucket reported (none in this fixture).
+    "q172_web_curation_report" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val bench = docs
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select(substring(col("text"), 41, 200).as("text"))
+      val block = Seq("h7.example.com", "h13.example.com", "example.org")
+        .toDF("domain")
+      graft.operators.Curation.webCurationReport(webSpamFixture(docs),
+        bench, block)
+    }),
+
     // The CRAWL→training-shards composition (VERDICT r16 #5): curateWeb
     // (q165's full verdict chain — blocklist, URL dedup, spam host,
     // content stages) in front of corpusToShards' split/mix/order/pack
@@ -4571,6 +4587,28 @@ object PipelineQueries {
     // is an already-green oracle, chained; renames only where CTE names
     // would collide (r→calm, pairs→kpairs etc.).
     "q147_training_pipeline" -> (MixPrefixSql + "\n" + ShardLayoutSql),
+
+    // q172 = q165's verdict chain grouped by host with exact counts.
+    "q172_web_curation_report" -> (urlNormCtes(WebSpamFixtureSql,
+        "WITH RECURSIVE ") + "," + WebVerdictCtes +
+      """,
+        |hv AS (
+        |  SELECT n.host, w.reason
+        |  FROM w JOIN norm n ON n.doc_id = w.doc_id)
+        |SELECT host, count(*)::BIGINT AS docs,
+        |  sum(CASE WHEN reason IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept,
+        |  sum(CASE WHEN reason = 'blocked_host' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_blocked_host,
+        |  sum(CASE WHEN reason = 'url_duplicate' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_url_duplicate,
+        |  sum(CASE WHEN reason = 'spam_host' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_spam_host,
+        |  sum(CASE WHEN reason IS NOT NULL AND reason NOT IN
+        |    ('blocked_host', 'url_duplicate', 'spam_host')
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_content,
+        |  sum(CASE WHEN reason IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE AS keep_frac
+        |FROM hv GROUP BY host""".stripMargin),
 
     // q166 = q165's web verdict CTEs (keep-list = web-kept) chained into
     // the SAME split/mix + shard-layout CTE suffixes q147 uses — the

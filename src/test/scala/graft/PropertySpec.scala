@@ -182,6 +182,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: normalizeUrl is IDEMPOTENT and host-preserving over " +
+      "generated URL shapes (a canonical form must be a fixed point)") {
+    val gUrl = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "https", "ftp", "")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.COM", "h7.example.com", "a.b.C.io")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/Docs/X", "/p/1/", "/a/b")
+      params <- Gen.someOf(Seq("b=2", "a=1", "utm_source=x", "ref",
+        "gclid=9", "z="))
+      frag <- Gen.oneOf("", "#f", "#frag/with/slash")
+      sep = if (scheme.isEmpty) "" else "://"
+    } yield {
+      val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      s"$scheme$sep$www$host$port$path$q$frag"
+    }
+    val gGarbage = Gen.alphaNumStr.map(_.take(20))
+    samples(Gen.oneOf(gUrl, gGarbage), 40).foreach { u =>
+      val df = Seq(u).toDF("u")
+      val Seq((once, twice)) = df.select(
+        graft.operators.Urls.normalizeUrl($"u"),
+        graft.operators.Urls.normalizeUrl(
+          graft.operators.Urls.normalizeUrl($"u")))
+        .as[(String, String)].collect().toSeq
+      assert(once == twice, s"not idempotent on '$u': '$once' -> '$twice'")
+      val Seq((h1, h2)) = df.select(
+        graft.operators.Urls.hostOf($"u"),
+        graft.operators.Urls.hostOf(graft.operators.Urls.normalizeUrl($"u")))
+        .as[(Option[String], Option[String])].collect().toSeq
+      assert(h1 == h2, s"host not preserved on '$u': $h1 -> $h2")
+    }
+  }
+
   test("property: pivot output has one row per distinct key") {
     val g = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5),
       Gen.oneOf("A", "B"), Gen.choose(-5.0, 5.0)))
