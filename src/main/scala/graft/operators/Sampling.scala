@@ -536,6 +536,58 @@ object Sampling {
     * resorting to that, measure: a shuffle of 12 bytes/row is ~1% of a
     * document shuffle.
     */
+  /** Per-group quantile PARTITION — the CCNet move one step past
+    * [[filterTopQuantileByGroup]]'s keep/drop: label every row with which
+    * per-group score band it falls in (CCNet trains its LM filter on
+    * Wikipedia, then splits each LANGUAGE's crawl into head/middle/tail
+    * perplexity terciles and keeps head+middle — the bands, not a single
+    * cut, are the published artifact). `fractions` are the strictly
+    * increasing cut probabilities (terciles = 1/3, 2/3); `labels` has one
+    * more entry than `fractions`; row label = first label whose
+    * SQL-standard `percentile_disc` cutpoint (an actual data value; ties
+    * at a cut land in the LOWER band via `<=`, deterministically) is ≥ the
+    * row's score.
+    *
+    * Scale shape: cutpoints compute on the (group, score) projection —
+    * the full frame (document text!) never shuffles — and come back as a
+    * group-cardinality metadata table broadcast onto one scan. NULL
+    * scores get a NULL label (unrankable — surfaced, never silently
+    * binned); rows of groups absent from the cut table (every score NULL)
+    * keep their rows with NULL labels via the left join + null guard.
+    * Like [[filterTopQuantileByGroup]], exact percentiles sort each
+    * group's column through one aggregate — the correctness-gate mode;
+    * sketch cutpoints ([[Sketches.approxQuantileBuckets]]'s accuracy
+    * trade) are the 100 TB path if group sizes outgrow it.
+    */
+  def quantilePartition(df: DataFrame, groupCol: String, score: Column,
+      fractions: Seq[Double], labels: Seq[String],
+      out: String = "band"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f > 0.0 && f < 1.0),
+      s"fractions must be in (0, 1), got $fractions")
+    require(fractions == fractions.sorted && fractions.distinct == fractions,
+      s"fractions must be strictly increasing, got $fractions")
+    require(labels.size == fractions.size + 1,
+      s"need ${fractions.size + 1} labels for ${fractions.size} cuts, " +
+        s"got ${labels.size}")
+    val aggs = fractions.zipWithIndex.map { case (f, i) =>
+      expr(s"percentile_disc(CAST($f AS DOUBLE)) " +
+        s"WITHIN GROUP (ORDER BY __s)").as(s"__c$i")
+    }
+    val cuts = df.select(col(groupCol), score.as("__s"))
+      .where(col("__s").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val band = fractions.indices.foldRight(lit(labels.last): Column) {
+      case (i, els) => when(score <= col(s"__c$i"), lit(labels(i)))
+        .otherwise(els)
+    }
+    df.join(broadcast(cuts), Seq(groupCol), "left")
+      .withColumn(out,
+        when(score.isNull || col("__c0").isNull,
+          lit(null).cast("string")).otherwise(band))
+      .drop(fractions.indices.map(i => s"__c$i"): _*)
+  }
+
   def filterTopQuantileByGroup(df: DataFrame, groupCol: String,
       score: Column, keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,

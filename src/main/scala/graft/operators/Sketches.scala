@@ -278,6 +278,164 @@ object Sketches {
         col("cnt"))
   }
 
+  /** HyperLogLog registers (Flajolet, Fusy, Gandouet, Meunier 2007) as a
+    * STORED, MERGEABLE, engine-portable sketch TABLE — the distinct-count
+    * artifact [[approxProfile]]'s `approx_count_distinct` cannot give you:
+    * Spark's HLL++ state lives inside one aggregation and (as a
+    * DataSketches blob in 3.5+) is opaque to any other engine, so per-shard
+    * counts cannot be combined later, audited cross-engine, or maintained
+    * incrementally without rescanning the corpus. Here the sketch IS a
+    * DataFrame of `(group…, bucket, register)` rows:
+    *
+    *  - hash = the repo's md5 60-bit convention (`conv(md5[0,15), 16, 10)`,
+    *    replayable in any SQL engine) over the key's string form;
+    *  - bucket = top `p` hash bits; register = rho(tail) = leading zeros
+    *    of the remaining `60-p` bits + 1 (via `length(bin(tail))` — exact
+    *    integer/string arithmetic in both engines, no float log), an
+    *    all-zero tail reads `60-p+1`, and registers cap at [[HllRhoCap]]
+    *    (a 2^-50-probability event per bucket; the cap keeps the estimate
+    *    arithmetic in exact long range);
+    *  - the aggregate is `max(register)` per (group, bucket): map-side
+    *    combinable, shuffle cardinality ≤ groups × 2^p REGARDLESS of row
+    *    count — the whole point at 100 TB — and the output is SPARSE
+    *    (untouched buckets are simply absent; [[hllEstimate]] adds them
+    *    back as zeros).
+    *
+    * Because `max` is associative/commutative/idempotent, sketches of any
+    * corpus partition [[hllMerge]] into exactly the sketch of the union —
+    * the per-shard / per-day rollup discipline: sketch each ingest batch
+    * once, store KBs, merge forever, never rescan. NULL keys contribute no
+    * element (a null is not a distinct value) and are excluded here, like
+    * [[bloomFppAudit]]'s null-probe carve-out.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], key: Column,
+      p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
+    val w = HllHashBits - p
+    val hv = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val tail = hv.bitwiseAND(lit((1L << w) - 1L))
+    val rho = when(tail === 0L, lit(w + 1))
+      .otherwise(lit(w + 1) - length(bin(tail)))
+    val gcols = groupCols.map(col)
+    df.where(key.isNotNull)
+      .select(gcols
+        :+ shiftrightunsigned(hv, w).cast("int").as("bucket")
+        :+ least(rho, lit(HllRhoCap)).cast("int").as("register"): _*)
+      .groupBy(gcols :+ col("bucket"): _*)
+      .agg(max(col("register")).as("register"))
+  }
+
+  /** Merge two [[hllRegisters]] sketches over the same group/`p` into the
+    * sketch of the UNION of their inputs — exactly, by `max`'s
+    * associativity (asserted register-for-register in SketchesSpec). The
+    * incremental-ingest form: `merged = hllMerge(stored, hllRegisters(batch))`
+    * touches only sketch rows (≤ groups × 2^p), never the corpus.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("register")).as("register"))
+
+  /** Distinct-count estimate from an [[hllRegisters]] sketch, with the
+    * published small-range correction: raw HLL
+    * `E = alpha_m · m² / Σ 2^(−M_j)` switches to linear counting
+    * `m · ln(m / V)` when `E ≤ 2.5m` and zero registers exist (V = count
+    * of untouched buckets). The harmonic sum is EXACT integer arithmetic:
+    * each term scaled by 2^[[HllRhoCap]] is `1L << (cap − M_j)` (absent
+    * buckets contribute `1L << cap`), so `s_scaled` is an engine-exact
+    * long (p ≤ 12 keeps the sum under 2^63) and the estimate is one
+    * mirrored double expression off exact integers — the only cross-engine
+    * residual is `ln`'s final ulp, absorbed by the 4-decimal round (q95's
+    * precedent). Output per group: `m`, `buckets_set`, `zero_buckets`,
+    * `s_scaled` (the hash-exact gate columns) + `est_distinct`.
+    */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String],
+      p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
+    val m = 1 << p
+    val mD = m.toDouble
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / mD)
+    }
+    val gcols = groupCols.map(col)
+    sketch.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("buckets_set"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - register)"))
+          .as("__s_present"))
+      .withColumn("zero_buckets",
+        (lit(m.toLong) - col("buckets_set")).as("zero_buckets"))
+      .withColumn("s_scaled",
+        col("__s_present") + col("zero_buckets") * lit(1L << HllRhoCap))
+      // ((alpha · m · m) · 2^cap) / S — association order mirrored in SQL
+      .withColumn("__raw",
+        lit(alpha * mD * mD) * lit(math.pow(2.0, HllRhoCap)) /
+          col("s_scaled").cast("double"))
+      .withColumn("est_distinct",
+        round(when(col("__raw") <= lit(2.5 * mD) && col("zero_buckets") > 0L,
+          lit(mD) * log(lit(mD) / col("zero_buckets").cast("double")))
+          .otherwise(col("__raw")), 4))
+      .select(gcols ++ Seq(lit(m).as("m"), col("buckets_set"),
+        col("zero_buckets"), col("s_scaled"), col("est_distinct")): _*)
+  }
+
+  /** [[hllRegisters]] ∘ [[hllEstimate]] in one call — per-group distinct
+    * counts of `key` with HLL's 1.04/√m error at 2^p registers of state.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], key: Column,
+      p: Int = 10): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, key, p), groupCols, p)
+
+  /** Rolling-window distinct counts — "7-day distinct users, per day" —
+    * via the sketch algebra: distinct counts don't sum across days, so
+    * the naive form re-scans `window` days of raw events PER output day
+    * (window× the corpus at 100 TB, every day). Instead: sketch each
+    * time bucket ONCE ([[hllRegisters]] keyed by `groupCols :+ bucket`),
+    * then every register row fans out to the `window` target buckets it
+    * contributes to (`explode(sequence(b, b+window−1))` — register rows,
+    * never events) and max-merges per target — [[hllMerge]]'s arithmetic
+    * as a window. Work after the base sketch is sketch-cardinality ×
+    * window, independent of event count; incremental by construction
+    * (yesterday's per-day sketches are already stored — only the new
+    * day's registers are computed, the merge re-runs on KBs).
+    *
+    * `bucket` must be an integral bucket index (e.g. `ts_ns div 86400e9`
+    * for days — integer arithmetic, engine-portable; NULL buckets are
+    * unplaceable in time and dropped). Output rows cover every bucket
+    * OBSERVED anywhere in `df` (a group with mass only earlier in a
+    * window still gets that window's row; no phantom buckets past the
+    * data's edge), estimate columns as [[hllEstimate]].
+    */
+  def hllRollingDistinct(df: DataFrame, groupCols: Seq[String], key: Column,
+      bucket: Column, window: Int, p: Int = 10,
+      out: String = "bucket_id"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val sk = hllRegisters(df.withColumn(out, bucket.cast("long")),
+      groupCols :+ out, key, p)
+    val targets = df.select(bucket.cast("long").as("__t")).distinct()
+    val gcols = groupCols.map(col)
+    val merged = sk
+      .withColumn("__t",
+        explode(sequence(col(out), col(out) + lit(window - 1L))))
+      .join(broadcast(targets), Seq("__t"), "left_semi")
+      .groupBy(gcols ++ Seq(col("__t"), col("bucket")): _*)
+      .agg(max(col("register")).as("register"))
+      .withColumnRenamed("__t", out)
+    hllEstimate(merged, groupCols :+ out, p)
+  }
+
+  /** 60-bit hash convention shared with the oracle (md5 hex [0,15)). */
+  private val HllHashBits = 60
+
+  /** Register cap: keeps `1L << (cap − register)` non-negative and the
+    * harmonic sum in exact long range; a register would exceed it with
+    * probability 2^-50 per bucket.
+    */
+  private[graft] val HllRhoCap = 50
+
   /** Bloom-filter semi-join: keep probe rows whose `probeKey` might be in
     * the build side's `buildKey` set. `expectedItems` sizes the sketch
     * (bits ≈ 8× items keeps FPP ≈ 2%).

@@ -1393,6 +1393,60 @@ object PipelineQueries {
         webSpamFixture(docs, Seq("source")), bench, block,
         targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
           (2 to 11).map(i => s"src$i" -> 0.05).toMap)
+    }),
+
+    // Mergeable HLL distinct sketch (round 17): per-event-type distinct
+    // users at p=10 (1024 registers). The sketch rides the repo's md5
+    // 60-bit hash so every register is integer-exact in the oracle;
+    // buckets_set / zero_buckets / s_scaled are hash-exact gate columns
+    // and est_distinct is the one mirrored double expression.
+    "q173_hll_distinct" -> ((s, d) =>
+      graft.operators.Sketches.hllDistinct(Tables.events(s, d),
+        Seq("event_type"), col("user_id"), p = 10)),
+
+    // Sketch-merge ≡ recompute (round 17): per-source distinct TEXTS of
+    // the documents table, sketched as two ingest batches (even/odd
+    // doc_id) and hllMerge'd — the oracle sketches the WHOLE table in
+    // one pass, so the gate proves max-register merge is exactly the
+    // union's sketch (the store-KBs-and-never-rescan discipline).
+    "q174_hll_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = graft.operators.Sketches.hllRegisters(
+        docs.filter(col("doc_id") % 2 === 0), Seq("source"),
+        col("text"), p = 10)
+      val b = graft.operators.Sketches.hllRegisters(
+        docs.filter(col("doc_id") % 2 =!= 0), Seq("source"),
+        col("text"), p = 10)
+      graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllMerge(a, b, Seq("source")),
+        Seq("source"), p = 10)
+    }),
+
+    // Rolling 7-day distinct users per (event_type, day) off per-day
+    // HLL sketches (round 17): distinct counts don't sum across days,
+    // so the register fan-out merge replaces re-scanning 7 days of raw
+    // events per output day — work after the base sketch is
+    // sketch-cardinality × 7, never events × 7.
+    "q176_rolling_distinct" -> ((s, d) =>
+      graft.operators.Sketches.hllRollingDistinct(Tables.events(s, d),
+        Seq("event_type"), col("user_id"),
+        expr("ts_ns div 86400000000000"), window = 7, p = 10,
+        out = "day")),
+
+    // CCNet's head/middle/tail split (round 17): per-LANGUAGE unigram-
+    // perplexity terciles over the corpus — head = the lowest-perplexity
+    // third of each language (CCNet keeps head+middle). Cutpoints are
+    // exact percentile_disc values over q95's oracled log_ppl, so the
+    // whole partition is value-oracle-able.
+    "q175_ppl_partition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ppl = graft.operators.TextAnalysis.unigramPerplexity(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.operators.Sampling.quantilePartition(ppl, "lang",
+        col("log_ppl"), Seq(1.0 / 3, 2.0 / 3),
+        Seq("head", "middle", "tail"), out = "ppl_band")
+        .select(col("doc_id"), col("lang"), col("log_ppl"),
+          col("ppl_band"))
     })
   )
 
@@ -2126,6 +2180,61 @@ object PipelineQueries {
       |  SELECT doc_id, text,
       |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
+
+  /** rho of the 50-bit tail (p=10) — length(bin(tail)) = bit length,
+    * exact integer/string arithmetic; all-zero tail reads 51, capped 50.
+    */
+  private val HllRhoSql =
+    """CASE WHEN (hv & ((1::BIGINT << 50) - 1)) = 0 THEN 50
+      |         ELSE least(51 - length(bin(hv & ((1::BIGINT << 50) - 1))),
+      |           50) END""".stripMargin
+
+  /** Estimate chain over a CTE named `reg($gCols, bucket, register)` —
+    * the scaled harmonic sum as exact longs, the one double expression
+    * mirrored association for association against the Spark side's
+    * `lit`s (2^50 = 1125899906842624), ln's final ulp absorbed by the
+    * 4-decimal round.
+    */
+  private def hllEstimateTail(gCols: String): String =
+    s"""e AS (
+       |  SELECT $gCols, count(*)::BIGINT AS buckets_set,
+       |    sum(1::BIGINT << (50 - register))::BIGINT AS s_present
+       |  FROM reg GROUP BY $gCols),
+       |x AS (
+       |  SELECT $gCols, buckets_set,
+       |    (1024::BIGINT - buckets_set) AS zero_buckets,
+       |    (s_present + (1024::BIGINT - buckets_set) * (1::BIGINT << 50))
+       |      AS s_scaled
+       |  FROM e),
+       |y AS (
+       |  SELECT *,
+       |    0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+       |      * 1024.0::DOUBLE * 1024.0::DOUBLE
+       |      * 1125899906842624.0::DOUBLE / s_scaled::DOUBLE AS raw
+       |  FROM x)
+       |SELECT $gCols, 1024 AS m, buckets_set, zero_buckets,
+       |  s_scaled,
+       |  round(CASE WHEN raw <= 2.5::DOUBLE * 1024.0::DOUBLE
+       |      AND zero_buckets > 0
+       |    THEN 1024.0::DOUBLE * ln(1024.0::DOUBLE / zero_buckets::DOUBLE)
+       |    ELSE raw END, 4) AS est_distinct
+       |FROM y""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Sketches.hllDistinct]] at p=10:
+    * md5 60-bit hash → top-10-bit bucket → max rho per bucket →
+    * [[hllEstimateTail]].
+    */
+  private def hllOracleSql(src: String, groupCol: String,
+      keyExpr: String): String =
+    s"""WITH h AS (
+       |  SELECT $groupCol,
+       |    ('0x' || substr(md5($keyExpr), 1, 15))::BIGINT AS hv
+       |  FROM $src WHERE $keyExpr IS NOT NULL),
+       |reg AS (
+       |  SELECT $groupCol, hv >> 50 AS bucket,
+       |    max($HllRhoSql) AS register
+       |  FROM h GROUP BY $groupCol, hv >> 50),
+       |""".stripMargin + hllEstimateTail(groupCol)
 
   /** DuckDB replay of [[graft.operators.TextAnalysis.fitQualityLogit]]
     * (q167) — the q134 unrolled-round discipline: per GD iteration one
@@ -5020,6 +5129,75 @@ object PipelineQueries {
         |  coalesce(ha.host_dups::DOUBLE / ha.host_docs::DOUBLE > 0.3,
         |    false) AS spam_host
         |FROM dup d LEFT JOIN ha ON d.host = ha.host""".stripMargin),
+
+    // q173/q174 = the HLL register pipeline replayed literally: md5
+    // 60-bit hash, bucket = top 10 bits, register = rho of the 50-bit
+    // tail via length(bin(tail)) (exact integer/string arithmetic),
+    // harmonic sum as scaled longs, the one double expression mirrored
+    // association for association (ln's final ulp absorbed by round 4 —
+    // q95's precedent). q174's oracle sketches the WHOLE table in one
+    // pass, so it additionally proves merge ≡ recompute.
+    "q173_hll_distinct" ->
+      hllOracleSql("events", "event_type", "user_id::VARCHAR"),
+    "q174_hll_merge" ->
+      hllOracleSql("documents", "source", "text"),
+
+    // q176 = per-day registers fanned out to the 7 target days each
+    // contributes to (BETWEEN join ≡ the Spark side's
+    // explode(sequence)+semi-join), max-merged per target, then the
+    // shared estimate tail; target days are the days observed anywhere
+    // in the table. epoch_ns // 86400e9 is exact integer day indexing
+    // (the q145 epoch_ns convention).
+    "q176_rolling_distinct" ->
+      (s"""WITH h AS (
+         |  SELECT event_type, (epoch_ns(ts) // 86400000000000) AS day,
+         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r0 AS (
+         |  SELECT event_type, day, hv >> 50 AS bucket,
+         |    max($HllRhoSql) AS register
+         |  FROM h GROUP BY event_type, day, hv >> 50),
+         |d AS (SELECT DISTINCT (epoch_ns(ts) // 86400000000000) AS day
+         |  FROM events),
+         |reg AS (
+         |  SELECT r0.event_type, t.day AS day, r0.bucket,
+         |    max(r0.register) AS register
+         |  FROM r0 JOIN d t ON t.day BETWEEN r0.day AND r0.day + 6
+         |  GROUP BY r0.event_type, t.day, r0.bucket),
+         |""".stripMargin + hllEstimateTail("event_type, day")),
+
+    // q175 = q95's oracled log_ppl fed through per-language
+    // quantile_disc terciles (the percentile_disc ≡ quantile_disc
+    // identity, q75/q124-verified); ties at a cut land low via <= on
+    // both sides, null-ppl docs keep NULL bands.
+    "q175_ppl_partition" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM dt GROUP BY tok),
+        |n AS (SELECT sum(c)::DOUBLE AS n FROM c),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(sum(-ln(coalesce(c.c::DOUBLE, 1.0) / n.n)) / count(*), 4)
+        |      AS log_ppl
+        |  FROM dt LEFT JOIN c USING (tok) CROSS JOIN n
+        |  GROUP BY doc_id),
+        |p AS (
+        |  SELECT d.doc_id, d.lang, s.log_ppl
+        |  FROM documents d LEFT JOIN s USING (doc_id)),
+        |cut AS (
+        |  SELECT lang,
+        |    quantile_disc(log_ppl, 0.3333333333333333::DOUBLE) AS c0,
+        |    quantile_disc(log_ppl, 0.6666666666666666::DOUBLE) AS c1
+        |  FROM p WHERE log_ppl IS NOT NULL GROUP BY lang)
+        |SELECT p.doc_id, p.lang, p.log_ppl,
+        |  CASE WHEN p.log_ppl IS NULL THEN NULL
+        |       WHEN p.log_ppl <= cut.c0 THEN 'head'
+        |       WHEN p.log_ppl <= cut.c1 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_band
+        |FROM p LEFT JOIN cut USING (lang)""".stripMargin,
 
     "q155_fuzzy_decontaminate" ->
       """WITH bench AS (

@@ -2259,6 +2259,41 @@ class SamplingSpec extends SparkSpec {
       Sampling.filterTopQuantileByGroup(df, "grp", $"s", 0.0)
     }
   }
+
+  test("quantilePartition: per-group tercile bands, ties land LOW, nulls surfaced") {
+    val df = ((1 to 9).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("a", 10L, 3.0), // a second 3.0 — ties the c0 cut
+        ("b", 20L, 5.0), ("b", 21L, 5.0), ("b", 22L, 5.0), // all tied
+        ("c", 30L, 1.0)) :+ // singleton
+      (("d", 40L, -1.0)))
+      .toDF("grp", "id", "s")
+      // group e: every score NULL → no cut row; rows must survive
+      .unionByName(Seq(("e", 50L)).toDF("grp", "id")
+        .withColumn("s", lit(null).cast("double")))
+    val out = Sampling.quantilePartition(df, "grp", $"s",
+        Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail"))
+      .select($"grp", $"id", $"band").as[(String, Long, Option[String])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // a: 10 values [1..9, 3] → disc cuts c0=3 (cume 4/10 ≥ 1/3),
+    // c1=6 (cume 7/10 ≥ 2/3); both 3.0 rows land in head (ties LOW)
+    assert(out(("a", 3L)).contains("head") && out(("a", 10L)).contains("head"))
+    assert(out(("a", 4L)).contains("middle") && out(("a", 6L)).contains("middle"))
+    assert(out(("a", 7L)).contains("tail") && out(("a", 9L)).contains("tail"))
+    // b: all tied → every row <= c0 → all head, never a tie-split
+    assert(Seq(20L, 21L, 22L).forall(i => out(("b", i)).contains("head")))
+    // singleton: its own cutpoint → head
+    assert(out(("c", 30L)).contains("head"))
+    assert(out(("d", 40L)).contains("head"))
+    // all-null group: rows kept, band NULL
+    assert(out(("e", 50L)).isEmpty)
+    intercept[IllegalArgumentException] { // non-increasing fractions
+      Sampling.quantilePartition(df, "grp", $"s", Seq(0.5, 0.5),
+        Seq("x", "y", "z"))
+    }
+    intercept[IllegalArgumentException] { // label arity
+      Sampling.quantilePartition(df, "grp", $"s", Seq(0.5), Seq("x"))
+    }
+  }
 }
 
 class DecontaminateSpec extends SparkSpec {

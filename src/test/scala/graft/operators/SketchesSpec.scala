@@ -283,4 +283,110 @@ class SketchesSpec extends SparkSpec {
     // FPP sanity: at 8 bits/item the false-positive rate stays low
     assert((kept.size - truth.size).toDouble / (universe - truth.size) < 0.1)
   }
+
+  /** Independent HLL reference: md5 via MessageDigest, the 60-bit hash /
+    * bucket / rho pipeline in plain Scala longs — no Spark expressions.
+    */
+  private def refRegisters(keys: Seq[String], p: Int): Map[Int, Int] = {
+    val w = 60 - p
+    keys.foldLeft(Map.empty[Int, Int]) { (acc, k) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hv = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val bucket = (hv >>> w).toInt
+      val tail = hv & ((1L << w) - 1L)
+      val rho = if (tail == 0L) w + 1
+        else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(tail))
+      val reg = math.min(rho, 50)
+      acc.updated(bucket, math.max(acc.getOrElse(bucket, 0), reg))
+    }
+  }
+
+  test("hllRegisters ≡ independent MessageDigest reference, register for register") {
+    val keys = (0 until 2000).map(i => s"k$i")
+    val out = Sketches.hllRegisters(
+        keys.toDF("k").withColumn("g", lit("x")), Seq("g"), $"k", p = 10)
+      .select($"bucket", $"register").as[(Int, Int)].collect().toMap
+    assert(out == refRegisters(keys, 10))
+  }
+
+  test("hllMerge ≡ sketch of the union, exactly (the never-rescan contract)") {
+    val all = (0 until 5000).map(i => (s"g${i % 2}", s"key$i"))
+    // overlapping halves: batch b re-sees a third of batch a's keys
+    val a = all.filter { case (_, k) => k.hashCode % 3 != 0 }
+    val b = all.filter { case (_, k) => k.hashCode % 2 == 0 }
+    def sk(rows: Seq[(String, String)]) = Sketches.hllRegisters(
+      rows.toDF("g", "k"), Seq("g"), $"k", p = 8)
+    val merged = Sketches.hllMerge(sk(a), sk(b), Seq("g"))
+      .as[(String, Int, Int)].collect().toSet
+    val whole = sk(a ++ b) // one-pass sketch of the union multiset
+      .as[(String, Int, Int)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("hllEstimate: within 5σ of exact on large groups; linear-counting branch exact-ish on small") {
+    // big group: 4000 distinct at m=1024 → σ = 1.04/32 ≈ 3.25%
+    val big = (0 until 4000).map(i => ("big", s"u$i"))
+    val small = (0 until 12).map(i => ("small", s"s$i"))
+    val est = Sketches.hllDistinct((big ++ small).toDF("g", "k"),
+        Seq("g"), $"k", p = 10)
+      .select($"g", $"est_distinct", $"zero_buckets")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(est("big")._2 - 4000.0) / 4000.0 < 5 * 1.04 / 32,
+      s"big-group estimate ${est("big")._2}")
+    // 12 keys in 1024 buckets: linear counting is near-exact (collision
+    // chance ~6%) — and the branch must have fired (zero buckets exist)
+    assert(est("small")._3 > 1000L)
+    assert(math.abs(est("small")._2 - 12.0) <= 1.0,
+      s"small-group estimate ${est("small")._2}")
+  }
+
+  test("hllRollingDistinct ≡ per-window recompute; edges clipped; null buckets dropped") {
+    val rows = (0 until 10).flatMap(d =>
+      (0 until 40).map(i => (d.toLong, s"u${d * 100 + i}"))) ++
+      Seq((2L, "c"), (8L, "c")) // a key re-seen across windows
+    val df = rows.toDF("day", "k").withColumn("g", lit("x"))
+      .unionByName(Seq(("z")).toDF("k") // null-day row: unplaceable
+        .withColumn("day", lit(null).cast("long"))
+        .withColumn("g", lit("x"))
+        .select($"day", $"k", $"g"))
+    val out = Sketches.hllRollingDistinct(df, Seq("g"), $"k", $"day",
+        window = 3, p = 8, out = "day")
+      .select($"day", $"est_distinct", $"s_scaled")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // exactly the observed days — no phantom trailing windows, no null row
+    assert(out.keySet == (0L to 9L).toSet)
+    // every window's merged sketch ≡ sketching that window's rows directly
+    for (t <- 0L to 9L) {
+      val direct = Sketches.hllDistinct(
+          df.filter($"day".between(t - 2, t)), Seq("g"), $"k", p = 8)
+        .select($"est_distinct", $"s_scaled").as[(Double, Long)]
+        .collect().head
+      assert(out(t) == direct, s"day $t: rolling ${out(t)} vs direct $direct")
+    }
+    // day 9's window holds 121 distinct keys (3×40 + c): linear counting
+    // at m=256 lands close
+    assert(math.abs(out(9L)._1 - 121.0) / 121.0 < 0.2)
+    intercept[IllegalArgumentException] {
+      Sketches.hllRollingDistinct(df, Seq("g"), $"k", $"day", window = 0)
+    }
+  }
+
+  test("hllRegisters: NULL keys contribute no element; p bounds enforced") {
+    val withNulls = Seq(("g", "a"), ("g", null), ("g", "b"))
+      .toDF("g", "k")
+    val without = Seq(("g", "a"), ("g", "b")).toDF("g", "k")
+    assert(
+      Sketches.hllRegisters(withNulls, Seq("g"), $"k", 8)
+        .as[(String, Int, Int)].collect().toSet ==
+      Sketches.hllRegisters(without, Seq("g"), $"k", 8)
+        .as[(String, Int, Int)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Sketches.hllRegisters(without, Seq("g"), $"k", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hllEstimate(without, Seq("g"), 13)
+    }
+  }
 }

@@ -599,4 +599,40 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
         s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
     assert(batch.size > 10, "fixture must spread over multiple bins")
   }
+
+  test("HLL register sketch: the SAME operator run as a complete-mode stream ≡ batch") {
+    assume(fixtureExists("events"))
+    // hllRegisters is a pure groupBy-max — it runs unchanged on an
+    // unbounded frame (state = sketch cardinality ≤ groups × 2^p,
+    // metadata-sized, no watermark needed). Registers are exact ints,
+    // so the drained table must equal batch register for register —
+    // and because max-merge across micro-batches IS hllMerge's
+    // arithmetic, this doubles as the incremental-ingest gate.
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"ts", $"user_id", $"event_type", $"value")
+    val batch = graft.operators.Sketches
+      .hllRegisters(ev, Seq("event_type"), $"user_id", p = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = graft.operators.Sketches
+      .hllRegisters(in.toDF(), Seq("event_type"), $"user_id", p = 10)
+      .writeStream.format("memory").queryName("eqhll")
+      .outputMode("complete").start()
+    // two micro-batches: the final table must max-merge state across them
+    val fixture = ev.as[Event].collect().toSeq
+    fixture.grouped((fixture.size + 1) / 2).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("eqhll").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(streamed == batch,
+      s"HLL diverges: stream-only=${(streamed.toSet -- batch.toSet).take(3)}, " +
+        s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
+    assert(batch.size > 50, "fixture must spread over many registers")
+  }
 }
