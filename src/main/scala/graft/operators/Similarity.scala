@@ -408,6 +408,243 @@ object Similarity {
     topKEmit(sims, k)
   }
 
+  // ------------------------------------------------------- product quant
+
+  /** Subvector explosion shared by the PQ stages: (id, m, __v) with
+    * `__v` = the m-th `subDim`-slice of the (double-cast) vector.
+    * Fail-loud on a ragged vector column — a wrong-length vector would
+    * otherwise silently encode against truncated slices.
+    */
+  private def subVectors(emb: DataFrame, idCol: String, vecCol: String,
+      numSubspaces: Int, subDim: Int): DataFrame =
+    emb.select(col(idCol).as("nid"),
+        when(size(col(vecCol)) === numSubspaces * subDim,
+          col(vecCol).cast("array<double>"))
+          .otherwise(raise_error(concat(
+            lit(s"pq: expected dim ${numSubspaces * subDim}, got "),
+            size(col(vecCol)).cast("string")))).as("__w"))
+      .select(col("nid"), posexplode(
+        transform(sequence(lit(0), lit(numSubspaces - 1)),
+          i => slice(col("__w"), i * subDim + 1, lit(subDim))))
+        .as(Seq("m", "__v")))
+
+  /** Squared Euclidean distance on the codegen'd dot kernel:
+    * ‖a−b‖² = a·a − 2·a·b + b·b (the [[centroidOutliers]] expansion).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid, TPAMI 2011
+    * §II): the vector space splits into `numSubspaces` orthogonal
+    * subspaces of dim/numSubspaces dims, each with its OWN
+    * `codebookSize`-centroid k-means codebook — so a vector encodes to
+    * `numSubspaces` small ints (64 float dims at M=8, K=16 → 8 codes:
+    * 256 bytes → 8, 32×), while the effective codeword count is
+    * K^M (16⁸ ≈ 4·10⁹ here) — the reason PQ beats one big codebook
+    * ([[quantizeInt8]] is the 4× scalar rung below; this is the 32×+
+    * rung the 100 TB vector store actually runs).
+    *
+    * Training is per-subspace Euclidean Lloyd, deterministic end to end
+    * (the [[kmeansCentroids]] discipline, metric swapped to L2 —
+    * subvectors are not unit-norm even when the parent vectors are):
+    * init = the `codebookSize` lowest-id vectors' subvectors (cid =
+    * 0..K−1 in id order), assignment ties break to the lowest cid, an
+    * emptied cluster keeps its previous centroid, and every sweep
+    * MATERIALIZES its codebooks (M × K × subDim doubles — metadata; the
+    * collect-a-sketch move, without which sweep i re-runs all sweeps
+    * < i). All M subspaces train in the SAME sweep over one exploded
+    * scan — the per-iteration cost is one corpus pass regardless of M.
+    *
+    * Returns the LOCAL codebook frame (m, cid, __cv) — store it like
+    * [[IvfIndex]] centroids; [[pqEncode]]/[[pqAdcTopK]] broadcast it.
+    */
+  def pqTrainCodebooks(
+      emb: DataFrame,
+      dim: Int,
+      numSubspaces: Int = 8,
+      codebookSize: Int = 16,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(numSubspaces >= 1 && dim % numSubspaces == 0,
+      s"dim $dim must divide into numSubspaces $numSubspaces")
+    require(codebookSize >= 2, s"codebookSize must be >= 2")
+    val subDim = dim / numSubspaces
+    val spark = emb.sparkSession
+    def materialize(df: DataFrame): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val subs = subVectors(emb, idCol, vecCol, numSubspaces, subDim)
+    val wInit = Window.orderBy(col("nid").asc)
+    val initIds = emb.select(col(idCol).as("nid"))
+      .orderBy(col("nid").asc).limit(codebookSize)
+      .withColumn("cid", row_number().over(wInit) - 1)
+    var cents = materialize(subs.join(broadcast(initIds), Seq("nid"))
+      .select(col("m"), col("cid"), col("__v").as("__cv")))
+    for (_ <- 1 to iterations) {
+      val assigned = subs.join(broadcast(cents), Seq("m"))
+        .withColumn("__d", l2sq(col("__v"), col("__cv")))
+        .groupBy(col("nid"), col("m"))
+        .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"),
+          first(col("__v")).as("__v"))
+      val means = assigned
+        .select(col("m"), col("cid"),
+          posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(avg(col("x")).as("mu"))
+        .groupBy(col("m"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          s => s.getField("mu")).as("__nv"))
+      cents = materialize(cents.join(means, Seq("m", "cid"), "left")
+        .select(col("m"), col("cid"),
+          coalesce(col("__nv"), col("__cv")).as("__cv")))
+    }
+    cents
+  }
+
+  /** PQ-encode a corpus against trained codebooks: (id, codes) with
+    * codes(m) = argmin-L2 codeword of subspace m (ties to the lowest
+    * cid — deterministic re-encode). One exploded corpus scan + a
+    * broadcast codebook join; codes are computed ONCE and stored — the
+    * whole point is that queries then never touch the float vectors.
+    */
+  def pqEncode(
+      emb: DataFrame,
+      codebooks: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (numSubspaces, subDim) = pqShape(codebooks)
+    require(numSubspaces * subDim == dim,
+      s"codebooks are ${numSubspaces}×$subDim, vectors dim $dim")
+    subVectors(emb, idCol, vecCol, numSubspaces, subDim)
+      .join(broadcast(codebooks), Seq("m"))
+      .withColumn("__d", l2sq(col("__v"), col("__cv")))
+      .groupBy(col("nid"), col("m"))
+      .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("code"))
+      .groupBy(col("nid"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .select(col("nid").as(idCol), col("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) cosine top-k over PQ codes — [[ivfTopK]]'s
+    * schema, [[quantizedTopK]]'s role at the 32× compression rung: the
+    * query stays FLOAT, the corpus is codes-only, and similarity comes
+    * from per-subspace lookup tables (Jégou §IV.A, inner-product form):
+    *
+    *   dot(q, x̂) = Σ_m  dot(q_m, codeword(m, codes_m))
+    *   ‖x̂‖²      = Σ_m ‖codeword(m, codes_m)‖²   (subspaces orthogonal)
+    *
+    * so sim = reconstructed cosine, computed WITHOUT touching a float
+    * corpus vector. The distance table (query × m × cid: partial dot +
+    * codeword norm² — queries × M × K rows, metadata by the broadcast-
+    * query contract) broadcasts onto one pass over the exploded codes;
+    * per-query bounded-heap top-k as every sibling. Zero-norm guards on
+    * both sides (ADVICE r8: NaN sorts first in the heap); zero-norm
+    * RECONSTRUCTIONS are likewise excluded — a vector whose every
+    * codeword is zero has no direction.
+    *
+    * At corpus scale this composes exactly like [[quantizedTopK]]: IVF
+    * lists hold codes, the probe runs ADC inside probed lists only.
+    */
+  def pqAdcTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      codebooks: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      codesCol: String = "codes"): DataFrame = {
+    val (numSubspaces, subDim) = pqShape(codebooks)
+    val qsubs = subVectors(
+      queries.filter(dot(col(vecCol), col(vecCol)) > 0),
+      idCol, vecCol, numSubspaces, subDim)
+    val qnorms = queries.select(col(idCol).as("query_id"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__qn"))
+    val dt = qsubs.join(codebooks, Seq("m"))
+      .select(col("nid").as("query_id"), col("m"),
+        col("cid").as("code"),
+        dot(col("__v"), col("__cv")).as("__pd"),
+        dot(col("__cv"), col("__cv")).as("__cn"))
+    val scored = codes
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col(codesCol)).as(Seq("m", "code")))
+      .join(broadcast(dt), Seq("m", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("neighbor_id"), col("query_id"))
+      .agg(sum(col("__pd")).as("__num"), sum(col("__cn")).as("__n2"))
+      .filter(col("__n2") > 0)
+      .join(broadcast(qnorms), Seq("query_id"))
+      .withColumn("sim", col("__num") / (col("__qn") * sqrt(col("__n2"))))
+    topKEmit(scored, k)
+  }
+
+  /** ADC shortlist + exact float re-rank (Jégou §VII, the "IVFADC+R"
+    * refinement — the shape every production PQ deployment runs): PQ
+    * ranks are approximate in proportion to quantization error, so the
+    * codes pick a `shortlist`-sized candidate set per query and the TRUE
+    * cosine re-ranks only those. Recall is then bounded by "did the
+    * shortlist contain the true top-k" — which grows with
+    * shortlist/corpus — while the float vectors are touched for
+    * shortlist × queries rows instead of the corpus (the broadcast
+    * candidate set prunes the fetch join; at 100 TB the vectors come
+    * from the store by id, never scanned for ranking).
+    */
+  def pqAdcRerankTopK(
+      emb: DataFrame,
+      codes: DataFrame,
+      queries: DataFrame,
+      codebooks: DataFrame,
+      k: Int,
+      shortlist: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      codesCol: String = "codes"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = pqAdcTopK(codes, queries, codebooks, shortlist,
+      idCol, vecCol, codesCol).select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries
+      .filter(dot(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = emb
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__v")))
+    topKEmit(scored, k)
+  }
+
+  /** One-shot train→encode→ADC — the fixture-scale teaching path and
+    * recall-gate target, mirroring [[ivfTopK]]'s role next to
+    * [[buildIvfIndex]]: production stores the codebooks + codes and runs
+    * [[pqAdcTopK]] alone (plus [[pqAdcRerankTopK]]'s float refinement
+    * when recall targets demand it).
+    */
+  def pqTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      numSubspaces: Int = 8,
+      codebookSize: Int = 16,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = pqTrainCodebooks(emb, dim, numSubspaces, codebookSize,
+      iterations, idCol, vecCol)
+    pqAdcTopK(pqEncode(emb, cb, dim, idCol, vecCol), queries, cb, k,
+      idCol, vecCol)
+  }
+
+  /** (numSubspaces, subDim) off a codebook frame — both metadata-sized
+    * aggregates on the already-local codebooks.
+    */
+  private def pqShape(codebooks: DataFrame): (Int, Int) = {
+    val row = codebooks.agg(max(col("m")), max(size(col("__cv"))))
+      .collect()(0)
+    (row.getInt(0) + 1, row.getInt(1))
+  }
+
   /** Distance-to-centroid outlier scoring — the embedding-space health
     * check a curation pipeline runs before training (CLIP-filtering
     * shape: vectors far from the corpus center are mislabeled, noise, or

@@ -1433,6 +1433,36 @@ object PipelineQueries {
         expr("ts_ns div 86400000000000"), window = 7, p = 10,
         out = "day")),
 
+    // Product-quantization ADC top-k (round 17): the 32×-class
+    // compression rung above q136's int8 scalar quantization — 64 float
+    // dims → 16 codes, ranked by per-subspace lookup tables without
+    // touching a float corpus vector. Codebook values are float-kmeans
+    // specific → rows-only at the driver gate (the q76/q136 convention);
+    // the recall contract lives in PqSpec and q178.
+    "q177_pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64,
+        numSubspaces = 16, codebookSize = 32, iterations = 3)
+    }),
+
+    // The PQ recall-gate artifact (q91's pattern at the PQ rung):
+    // per-query recall@5 of the ADC-shortlist + float-re-rank pipeline
+    // (Jégou's IVFADC+R shape, shortlist=50 of 500) against the exact
+    // brute force, computed in-Spark on the same fixture. Rows-only at
+    // the driver gate; the ≥ 0.9-avg contract is asserted in PqSpec
+    // with a corrupted-result control.
+    "q178_pq_rerank_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cb = Similarity.pqTrainCodebooks(emb, dim = 64,
+        numSubspaces = 16, codebookSize = 32, iterations = 3)
+      val codes = Similarity.pqEncode(emb, cb, dim = 64)
+      Similarity.recallAtK(
+        Similarity.pqAdcRerankTopK(emb, codes, queries, cb, 5,
+          shortlist = 50),
+        Similarity.bruteForceTopK(emb, queries, 5))
+    }),
+
     // CCNet's head/middle/tail split (round 17): per-LANGUAGE unigram-
     // perplexity terciles over the corpus — head = the lowest-perplexity
     // third of each language (CCNet keeps head+middle). Cutpoints are

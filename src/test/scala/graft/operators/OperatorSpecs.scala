@@ -3435,3 +3435,139 @@ class WinnowSpanSpec extends SparkSpec {
     }
   }
 }
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8-dim vectors assembled from per-subspace PROTOTYPES (subDim=4):
+  // each subspace sees only 3 distinct subvectors, so K=4 codebooks can
+  // represent the corpus EXACTLY — reconstruction error 0 and ADC ≡
+  // exact brute force, a value gate, not just a recall bound. Values
+  // are 0.5-step dyadics: dots are exact in double arithmetic, so the
+  // per-subspace partial-dot sum equals the whole-vector kernel dot
+  // bit for bit.
+  private val protos = Seq(
+    Seq(1.0f, 0f, 0.5f, 0f), Seq(0f, 1.5f, 0f, 0.5f),
+    Seq(0.5f, 0.5f, 1.0f, 0f))
+  private lazy val exactCorpus = (0L until 30L).map { i =>
+    (i, protos((i % 3).toInt) ++ protos(((i / 3) % 3).toInt))
+  }.toDF("vec_id", "embedding")
+
+  test("exactly-encodable corpus: zero reconstruction error, ADC ≡ brute force") {
+    val cb = Similarity.pqTrainCodebooks(exactCorpus, dim = 8,
+      numSubspaces = 2, codebookSize = 4, iterations = 2)
+    val codes = Similarity.pqEncode(exactCorpus, cb, dim = 8)
+    assert(codes.count() == 30L)
+    // 32x-class compression on this shape: 8 floats -> 2 small ints
+    assert(codes.select(size($"codes")).distinct().as[Int].collect()
+      .toSeq == Seq(2))
+    val queries = exactCorpus.filter($"vec_id" < 5)
+    val adc = Similarity.pqAdcTopK(codes, queries, cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    val exact = Similarity.bruteForceTopK(exactCorpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    assert(adc == exact,
+      s"ADC diverged on an exactly-encodable corpus: " +
+        s"adc-only=${(adc.toSet -- exact.toSet).take(3)}, " +
+        s"exact-only=${(exact.toSet -- adc.toSet).take(3)}")
+  }
+
+  test("pqEncode: deterministic re-encode; Lloyd sweeps do not increase reconstruction error") {
+    // noisy two-cluster corpus: prototypes + per-vector jitter
+    val rnd = new java.util.Random(7L)
+    val emb = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) Seq(5f, 0f, 0f, 0f, 0f, 5f, 0f, 0f)
+        else Seq(0f, 0f, 5f, 0f, 0f, 0f, 0f, 5f)
+      (i, base.map(_ + rnd.nextFloat() * 0.3f))
+    }.toDF("vec_id", "embedding")
+    def reconErr(iters: Int): Double = {
+      val cb = Similarity.pqTrainCodebooks(emb, dim = 8,
+        numSubspaces = 2, codebookSize = 4, iterations = iters)
+      val cbMap = cb.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[Double](2).toArray).toMap
+      val vecs = emb.as[(Long, Seq[Float])].collect()
+      val codes = Similarity.pqEncode(emb, cb, dim = 8)
+        .as[(Long, Seq[Int])].collect().toMap
+      vecs.map { case (id, v) =>
+        val rec = codes(id).zipWithIndex
+          .flatMap { case (c, m) => cbMap((m, c)) }
+        v.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / vecs.length
+    }
+    val e0 = reconErr(0)
+    val e3 = reconErr(3)
+    assert(e3 <= e0 + 1e-9, s"Lloyd increased reconstruction error: $e0 -> $e3")
+    assert(e3 < 0.1, s"refined codebooks should fit the jittered clusters: $e3")
+    // deterministic re-encode: same codebooks, same codes, twice
+    val cb = Similarity.pqTrainCodebooks(emb, dim = 8,
+      numSubspaces = 2, codebookSize = 4, iterations = 2)
+    val c1 = Similarity.pqEncode(emb, cb, dim = 8)
+      .as[(Long, Seq[Int])].collect().toMap
+    val c2 = Similarity.pqEncode(emb, cb, dim = 8)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(c1 == c2)
+  }
+
+  test("PQ recall at the q177/q178 gate parameters; corrupted control trips") {
+    // The synthetic embeddings are near-isotropic — PQ's worst case —
+    // so the gates encode the published two-stage contract: the ADC
+    // shortlist is a coarse ranker (well above the 1% chance floor, far
+    // below exact), and the float re-rank recovers the recall the
+    // quantization spent. Deterministic end to end: these floors are
+    // exact re-runs, not noise bounds.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+    val cb = Similarity.pqTrainCodebooks(emb, dim = 64,
+      numSubspaces = 16, codebookSize = 32, iterations = 3)
+    val codes = Similarity.pqEncode(emb, cb, dim = 64)
+    def rec(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(approx, exact)
+        .agg(avg($"recall"), min($"recall")).as[(Double, Double)]
+        .collect().head
+    val adc = rec(Similarity.pqAdcTopK(codes, queries, cb, 5))
+    assert(adc._1 >= 0.3, s"pure-ADC avg recall@5 ${adc._1}: codes carry " +
+      "no signal (chance on this fixture is 0.01)")
+    val rr50 = rec(Similarity.pqAdcRerankTopK(emb, codes, queries, cb, 5,
+      shortlist = 50))
+    assert(rr50._1 >= 0.9 && rr50._2 >= 0.6,
+      s"re-rank@50 recall collapsed: $rr50")
+    val rr100 = rec(Similarity.pqAdcRerankTopK(emb, codes, queries, cb, 5,
+      shortlist = 100))
+    assert(rr100 == ((1.0, 1.0)),
+      s"re-rank@100 must recover the exact top-5 on this fixture: $rr100")
+    // control: a corrupted approx frame must trip the same measurement
+    val corrupt = Similarity.pqAdcTopK(codes, queries, cb, 5)
+      .withColumn("neighbor_id", col("neighbor_id") + lit(100000L))
+    val bad = Similarity.recallAtK(corrupt, exact)
+      .agg(avg($"recall")).as[Double].collect().head
+    assert(bad == 0.0, "the recall measurement failed to trip on garbage")
+  }
+
+  test("pq guards: ragged vectors fail loud, bad shapes rejected, zero-norm queries drop") {
+    val ragged = Seq((0L, Seq(1f, 2f, 3f, 4f)), (1L, Seq(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.pqTrainCodebooks(ragged, dim = 4, numSubspaces = 2,
+        codebookSize = 2, iterations = 1).collect()
+    }
+    assert(e.getMessage.contains("pq: expected dim"))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrainCodebooks(exactCorpus, dim = 8, numSubspaces = 3)
+    }
+    val cb = Similarity.pqTrainCodebooks(exactCorpus, dim = 8,
+      numSubspaces = 2, codebookSize = 4, iterations = 1)
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(exactCorpus, cb, dim = 12)
+    }
+    // zero-norm query: no direction, no rows — never k garbage ones
+    val codes = Similarity.pqEncode(exactCorpus, cb, dim = 8)
+    val zq = Seq((99L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
+    assert(Similarity.pqAdcTopK(codes, zq, cb, k = 3).count() == 0L)
+  }
+}
