@@ -32,6 +32,16 @@ object TopKAggregate {
     ExpressionUtils.column(TopKByExpr(
       ExpressionUtils.expression(id), ExpressionUtils.expression(score), k
     ).toAggregateExpression())
+
+  /** `minKDistinct(v, k)` aggregate Column: the k smallest DISTINCT
+    * longs per group, ascending — the KMV-sketch state
+    * ([[graft.operators.Sketches.kmvSketch]]). Same bounded-buffer
+    * discipline as [[topKBy]]: each map task ships ≤ k longs per group,
+    * vs the full distinct-sort a window formulation pays.
+    */
+  def minKDistinct(v: Column, k: Int): Column =
+    ExpressionUtils.column(MinKDistinctExpr(
+      ExpressionUtils.expression(v), k).toAggregateExpression())
 }
 
 /** (score desc, id asc) ordering: `worst` = the entry evicted first. */
@@ -135,4 +145,95 @@ case class TopKByExpr(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): TopKByExpr =
     copy(idExpr = newChildren(0), scoreExpr = newChildren(1))
+}
+
+/** Sorted ascending buffer of ≤ k distinct longs; insertion keeps order
+  * and drops duplicates (the KMV invariant: the set of the k SMALLEST
+  * DISTINCT hash values — a duplicate hash is the same element seen
+  * again and must not displace anything).
+  */
+private[functions] final class MinKBuffer(val k: Int) {
+  var n: Int = 0
+  val vs = new Array[Long](k)
+
+  def insert(v: Long): Unit = {
+    if (n == k && v >= vs(n - 1)) return
+    // binary search for the insertion point; equal → already present
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (vs(mid) < v) lo = mid + 1
+      else if (vs(mid) > v) hi = mid
+      else return
+    }
+    val last = math.min(n, k - 1)
+    var i = last
+    while (i > lo) { vs(i) = vs(i - 1); i -= 1 }
+    vs(lo) = v
+    if (n < k) n += 1
+  }
+
+  def mergeFrom(o: MinKBuffer): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.vs(i)); i += 1 }
+  }
+}
+
+case class MinKDistinctExpr(
+    vExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MinKBuffer] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(vExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "min_k_distinct"
+
+  override def createAggregationBuffer(): MinKBuffer = new MinKBuffer(k)
+
+  override def update(buf: MinKBuffer, input: InternalRow): MinKBuffer = {
+    val v = vExpr.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: MinKBuffer, other: MinKBuffer): MinKBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: MinKBuffer): Any = {
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) { out(i) = buf.vs(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: MinKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 8)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.vs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MinKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new MinKBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MinKDistinctExpr =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinKDistinctExpr =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinKDistinctExpr =
+    copy(vExpr = newChildren(0))
 }

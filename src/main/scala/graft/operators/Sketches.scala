@@ -427,6 +427,106 @@ object Sketches {
     hllEstimate(merged, groupCols :+ out, p)
   }
 
+  /** KMV (k-minimum-values) sketch, Beyer et al. SIGMOD 2007 — the
+    * DISTINCT-count sketch that, unlike [[hllRegisters]], supports SET
+    * OPERATIONS: because the state is actual hash SAMPLES (the k
+    * smallest distinct 60-bit md5 hashes per group, the shared oracle
+    * convention), two sketches intersect/union meaningfully —
+    * [[kmvOverlap]] estimates |A∩B| and Jaccard between two audiences
+    * without ever joining the raw sets. The aggregate is the custom
+    * bounded-buffer [[graft.functions.TopKAggregate.minKDistinct]]
+    * (map-side ≤ k longs per group per task — never a distinct-sort);
+    * output is the sparse (group…, hv) table, ≤ k rows per group,
+    * mergeable forever like the HLL registers ([[kmvMerge]]). NULL keys
+    * contribute nothing; hash collisions conflate two elements with
+    * probability ≈ n²/2⁶¹ — irrelevant below ~10⁹ distinct per group.
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], key: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hv = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val gcols = groupCols.map(col)
+    df.where(key.isNotNull)
+      .select(gcols :+ hv.as("__hv"): _*)
+      .groupBy(gcols: _*)
+      .agg(graft.functions.TopKAggregate.minKDistinct(col("__hv"), k)
+        .as("__ks"))
+      .select(gcols :+ explode(col("__ks")).as("hv"): _*)
+  }
+
+  /** Merge two [[kmvSketch]] tables (same groups, same k) into the
+    * sketch of the union of their inputs — exact, because "k smallest
+    * distinct of (k smallest of A ∪ k smallest of B)" = "k smallest
+    * distinct of A ∪ B" (asserted in SketchesSpec).
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int = 256): DataFrame = {
+    val gcols = groupCols.map(col)
+    a.unionByName(b)
+      .groupBy(gcols: _*)
+      .agg(graft.functions.TopKAggregate.minKDistinct(col("hv"), k)
+        .as("__ks"))
+      .select(gcols :+ explode(col("__ks")).as("hv"): _*)
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]]: with fewer than k
+    * hashes the sketch saw the whole set (estimate = exact count);
+    * otherwise the k-th smallest hash U₍k₎ of a uniform [0, 2⁶⁰) sample
+    * estimates D ≈ (k−1)·2⁶⁰ / U₍k₎ (Beyer et al.'s unbiased form).
+    * `n_hashes` and `kth_hash` are hash-exact gate columns; the
+    * estimate is ONE mirrored double expression off exact longs — no
+    * transcendentals at all in this family.
+    */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String],
+      k: Int = 256): DataFrame = {
+    val gcols = groupCols.map(col)
+    sketch.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_hashes"), max(col("hv")).as("kth_hash"))
+      .withColumn("est_distinct",
+        round(when(col("n_hashes") < k, col("n_hashes").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+            col("kth_hash").cast("double")), 4))
+  }
+
+  /** Audience overlap from two [[kmvSketch]] tables (Beyer et al. §4.3):
+    * per group, the union sketch K = [[kmvMerge]](A, B) estimates
+    * D_union; the Jaccard estimate is ρ = |K ∩ A ∩ B| / |K| (how many
+    * of the union's bottom-k samples lie in BOTH sets); and
+    * |A∩B| ≈ ρ · D_union. One sketch-sized join chain — the raw sets
+    * were discarded at sketch time; this is "users who did BOTH,
+    * per segment" at 100 TB for the price of two stored KB tables.
+    * Groups present in only one sketch get no row (no overlap to
+    * estimate); `n_union < k` means every distinct element was sampled
+    * and the counts are exact.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int = 256): DataFrame = {
+    val u = kmvMerge(a, b, groupCols, k)
+    val joinCols = groupCols :+ "hv"
+    val common = u
+      .join(a.select(joinCols.map(col): _*), joinCols, "left_semi")
+      .join(b.select(joinCols.map(col): _*), joinCols, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_common"))
+    val gcols = groupCols.map(col)
+    kmvEstimate(u, groupCols, k)
+      .withColumnRenamed("n_hashes", "n_union")
+      .withColumnRenamed("est_distinct", "est_union")
+      .drop("kth_hash")
+      .join(common, groupCols, "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("jaccard_est",
+        round(col("n_common").cast("double") /
+          col("n_union").cast("double"), 4))
+      .withColumn("est_intersection",
+        round(col("n_common").cast("double") /
+          col("n_union").cast("double") * col("est_union"), 4))
+      .select(gcols ++ Seq(col("n_union"), col("n_common"),
+        col("est_union"), col("jaccard_est"),
+        col("est_intersection")): _*)
+  }
+
   /** 60-bit hash convention shared with the oracle (md5 hex [0,15)). */
   private val HllHashBits = 60
 

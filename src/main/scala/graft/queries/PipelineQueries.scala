@@ -1433,6 +1433,31 @@ object PipelineQueries {
         expr("ts_ns div 86400000000000"), window = 7, p = 10,
         out = "day")),
 
+    // KMV bottom-k distinct sketch (round 17): per-event-type distinct
+    // users at k=64 < the true cardinality, so the (k−1)·2⁶⁰/U₍k₎
+    // estimator branch is live corpus-wide; n_hashes/kth_hash are
+    // hash-exact gate columns (the custom bounded minKDistinct
+    // aggregate — map-side ≤ k longs per group per task).
+    "q179_kmv_distinct" -> ((s, d) =>
+      graft.operators.Sketches.kmvEstimate(
+        graft.operators.Sketches.kmvSketch(Tables.events(s, d),
+          Seq("event_type"), col("user_id"), k = 64),
+        Seq("event_type"), k = 64)),
+
+    // KMV audience overlap (round 17): per user-cohort, how many users
+    // both clicked AND purchased — the set-operation query HLL cannot
+    // answer, computed entirely from two stored bottom-k sketch tables
+    // (union sketch → Jaccard over common samples → |A∩B| estimate).
+    "q180_kmv_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cohort", col("user_id") % 3)
+      def sk(t: String) = graft.operators.Sketches.kmvSketch(
+        ev.filter(col("event_type") === t), Seq("cohort"),
+        col("user_id"), k = 32)
+      graft.operators.Sketches.kmvOverlap(sk("click"), sk("purchase"),
+        Seq("cohort"), k = 32)
+    }),
+
     // Product-quantization ADC top-k (round 17): the 32×-class
     // compression rung above q136's int8 scalar quantization — 64 float
     // dims → 16 codes, ranked by per-subspace lookup tables without
@@ -5195,6 +5220,80 @@ object PipelineQueries {
          |  FROM r0 JOIN d t ON t.day BETWEEN r0.day AND r0.day + 6
          |  GROUP BY r0.event_type, t.day, r0.bucket),
          |""".stripMargin + hllEstimateTail("event_type, day")),
+
+    // q179/q180 = the KMV pipeline replayed: bottom-k DISTINCT hashes
+    // per group via a row_number window over the distinct hash set
+    // (≡ the Spark side's bounded minKDistinct buffer), the
+    // (k−1)·2⁶⁰/U₍k₎ estimator mirrored literally (2⁶⁰ =
+    // 1152921504606846976, exactly representable), the exact branch
+    // when the sketch swallowed the whole set. q180 chains union /
+    // common-sample counting / Jaccard / intersection off the two
+    // per-set sketches, est_union reused ROUNDED exactly as the Spark
+    // side does.
+    "q179_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |a AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_hashes,
+        |    max(hv) AS kth_hash
+        |  FROM r WHERE rn <= 64 GROUP BY event_type)
+        |SELECT event_type, n_hashes, kth_hash,
+        |  round(CASE WHEN n_hashes < 64 THEN n_hashes::DOUBLE
+        |    ELSE 63.0::DOUBLE * 1152921504606846976.0::DOUBLE
+        |      / kth_hash::DOUBLE END, 4) AS est_distinct
+        |FROM a""".stripMargin,
+
+    "q180_kmv_overlap" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT user_id % 3 AS cohort,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'click'),
+        |hb AS (
+        |  SELECT DISTINCT user_id % 3 AS cohort,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+        |sa AS (SELECT cohort, hv FROM (
+        |  SELECT cohort, hv,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY hv) AS rn
+        |  FROM ha) WHERE rn <= 32),
+        |sb AS (SELECT cohort, hv FROM (
+        |  SELECT cohort, hv,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY hv) AS rn
+        |  FROM hb) WHERE rn <= 32),
+        |un AS (SELECT cohort, hv FROM (
+        |  SELECT cohort, hv,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY hv) AS rn
+        |  FROM (SELECT * FROM sa UNION SELECT * FROM sb)) WHERE rn <= 32),
+        |agg AS (
+        |  SELECT cohort, count(*)::BIGINT AS n_union, max(hv) AS kth
+        |  FROM un GROUP BY cohort),
+        |cm AS (
+        |  SELECT u.cohort, count(*)::BIGINT AS n_common FROM un u
+        |  WHERE EXISTS (SELECT 1 FROM sa
+        |      WHERE sa.cohort = u.cohort AND sa.hv = u.hv)
+        |    AND EXISTS (SELECT 1 FROM sb
+        |      WHERE sb.cohort = u.cohort AND sb.hv = u.hv)
+        |  GROUP BY u.cohort),
+        |e AS (
+        |  SELECT cohort, n_union,
+        |    round(CASE WHEN n_union < 32 THEN n_union::DOUBLE
+        |      ELSE 31.0::DOUBLE * 1152921504606846976.0::DOUBLE
+        |        / kth::DOUBLE END, 4) AS est_union
+        |  FROM agg)
+        |SELECT e.cohort, e.n_union,
+        |  coalesce(cm.n_common, 0)::BIGINT AS n_common, e.est_union,
+        |  round(coalesce(cm.n_common, 0)::DOUBLE / e.n_union::DOUBLE, 4)
+        |    AS jaccard_est,
+        |  round(coalesce(cm.n_common, 0)::DOUBLE / e.n_union::DOUBLE
+        |    * e.est_union, 4) AS est_intersection
+        |FROM e LEFT JOIN cm USING (cohort)""".stripMargin,
 
     // q175 = q95's oracled log_ppl fed through per-language
     // quantile_disc terciles (the percentile_disc ≡ quantile_disc

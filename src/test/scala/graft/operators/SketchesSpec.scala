@@ -373,6 +373,69 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  /** KMV reference: md5 60-bit hashes, distinct, sorted, bottom k. */
+  private def refKmv(keys: Seq[String], k: Int): Seq[Long] =
+    keys.map { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }.distinct.sorted.take(k)
+
+  test("kmvSketch ≡ independent reference across partitions and duplicates") {
+    val keys = (0 until 3000).map(i => s"k${i % 1000}") // 3× duplicated
+    val df = keys.toDF("k").withColumn("g", lit("x")).repartition(7)
+    val got = Sketches.kmvSketch(df, Seq("g"), $"k", k = 100)
+      .select($"hv").as[Long].collect().sorted.toSeq
+    assert(got == refKmv(keys, 100))
+  }
+
+  test("kmvMerge ≡ sketch of the union; estimate branches; overlap arithmetic") {
+    val aKeys = (0 until 2000).map(i => s"u$i")
+    val bKeys = (1000 until 3000).map(i => s"u$i") // 50% overlap with a
+    def frame(ks: Seq[String]) =
+      ks.toDF("k").withColumn("g", lit("seg"))
+    def sk(ks: Seq[String], k: Int) =
+      Sketches.kmvSketch(frame(ks), Seq("g"), $"k", k)
+    // merge ≡ recompute, hash for hash
+    val merged = Sketches.kmvMerge(sk(aKeys, 256), sk(bKeys, 256),
+      Seq("g"), 256).select($"hv").as[Long].collect().sorted.toSeq
+    assert(merged == refKmv(aKeys ++ bKeys, 256))
+    // estimator branch: 3000 distinct in the union at k=256 —
+    // σ ≈ 1/√(k−2), gate at 5σ
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvMerge(sk(aKeys, 256), sk(bKeys, 256), Seq("g"), 256),
+      Seq("g"), 256).select($"n_hashes", $"est_distinct")
+      .as[(Long, Double)].collect().head
+    assert(est._1 == 256L)
+    assert(math.abs(est._2 - 3000.0) / 3000.0 < 5.0 / math.sqrt(254.0),
+      s"union estimate ${est._2} vs 3000")
+    // exact branch: fewer distinct than k → estimate IS the exact count
+    val small = Sketches.kmvEstimate(sk(aKeys.take(40), 256), Seq("g"), 256)
+      .select($"n_hashes", $"est_distinct").as[(Long, Double)]
+      .collect().head
+    assert(small == ((40L, 40.0)))
+    // overlap: |A∩B| = 1000 of |A∪B| = 3000 → ρ ≈ 1/3
+    val ov = Sketches.kmvOverlap(sk(aKeys, 256), sk(bKeys, 256),
+      Seq("g"), 256).collect().head
+    val jac = ov.getAs[Double]("jaccard_est")
+    val inter = ov.getAs[Double]("est_intersection")
+    assert(math.abs(jac - 1.0 / 3) < 0.15, s"jaccard $jac vs 1/3")
+    assert(math.abs(inter - 1000.0) / 1000.0 < 0.45, s"intersection $inter")
+    // disjoint sets: zero common samples, zero estimates, row still emitted
+    val dj = Sketches.kmvOverlap(sk(aKeys.take(500), 64),
+      sk((9000 until 9500).map(i => s"u$i"), 64), Seq("g"), 64)
+      .collect().head
+    assert(dj.getAs[Long]("n_common") == 0L)
+    assert(dj.getAs[Double]("est_intersection") == 0.0)
+    // exact-branch overlap: tiny sets fully sampled → exact Jaccard
+    val ex = Sketches.kmvOverlap(sk(aKeys.take(30), 256),
+      sk(aKeys.slice(15, 45), 256), Seq("g"), 256).collect().head
+    assert(ex.getAs[Long]("n_union") == 45L)
+    assert(ex.getAs[Long]("n_common") == 15L)
+    assert(ex.getAs[Double]("est_intersection") == 15.0)
+    assert(ex.getAs[Double]("jaccard_est") == 0.3333)
+  }
+
   test("hllRegisters: NULL keys contribute no element; p bounds enforced") {
     val withNulls = Seq(("g", "a"), ("g", null), ("g", "b"))
       .toDF("g", "k")
