@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge-list DataFrames — the link-structure
+  * signals a crawl/curation stack computes beside the per-document
+  * ones ([[Dedup.nearDupClusters]] and [[Similarity.semanticDedup]]
+  * already do connected components via label propagation; this adds the
+  * eigenvector-style centrality family).
+  */
+object Graphs {
+
+  /** Damped PageRank (Page, Brin, Motwani & Winograd 1999) over an edge
+    * list — host/domain authority as a curation signal (the link-graph
+    * complement of [[Urls.hostReputation]]'s behavioral screen: a spam
+    * mill can fake its own URLs but not who links to it).
+    *
+    * Published semantics, including danglers: with out-degree deg(u),
+    *
+    *   r'(v) = (1−d)/N + d · ( Σ_{u→v} r(u)/deg(u) + D/N )
+    *
+    * where D = Σ r(u) over dangling nodes (no out-edges) — their mass
+    * redistributes uniformly, so Σ r stays 1 every iteration (spec-
+    * asserted). Nodes = src ∪ dst; a node id must be globally unique
+    * across entity types (prefix them — see q181).
+    *
+    * Determinism (the q151/q167 quantized-contribution discipline):
+    * per-edge contributions r(u)/deg(u) and per-node dangling masses
+    * quantize to 1e-12-granular longs BEFORE their sums, so every
+    * corpus-wide aggregate is an exact integer sum — partition order,
+    * engine, and retry cannot move a rank, and the oracle replays the
+    * iteration exactly (no output rounding needed; mass conservation
+    * bounds every scaled sum by ~10¹², far inside long range — the
+    * bound is total rank mass, not edge count). Granularity, not
+    * correctness, is the N ceiling: absolute rank error per iteration
+    * ≤ ~indegree·1e-12.
+    *
+    * Scale shape: the Lloyd/BPE sequential-round loop — per iteration
+    * one ranks⋈outdeg⋈edges join + a per-destination integer-sum
+    * aggregate (map-side combined; shuffle = node cardinality), ONE
+    * 1-row dangling aggregate collected (metadata; the only driver
+    * value), and the node-sized rank frame localCheckpointed so
+    * iteration i never re-executes iterations < i. Edges and ranks
+    * shuffle on node keys only — no per-iteration full-graph sort, no
+    * adjacency materialization.
+    */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    // Materialize the narrow edge projection ONCE (the hostReputation
+    // lesson): the caller's edge derivation may be a join+distinct over
+    // the raw corpus, and it feeds nodes, deg, and every iteration's
+    // contribution join — without this it re-executes ~2+iterations
+    // times (measured 2.5× on the q181 gate).
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val deg = e.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("__outdeg")).localCheckpoint()
+    val scale = 1e12
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(deg, Seq("node"), "left")
+      val contrib = withDeg.where(col("__outdeg").isNotNull)
+        .join(e.withColumnRenamed("__src", "node"), Seq("node"))
+        .select(col("__dst").as("node"),
+          round(col("rank") / col("__outdeg").cast("double") * lit(scale))
+            .cast("long").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__cs"))
+      val dangScaled = withDeg.where(col("__outdeg").isNull)
+        .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")),
+          lit(0L)))
+        .collect()(0).getLong(0)
+      // association order mirrored literally by the oracle:
+      // (1-d)/n + d * (cs/scale + (dang/scale)/n)
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("__cs"), lit(0L)).cast("double") / lit(scale) +
+              lit((dangScaled.toDouble / scale) / n))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -1433,6 +1433,24 @@ object PipelineQueries {
         expr("ts_ns div 86400000000000"), window = 7, p = 10,
         out = "day")),
 
+    // Damped PageRank over the customer→supplier purchase graph
+    // (round 17): 1,600 nodes (keys prefixed — custkey 5 is not
+    // suppkey 5), every supplier a dangling node so the uniform
+    // redistribution term is live corpus-wide; 5 iterations of the
+    // quantized-contribution update, oracle-replayed round for round
+    // (the q134/q167 unrolled-CTE discipline). No output rounding —
+    // every rank is built from exact integer sums and mirrored literals.
+    "q181_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.operators.Graphs.pageRank(edges, iterations = 5,
+        damping = 0.85)
+    }),
+
     // KMV bottom-k distinct sketch (round 17): per-event-type distinct
     // users at k=64 < the true cardinality, so the (k−1)·2⁶⁰/U₍k₎
     // estimator branch is live corpus-wide; n_hashes/kth_hash are
@@ -2235,6 +2253,46 @@ object PipelineQueries {
       |  SELECT doc_id, text,
       |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Graphs.pageRank]] — the
+    * q134/q167 unrolled-round discipline: per iteration one quantized
+    * per-destination contribution CTE (integer sum), one 1-row dangling
+    * aggregate, one rank-update CTE with every literal and association
+    * order mirrored against the Spark side. `edgesCte` must yield
+    * (src, dst).
+    */
+  private def pageRankOracle(edgesCte: String, iterations: Int,
+      damping: Double): String = {
+    val S = "1000000000000.0::DOUBLE"
+    def iter(i: Int): String = {
+      val p = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    sum(round(r.rank / d.outdeg::DOUBLE * $S)::BIGINT) AS cs
+         |  FROM $p r JOIN deg d ON d.node = r.node JOIN e ON e.src = r.node
+         |  GROUP BY e.dst),
+         |d$i AS (
+         |  SELECT coalesce(sum(round(r.rank * $S)::BIGINT), 0) AS dm
+         |  FROM $p r LEFT JOIN deg d ON d.node = r.node
+         |  WHERE d.node IS NULL),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    (1.0::DOUBLE - $damping::DOUBLE) / nn.n + $damping::DOUBLE *
+         |      (coalesce(c$i.cs, 0)::DOUBLE / $S +
+         |        (d$i.dm::DOUBLE / $S) / nn.n) AS rank
+         |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
+    }
+    s"""WITH e AS ($edgesCte),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+       |  FROM e GROUP BY src),
+       |r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS rank
+       |  FROM nodes CROSS JOIN nn),
+       |${(1 to iterations).map(iter).mkString(",\n")}
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
 
   /** rho of the 50-bit tail (p=10) — length(bin(tail)) = bit length,
     * exact integer/string arithmetic; all-zero tail reads 51, capped 50.
@@ -5230,6 +5288,14 @@ object PipelineQueries {
     // common-sample counting / Jaccard / intersection off the two
     // per-set sketches, est_union reused ROUNDED exactly as the Spark
     // side does.
+    // q181 = the quantized PageRank update unrolled 5 rounds over the
+    // prefixed customer→supplier edge list.
+    "q181_pagerank" -> pageRankOracle(
+      """SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+        .stripMargin,
+      iterations = 5, damping = 0.85),
+
     "q179_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

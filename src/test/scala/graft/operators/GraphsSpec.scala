@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed and invariant gates for the graph-analytics family. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A tiny graph with every structural case: a 2-cycle (a<->b), a feeder
+  // (c -> a), and a dangling sink (c -> d, d has no out-edges).
+  private lazy val g = Seq(
+    ("a", "b"), ("b", "a"), ("c", "a"), ("c", "d"))
+    .toDF("src", "dst")
+
+  /** Plain-Scala reference replaying the exact quantized update. */
+  private def refRanks(edges: Seq[(String, String)], iters: Int,
+      d: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (s, t) =>
+          t -> math.rint(r(s) / out(s).toDouble * 1e12 + 0.0).toLong }
+        // NB: rint is half-even; quantized values here never land on .5
+        .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).sum }
+      val dang = nodes.filterNot(out.contains)
+        .map(v => math.rint(r(v) * 1e12).toLong).sum
+      r = nodes.map { v =>
+        v -> ((1.0 - d) / n + d *
+          (contrib.getOrElse(v, 0L).toDouble / 1e12 +
+            (dang.toDouble / 1e12) / n))
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank ≡ hand-replayed quantized update; mass conserved; order sane") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "a"), ("c", "d"))
+    val got = Graphs.pageRank(g, iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(got == refRanks(edges, 4, 0.85),
+      s"diverged from the reference replay: $got")
+    // dangling redistribution keeps total mass at 1 (up to quantization)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the 2-cycle oscillates at small iteration counts, so order claims
+    // go to the (converged) 25-round run: a receives from b AND c,
+    // b everything a has, d only c's split + teleport
+    val conv = Graphs.pageRank(g, iterations = 25)
+      .as[(String, Double)].collect().toMap
+    assert(conv == refRanks(edges, 25, 0.85))
+    assert(conv("a") > conv("b") && conv("b") > conv("d") &&
+      conv("d") > conv("c"), s"converged order wrong: $conv")
+  }
+
+  test("pageRank: deterministic across partitionings; parameter guards") {
+    val big = (0L until 400L).map(i => (s"n$i", s"n${(i * 7) % 400}"))
+      .toDF("src", "dst")
+    val r1 = Graphs.pageRank(big.repartition(13), 3)
+      .as[(String, Double)].collect().toMap
+    val r2 = Graphs.pageRank(big.repartition(2), 3)
+      .as[(String, Double)].collect().toMap
+    assert(r1 == r2, "partitioning moved a rank — quantization broken")
+    intercept[IllegalArgumentException] { Graphs.pageRank(g, 0) }
+    intercept[IllegalArgumentException] { Graphs.pageRank(g, 2, damping = 1.0) }
+  }
+
+  test("pageRank: null-keyed edges dropped; isolated via self-loop ranks above pure sink") {
+    val withNull = g.unionByName(
+      Seq((null.asInstanceOf[String], "a"), ("a", null.asInstanceOf[String]))
+        .toDF("src", "dst"))
+    val clean = Graphs.pageRank(g, 3).as[(String, Double)].collect().toMap
+    val dirty = Graphs.pageRank(withNull, 3)
+      .as[(String, Double)].collect().toMap
+    assert(clean == dirty, "null-keyed edges must not alter the graph")
+  }
+}
