@@ -527,6 +527,70 @@ object Sketches {
         col("est_intersection")): _*)
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) — the FREQUENCY
+    * member of the mergeable-sketch family ([[hllRegisters]] counts
+    * distincts, [[kmvSketch]] intersects sets, this answers "how often
+    * does X occur" for an open vocabulary in fixed space): a depth ×
+    * width counter grid, each element incrementing one counter per hash
+    * row; a point estimate is the MIN of its depth counters —
+    * overestimate-only (collisions add, never subtract), with
+    * err ≤ e·N/width at probability 1−e^−depth. State is the sparse
+    * (group…, r, c, cnt) table, ≤ groups × depth × width rows
+    * REGARDLESS of stream length; counters are exact integer sums, so
+    * unlike every classical CMS implementation this one is fully
+    * value-oracled — the md5 row-hash convention replays in any engine.
+    * [[cmsMerge]] is counter addition (sketch of the concatenation, by
+    * linearity). NULL keys contribute nothing.
+    */
+  def cmsSketch(df: DataFrame, groupCols: Seq[String], key: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val gcols = groupCols.map(col)
+    df.where(key.isNotNull)
+      .select(gcols :+ key.cast("string").as("__k"): _*)
+      .select(gcols ++ Seq(col("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r")): _*)
+      .select(gcols ++ Seq(col("r"),
+        (conv(substring(md5(concat(col("__k"), lit(":"),
+          col("r").cast("string"))), 1, 15), 16, 10).cast("long")
+          % width).as("c")): _*)
+      .groupBy(gcols ++ Seq(col("r"), col("c")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two [[cmsSketch]] tables (same groups/depth/width): counter
+    * addition — exactly the sketch of the concatenated inputs.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val kcols = (groupCols ++ Seq("r", "c")).map(col)
+    a.unionByName(b).groupBy(kcols: _*).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsSketch]] for the keys in
+    * `probes` (distinct per group): min over the key's depth counters,
+    * absent counters read 0. Overestimate-only: est ≥ the true count,
+    * always (spec-asserted with planted collisions). All other probe
+    * columns ride through; the sketch side of the join is ≤ groups ×
+    * depth × width rows — broadcast-class by construction.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024,
+      groupCols: Seq[String] = Nil, out: String = "est_cnt"): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    val idCols = (groupCols :+ keyCol).map(col)
+    val est = probes.select(idCols: _*).distinct()
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("c",
+        conv(substring(md5(concat(col(keyCol).cast("string"), lit(":"),
+          col("r").cast("string"))), 1, 15), 16, 10).cast("long") % width)
+      .join(broadcast(sketch), groupCols ++ Seq("r", "c"), "left")
+      .groupBy(idCols: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as(out))
+    probes.join(est, groupCols :+ keyCol)
+  }
+
   /** 60-bit hash convention shared with the oracle (md5 hex [0,15)). */
   private val HllHashBits = 60
 

@@ -1433,6 +1433,25 @@ object PipelineQueries {
         expr("ts_ns div 86400000000000"), window = 7, p = 10,
         out = "day")),
 
+    // Count-min token frequencies (round 17): the open-vocabulary
+    // frequency sketch — depth 4 × width 512 counters over every token
+    // of the corpus, point estimates for the exact top-30 tokens
+    // (ties by token). Counters are exact integer sums, so the whole
+    // pipeline — sketch, probe hashing, min-of-counters — is fully
+    // value-oracled; est_cnt ≥ true_cnt by construction.
+    "q182_cms_freq" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+      val sketch = graft.operators.Sketches.cmsSketch(toks, Nil,
+        col("tok"), depth = 4, width = 512)
+      val top = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok").asc).limit(30)
+      graft.operators.Sketches.cmsEstimate(sketch, top, "tok",
+        depth = 4, width = 512)
+    }),
+
     // Damped PageRank over the customer→supplier purchase graph
     // (round 17): 1,600 nodes (keys prefixed — custkey 5 is not
     // suppkey 5), every supplier a dangling node so the uniform
@@ -5288,6 +5307,34 @@ object PipelineQueries {
     // common-sample counting / Jaccard / intersection off the two
     // per-set sketches, est_union reused ROUNDED exactly as the Spark
     // side does.
+    // q182 = the CMS grid replayed literally: per (token, hash row) the
+    // md5 column index, exact counter sums, min-of-depth-counters point
+    // estimates for the exact top-30 probe set.
+    "q182_cms_freq" ->
+      """WITH dt AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |rr AS (SELECT unnest(range(0, 4)) AS r),
+        |cms AS (
+        |  SELECT r,
+        |    ('0x' || substr(md5(tok || ':' || r::VARCHAR), 1, 15))::BIGINT
+        |      % 512 AS c,
+        |    count(*)::BIGINT AS cnt
+        |  FROM dt CROSS JOIN rr GROUP BY 1, 2),
+        |top AS (
+        |  SELECT tok, count(*)::BIGINT AS true_cnt FROM dt GROUP BY tok
+        |  ORDER BY true_cnt DESC, tok LIMIT 30),
+        |pe AS (
+        |  SELECT t.tok, t.true_cnt, rr.r,
+        |    ('0x' || substr(md5(t.tok || ':' || rr.r::VARCHAR),
+        |      1, 15))::BIGINT % 512 AS c
+        |  FROM top t CROSS JOIN rr)
+        |SELECT pe.tok, pe.true_cnt,
+        |  min(coalesce(cms.cnt, 0))::BIGINT AS est_cnt
+        |FROM pe LEFT JOIN cms ON cms.r = pe.r AND cms.c = pe.c
+        |GROUP BY pe.tok, pe.true_cnt""".stripMargin,
+
     // q181 = the quantized PageRank update unrolled 5 rounds over the
     // prefixed customer→supplier edge list.
     "q181_pagerank" -> pageRankOracle(

@@ -436,6 +436,45 @@ class SketchesSpec extends SparkSpec {
     assert(ex.getAs[Double]("jaccard_est") == 0.3333)
   }
 
+  test("cmsSketch: exact at low load, overestimate-only under collisions, merge = addition") {
+    // low load: 20 distinct keys in a 4×1024 grid — collisions are
+    // practically impossible, every estimate must be EXACT
+    val low = (0 until 200).map(i => s"k${i % 20}").toDF("k")
+    val lowSk = Sketches.cmsSketch(low, Nil, $"k", depth = 4, width = 1024)
+    val lowTrue = (0 until 20).map(i => s"k$i" -> 10L).toMap
+    val lowEst = Sketches.cmsEstimate(lowSk,
+        lowTrue.keys.toSeq.toDF("k"), "k", depth = 4, width = 1024)
+      .as[(String, Long)].collect().toMap
+    assert(lowEst == lowTrue)
+    // crush load: 300 distinct keys into a 4×8 grid — collisions
+    // everywhere; the estimate may only ever OVERcount
+    val keys = (0 until 300).map(i => s"x$i")
+    val heavy = keys.flatMap(k => Seq.fill(k.length)(k)).toDF("k")
+    val hSk = Sketches.cmsSketch(heavy, Nil, $"k", depth = 4, width = 8)
+    val est = Sketches.cmsEstimate(hSk, keys.toDF("k"), "k",
+        depth = 4, width = 8)
+      .as[(String, Long)].collect().toMap
+    val truth = keys.map(k => k -> k.length.toLong).toMap
+    assert(keys.forall(k => est(k) >= truth(k)),
+      "CMS undercounted — min-of-counters broken")
+    assert(keys.exists(k => est(k) > truth(k)),
+      "fixture failed to collide at width 8")
+    // merge ≡ sketch of the concatenation, counter for counter
+    val (h1, h2) = heavy.as[String].collect().toSeq.splitAt(500)
+    val merged = Sketches.cmsMerge(
+        Sketches.cmsSketch(h1.toDF("k"), Nil, $"k", 4, 8),
+        Sketches.cmsSketch(h2.toDF("k"), Nil, $"k", 4, 8), Nil)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == hSk.as[(Int, Long, Long)].collect().toSet)
+    // unseen key against an empty sketch reads 0; nulls contribute nothing
+    val empty = Sketches.cmsSketch(Seq.empty[String].toDF("k"), Nil, $"k")
+    assert(Sketches.cmsEstimate(empty, Seq("ghost").toDF("k"), "k")
+      .as[(String, Long)].collect().head._2 == 0L)
+    val withNull = Sketches.cmsSketch(
+      Seq(Some("a"), None, Some("a")).toDF("k"), Nil, $"k", 2, 16)
+    assert(withNull.agg(sum($"cnt")).as[Long].collect().head == 4L) // 2 rows × depth 2
+  }
+
   test("hllRegisters: NULL keys contribute no element; p bounds enforced") {
     val withNulls = Seq(("g", "a"), ("g", null), ("g", "b"))
       .toDF("g", "k")

@@ -635,4 +635,49 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
         s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
     assert(batch.size > 50, "fixture must spread over many registers")
   }
+
+  test("KMV and CMS sketches: the SAME operators run as complete-mode streams ≡ batch") {
+    assume(fixtureExists("events"))
+    // Both sketch aggregates are custom TypedImperativeAggregates —
+    // this gate proves the bounded buffers merge correctly through the
+    // streaming state store across micro-batches, value-identical to
+    // one batch pass (state = sketch cardinality, metadata-sized).
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"ts", $"user_id", $"event_type", $"value")
+    val kmvBatch = graft.operators.Sketches
+      .kmvSketch(ev, Seq("event_type"), $"user_id", k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val cmsBatch = graft.operators.Sketches
+      .cmsSketch(ev, Seq("event_type"), $"user_id", depth = 2, width = 32)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = ev.as[Event].collect().toSeq
+    def drain(name: String)(
+        q: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Array[org.apache.spark.sql.Row] = {
+      val in = MemoryStream[Event]
+      val sq = q(in.toDF()).writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      fixture.grouped((fixture.size + 1) / 2).foreach { chunk =>
+        in.addData(chunk)
+        sq.processAllAvailable()
+      }
+      sq.stop()
+      spark.table(name).collect()
+    }
+    val kmvStream = drain("eqkmv")(df => graft.operators.Sketches
+        .kmvSketch(df, Seq("event_type"), $"user_id", k = 64))
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kmvStream == kmvBatch,
+      s"KMV diverges: stream-only=${(kmvStream -- kmvBatch).take(3)}")
+    val cmsStream = drain("eqcms")(df => graft.operators.Sketches
+        .cmsSketch(df, Seq("event_type"), $"user_id", depth = 2, width = 32))
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(cmsStream == cmsBatch,
+      s"CMS diverges: ${(cmsStream.toSet -- cmsBatch.toSet).take(3)}")
+  }
 }
