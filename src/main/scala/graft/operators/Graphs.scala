@@ -45,6 +45,75 @@ object Graphs {
     * shuffle on node keys only — no per-iteration full-graph sort, no
     * adjacency materialization.
     */
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — [[pageRank]]'s
+    * bipartite-shaped sibling: a good HUB points at good authorities, a
+    * good AUTHORITY is pointed at by good hubs — the natural centrality
+    * pair for two-role graphs (buyers→products, crawlers→hosts,
+    * citers→cited), where PageRank's single score conflates the roles.
+    *
+    *   a'(v) = Σ_{u→v} h(u)   then L1-normalize;
+    *   h'(u) = Σ_{u→v} a'(v)  then L1-normalize.
+    *
+    * Determinism, the [[pageRank]] discipline: per-edge contributions
+    * quantize to 1e-9-granular longs before the sums (coarser than
+    * PageRank's 1e-12 because the L1-normalization bound here is the
+    * EDGE count, not the unit mass — safe to ~9·10⁹ edges), each
+    * normalizer is ONE exact long sum collected per half-iteration
+    * (metadata), and every score is a single long/long double division
+    * — the oracle replays all rounds exactly, no output rounding.
+    * Scores start at 1.0 (scale is irrelevant under L1 normalization);
+    * no-in-edge nodes get authority 0, no-out-edge nodes hub 0.
+    */
+  def hits(edges: DataFrame, iterations: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct().localCheckpoint()
+    val scale = 1e9
+    var scores = nodes.withColumn("hub", lit(1.0))
+      .withColumn("auth", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      // each edge-join aggregate materializes ONCE (it feeds both its
+      // 1-row normalizer and the next node-sized join — without the
+      // checkpoint the 2 actions run the edge join twice; measured
+      // ~2× on the q183 gate)
+      val araw = scores.select(col("node").as("__src"),
+          round(col("hub") * lit(scale)).cast("long").as("__qh"))
+        .join(e, Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__qh")).as("__ar"))
+        .localCheckpoint()
+      val aTot = araw.agg(sum(col("__ar"))).collect()(0).getLong(0)
+      val withAuth = scores.drop("auth")
+        .join(araw, Seq("node"), "left")
+        .withColumn("auth",
+          coalesce(col("__ar"), lit(0L)).cast("double") /
+            lit(aTot.toDouble))
+        .drop("__ar").localCheckpoint()
+      val hraw = withAuth.select(col("node").as("__dst"),
+          round(col("auth") * lit(scale)).cast("long").as("__qa"))
+        .join(e, Seq("__dst"))
+        .groupBy(col("__src").as("node"))
+        .agg(sum(col("__qa")).as("__hr"))
+        .localCheckpoint()
+      val hTot = hraw.agg(sum(col("__hr"))).collect()(0).getLong(0)
+      scores = withAuth.drop("hub")
+        .join(hraw, Seq("node"), "left")
+        .withColumn("hub",
+          coalesce(col("__hr"), lit(0L)).cast("double") /
+            lit(hTot.toDouble))
+        .drop("__hr")
+        .select(col("node"), col("hub"), col("auth"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")

@@ -1470,6 +1470,21 @@ object PipelineQueries {
         damping = 0.85)
     }),
 
+    // HITS hubs & authorities over the same purchase graph (round 17):
+    // the two-role centrality PageRank conflates — customers are pure
+    // hubs (authority 0: nothing points at them), suppliers pure
+    // authorities; 4 quantized+L1-normalized rounds, oracle-replayed
+    // exactly with no output rounding.
+    "q183_hits" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.operators.Graphs.hits(edges, iterations = 4)
+    }),
+
     // KMV bottom-k distinct sketch (round 17): per-event-type distinct
     // users at k=64 < the true cardinality, so the (k−1)·2⁶⁰/U₍k₎
     // estimator branch is live corpus-wide; n_hashes/kth_hash are
@@ -1740,7 +1755,7 @@ object PipelineQueries {
     def roundCtes(i: Int): String = {
       val prev = if (i == 1) "p0" else s"p${i - 1}"
       val count =
-        s"""c$i AS (
+        s"""c$i AS MATERIALIZED (
            |  SELECT a.piece AS p1, b.piece AS p2, sum(w.n)::BIGINT AS cnt
            |  FROM $prev a JOIN $prev b ON a.word = b.word
            |    AND b.idx = a.idx + 1
@@ -1750,7 +1765,7 @@ object PipelineQueries {
       val apply =
         s""",
            |l$i AS (SELECT word, max(idx) AS m FROM $prev GROUP BY word),
-           |r$i AS (
+           |r$i AS MATERIALIZED (
            |  SELECT word, 1 AS pos, 0 AS idx, CAST(NULL AS VARCHAR) AS piece
            |  FROM words
            |  UNION ALL
@@ -2285,16 +2300,16 @@ object PipelineQueries {
     val S = "1000000000000.0::DOUBLE"
     def iter(i: Int): String = {
       val p = s"r${i - 1}"
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |    sum(round(r.rank / d.outdeg::DOUBLE * $S)::BIGINT) AS cs
          |  FROM $p r JOIN deg d ON d.node = r.node JOIN e ON e.src = r.node
          |  GROUP BY e.dst),
-         |d$i AS (
+         |d$i AS MATERIALIZED (
          |  SELECT coalesce(sum(round(r.rank * $S)::BIGINT), 0) AS dm
          |  FROM $p r LEFT JOIN deg d ON d.node = r.node
          |  WHERE d.node IS NULL),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT nodes.node,
          |    (1.0::DOUBLE - $damping::DOUBLE) / nn.n + $damping::DOUBLE *
          |      (coalesce(c$i.cs, 0)::DOUBLE / $S +
@@ -2302,15 +2317,56 @@ object PipelineQueries {
          |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
          |  LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
     }
-    s"""WITH e AS ($edgesCte),
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-       |deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+    s"""WITH e AS MATERIALIZED ($edgesCte),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, count(*)::BIGINT AS outdeg
        |  FROM e GROUP BY src),
-       |r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS rank
+       |r0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / nn.n AS rank
        |  FROM nodes CROSS JOIN nn),
        |${(1 to iterations).map(iter).mkString(",\n")}
        |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Graphs.hits]] — per iteration:
+    * quantized authority sums + 1-row L1 normalizer + normalize, then
+    * the same for hubs, every literal and association mirrored.
+    */
+  private def hitsOracle(edgesCte: String, iterations: Int): String = {
+    val S = "1000000000.0::DOUBLE"
+    def iter(i: Int): String = {
+      val p = if (i == 1) "s0" else s"s${i - 1}"
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    sum(round(s.hub * $S)::BIGINT) AS ar
+         |  FROM $p s JOIN e ON e.src = s.node GROUP BY e.dst),
+         |a${i}t AS MATERIALIZED (SELECT sum(ar)::BIGINT AS t FROM a${i}r),
+         |sa$i AS MATERIALIZED (
+         |  SELECT s.node, s.hub,
+         |    coalesce(r.ar, 0)::DOUBLE / t.t::DOUBLE AS auth
+         |  FROM $p s LEFT JOIN a${i}r r ON r.node = s.node
+         |  CROSS JOIN a${i}t t),
+         |h${i}r AS MATERIALIZED (
+         |  SELECT e.src AS node,
+         |    sum(round(sa.auth * $S)::BIGINT) AS hr
+         |  FROM sa$i sa JOIN e ON e.dst = sa.node GROUP BY e.src),
+         |h${i}t AS MATERIALIZED (SELECT sum(hr)::BIGINT AS t FROM h${i}r),
+         |s$i AS MATERIALIZED (
+         |  SELECT sa.node,
+         |    coalesce(r.hr, 0)::DOUBLE / t.t::DOUBLE AS hub, sa.auth
+         |  FROM sa$i sa LEFT JOIN h${i}r r ON r.node = sa.node
+         |  CROSS JOIN h${i}t t)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED ($edgesCte),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |s0 AS MATERIALIZED (
+       |  SELECT node, 1.0::DOUBLE AS hub, 1.0::DOUBLE AS auth
+       |  FROM nodes),
+       |${(1 to iterations).map(iter).mkString(",\n")}
+       |SELECT node, hub, auth FROM s$iterations""".stripMargin
   }
 
   /** rho of the 50-bit tail (p=10) — length(bin(tail)) = bit length,
@@ -5342,6 +5398,13 @@ object PipelineQueries {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
         .stripMargin,
       iterations = 5, damping = 0.85),
+
+    // q183 = 4 HITS rounds unrolled over the same edge CTE.
+    "q183_hits" -> hitsOracle(
+      """SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+        .stripMargin,
+      iterations = 4),
 
     "q179_kmv_distinct" ->
       """WITH h AS (

@@ -68,6 +68,45 @@ class GraphsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graphs.pageRank(g, 2, damping = 1.0) }
   }
 
+  /** Scala replay of the quantized HITS rounds. */
+  private def refHits(edges: Seq[(String, String)], iters: Int)
+      : Map[String, (Double, Double)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val ar = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => math.rint(hub(e._1) * 1e9).toLong).sum }
+      val at = ar.values.sum.toDouble
+      auth = nodes.map(v => v -> ar.getOrElse(v, 0L).toDouble / at).toMap
+      val hr = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => math.rint(auth(e._2) * 1e9).toLong).sum }
+      val ht = hr.values.sum.toDouble
+      hub = nodes.map(v => v -> hr.getOrElse(v, 0L).toDouble / ht).toMap
+    }
+    nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+  }
+
+  test("hits ≡ hand-replayed quantized rounds; bipartite roles separate") {
+    val edges = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"))
+    val got = Graphs.hits(edges.toDF("src", "dst"), iterations = 3)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == refHits(edges, 3), s"diverged from reference: $got")
+    // pure roles: customers get authority 0, suppliers hub 0
+    assert(got("c1")._2 == 0.0 && got("c2")._2 == 0.0)
+    assert(got("s1")._1 == 0.0 && got("s2")._1 == 0.0)
+    // s1 (two in-links) out-ranks s2; c1 (two out-links) out-ranks c2
+    assert(got("s1")._2 > got("s2")._2)
+    assert(got("c1")._1 > got("c2")._1)
+    // both score vectors L1-normalize to 1 (up to quantization)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-8)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-8)
+    intercept[IllegalArgumentException] {
+      Graphs.hits(edges.toDF("src", "dst"), 0)
+    }
+  }
+
   test("pageRank: null-keyed edges dropped; isolated via self-loop ranks above pure sink") {
     val withNull = g.unionByName(
       Seq((null.asInstanceOf[String], "a"), ("a", null.asInstanceOf[String]))
