@@ -1470,6 +1470,22 @@ object PipelineQueries {
         damping = 0.85)
     }),
 
+    // Data-contract expectations report (round 17): four rules over
+    // lineitem in ONE scan — two passing, one threshold breach
+    // (discount cap), and one whose predicate goes NULL on
+    // zero-discount rows (2,941 at sf0.01) — the three-valued-logic
+    // case where NULL must count as a violation, not a silent pass.
+    "q184_expectations" -> ((s, d) =>
+      graft.operators.Expectations.check(Tables.lineitem(s, d), Seq(
+        graft.operators.Expectations.Rule("quantity_positive",
+          "l_quantity > 0"),
+        graft.operators.Expectations.Rule("discount_cap",
+          "l_discount <= 0.08"),
+        graft.operators.Expectations.Rule("shipdate_present",
+          "l_shipdate IS NOT NULL"),
+        graft.operators.Expectations.Rule("tax_ratio_sane",
+          "l_tax / nullif(l_discount, 0) <= 2")))),
+
     // HITS hubs & authorities over the same purchase graph (round 17):
     // the two-role centrality PageRank conflates — customers are pure
     // hubs (authority 0: nothing points at them), suppliers pure
@@ -5398,6 +5414,31 @@ object PipelineQueries {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
         .stripMargin,
       iterations = 5, damping = 0.85),
+
+    // q184 = the same predicates under the same NULL-is-a-violation
+    // coalesce, one aggregate row unpivoted per rule.
+    "q184_expectations" ->
+      """WITH a AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN coalesce(l_quantity > 0, false)
+        |      THEN 0 ELSE 1 END)::BIGINT AS v0,
+        |    sum(CASE WHEN coalesce(l_discount <= 0.08, false)
+        |      THEN 0 ELSE 1 END)::BIGINT AS v1,
+        |    sum(CASE WHEN coalesce(l_shipdate IS NOT NULL, false)
+        |      THEN 0 ELSE 1 END)::BIGINT AS v2,
+        |    sum(CASE WHEN coalesce(l_tax / nullif(l_discount, 0) <= 2,
+        |      false) THEN 0 ELSE 1 END)::BIGINT AS v3
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT 'quantity_positive' AS rule, n, v0 AS v FROM a
+        |  UNION ALL SELECT 'discount_cap', n, v1 FROM a
+        |  UNION ALL SELECT 'shipdate_present', n, v2 FROM a
+        |  UNION ALL SELECT 'tax_ratio_sane', n, v3 FROM a)
+        |SELECT rule, n AS n_rows, v AS n_violations,
+        |  CASE WHEN n > 0 THEN round(v::DOUBLE / n::DOUBLE, 6) END
+        |    AS violation_frac,
+        |  v = 0 AS passed
+        |FROM u""".stripMargin,
 
     // q183 = 4 HITS rounds unrolled over the same edge CTE.
     "q183_hits" -> hitsOracle(
