@@ -107,6 +107,11 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       "topk_by(id, score, k) - bounded-heap grouped top-k aggregate",
       (args: Seq[Expression]) =>
         TopKByExpr(args.head, args(1), intArg(args(2), "k")))
+    reg(ext, "min_k_distinct",
+      "min_k_distinct(v, k) - the k smallest distinct longs per group, " +
+        "ascending (bounded KMV-sketch buffer)",
+      (args: Seq[Expression]) =>
+        MinKDistinctExpr(args.head, intArg(args(1), "k")))
     reg(ext, "in_vocab_count",
       "in_vocab_count(tokens, vocab) - tokens present in the constant " +
         "vocabulary (O(1) hash-set probe per token)",

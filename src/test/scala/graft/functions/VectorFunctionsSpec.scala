@@ -245,6 +245,11 @@ class VectorFunctionsSpec extends SparkSpec {
     val chunks = spark.sql("SELECT token_chunks('a b c d e', 2)")
       .as[Seq[String]].collect()(0)
     assert(chunks == Seq("a b", "c d", "e"))
+    val mink = spark.sql(
+      """SELECT min_k_distinct(v, 3) FROM VALUES
+        |  (9L), (1L), (5L), (1L), (7L), (2L) AS t(v)""".stripMargin)
+      .as[Seq[Long]].collect()(0)
+    assert(mink == Seq(1L, 2L, 5L), "ascending distinct bottom-k")
   }
 
   test("token_chunks: exact cover, partial tail, whitespace runs, empty") {
