@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record linkage / entity resolution (Fellegi & Sunter, JASA 1969;
+  * Christen, "Data Matching", Springer 2012): find the records that
+  * describe the same real-world entity across noisy re-entries — the
+  * structured-data sibling of the document near-dup family, and the
+  * operator a training-data pipeline runs over user/author/site tables
+  * before they become join keys. Three stages, each swappable:
+  *
+  *  1. CANDIDATE GENERATION by blocking — standard equality blocks
+  *     ([[matchPairs]]) or sorted neighborhood ([[sortedNeighborhoodPairs]]).
+  *     All-pairs comparison is O(n²) and dead at corpus scale; blocking
+  *     bounds the comparison volume by construction.
+  *  2. PAIRWISE VERIFICATION — a caller predicate over the aliased pair
+  *     (`a.*` / `b.*`): edit distance on fuzzy fields, exact agreement on
+  *     reliable ones (the Fellegi–Sunter agreement vector, collapsed to a
+  *     boolean here; thread a scoring Column through the same hook for
+  *     the weighted variant).
+  *  3. TRANSITIVE CLUSTERING — [[Dedup.nearDupClusters]]'s min-label
+  *     connected components over the verified match edges, then every
+  *     record maps to its entity (singletons map to themselves), with the
+  *     entity size alongside ([[resolveEntities]]).
+  *
+  * Scale shape: candidate pairs carry only (id_a, id_b) out of the
+  * verify join; the clustering shuffles the (sparse) match graph, never
+  * the record table; the final mapping is two id/entity-keyed joins.
+  * Records should enter as a NARROW projection (id + blocking + verify
+  * attributes) — heavy payload columns join back by id afterwards.
+  */
+object Linkage {
+
+  /** Verified candidate pairs under standard blocking: records agreeing
+    * on every `blockCols` value are candidates (equality join — null
+    * block keys generate no candidates, the SQL-join convention);
+    * `verify` then keeps real matches. The predicate sees the pair as
+    * aliases `a` and `b` — e.g.
+    * `levenshtein(col("a.name"), col("b.name")) <= 2 &&
+    *  col("a.acctbal") === col("b.acctbal")`.
+    *
+    * Blocking keys are DERIVED columns by design (Christen's blocking
+    * key values): compute them onto the frame first (prefixes, lengths,
+    * phonetic codes, geohashes), don't reuse raw attributes unless they
+    * really are reliable.
+    *
+    * `maxBlock` (0 = off) drops blocks larger than the cap before the
+    * self-join — the q73 hot-bucket discipline: a degenerate key value
+    * (empty name, default date) otherwise costs |block|² comparisons
+    * while carrying no linkage evidence. Hot keys are FEW by definition,
+    * so the cap rides a broadcast anti-join; dropped blocks mean dropped
+    * candidate RECALL, which is the documented production trade — tighten
+    * the key instead if those blocks matter.
+    *
+    * @return (doc_a, doc_b) with doc_a < doc_b — feeds
+    *         [[Dedup.nearDupClusters]] / [[resolveEntities]] directly.
+    */
+  def matchPairs(records: DataFrame, idCol: String, blockCols: Seq[String],
+      verify: Column, maxBlock: Int = 0): DataFrame = {
+    require(blockCols.nonEmpty, "blocking requires at least one key column")
+    val base = if (maxBlock > 0) {
+      val hot = records.groupBy(blockCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBlock)
+        .drop("__n")
+      records.join(broadcast(hot), blockCols, "left_anti")
+    } else records
+    val a = base.alias("a")
+    val b = base.alias("b")
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
+    a.join(b, blockEq && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(verify)
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+  }
+
+  /** Verified candidate pairs under SORTED NEIGHBORHOOD (Hernández &
+    * Stolfo, SIGMOD 1995): rank all records by `sortKey` (ties by id)
+    * and compare each record only to the `window - 1` records after it.
+    * The classic complement to equality blocking — catches pairs whose
+    * blocking keys disagree but whose sort keys collide, and misses
+    * pairs the sort order separates (that recall trade IS the method;
+    * multi-pass over different sort keys is the standard mitigation).
+    *
+    * Scale shape — no single-task sort: the global rank is two-pass
+    * (range-repartition by (sortKey, id), per-partition counts collected
+    * once — partition-count-sized metadata — then partition-local
+    * row_number + broadcast offsets), and the neighbor join is banded:
+    * rank-bucket of width `window`, left side exploded to (own, next)
+    * bucket so each in-window pair meets in exactly one bucket. Shuffles
+    * are rank-bucket-keyed; no rank ever funnels through one task.
+    */
+  def sortedNeighborhoodPairs(records: DataFrame, idCol: String,
+      sortKey: Column, window: Int, verify: Column): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val ranked = globalRank(records, idCol, sortKey)
+    val w = window.toLong
+    val bkt = floor(col("__rank") / lit(w)).cast("long")
+    // Band trick: a pair (i, j) with 1 <= j - i <= w-1 has bucket(j) in
+    // {bucket(i), bucket(i)+1}; the i side emits both, the j side keeps
+    // its own, so every in-window pair meets in EXACTLY one bucket (j's)
+    // and nothing meets twice.
+    val a = ranked
+      .withColumn("__bkt", explode(array(bkt, bkt + 1L))).alias("a")
+    val b = ranked.withColumn("__bkt", bkt).alias("b")
+    a.join(b, col("a.__bkt") === col("b.__bkt") &&
+        col("b.__rank") - col("a.__rank") >= 1L &&
+        col("b.__rank") - col("a.__rank") <= lit(w - 1L))
+      .filter(verify)
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+  }
+
+  /** Global dense 0-based rank by (sortKey, id) without a single-task
+    * sort: range-repartition on the full (unique) key, collect ONE
+    * partition-count-sized row set of per-partition counts, then
+    * partition-local row_number plus the broadcast cumulative offset.
+    * Deterministic: the key (sortKey, id) is unique, so the total order
+    * — and therefore every rank — is independent of where the sampled
+    * range boundaries fall.
+    */
+  private[operators] def globalRank(records: DataFrame, idCol: String,
+      sortKey: Column): DataFrame = {
+    val keyed = records.withColumn("__sk", sortKey)
+      .repartitionByRange(col("__sk"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      // counts + ranks both read it; also pins the SAMPLED range
+      // boundaries so the two actions can't see different partitionings
+      // (ranks would still be correct either way — the key is unique —
+      // but __pid/offset pairs must come from ONE partitioning)
+      .localCheckpoint()
+    val counts = keyed.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, n)) =>
+      (p, acc + n)
+    }.tail.zip(counts).map { case ((p, end), (_, n)) => (p, end - n) }
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("__pid") === p, off).otherwise(acc)
+    }
+    val wp = Window.partitionBy(col("__pid"))
+      .orderBy(col("__sk"), col(idCol))
+    keyed.withColumn("__rank", row_number().over(wp) - 1L + offCol)
+      .drop("__pid", "__sk")
+  }
+
+  /** Full entity-resolution mapping: every record of `records` with its
+    * entity id (the minimum record id reachable through `pairs` — i.e.
+    * [[Dedup.nearDupClusters]] over the match graph; records in no match
+    * are their own entity) and the entity's member count.
+    *
+    * @param pairs verified match edges (doc_a, doc_b) from
+    *              [[matchPairs]] / [[sortedNeighborhoodPairs]]
+    * @return (rec_id, entity_id, n_members)
+    */
+  def resolveEntities(records: DataFrame, idCol: String,
+      pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val clusters = Dedup.nearDupClusters(pairs, maxIterations)
+    val ids = records.select(col(idCol))
+    val mapped = ids.join(clusters, ids(idCol) === clusters("id"), "left")
+      .select(ids(idCol).as("rec_id"),
+        coalesce(col("cluster"), ids(idCol)).as("entity_id"))
+      // feeds the size aggregate AND the final join — one
+      // materialization of a two-long-column frame, not two cluster
+      // joins
+      .localCheckpoint()
+    // entity cardinality ~ record cardinality: a keyed join, NOT a
+    // broadcast
+    val sizes = mapped.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"))
+    mapped.join(sizes, Seq("entity_id"))
+      .select(col("rec_id"), col("entity_id"), col("n_members"))
+  }
+}

@@ -35,6 +35,31 @@ object PipelineQueries {
         .withColumn("doc_id", col("doc_id") + 100000))
   }
 
+  /** Customer records plus planted noisy re-entries for the record-
+    * linkage gates (q185/q187): a 1-substitution name twin for every
+    * 20th key (+1,000,000), a 2-substitution twin for every 40th
+    * (+2,000,000), and a 4-substitution DECOY for every 50th
+    * (+3,000,000) that must STAY its own entity — edit distance 4 is
+    * past the verify cap of 2. Variants copy every reliable attribute
+    * (nation, segment, acctbal); the modulus classes are pairwise
+    * disjoint, so no record carries two variants.
+    */
+  private def linkageRecords(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+    def variant(mod: Int, rem: Int, off: Long, tail: String) =
+      c.filter(col("c_custkey") % mod === rem)
+        .select((col("c_custkey") + off).as("c_custkey"),
+          concat(expr(
+            s"substring(c_name, 1, length(c_name) - ${tail.length})"),
+            lit(tail)).as("c_name"),
+          col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+    c.unionByName(variant(20, 3, 1000000L, "X"))
+      .unionByName(variant(40, 7, 2000000L, "XY"))
+      .unionByName(variant(50, 11, 3000000L, "WXYZ"))
+  }
+
   /** Embeddings plus planted near-duplicates (vec_id+100000, elements
     * shifted by +0.01f, cosine ≈ 0.997 to the original) for every 20th
     * vector — the base table's pair similarities top out at ~0.51, so
@@ -1570,6 +1595,63 @@ object PipelineQueries {
         Seq("head", "middle", "tail"), out = "ppl_band")
         .select(col("doc_id"), col("lang"), col("log_ppl"),
           col("ppl_band"))
+    }),
+
+    // Record linkage / entity resolution (round 17): equality blocking
+    // on (nation, segment, name length) + Fellegi–Sunter-style
+    // verification (levenshtein <= 2 on the fuzzy field, exact
+    // agreement on acctbal) + transitive clustering. The fixture plants
+    // a 1-substitution twin per 20th customer, a 2-substitution twin
+    // per 40th, and a 4-substitution DECOY per 50th that must stay its
+    // own entity; the acctbal agreement is what keeps the near-identical
+    // synthetic names ('Customer#000000003' vs '#000000004' are edit
+    // distance 1!) from collapsing into one mega-entity.
+    "q185_entity_resolution" -> ((s, d) => {
+      val recs = linkageRecords(s, d)
+        .withColumn("bkv_len", length(col("c_name")))
+      val pairs = graft.operators.Linkage.matchPairs(recs, "c_custkey",
+        Seq("c_nationkey", "c_mktsegment", "bkv_len"),
+        verify = levenshtein(col("a.c_name"), col("b.c_name")) <= 2 &&
+          col("a.c_acctbal") === col("b.c_acctbal"))
+      graft.operators.Linkage.resolveEntities(recs, "c_custkey", pairs)
+    }),
+
+    // Per-node triangle counts (round 17) over the co-ordered-parts
+    // graph (parts appearing in the same order are linked — the
+    // market-basket projection): degree-ordered orientation makes the
+    // count exact with wedge work bounded at O(m^1.5) regardless of hot
+    // nodes. Pair generation is per-order and TPC-H orders carry <= 7
+    // lines, so the projection is bounded by construction. The gate
+    // restricts to high-quantity lines: the unfiltered projection is a
+    // 1.2M-edge graph whose 41M wedges measure the machine, not the
+    // plan (same operator, same oracle, kept gate-sized — the q139
+    // fixture-cap discipline).
+    "q186_triangle_count" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val co = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graphs.triangleCounts(co)
+    }),
+
+    // Sorted-neighborhood linkage (round 17): q185's verification and
+    // clustering, but candidates come from a rank window of 8 over the
+    // name sort order (Hernández–Stolfo) instead of equality blocks.
+    // The gate encodes the method's textbook recall trade: every
+    // 1-substitution twin sits exactly 7 ranks from its original
+    // (6 originals sort between them) and IS recovered; the
+    // 2-substitution twins sort far away and are MISSED — singletons
+    // here, pairs in q185.
+    "q187_sorted_neighborhood" -> ((s, d) => {
+      val recs = linkageRecords(s, d)
+      val pairs = graft.operators.Linkage.sortedNeighborhoodPairs(recs,
+        "c_custkey", col("c_name"), window = 8,
+        verify = levenshtein(col("a.c_name"), col("b.c_name")) <= 2 &&
+          col("a.c_acctbal") === col("b.c_acctbal"))
+      graft.operators.Linkage.resolveEntities(recs, "c_custkey", pairs)
     })
   )
 
@@ -2303,6 +2385,48 @@ object PipelineQueries {
       |  SELECT doc_id, text,
       |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
+
+  /** The linkage fixture (mirror of `linkageRecords`): customers plus
+    * the planted 1-sub / 2-sub twins and the 4-sub decoys.
+    */
+  private val LinkageBaseCte =
+    """base AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+      |  FROM customer
+      |  UNION ALL SELECT c_custkey + 1000000,
+      |    substr(c_name, 1, length(c_name) - 1) || 'X',
+      |    c_nationkey, c_mktsegment, c_acctbal
+      |  FROM customer WHERE c_custkey % 20 = 3
+      |  UNION ALL SELECT c_custkey + 2000000,
+      |    substr(c_name, 1, length(c_name) - 2) || 'XY',
+      |    c_nationkey, c_mktsegment, c_acctbal
+      |  FROM customer WHERE c_custkey % 40 = 7
+      |  UNION ALL SELECT c_custkey + 3000000,
+      |    substr(c_name, 1, length(c_name) - 4) || 'WXYZ',
+      |    c_nationkey, c_mktsegment, c_acctbal
+      |  FROM customer WHERE c_custkey % 50 = 11)""".stripMargin
+
+  /** Transitive closure over a `pairs(pa, pb)` CTE + the full-record
+    * entity mapping with sizes — the q45 recursive-reach discipline
+    * applied to linkage (expects `base` from [[LinkageBaseCte]]).
+    */
+  private val LinkageClosureCte =
+    """edges AS (
+      |  SELECT pa AS s, pb AS t FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |reach(s, t) AS (
+      |  SELECT s, t FROM edges
+      |  UNION
+      |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+      |lbl AS (
+      |  SELECT s, least(s, min(t)) AS entity_id FROM reach GROUP BY s),
+      |m AS (
+      |  SELECT b.c_custkey AS rec_id,
+      |    coalesce(l.entity_id, b.c_custkey) AS entity_id
+      |  FROM base b LEFT JOIN lbl l ON l.s = b.c_custkey),
+      |sz AS (
+      |  SELECT entity_id, count(*)::BIGINT AS n_members
+      |  FROM m GROUP BY entity_id)""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Graphs.pageRank]] — the
     * q134/q167 unrolled-round discipline: per iteration one quantized
@@ -5439,6 +5563,80 @@ object PipelineQueries {
         |    AS violation_frac,
         |  v = 0 AS passed
         |FROM u""".stripMargin,
+
+    // q185 = the same blocking self-join (DuckDB's levenshtein is the
+    // same unit-cost edit distance as Spark's), then the q45 recursive-
+    // closure discipline over the match edges and the size join.
+    "q185_entity_resolution" ->
+      s"""WITH RECURSIVE $LinkageBaseCte,
+         |pairs AS (
+         |  SELECT a.c_custkey AS pa, b.c_custkey AS pb
+         |  FROM base a JOIN base b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_mktsegment = b.c_mktsegment
+         |   AND length(a.c_name) = length(b.c_name)
+         |   AND a.c_custkey < b.c_custkey
+         |   AND a.c_acctbal = b.c_acctbal
+         |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+         |$LinkageClosureCte
+         |SELECT m.rec_id, m.entity_id, sz.n_members
+         |FROM m JOIN sz USING (entity_id)""".stripMargin,
+
+    // q187 = q185's verification and closure, candidates from the
+    // global name-rank window instead (row_number mirror of the
+    // two-pass distributed rank).
+    "q187_sorted_neighborhood" ->
+      s"""WITH RECURSIVE $LinkageBaseCte,
+         |rk AS (
+         |  SELECT base.*,
+         |    row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rnk
+         |  FROM base),
+         |pairs AS (
+         |  SELECT a.c_custkey AS pa, b.c_custkey AS pb
+         |  FROM rk a JOIN rk b ON b.rnk - a.rnk BETWEEN 1 AND 7
+         |  WHERE levenshtein(a.c_name, b.c_name) <= 2
+         |    AND a.c_acctbal = b.c_acctbal),
+         |$LinkageClosureCte
+         |SELECT m.rec_id, m.entity_id, sz.n_members
+         |FROM m JOIN sz USING (entity_id)""".stripMargin,
+
+    // q186 = the same degree-ordered orientation as tuple CASEs, wedge
+    // join, closure join, and per-corner count union.
+    "q186_triangle_count" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 25),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS dg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END
+        |      AS s,
+        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END
+        |      AS t,
+        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN dv.dg ELSE du.dg
+        |      END AS td
+        |  FROM e JOIN deg du ON du.node = e.u
+        |    JOIN deg dv ON dv.node = e.v),
+        |w AS (
+        |  SELECT o1.s, o1.t AS a, o2.t AS b
+        |  FROM o o1 JOIN o o2 ON o1.s = o2.s
+        |  WHERE (o1.td, o1.t) < (o2.td, o2.t)),
+        |tri AS (SELECT w.s, w.a, w.b
+        |  FROM w JOIN o ON o.s = w.a AND o.t = w.b),
+        |cnt AS (
+        |  SELECT node, count(*)::BIGINT AS triangles FROM (
+        |    SELECT s AS node FROM tri
+        |    UNION ALL SELECT a FROM tri
+        |    UNION ALL SELECT b FROM tri)
+        |  GROUP BY node)
+        |SELECT deg.node, coalesce(cnt.triangles, 0::BIGINT) AS triangles
+        |FROM deg LEFT JOIN cnt USING (node)""".stripMargin,
 
     // q183 = 4 HITS rounds unrolled over the same edge CTE.
     "q183_hits" -> hitsOracle(

@@ -116,4 +116,32 @@ class GraphsSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(clean == dirty, "null-keyed edges must not alter the graph")
   }
+
+  test("triangleCounts: hand graph; dirty edges collapse; star has none") {
+    // two triangles sharing node 3, plus a chord-free path
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L),
+      // noise that must NOT change the graph: reversed duplicate,
+      // parallel duplicate, self loop, null endpoint
+      (2L, 1L), (1L, 2L), (1L, 1L)).toDF("src", "dst")
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long],
+        java.lang.Long.valueOf(2L))).toDF("src", "dst"))
+    val got = Graphs.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L),
+      s"hand-counted triangles wrong: $got")
+    // a star has C(d,2) wedges at the hub under naive counting but NO
+    // triangles; degree orientation also means the hub generates zero
+    // wedge rows — the count must be all zeros either way
+    val star = (1L to 10L).map(i => (0L, i)).toDF("src", "dst")
+    val sc = Graphs.triangleCounts(star).as[(Long, Long)].collect().toMap
+    assert(sc.size == 11 && sc.values.forall(_ == 0L),
+      s"star must be triangle-free: $sc")
+    // complete graph K5: every node in C(4,2) = 6 triangles
+    val k5 = (for (i <- 1L to 5L; j <- 1L to 5L if i < j) yield (i, j))
+      .toDF("src", "dst")
+    val kc = Graphs.triangleCounts(k5).as[(Long, Long)].collect().toMap
+    assert(kc.size == 5 && kc.values.forall(_ == 6L),
+      s"K5 per-node triangle count must be 6: $kc")
+  }
 }
