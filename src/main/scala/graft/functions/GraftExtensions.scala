@@ -135,5 +135,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       "nfkc_fold(text) - NFKD compatibility decomposition, combining " +
         "marks stripped, NFC recomposed (fullwidth/ligature/accent fold)",
       (args: Seq[Expression]) => NfkcFoldExpr(args.head))
+    reg(ext, "jaro_winkler",
+      "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] (prefix " +
+        "boost capped at 4, applied when jaro > 0.7)",
+      (args: Seq[Expression]) => JaroWinklerExpr(args.head, args(1)))
   }
 }

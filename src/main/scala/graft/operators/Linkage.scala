@@ -58,7 +58,32 @@ object Linkage {
     *         [[Dedup.nearDupClusters]] / [[resolveEntities]] directly.
     */
   def matchPairs(records: DataFrame, idCol: String, blockCols: Seq[String],
-      verify: Column, maxBlock: Int = 0): DataFrame = {
+      verify: Column, maxBlock: Int = 0): DataFrame =
+    blockedCandidates(records, idCol, blockCols, maxBlock)
+      .filter(verify)
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+
+  /** [[matchPairs]] with a GRADED comparator instead of a boolean one —
+    * the Fellegi–Sunter agreement weight collapsed to one similarity
+    * Column (e.g. [[graft.functions.StringSimilarityFunctions
+    * .jaroWinkler]] on the fuzzy field): keeps candidates with
+    * `score >= threshold` that also satisfy `agree` (exact-agreement
+    * conjuncts), and carries the score out for ranking / clerical-review
+    * routing.
+    *
+    * @return (doc_a, doc_b, score) with doc_a < doc_b
+    */
+  def scoredMatchPairs(records: DataFrame, idCol: String,
+      blockCols: Seq[String], score: Column, threshold: Double,
+      agree: Column = lit(true), maxBlock: Int = 0): DataFrame =
+    blockedCandidates(records, idCol, blockCols, maxBlock)
+      .withColumn("__score", score)
+      .filter(col("__score") >= threshold && agree)
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("__score").as("score"))
+
+  private def blockedCandidates(records: DataFrame, idCol: String,
+      blockCols: Seq[String], maxBlock: Int): DataFrame = {
     require(blockCols.nonEmpty, "blocking requires at least one key column")
     val base = if (maxBlock > 0) {
       val hot = records.groupBy(blockCols.map(col): _*)
@@ -71,8 +96,6 @@ object Linkage {
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _)
     a.join(b, blockEq && col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(verify)
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
   }
 
   /** Verified candidate pairs under SORTED NEIGHBORHOOD (Hernández &

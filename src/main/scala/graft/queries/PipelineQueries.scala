@@ -1652,6 +1652,93 @@ object PipelineQueries {
         verify = levenshtein(col("a.c_name"), col("b.c_name")) <= 2 &&
           col("a.c_acctbal") === col("b.c_acctbal"))
       graft.operators.Linkage.resolveEntities(recs, "c_custkey", pairs)
+    }),
+
+    // Candidate-generation quality report (round 17; Christen, "Data
+    // Matching" ch. 7): REDUCTION RATIO (how much of the n² comparison
+    // space blocking avoided — computed from block-SIZE aggregates, the
+    // candidates themselves are never materialized for the metric) and
+    // PAIRS COMPLETENESS (recovered / planted truth pairs) for both
+    // candidate generators over the same fixture. Encodes the families'
+    // contract in one frame: blocking recovers ALL planted twins,
+    // sorted neighborhood trades the 2-substitution ones away for a
+    // higher reduction ratio. All counts exact longs; the two ratios
+    // are single IEEE divisions of exact ints (no rounding needed).
+    "q188_linkage_quality" -> ((s, d) => {
+      val Linkage = graft.operators.Linkage
+      val recs = linkageRecords(s, d)
+        .withColumn("bkv_len", length(col("c_name")))
+        .localCheckpoint() // feeds counts + both candidate generators
+      val verify = levenshtein(col("a.c_name"), col("b.c_name")) <= 2 &&
+        col("a.c_acctbal") === col("b.c_acctbal")
+      val cust = Tables.customer(s, d)
+      val truth = cust.filter(col("c_custkey") % 20 === 3)
+        .select(col("c_custkey").as("pa"),
+          (col("c_custkey") + 1000000L).as("pb"))
+        .unionByName(cust.filter(col("c_custkey") % 40 === 7)
+          .select(col("c_custkey").as("pa"),
+            (col("c_custkey") + 2000000L).as("pb")))
+        .localCheckpoint() // n_true + one semi join per method
+      val nRec = recs.agg(count(lit(1)).as("n_records"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      // matched pairs normalized to id order before the truth join —
+      // sorted neighborhood emits (doc_a, doc_b) in RANK order
+      def row(name: String, cand: DataFrame, matched: DataFrame) = {
+        val m = matched.select(least(col("doc_a"), col("doc_b")).as("pa"),
+          greatest(col("doc_a"), col("doc_b")).as("pb"))
+          .localCheckpoint() // count + semi join
+        val nm = m.agg(count(lit(1)).as("n_matched"))
+        val rec = m.join(truth, Seq("pa", "pb"), "left_semi")
+          .agg(count(lit(1)).as("true_recovered"))
+        nRec.crossJoin(cand).crossJoin(nm).crossJoin(nTrue).crossJoin(rec)
+          .select(lit(name).as("method"), col("n_records"),
+            col("n_candidates"), col("n_matched"), col("n_true"),
+            col("true_recovered"),
+            (col("true_recovered").cast("double") /
+              col("n_true").cast("double")).as("pairs_completeness"),
+            (lit(1.0) - col("n_candidates").cast("double") /
+              (col("n_records").cast("double") *
+                (col("n_records") - 1L).cast("double") / lit(2.0)))
+              .as("reduction_ratio"))
+      }
+      val blockCand = recs
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bkv_len"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(coalesce(sum((col("__n") * (col("__n") - 1L) / lit(2L))
+          .cast("long")), lit(0L)).as("n_candidates"))
+      // closed form for a rank window of 8 over n unique keys:
+      // 7n - C(8,2) candidate pairs
+      val snCand = nRec
+        .select((lit(7L) * col("n_records") - lit(28L))
+          .as("n_candidates"))
+      row("blocking", blockCand,
+        Linkage.matchPairs(recs, "c_custkey",
+          Seq("c_nationkey", "c_mktsegment", "bkv_len"), verify))
+        .unionByName(row("sorted_neighborhood", snCand,
+          Linkage.sortedNeighborhoodPairs(recs, "c_custkey",
+            col("c_name"), window = 8, verify = verify)))
+    }),
+
+    // Jaro–Winkler scored linkage (round 17): the Census-Bureau string
+    // comparator as a codegen'd expression (Spark has levenshtein but
+    // no jaro_winkler), scoring q185's blocked candidates. The
+    // similarity ships UNROUNDED: the kernel mirrors DuckDB's
+    // (RapidFuzz-convention) arithmetic — greedy window matching,
+    // half-counted transpositions, boost iff jaro > 0.7 — so the driver
+    // hash compare doubles as a bit-exactness gate over every candidate
+    // pair. Threshold 0.95 keeps the 1-sub (0.9778) and 2-sub (0.9556)
+    // planted twins and rejects the 4-sub decoys (0.9111) — the
+    // graded-similarity separation levenshtein's unit costs flatten.
+    "q189_jw_linkage" -> ((s, d) => {
+      val recs = linkageRecords(s, d)
+        .withColumn("bkv_len", length(col("c_name")))
+      graft.operators.Linkage.scoredMatchPairs(recs, "c_custkey",
+          Seq("c_nationkey", "c_mktsegment", "bkv_len"),
+          score = graft.functions.StringSimilarityFunctions.jaroWinkler(
+            col("a.c_name"), col("b.c_name")),
+          threshold = 0.95,
+          agree = col("a.c_acctbal") === col("b.c_acctbal"))
+        .withColumnRenamed("score", "jw_sim")
     })
   )
 
@@ -5599,6 +5686,88 @@ object PipelineQueries {
          |$LinkageClosureCte
          |SELECT m.rec_id, m.entity_id, sz.n_members
          |FROM m JOIN sz USING (entity_id)""".stripMargin,
+
+    // q188 = the same block-size aggregate, window closed form, match
+    // joins, and truth semi joins; the two ratios are single IEEE
+    // divisions of exact ints on both sides.
+    "q188_linkage_quality" ->
+      s"""WITH $LinkageBaseCte,
+         |truth AS (
+         |  SELECT c_custkey AS pa, c_custkey + 1000000 AS pb
+         |  FROM customer WHERE c_custkey % 20 = 3
+         |  UNION ALL SELECT c_custkey, c_custkey + 2000000
+         |  FROM customer WHERE c_custkey % 40 = 7),
+         |n AS (SELECT count(*)::BIGINT AS n_records FROM base),
+         |nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+         |candb AS (
+         |  SELECT coalesce(sum((c * (c - 1) / 2)::BIGINT), 0)::BIGINT
+         |    AS n_candidates
+         |  FROM (SELECT count(*)::BIGINT AS c FROM base
+         |        GROUP BY c_nationkey, c_mktsegment, length(c_name))),
+         |mb AS (
+         |  SELECT least(a.c_custkey, b.c_custkey) AS pa,
+         |    greatest(a.c_custkey, b.c_custkey) AS pb
+         |  FROM base a JOIN base b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_mktsegment = b.c_mktsegment
+         |   AND length(a.c_name) = length(b.c_name)
+         |   AND a.c_custkey < b.c_custkey
+         |   AND a.c_acctbal = b.c_acctbal
+         |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+         |nmb AS (SELECT count(*)::BIGINT AS n_matched FROM mb),
+         |rb AS (
+         |  SELECT count(*)::BIGINT AS true_recovered FROM mb
+         |  WHERE EXISTS (SELECT 1 FROM truth t
+         |                WHERE t.pa = mb.pa AND t.pb = mb.pb)),
+         |rk AS (
+         |  SELECT base.*,
+         |    row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rnk
+         |  FROM base),
+         |ms AS (
+         |  SELECT least(a.c_custkey, b.c_custkey) AS pa,
+         |    greatest(a.c_custkey, b.c_custkey) AS pb
+         |  FROM rk a JOIN rk b ON b.rnk - a.rnk BETWEEN 1 AND 7
+         |  WHERE levenshtein(a.c_name, b.c_name) <= 2
+         |    AND a.c_acctbal = b.c_acctbal),
+         |nms AS (SELECT count(*)::BIGINT AS n_matched FROM ms),
+         |rs AS (
+         |  SELECT count(*)::BIGINT AS true_recovered FROM ms
+         |  WHERE EXISTS (SELECT 1 FROM truth t
+         |                WHERE t.pa = ms.pa AND t.pb = ms.pb)),
+         |cands AS (
+         |  SELECT (7 * n_records - 28)::BIGINT AS n_candidates FROM n)
+         |SELECT 'blocking' AS method, n_records, n_candidates,
+         |  n_matched, n_true, true_recovered,
+         |  true_recovered::DOUBLE / n_true::DOUBLE AS pairs_completeness,
+         |  1.0::DOUBLE - n_candidates::DOUBLE /
+         |    (n_records::DOUBLE * (n_records - 1)::DOUBLE / 2.0::DOUBLE)
+         |    AS reduction_ratio
+         |FROM n, candb, nmb, nt, rb
+         |UNION ALL
+         |SELECT 'sorted_neighborhood', n_records, n_candidates,
+         |  n_matched, n_true, true_recovered,
+         |  true_recovered::DOUBLE / n_true::DOUBLE,
+         |  1.0::DOUBLE - n_candidates::DOUBLE /
+         |    (n_records::DOUBLE * (n_records - 1)::DOUBLE / 2.0::DOUBLE)
+         |FROM n, cands, nms, nt, rs""".stripMargin,
+
+    // q189 = the same blocked candidates scored by DuckDB's own
+    // jaro_winkler_similarity, UNROUNDED — the hash compare proves the
+    // custom expression reproduces the reference arithmetic bit-for-bit
+    // over every candidate pair.
+    "q189_jw_linkage" ->
+      s"""WITH $LinkageBaseCte,
+         |cand AS (
+         |  SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b,
+         |    jaro_winkler_similarity(a.c_name, b.c_name) AS jw_sim
+         |  FROM base a JOIN base b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_mktsegment = b.c_mktsegment
+         |   AND length(a.c_name) = length(b.c_name)
+         |   AND a.c_custkey < b.c_custkey
+         |   AND a.c_acctbal = b.c_acctbal)
+         |SELECT doc_a, doc_b, jw_sim FROM cand
+         |WHERE jw_sim >= 0.95::DOUBLE""".stripMargin,
 
     // q186 = the same degree-ordered orientation as tuple CASEs, wedge
     // join, closure join, and per-corner count union.
