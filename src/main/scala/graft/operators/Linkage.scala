@@ -166,6 +166,64 @@ object Linkage {
       .drop("__pid", "__sk")
   }
 
+  /** Incremental entity resolution — resolve a NEW batch against a
+    * STORED entity table without re-clustering the corpus (the
+    * incremental-dedup discipline: the stored side is never
+    * re-shuffled beyond the blocked join, and existing entities never
+    * change). Rules, in order:
+    *
+    *  1. a new record matching stored records joins the MINIMUM matched
+    *     stored entity;
+    *  2. new records matching each other cluster together (min-label
+    *     components over the new-new match graph), and the whole
+    *     cluster takes the minimum stored entity any member matched —
+    *     so two re-entries of the same unseen entity can't split;
+    *  3. a cluster with no stored match becomes a new entity labeled by
+    *     its minimum new record id.
+    *
+    * Deliberate non-goal, documented like the dedup family's
+    * incremental forms: evidence in the new batch that two EXISTING
+    * entities are the same does NOT merge them — merging history is a
+    * full [[resolveEntities]] re-run, not an append.
+    *
+    * `verify` sees alias `a` = the new side, `b` = the stored side for
+    * new-stored matching, and both sides new for new-new matching —
+    * write it over the shared attribute names.
+    *
+    * @param stored records WITH `entityCol` (e.g. [[resolveEntities]]
+    *               output joined back to its attributes)
+    * @return one row per new record: (rec_id, entity_id, from_stored)
+    */
+  def incrementalResolve(stored: DataFrame, newRecords: DataFrame,
+      idCol: String, entityCol: String, blockCols: Seq[String],
+      verify: Column, maxIterations: Int = 10): DataFrame = {
+    val a = newRecords.alias("a")
+    val b = stored.alias("b")
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
+    // min matched stored entity per new record (null = no stored match)
+    val bestStored = a.join(b, blockEq).filter(verify)
+      .groupBy(col(s"a.$idCol").as("__id"))
+      .agg(min(col(s"b.$entityCol")).as("__se"))
+    val nnPairs = matchPairs(newRecords, idCol, blockCols, verify)
+    val clusters = Dedup.nearDupClusters(nnPairs, maxIterations)
+    val ids = newRecords.select(col(idCol))
+    val labeled = ids
+      .join(clusters, ids(idCol) === clusters("id"), "left")
+      .select(ids(idCol).as("__id"),
+        coalesce(col("cluster"), ids(idCol)).as("__c"))
+      .join(bestStored, Seq("__id"), "left")
+    // min ignores nulls: a cluster's entity is its best stored match if
+    // ANY member has one, else its min member id
+    val byCluster = labeled.groupBy(col("__c"))
+      .agg(min(col("__se")).as("__ce"), min(col("__id")).as("__cm"))
+    labeled.select(col("__id"), col("__c"))
+      .join(byCluster, Seq("__c"))
+      .select(col("__id").as("rec_id"),
+        coalesce(col("__ce"), col("__cm")).as("entity_id"),
+        col("__ce").isNotNull.as("from_stored"))
+  }
+
   /** Full entity-resolution mapping: every record of `records` with its
     * entity id (the minimum record id reachable through `pairs` — i.e.
     * [[Dedup.nearDupClusters]] over the match graph; records in no match

@@ -1739,6 +1739,46 @@ object PipelineQueries {
           threshold = 0.95,
           agree = col("a.c_acctbal") === col("b.c_acctbal"))
         .withColumnRenamed("score", "jw_sim")
+    }),
+
+    // Incremental entity resolution (round 17): a NEW batch resolved
+    // against the q185 entity table without re-clustering — three
+    // planted classes exercise each rule: 1-sub re-entries (%30==17)
+    // join their stored entity; 4-sub strangers (%60==29) become new
+    // singleton entities; twin re-entries of an unseen variant
+    // (%70==33, identical names, acctbal shifted +50000 so the stored
+    // original can't match) cluster with each other and take ONE new
+    // entity labeled by the lower new id.
+    "q190_incremental_resolve" -> ((s, d) => {
+      val Linkage = graft.operators.Linkage
+      val recs = linkageRecords(s, d)
+        .withColumn("bkv_len", length(col("c_name")))
+      val verify = levenshtein(col("a.c_name"), col("b.c_name")) <= 2 &&
+        col("a.c_acctbal") === col("b.c_acctbal")
+      val blocks = Seq("c_nationkey", "c_mktsegment", "bkv_len")
+      val ents = Linkage.resolveEntities(recs, "c_custkey",
+        Linkage.matchPairs(recs, "c_custkey", blocks, verify))
+      val stored = recs.join(
+        ents.select(col("rec_id"), col("entity_id")),
+        recs("c_custkey") === col("rec_id")).drop("rec_id")
+      val cust = Tables.customer(s, d)
+      def nv(mod: Int, rem: Int, off: Long, tail: String,
+          balShift: Double) =
+        cust.filter(col("c_custkey") % mod === rem)
+          .select((col("c_custkey") + off).as("c_custkey"),
+            concat(expr(
+              s"substring(c_name, 1, length(c_name) - ${tail.length})"),
+              lit(tail)).as("c_name"),
+            col("c_nationkey"), col("c_mktsegment"),
+            (if (balShift == 0.0) col("c_acctbal")
+             else col("c_acctbal") + lit(balShift)).as("c_acctbal"))
+      val newRecs = nv(30, 17, 4000000L, "Q", 0.0)
+        .unionByName(nv(60, 29, 5000000L, "QRST", 0.0))
+        .unionByName(nv(70, 33, 6000000L, "ZZ", 50000.0))
+        .unionByName(nv(70, 33, 6500000L, "ZZ", 50000.0))
+        .withColumn("bkv_len", length(col("c_name")))
+      Linkage.incrementalResolve(stored, newRecs, "c_custkey",
+        "entity_id", blocks, verify)
     })
   )
 
@@ -5768,6 +5808,79 @@ object PipelineQueries {
          |   AND a.c_acctbal = b.c_acctbal)
          |SELECT doc_a, doc_b, jw_sim FROM cand
          |WHERE jw_sim >= 0.95::DOUBLE""".stripMargin,
+
+    // q190 = the stored mapping is q185's closure verbatim; the new
+    // batch replays min-stored-entity per new record, its own recursive
+    // closure over new-new matches, and the per-cluster
+    // coalesce(min stored entity, min member id).
+    "q190_incremental_resolve" ->
+      s"""WITH RECURSIVE $LinkageBaseCte,
+         |pairs AS (
+         |  SELECT a.c_custkey AS pa, b.c_custkey AS pb
+         |  FROM base a JOIN base b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_mktsegment = b.c_mktsegment
+         |   AND length(a.c_name) = length(b.c_name)
+         |   AND a.c_custkey < b.c_custkey
+         |   AND a.c_acctbal = b.c_acctbal
+         |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+         |$LinkageClosureCte,
+         |st AS (
+         |  SELECT b.*, m.entity_id FROM base b
+         |  JOIN m ON m.rec_id = b.c_custkey),
+         |newr AS (
+         |  SELECT c_custkey + 4000000 AS id,
+         |    substr(c_name, 1, length(c_name) - 1) || 'Q' AS name,
+         |    c_nationkey, c_mktsegment, c_acctbal AS bal
+         |  FROM customer WHERE c_custkey % 30 = 17
+         |  UNION ALL SELECT c_custkey + 5000000,
+         |    substr(c_name, 1, length(c_name) - 4) || 'QRST',
+         |    c_nationkey, c_mktsegment, c_acctbal
+         |  FROM customer WHERE c_custkey % 60 = 29
+         |  UNION ALL SELECT c_custkey + 6000000,
+         |    substr(c_name, 1, length(c_name) - 2) || 'ZZ',
+         |    c_nationkey, c_mktsegment, c_acctbal + 50000.0
+         |  FROM customer WHERE c_custkey % 70 = 33
+         |  UNION ALL SELECT c_custkey + 6500000,
+         |    substr(c_name, 1, length(c_name) - 2) || 'ZZ',
+         |    c_nationkey, c_mktsegment, c_acctbal + 50000.0
+         |  FROM customer WHERE c_custkey % 70 = 33),
+         |ns AS (
+         |  SELECT n.id, min(s.entity_id) AS se
+         |  FROM newr n JOIN st s
+         |    ON n.c_nationkey = s.c_nationkey
+         |   AND n.c_mktsegment = s.c_mktsegment
+         |   AND length(n.name) = length(s.c_name)
+         |   AND n.bal = s.c_acctbal
+         |  WHERE levenshtein(n.name, s.c_name) <= 2
+         |  GROUP BY n.id),
+         |nn AS (
+         |  SELECT a.id AS pa, b.id AS pb
+         |  FROM newr a JOIN newr b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_mktsegment = b.c_mktsegment
+         |   AND length(a.name) = length(b.name)
+         |   AND a.id < b.id AND a.bal = b.bal
+         |  WHERE levenshtein(a.name, b.name) <= 2),
+         |nedges AS (
+         |  SELECT pa AS s, pb AS t FROM nn
+         |  UNION ALL SELECT pb, pa FROM nn),
+         |nreach(s, t) AS (
+         |  SELECT s, t FROM nedges
+         |  UNION
+         |  SELECT r.s, e.t FROM nreach r JOIN nedges e ON r.t = e.s),
+         |nlbl AS (
+         |  SELECT s, least(s, min(t)) AS c FROM nreach GROUP BY s),
+         |lab AS (
+         |  SELECT n.id, coalesce(nl.c, n.id) AS c
+         |  FROM newr n LEFT JOIN nlbl nl ON nl.s = n.id),
+         |wse AS (
+         |  SELECT lab.id, lab.c, ns.se FROM lab LEFT JOIN ns USING (id)),
+         |byc AS (
+         |  SELECT c, min(se) AS ce, min(id) AS cm FROM wse GROUP BY c)
+         |SELECT w.id AS rec_id, coalesce(b.ce, b.cm) AS entity_id,
+         |  b.ce IS NOT NULL AS from_stored
+         |FROM wse w JOIN byc b USING (c)""".stripMargin,
 
     // q186 = the same degree-ordered orientation as tuple CASEs, wedge
     // join, closure join, and per-corner count union.

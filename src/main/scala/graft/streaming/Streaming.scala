@@ -775,4 +775,55 @@ object Streaming {
           out.iterator
       }
   }
+
+  /** Per-block compacted match index for
+    * [[incrementalResolveStream]]: one static row per blocking key
+    * carrying the block's (entity, name, agreement-value) structs.
+    * Block sizes are bounded by the same reasoning as
+    * [[graft.operators.Linkage.matchPairs]]'s `maxBlock` (a degenerate
+    * key is a modeling bug, not a load profile), so each index row is
+    * small; rebuild on the [[graft.operators.Linkage.resolveEntities]]
+    * compaction cadence.
+    */
+  def buildLinkageIndex(stored: DataFrame, entityCol: String,
+      blockCols: Seq[String], nameCol: String,
+      agreeCol: String): DataFrame =
+    stored.groupBy(blockCols.map(col): _*)
+      .agg(collect_list(struct(col(entityCol).as("e"),
+        col(nameCol).as("n"), col(agreeCol).as("g"))).as("__idx"))
+
+  /** Streaming twin of
+    * [[graft.operators.Linkage.incrementalResolve]]'s RULE 1 — flag
+    * each arriving record with the minimum stored entity it matches
+    * (levenshtein ≤ `maxEdits` on the name field, exact agreement on
+    * the reliable field), or null if it matches nothing. One
+    * stream–static equi-join on the blocking key against the
+    * [[buildLinkageIndex]] frame, then a per-row array scan in plain
+    * Column HOFs (`filter` + the SAME `levenshtein` builtin the batch
+    * verifier uses + `array_min` over matched entities — min is
+    * order-free, so the unsorted collect_list is still deterministic).
+    * No state, no watermark, no aggregation.
+    *
+    * The deliberate gap vs the batch twin, mirrored from the
+    * incremental-dedup pairing: rules 2–3 (new-new clustering, new
+    * entity minting) need cross-row state and belong to the periodic
+    * batch [[graft.operators.Linkage.incrementalResolve]] compaction;
+    * a record the stream leaves unresolved (entity_id null) is exactly
+    * one the next compaction will mint or cluster.
+    *
+    * @return (rec_id, entity_id nullable, from_stored)
+    */
+  def incrementalResolveStream(newRecs: DataFrame, index: DataFrame,
+      idCol: String, blockCols: Seq[String], nameCol: String,
+      agreeCol: String, maxEdits: Int): DataFrame = {
+    require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
+    val matched = filter(col("__idx"), x =>
+      levenshtein(x.getField("n"), col(nameCol)) <= maxEdits &&
+        x.getField("g") === col(agreeCol))
+    newRecs.join(index, blockCols, "left")
+      .withColumn("__e",
+        array_min(transform(matched, x => x.getField("e"))))
+      .select(col(idCol).as("rec_id"), col("__e").as("entity_id"),
+        col("__e").isNotNull.as("from_stored"))
+  }
 }

@@ -93,6 +93,31 @@ class LinkageSpec extends SparkSpec {
     assert(m(3L) == ((3L, 1L)) && m(4L) == ((4L, 1L)), s"singletons: $m")
   }
 
+  test("incrementalResolve: stored join, cluster propagation, new entities") {
+    val stored = Seq(
+      (1L, "ada lovelace", "london", 10.0, 1L),
+      (2L, "ada lovelaze", "london", 10.0, 1L),
+      (3L, "grace hopper", "london", 5.0, 3L)
+    ).toDF("id", "name", "city", "bal", "entity_id")
+    val fresh = Seq(
+      (10L, "ada lovelacq", "london", 10.0), // 1 sub from stored 1
+      (11L, "alan turing", "london", 7.0),   // stranger
+      (12L, "grace hoppex", "london", 5.0),  // 1 sub from stored 3
+      (13L, "grace hoppxx", "london", 5.0),  // 2 subs from stored 3 (no
+      // direct match) but 1 sub from 12 — rule 2 must carry entity 3 in
+      (14L, "mary shellex", "london", 3.0),  // unseen twins: one new
+      (15L, "mary shelley", "london", 3.0)   // entity for both
+    ).toDF("id", "name", "city", "bal")
+    val got = Linkage.incrementalResolve(stored, fresh, "id", "entity_id",
+        Seq("city"), verify)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      10L -> ((1L, true)), 11L -> ((11L, false)),
+      12L -> ((3L, true)), 13L -> ((3L, true)),
+      14L -> ((14L, false)), 15L -> ((14L, false))), s"wrong: $got")
+  }
+
   test("planted-fixture edit distances are what the gates assume") {
     // the q185/q187 perturbations: 1-sub, 2-sub, 4-sub on a name tail
     val d = Seq(("Customer#000000003", "Customer#00000000X"),

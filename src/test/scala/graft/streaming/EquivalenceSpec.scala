@@ -680,4 +680,59 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
     assert(cmsStream == cmsBatch,
       s"CMS diverges: ${(cmsStream.toSet -- cmsBatch.toSet).take(3)}")
   }
+
+  test("incremental linkage: stream rule-1 ≡ batch from_stored flags; rules 2-3 stay batch") {
+    val stored = Seq(
+      (1L, "ada lovelace", "london", 10.0, 1L),
+      (2L, "ada lovelaze", "london", 10.0, 1L),
+      (3L, "grace hopper", "london", 5.0, 3L)
+    ).toDF("id", "name", "city", "bal", "entity_id")
+    val fresh = Seq(
+      LinkRec(10L, "ada lovelacq", "london", 10.0), // rule 1 → entity 1
+      LinkRec(11L, "alan turing", "london", 7.0),   // stranger → null
+      LinkRec(12L, "grace hoppex", "london", 5.0),  // rule 1 → entity 3
+      LinkRec(13L, "grace hoppxx", "london", 5.0),  // rule 2 (via 12) —
+      // the stream MUST leave it null: clustering is batch compaction
+      LinkRec(14L, "mary shellex", "london", 3.0),  // rule 3 — null
+      LinkRec(15L, "mary shelley", "london", 3.0)   // rule 3 — null
+    )
+    val index = Streaming.buildLinkageIndex(stored, "entity_id",
+      Seq("city"), "name", "bal")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[LinkRec]
+    val q = Streaming.incrementalResolveStream(in.toDF(), index, "id",
+        Seq("city"), "name", "bal", maxEdits = 1)
+      .writeStream.format("memory").queryName("eqlink")
+      .outputMode("append").start()
+    in.addData(fresh)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("eqlink").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          r.getBoolean(2))).toMap
+    assert(got == Map(
+      10L -> ((Some(1L), true)), 11L -> ((None, false)),
+      12L -> ((Some(3L), true)), 13L -> ((None, false)),
+      14L -> ((None, false)), 15L -> ((None, false))), s"stream: $got")
+    // cross-check against the batch twin: every record the STREAM
+    // resolves must carry the same entity in the batch result, and the
+    // stream must never resolve a record the batch didn't
+    val batch = graft.operators.Linkage.incrementalResolve(stored,
+        fresh.toDF("id", "name", "city", "bal"), "id", "entity_id",
+        Seq("city"),
+        levenshtein(col("a.name"), col("b.name")) <= 1 &&
+          col("a.bal") === col("b.bal"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    got.foreach { case (id, (eOpt, _)) =>
+      eOpt.foreach { e =>
+        assert(batch(id) == ((e, true)),
+          s"stream resolved $id to $e but batch says ${batch(id)}")
+      }
+    }
+  }
 }
+
+/** Fixture row for the incremental-linkage equivalence gate. */
+case class LinkRec(id: Long, name: String, city: String, bal: Double)
