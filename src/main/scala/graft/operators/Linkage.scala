@@ -85,12 +85,17 @@ object Linkage {
   private def blockedCandidates(records: DataFrame, idCol: String,
       blockCols: Seq[String], maxBlock: Int): DataFrame = {
     require(blockCols.nonEmpty, "blocking requires at least one key column")
+    // both self-join sides (and the hot-block aggregate) read the
+    // record projection — materialize the caller's derivation once (the
+    // repeated-branch lesson: a records frame that is itself a
+    // join/union pipeline would otherwise execute 2-3 times)
+    val recs = records.localCheckpoint()
     val base = if (maxBlock > 0) {
-      val hot = records.groupBy(blockCols.map(col): _*)
+      val hot = recs.groupBy(blockCols.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBlock)
         .drop("__n")
-      records.join(broadcast(hot), blockCols, "left_anti")
-    } else records
+      recs.join(broadcast(hot), blockCols, "left_anti")
+    } else recs
     val a = base.alias("a")
     val b = base.alias("b")
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
@@ -117,7 +122,9 @@ object Linkage {
   def sortedNeighborhoodPairs(records: DataFrame, idCol: String,
       sortKey: Column, window: Int, verify: Column): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    val ranked = globalRank(records, idCol, sortKey)
+    // both band-join sides read the ranked frame — without this the
+    // rank window (an exchange + sort) executes twice
+    val ranked = globalRank(records, idCol, sortKey).localCheckpoint()
     val w = window.toLong
     val bkt = floor(col("__rank") / lit(w)).cast("long")
     // Band trick: a pair (i, j) with 1 <= j - i <= w-1 has bucket(j) in
@@ -197,7 +204,10 @@ object Linkage {
   def incrementalResolve(stored: DataFrame, newRecords: DataFrame,
       idCol: String, entityCol: String, blockCols: Seq[String],
       verify: Column, maxIterations: Int = 10): DataFrame = {
-    val a = newRecords.alias("a")
+    // read by the new-stored join, the new-new self-join, and the id
+    // projection — one materialization of the (narrow) batch
+    val newRecs = newRecords.localCheckpoint()
+    val a = newRecs.alias("a")
     val b = stored.alias("b")
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _)
@@ -205,9 +215,9 @@ object Linkage {
     val bestStored = a.join(b, blockEq).filter(verify)
       .groupBy(col(s"a.$idCol").as("__id"))
       .agg(min(col(s"b.$entityCol")).as("__se"))
-    val nnPairs = matchPairs(newRecords, idCol, blockCols, verify)
+    val nnPairs = matchPairs(newRecs, idCol, blockCols, verify)
     val clusters = Dedup.nearDupClusters(nnPairs, maxIterations)
-    val ids = newRecords.select(col(idCol))
+    val ids = newRecs.select(col(idCol))
     val labeled = ids
       .join(clusters, ids(idCol) === clusters("id"), "left")
       .select(ids(idCol).as("__id"),
