@@ -1779,6 +1779,57 @@ object PipelineQueries {
         .withColumn("bkv_len", length(col("c_name")))
       Linkage.incrementalResolve(stored, newRecs, "c_custkey",
         "entity_id", blocks, verify)
+    }),
+
+    // Multi-pass sorted neighborhood (round 17): the standard remedy
+    // for q187's recall trade — a second pass over a DIFFERENT sort
+    // key (here (acctbal, name): records agreeing on the reliable
+    // field sort adjacent regardless of how far the name typo moved
+    // them). Pass 1 recovers the 1-sub twins, pass 2 the 2-sub twins
+    // pass 1 provably missed; the union reaches blocking-equal recall
+    // without any equality blocks.
+    "q191_sn_multipass" -> ((s, d) => {
+      val Linkage = graft.operators.Linkage
+      val recs = linkageRecords(s, d)
+      val verify = levenshtein(col("a.c_name"), col("b.c_name")) <= 2 &&
+        col("a.c_acctbal") === col("b.c_acctbal")
+      val p1 = Linkage.sortedNeighborhoodPairs(recs, "c_custkey",
+        col("c_name"), window = 8, verify = verify)
+      val p2 = Linkage.sortedNeighborhoodPairs(recs, "c_custkey",
+        struct(col("c_acctbal"), col("c_name")), window = 8,
+        verify = verify)
+      Linkage.resolveEntities(recs, "c_custkey",
+        p1.unionByName(p2).distinct())
+    }),
+
+    // Local clustering coefficient (round 17; Watts & Strogatz 1998):
+    // 2·triangles / (deg·(deg−1)) per node over q186's co-ordered-
+    // parts graph — how close each part's co-purchase neighborhood is
+    // to a clique. Exact int/int IEEE division; degree-1 nodes have an
+    // undefined coefficient → NULL, the three-valued contract q184
+    // would flag, made explicit here.
+    "q192_clustering_coeff" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val co = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .localCheckpoint() // feeds triangleCounts AND the degree agg
+      val tri = graft.operators.Graphs.triangleCounts(co)
+      val e = co.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      val deg = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      tri.join(deg, Seq("node"))
+        .select(col("node"), col("degree"), col("triangles"),
+          when(col("degree") >= 2,
+            lit(2.0) * col("triangles").cast("double") /
+              (col("degree").cast("double") *
+                (col("degree") - 1L).cast("double")))
+            .as("clustering_coeff"))
     })
   )
 
@@ -5881,6 +5932,78 @@ object PipelineQueries {
          |SELECT w.id AS rec_id, coalesce(b.ce, b.cm) AS entity_id,
          |  b.ce IS NOT NULL AS from_stored
          |FROM wse w JOIN byc b USING (c)""".stripMargin,
+
+    // q191 = two rank CTEs (name order; (acctbal, name) order), the
+    // union of both windows' verified pairs, then the shared closure.
+    "q191_sn_multipass" ->
+      s"""WITH RECURSIVE $LinkageBaseCte,
+         |rk1 AS (
+         |  SELECT base.*,
+         |    row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rnk
+         |  FROM base),
+         |rk2 AS (
+         |  SELECT base.*,
+         |    row_number() OVER (ORDER BY c_acctbal, c_name, c_custkey)
+         |      - 1 AS rnk
+         |  FROM base),
+         |pairs AS (
+         |  SELECT DISTINCT pa, pb FROM (
+         |    SELECT a.c_custkey AS pa, b.c_custkey AS pb
+         |    FROM rk1 a JOIN rk1 b ON b.rnk - a.rnk BETWEEN 1 AND 7
+         |    WHERE levenshtein(a.c_name, b.c_name) <= 2
+         |      AND a.c_acctbal = b.c_acctbal
+         |    UNION ALL
+         |    SELECT a.c_custkey, b.c_custkey
+         |    FROM rk2 a JOIN rk2 b ON b.rnk - a.rnk BETWEEN 1 AND 7
+         |    WHERE levenshtein(a.c_name, b.c_name) <= 2
+         |      AND a.c_acctbal = b.c_acctbal)),
+         |$LinkageClosureCte
+         |SELECT m.rec_id, m.entity_id, sz.n_members
+         |FROM m JOIN sz USING (entity_id)""".stripMargin,
+
+    // q192 = q186's triangle pipeline joined to the degree table, the
+    // Watts-Strogatz ratio as one mirrored IEEE division, NULL below
+    // degree 2.
+    "q192_clustering_coeff" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 25),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS dg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END
+        |      AS s,
+        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END
+        |      AS t,
+        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN dv.dg ELSE du.dg
+        |      END AS td
+        |  FROM e JOIN deg du ON du.node = e.u
+        |    JOIN deg dv ON dv.node = e.v),
+        |w AS (
+        |  SELECT o1.s, o1.t AS a, o2.t AS b
+        |  FROM o o1 JOIN o o2 ON o1.s = o2.s
+        |  WHERE (o1.td, o1.t) < (o2.td, o2.t)),
+        |tri AS (SELECT w.s, w.a, w.b
+        |  FROM w JOIN o ON o.s = w.a AND o.t = w.b),
+        |cnt AS (
+        |  SELECT node, count(*)::BIGINT AS triangles FROM (
+        |    SELECT s AS node FROM tri
+        |    UNION ALL SELECT a FROM tri
+        |    UNION ALL SELECT b FROM tri)
+        |  GROUP BY node)
+        |SELECT deg.node, deg.dg AS degree,
+        |  coalesce(cnt.triangles, 0::BIGINT) AS triangles,
+        |  CASE WHEN deg.dg >= 2 THEN
+        |    2.0::DOUBLE * coalesce(cnt.triangles, 0)::DOUBLE /
+        |      (deg.dg::DOUBLE * (deg.dg - 1)::DOUBLE) END
+        |    AS clustering_coeff
+        |FROM deg LEFT JOIN cnt USING (node)""".stripMargin,
 
     // q186 = the same degree-ordered orientation as tuple CASEs, wedge
     // join, closure join, and per-corner count union.
