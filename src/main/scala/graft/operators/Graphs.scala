@@ -187,6 +187,68 @@ object Graphs {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983; Batagelj
+    * & Zaveršnik 2003): repeatedly delete nodes of degree < k until
+    * every survivor has ≥ k neighbors INSIDE the surviving subgraph —
+    * the density signal degree alone fakes: a spam hub buys any degree
+    * it wants, but membership in a high-k core requires its NEIGHBORS
+    * to be equally well-embedded, recursively.
+    *
+    * The Lloyd-loop shape: each round one degree aggregate over the
+    * current edge set (map-side combined, node-keyed shuffle), one
+    * metadata-sized survivor count collected for the fixpoint check,
+    * and two semi joins restricting edges to survivors,
+    * localCheckpointed so round i never re-executes rounds < i.
+    * Survivor sets shrink monotonically, so an unchanged COUNT is an
+    * unchanged SET — the fixpoint test needs no set comparison.
+    * Converges in at most the peeling-cascade depth; `maxRounds`
+    * fail-louds (the [[Dedup.nearDupClusters]] discipline) rather than
+    * returning a half-peeled core.
+    *
+    * @return (node, core_degree) for the k-core's members —
+    *         core_degree is the degree within the core subgraph, ≥ k
+    *         by construction; empty if the graph has no k-core
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct().localCheckpoint()
+    var prev = -1L
+    var deg: DataFrame = null
+    var done = false
+    var r = 0
+    while (!done && r < maxRounds) {
+      deg = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+        .filter(col("core_degree") >= k)
+        .localCheckpoint()
+      val n = deg.count()
+      if (n == prev) done = true
+      else {
+        prev = n
+        val keep = deg.select(col("node"))
+        e = e
+          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    if (!done) {
+      throw new IllegalStateException(
+        s"kCore did not reach a fixpoint in $maxRounds rounds — the " +
+          "peeling cascade is deeper; raise maxRounds")
+    }
+    deg
+  }
+
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")

@@ -82,6 +82,52 @@ object Linkage {
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         col("__score").as("score"))
 
+  /** The actual Fellegi–Sunter decision model over blocked candidates:
+    * each field contributes its log-odds agreement weight — log2(m/u)
+    * on agreement, log2((1−m)/(1−u)) on disagreement, where m = P(field
+    * agrees | true match) and u = P(field agrees | non-match) — and the
+    * summed weight lands each pair in one of THREE bands: `match`
+    * (weight ≥ `upper`), `possible` (clerical review — the band the
+    * 1969 model exists for: evidence worth a human, not an automatic
+    * link), `non_match`. A conjunctive verify() collapses this to one
+    * bit; the weights keep partial evidence (name agrees, balance
+    * doesn't) visible and rankable.
+    *
+    * All candidates are returned with their weight and band — filter
+    * `band =!= "non_match"` downstream; feeding only the `match` band
+    * to [[resolveEntities]] reproduces the boolean pipeline, and the
+    * `possible` band is the review queue. m/u are caller-estimated (in
+    * production: EM over the agreement-vector counts; the estimation
+    * loop is the q167 fixed-iteration shape if you need it fitted).
+    *
+    * @param fields (agreePredicate over aliases a/b, m, u) per field,
+    *               each requiring 0 < u < m < 1 — a field where
+    *               agreement isn't evidence (m ≤ u) doesn't belong in
+    *               the model
+    * @return (doc_a, doc_b, weight, band), doc_a < doc_b
+    */
+  def fsWeightedPairs(records: DataFrame, idCol: String,
+      blockCols: Seq[String], fields: Seq[(Column, Double, Double)],
+      upper: Double, lower: Double, maxBlock: Int = 0): DataFrame = {
+    require(fields.nonEmpty, "the FS model needs at least one field")
+    require(lower < upper, s"need lower < upper, got $lower >= $upper")
+    fields.foreach { case (_, m, u) =>
+      require(u > 0.0 && m < 1.0 && u < m,
+        s"each field needs 0 < u < m < 1, got m=$m u=$u")
+    }
+    val weight = fields.map { case (agree, m, u) =>
+      when(agree, log2(lit(m) / lit(u)))
+        .otherwise(log2(lit(1.0 - m) / lit(1.0 - u)))
+    }.reduce(_ + _)
+    blockedCandidates(records, idCol, blockCols, maxBlock)
+      .withColumn("weight", weight)
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("weight"),
+        when(col("weight") >= upper, "match")
+          .when(col("weight") >= lower, "possible")
+          .otherwise("non_match").as("band"))
+  }
+
   private def blockedCandidates(records: DataFrame, idCol: String,
       blockCols: Seq[String], maxBlock: Int): DataFrame = {
     require(blockCols.nonEmpty, "blocking requires at least one key column")

@@ -1830,6 +1830,51 @@ object PipelineQueries {
               (col("degree").cast("double") *
                 (col("degree") - 1L).cast("double")))
             .as("clustering_coeff"))
+    }),
+
+    // Fellegi–Sunter weighted decision bands (round 17): three fields
+    // (name levenshtein<=2, m=.95/u=.01; acctbal equality, m=.9/
+    // u=.0001; segment equality, m=.95/u=.2) over coarser blocks than
+    // q185 (nation + name length only — segment is now EVIDENCE, not a
+    // block). The fixture separates the bands cleanly: planted twins
+    // agree everywhere (≈ +21.95 → match), the 4-sub decoys disagree
+    // only on name (≈ +11.07 → possible — the clerical-review queue,
+    // exactly where a name-mangled re-entry with matching balance
+    // belongs), and name-neighbor coincidences cap at ≈ +5.50 →
+    // non_match, filtered. Weight output rounds to 4: the band cuts
+    // (18/8) sit mid-gap, so a final-ulp log2 difference between
+    // engines can't move a band.
+    "q193_fs_weights" -> ((s, d) => {
+      val recs = linkageRecords(s, d)
+        .withColumn("bkv_len", length(col("c_name")))
+      graft.operators.Linkage.fsWeightedPairs(recs, "c_custkey",
+          Seq("c_nationkey", "bkv_len"),
+          fields = Seq(
+            (levenshtein(col("a.c_name"), col("b.c_name")) <= 2,
+              0.95, 0.01),
+            (col("a.c_acctbal") === col("b.c_acctbal"), 0.9, 0.0001),
+            (col("a.c_mktsegment") === col("b.c_mktsegment"),
+              0.95, 0.2)),
+          upper = 18.0, lower = 8.0)
+        .filter(col("band") =!= "non_match")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("weight"), 4).as("fs_weight"), col("band"))
+    }),
+
+    // k-core decomposition (round 17): the 20-core of the co-ordered-
+    // parts graph — iterative peeling until every survivor keeps >= 20
+    // in-core neighbors (8 peel rounds at sf0.01 / 10 at sf0.1, live
+    // cascades at both scales; 272 / 2425 nodes peeled). The density
+    // membership a hub can't fake with bought degree.
+    "q194_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val co = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graphs.kCore(co, k = 20, maxRounds = 14)
     })
   )
 
@@ -2605,6 +2650,34 @@ object PipelineQueries {
       |sz AS (
       |  SELECT entity_id, count(*)::BIGINT AS n_members
       |  FROM m GROUP BY entity_id)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Graphs.kCore]] — `rounds`
+    * unrolled peel rounds (degree-filter + two endpoint semi joins per
+    * round, all MATERIALIZED); peeling is idempotent past the
+    * fixpoint, so unrolling a fixed count ≥ the cascade depth replays
+    * the operator's converged answer exactly. `edgesCte` must yield
+    * (src, dst); canonicalization mirrors the operator.
+    */
+  private def kCoreOracle(edgesCte: String, k: Int, rounds: Int): String = {
+    def round(i: Int): String = {
+      val p = s"c${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*)::BIGINT AS dg FROM (
+         |    SELECT u AS node FROM $p UNION ALL SELECT v FROM $p)
+         |  GROUP BY node HAVING count(*) >= $k),
+         |c$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM $p e
+         |  JOIN d$i a ON e.u = a.node JOIN d$i b ON e.v = b.node)"""
+        .stripMargin
+    }
+    s"""WITH raw AS MATERIALIZED ($edgesCte),
+       |c0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL
+       |    AND src <> dst),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT node, dg AS core_degree FROM d$rounds""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.operators.Graphs.pageRank]] — the
     * q134/q167 unrolled-round discipline: per iteration one quantized
@@ -6004,6 +6077,45 @@ object PipelineQueries {
         |      (deg.dg::DOUBLE * (deg.dg - 1)::DOUBLE) END
         |    AS clustering_coeff
         |FROM deg LEFT JOIN cnt USING (node)""".stripMargin,
+
+    // q193 = the same coarse-blocked candidates, the same three-term
+    // log-odds sum (left-associated, constants folded by each engine's
+    // own log2 — the 4-decimal round and mid-gap cuts absorb the ulp),
+    // the same band CASE.
+    "q193_fs_weights" ->
+      s"""WITH $LinkageBaseCte,
+         |cand AS (
+         |  SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b,
+         |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+         |       THEN log2(0.95 / 0.01)
+         |       ELSE log2(0.050000000000000044 / 0.99) END +
+         |     CASE WHEN a.c_acctbal = b.c_acctbal
+         |       THEN log2(0.9 / 0.0001)
+         |       ELSE log2(0.09999999999999998 / 0.9999) END +
+         |     CASE WHEN a.c_mktsegment = b.c_mktsegment
+         |       THEN log2(0.95 / 0.2)
+         |       ELSE log2(0.050000000000000044 / 0.8) END) AS w
+         |  FROM base a JOIN base b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND length(a.c_name) = length(b.c_name)
+         |   AND a.c_custkey < b.c_custkey)
+         |SELECT doc_a, doc_b, round(w, 4) AS fs_weight,
+         |  CASE WHEN w >= 18.0 THEN 'match'
+         |       WHEN w >= 8.0 THEN 'possible'
+         |       ELSE 'non_match' END AS band
+         |FROM cand
+         |WHERE w >= 8.0""".stripMargin,
+
+    // q194 = 14 unrolled peel rounds over the same co-order edge CTE
+    // (fixpoint at 8/10 rounds — the tail rounds are idempotent).
+    "q194_kcore" -> kCoreOracle(
+      """SELECT x.pk AS src, y.pk AS dst
+        |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |        FROM lineitem WHERE l_quantity >= 25) x
+        |  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |        FROM lineitem WHERE l_quantity >= 25) y
+        |    ON x.ok = y.ok AND x.pk < y.pk""".stripMargin,
+      k = 20, rounds = 14),
 
     // q186 = the same degree-ordered orientation as tuple CASEs, wedge
     // join, closure join, and per-corner count union.

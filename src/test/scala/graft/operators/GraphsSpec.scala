@@ -144,4 +144,25 @@ class GraphsSpec extends SparkSpec {
     assert(kc.size == 5 && kc.values.forall(_ == 6L),
       s"K5 per-node triangle count must be 6: $kc")
   }
+
+  test("kCore: cascading peel, core degrees, empty core, round cap") {
+    // K4 on 1-4, node 5 hanging off {1,2}, pendant 6 off 5 — peeling
+    // at k=3 must CASCADE: 6 falls first, then 5 (its degree drops to
+    // 2 only after 6 goes... 5's degree was already 3 with 6 attached)
+    val g = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (5L, 2L), (6L, 5L)) ++
+      Seq((2L, 1L), (1L, 1L))) // dirty: reversed dup + self loop
+      .toDF("src", "dst")
+    val c2 = Graphs.kCore(g, 2).as[(Long, Long)].collect().toMap
+    assert(c2 == Map(1L -> 4L, 2L -> 4L, 3L -> 3L, 4L -> 3L, 5L -> 2L),
+      s"2-core wrong: $c2")
+    val c3 = Graphs.kCore(g, 3).as[(Long, Long)].collect().toMap
+    assert(c3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must peel the 5-6 tail and recompute degrees: $c3")
+    assert(Graphs.kCore(g, 5).count() == 0, "no 5-core in this graph")
+    intercept[IllegalStateException] {
+      Graphs.kCore(g, 3, maxRounds = 1)
+    }
+    intercept[IllegalArgumentException] { Graphs.kCore(g, 0) }
+  }
 }

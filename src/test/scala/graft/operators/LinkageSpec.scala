@@ -93,6 +93,49 @@ class LinkageSpec extends SparkSpec {
     assert(m(3L) == ((3L, 1L)) && m(4L) == ((4L, 1L)), s"singletons: $m")
   }
 
+  test("fsWeightedPairs: three bands, hand-computed weights, guards") {
+    // one block; weights: name agree +log2(95), disagree +log2(5/99);
+    // bal agree +log2(90/1), disagree +log2(10/99.99)
+    val df = Seq(
+      (1L, "ada lovelace", "x", 10.0),
+      (2L, "ada lovelaze", "x", 10.0), // full agreement → match
+      (3L, "xxx yyyyyyyy", "x", 10.0), // name disagrees → possible
+      (4L, "ada lovelace", "x", 99.0)  // bal disagrees → non_match
+    ).toDF("id", "name", "city", "bal")
+    val fields = Seq(
+      (levenshtein(col("a.name"), col("b.name")) <= 1, 0.95, 0.01),
+      (col("a.bal") === col("b.bal"), 0.9, 0.0001))
+    val got = Linkage.fsWeightedPairs(df, "id", Seq("city"), fields,
+        upper = 15.0, lower = 5.0)
+      .as[(Long, Long, Double, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def lg(x: Double) = math.log(x) / math.log(2.0)
+    val nameA = lg(0.95 / 0.01); val nameD = lg((1.0 - 0.95) / 0.99)
+    val balA = lg(0.9 / 0.0001); val balD = lg((1.0 - 0.9) / 0.9999)
+    assert(got.size == 6, s"all blocked pairs must band: $got")
+    assert(got((1L, 2L))._2 == "match" &&
+      math.abs(got((1L, 2L))._1 - (nameA + balA)) < 1e-9)
+    assert(got((1L, 3L))._2 == "possible" &&
+      math.abs(got((1L, 3L))._1 - (nameD + balA)) < 1e-9)
+    assert(got((1L, 4L))._2 == "non_match" &&
+      math.abs(got((1L, 4L))._1 - (nameA + balD)) < 1e-9)
+    // feeding the match band to resolveEntities ≡ the boolean pipeline
+    val viaBands = Linkage.resolveEntities(df, "id",
+      Linkage.fsWeightedPairs(df, "id", Seq("city"), fields, 15.0, 5.0)
+        .filter(col("band") === "match").select(col("doc_a"), col("doc_b")))
+      .as[(Long, Long, Long)].collect().toSet
+    val viaBool = Linkage.resolveEntities(df, "id",
+      Linkage.matchPairs(df, "id", Seq("city"),
+        levenshtein(col("a.name"), col("b.name")) <= 1 &&
+          col("a.bal") === col("b.bal")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaBands == viaBool, "match band must reproduce the boolean pipeline")
+    intercept[IllegalArgumentException] {
+      Linkage.fsWeightedPairs(df, "id", Seq("city"),
+        Seq((col("a.bal") === col("b.bal"), 0.2, 0.5)), 1.0, 0.0)
+    }
+  }
+
   test("incrementalResolve: stored join, cluster propagation, new entities") {
     val stored = Seq(
       (1L, "ada lovelace", "london", 10.0, 1L),
