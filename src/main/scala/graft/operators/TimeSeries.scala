@@ -385,4 +385,52 @@ object TimeSeries {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__prev", "__rn")
   }
+
+  /** Seasonal-naive anomaly flags: residual = value − value one
+    * `season` back (the simplest seasonal model — "compare to the same
+    * slot last cycle"), flagged when |residual| exceeds `k` × the mean
+    * absolute residual of the trailing `window` observations. The
+    * robust-baseline shape of a production data-quality monitor: the
+    * threshold adapts per entity, and the mean-ABSOLUTE form doesn't
+    * let one earlier spike square itself into a mask for the next one.
+    *
+    * Exactness discipline (the q151 quantized-contribution pattern):
+    * residuals quantize to `scale`-grained longs per row BEFORE the
+    * window sum, so the trailing aggregate is an exact integer sum —
+    * immune to the accumulation-order difference between engines
+    * (sliding-window sums are tree-aggregated in some engines,
+    * linear in others; integers don't care) — and the flag itself is
+    * the cross-multiplied INTEGER comparison
+    * |q|·n > k·Σ|q| (no division, no float threshold, no boundary
+    * ulps). Rows without a full `season` history carry no residual and
+    * are dropped; rows with fewer than `minObs` trailing residuals get
+    * a NULL flag (not enough evidence either way — the q184
+    * three-valued honesty).
+    *
+    * One entity-keyed shuffle; the two window passes share the
+    * partitioning (the second sorts the residual-bearing subset).
+    *
+    * @return input plus (residual_q, window_abs_sum, window_n,
+    *         is_anomaly)
+    */
+  def seasonalAnomaly(df: DataFrame, entity: String, order: Seq[Column],
+      value: String, season: Int, window: Int, minObs: Int, k: Int,
+      scale: Long = 10000L): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    require(window >= minObs && minObs >= 1,
+      s"need window >= minObs >= 1, got window=$window minObs=$minObs")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(entity)).orderBy(order: _*)
+    val res = col(value) - lag(col(value), season).over(w)
+    val wTrail = Window.partitionBy(col(entity)).orderBy(order: _*)
+      .rowsBetween(-window, -1)
+    df.withColumn("residual_q",
+        round(res * scale, 0).cast("long"))
+      .filter(col("residual_q").isNotNull)
+      .withColumn("window_abs_sum", sum(abs(col("residual_q"))).over(wTrail))
+      .withColumn("window_n", count(col("residual_q")).over(wTrail))
+      .withColumn("is_anomaly", when(col("window_n") >= minObs,
+        abs(col("residual_q")) * col("window_n") >
+          lit(k.toLong) * col("window_abs_sum")))
+  }
 }

@@ -1875,7 +1875,22 @@ object PipelineQueries {
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       graft.operators.Graphs.kCore(co, k = 20, maxRounds = 14)
-    })
+    }),
+
+    // Seasonal-naive anomaly flags (round 17): per-user season-7
+    // residuals, flagged against 3× the trailing-28 mean absolute
+    // residual — with the whole decision in exact integers (quantized
+    // residuals, cross-multiplied threshold), so the flag is
+    // hash-comparable with no float boundary anywhere. Rows with under
+    // 14 trailing residuals get NULL flags, not silent passes.
+    "q195_seasonal_anomaly" -> ((s, d) =>
+      graft.operators.TimeSeries.seasonalAnomaly(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("value")),
+        "user_id", Seq(col("ts_ns"), col("event_id")), "value",
+        season = 7, window = 28, minObs = 14, k = 3)
+        .select(col("user_id"), col("event_id"), col("residual_q"),
+          col("window_abs_sum"), col("window_n"), col("is_anomaly")))
   )
 
   /** q158/q159's benchmark: offset-shifted excerpts of every 22nd long
@@ -6116,6 +6131,28 @@ object PipelineQueries {
         |        FROM lineitem WHERE l_quantity >= 25) y
         |    ON x.ok = y.ok AND x.pk < y.pk""".stripMargin,
       k = 20, rounds = 14),
+
+    // q195 = the same quantized residual (round-half-away ×10⁴), the
+    // same trailing frame, the same integer cross-multiplied flag.
+    "q195_seasonal_anomaly" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    round((value - lag(value, 7) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) * 10000.0)::BIGINT AS residual_q
+        |  FROM events),
+        |y AS (SELECT * FROM x WHERE residual_q IS NOT NULL),
+        |z AS (
+        |  SELECT user_id, event_id, residual_q,
+        |    sum(abs(residual_q)) OVER w AS was,
+        |    count(residual_q) OVER w AS wn
+        |  FROM y
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, residual_q,
+        |  was::BIGINT AS window_abs_sum, wn::BIGINT AS window_n,
+        |  CASE WHEN wn >= 14
+        |    THEN abs(residual_q) * wn > 3 * was END AS is_anomaly
+        |FROM z""".stripMargin,
 
     // q186 = the same degree-ordered orientation as tuple CASEs, wedge
     // join, closure join, and per-corner count union.

@@ -767,4 +767,31 @@ class IncrementalAggSpec extends SparkSpec {
       IncrementalAgg.mergeDaily(good, good.drop("max_v"), "user_id")
     }
   }
+
+  test("seasonalAnomaly: spike flagged, echo flagged, warmup NULL, guards") {
+    // flat series with one spike at index 10; season 2, trailing 4,
+    // minObs 2, k=3: residuals are 0 everywhere except +90 at the
+    // spike and -90 two slots later (the seasonal-naive echo — a known
+    // artifact of the model, deliberately visible)
+    val rows = (1L to 12L).map(i =>
+      ("a", i, if (i == 10L) 100.0 else 10.0)).toDF("e", "idx", "v")
+    val got = TimeSeries.seasonalAnomaly(rows, "e", Seq(col("idx")), "v",
+        season = 2, window = 4, minObs = 2, k = 3)
+      .select(col("idx"), col("is_anomaly"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    // rows 1-2 have no season-2 history at all → dropped entirely
+    assert(got.keySet == (3L to 12L).toSet, s"wrong rows: $got")
+    assert(got(3L).isEmpty && got(4L).isEmpty, "warmup rows must be NULL")
+    assert((5L to 9L).forall(got(_).contains(false)))
+    assert(got(10L).contains(true), "the spike itself")
+    assert(got(11L).contains(false))
+    assert(got(12L).contains(true), "the season-lag echo of the spike")
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalAnomaly(rows, "e", Seq(col("idx")), "v", 0, 4, 2, 3)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalAnomaly(rows, "e", Seq(col("idx")), "v", 2, 1, 2, 3)
+    }
+  }
 }
