@@ -600,6 +600,146 @@ object Sketches {
     */
   private[graft] val HllRhoCap = 50
 
+  /** Maximum quantized value the HDR bucket arithmetic guarantees exact
+    * (2^50 — far above any `scale`-quantized metric this engine meets;
+    * the decode multiplications stay inside long range with margin).
+    */
+  private val HdrMaxQ = 1L << 50
+
+  private def hdrRequirePrecision(precision: Int): Unit =
+    require(precision >= 1 && precision <= 8,
+      s"precision must be in [1, 8], got $precision")
+
+  /** Log-linear quantile sketch — the mergeable, STORED, value-oracled
+    * member the sketch family was missing (distinct = HLL/KMV,
+    * frequency = CMS, quantiles = this). The bucketing is the
+    * HDR-histogram / DDSketch log-linear scheme (Tene's HdrHistogram;
+    * Masson et al., VLDB'19 use a pure-log gamma — we keep the
+    * HDR power-of-two + linear-mantissa form because it is EXACT
+    * integer arithmetic, so the sketch itself hash-compares across
+    * engines, the family's convention): values quantize to
+    * `scale`-granular positive longs q, and bucket
+    *
+    *   idx = q                                   if q < 2^(precision+1)
+    *   idx = (e−s)·2^s + (q >> (e−s))            otherwise,
+    *
+    * with s = `precision`, e = floor(log₂ q) = length(bin(q)) − 1.
+    * Buckets are contiguous, monotone in q, exact below 2^(s+1), and
+    * one power-of-two range splits into 2^s linear sub-buckets above —
+    * relative bucket width ≤ 2^−s, so a midpoint estimate carries
+    * relative error ≤ 2^−(s+1) (1/16 at the default s = 3) plus the
+    * half-ulp of quantization. Counters are exact longs; merge is
+    * counter addition (≡ sketching the union, by associativity);
+    * the estimator walks a cumulative sum — no transcendental
+    * anywhere, both engines replay every step bit-for-bit.
+    *
+    * Scale shape: one map-side-combined (group, idx) count — sketch
+    * cardinality is ≤ groups × (2^s·(50−s) + 2^(s+1)) ≈ a few hundred
+    * rows per group regardless of corpus size; runs unchanged as a
+    * complete-mode stream (state = sketch cardinality, the family
+    * discipline). Zero quantizes to its own EXACT bucket (idx 0 — the
+    * linear branch covers it; a metrics histogram silently swallowing
+    * zeros IS the incident); negative or null values fail loudly (the
+    * log-linear scheme is for non-negative metrics — DDSketch handles
+    * signed data with a mirrored second histogram, out of scope here);
+    * values past 2^50/scale likewise.
+    *
+    * @return (groupCols..., idx, n)
+    */
+  def hdrSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      scale: Long = 100L, precision: Int = 3): DataFrame = {
+    hdrRequirePrecision(precision)
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val s = precision
+    val q0 = round(col(valueCol) * scale, 0).cast("long")
+    val q = when(q0.isNotNull && q0 >= 0L && q0 < HdrMaxQ, q0)
+      .otherwise(raise_error(concat(
+        lit(s"hdrSketch: value out of [0, 2^50/$scale] on "),
+        col(valueCol).cast("string"))))
+    val e = (length(bin(q)) - lit(1)).cast("int")
+    val m = call_function("shiftright", q, e - lit(s))
+    val idx = when(q < lit(1L << (s + 1)), q)
+      .otherwise((e - lit(s)).cast("long") * lit(1L << s) + m)
+    val gcols = groupCols.map(col)
+    df.select(gcols :+ idx.as("idx"): _*)
+      .groupBy(gcols :+ col("idx"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge two [[hdrSketch]] tables (same groups, same scale/precision)
+    * into the sketch of the union of their inputs — exact, by the
+    * associativity of counter addition (asserted bucket-for-bucket in
+    * SketchesSpec). The incremental-ingest form: merge the batch's
+    * sketch into the stored one; the corpus is never rescanned.
+    */
+  def hdrMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
+    a.unionByName(b)
+      .groupBy(gcols :+ col("idx"): _*)
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Quantile estimates from a stored [[hdrSketch]]: for each group and
+    * each requested quantile p, the `percentile_disc`-convention bucket
+    * — the lowest idx whose cumulative count reaches ⌈p·total⌉ — decoded
+    * to its exact integer bounds [lo_q, hi_q] and a midpoint estimate in
+    * original units. The selection is exact integer arithmetic
+    * (p quantizes to parts-per-million and the rank test
+    * cross-multiplies: cum·10⁶ ≥ p_ppm·total), so no float boundary
+    * picks a bucket.
+    *
+    * Everything here is sketch-cardinality-sized: a cumulative window
+    * per group, a broadcast quantile list, one min-idx aggregate.
+    *
+    * @return (groupCols..., p, idx, lo_q, hi_q, n_total, est) — est =
+    *         midpoint/scale, one long-derived division, engine-exact
+    */
+  def hdrQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      quantiles: Seq[Double], scale: Long = 100L,
+      precision: Int = 3): DataFrame = {
+    hdrRequirePrecision(precision)
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall(p => p > 0 && p <= 1),
+      s"quantiles must be in (0, 1], got $quantiles")
+    val s = precision
+    val gcols = groupCols.map(col)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*)
+    val ps = quantiles.map(p => math.round(p * 1e6)).distinct.sorted
+    val cum = sketch
+      .withColumn("__cum", sum(col("n")).over(wCum))
+      .withColumn("__tot", sum(col("n")).over(wTot))
+    val pFrame = sketch.sparkSession.range(1)
+      .select(explode(typedlit(ps)).as("p_ppm"))
+    val picked = cum
+      .crossJoin(broadcast(pFrame))
+      .where(col("__cum") * lit(1000000L) >= col("p_ppm") * col("__tot"))
+      .groupBy(gcols :+ col("p_ppm"): _*)
+      .agg(min(col("idx")).as("idx"), max(col("__tot")).as("n_total"))
+    // decode: j = idx div 2^s − 1, m = idx − j·2^s, [m<<j, ((m+1)<<j)−1]
+    val j = (call_function("shiftright", col("idx"), lit(s)) - lit(1L))
+      .cast("int")
+    val lo = when(col("idx") < lit(1L << (s + 1)), col("idx"))
+      .otherwise(call_function("shiftleft",
+        col("idx") - j.cast("long") * lit(1L << s), j))
+    val hi = when(col("idx") < lit(1L << (s + 1)), col("idx"))
+      .otherwise(call_function("shiftleft",
+        col("idx") - j.cast("long") * lit(1L << s) + lit(1L), j) - lit(1L))
+    picked
+      .withColumn("p", col("p_ppm").cast("double") / lit(1e6))
+      .withColumn("lo_q", lo)
+      .withColumn("hi_q", hi)
+      .withColumn("est",
+        ((col("lo_q") + col("hi_q")).cast("double") / lit(2.0)) /
+          lit(scale.toDouble))
+      .select(gcols ++ Seq(col("p"), col("idx"), col("lo_q"), col("hi_q"),
+        col("n_total"), col("est")): _*)
+  }
+
   /** Bloom-filter semi-join: keep probe rows whose `probeKey` might be in
     * the build side's `buildKey` set. `expectedItems` sizes the sketch
     * (bits ≈ 8× items keeps FPP ≈ 2%).

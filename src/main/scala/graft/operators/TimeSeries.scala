@@ -413,6 +413,119 @@ object TimeSeries {
     * @return input plus (residual_q, window_abs_sum, window_n,
     *         is_anomaly)
     */
+  /** Retention cohort matrix — the product-analytics staple: bucket
+    * every entity into the calendar period of its FIRST activity (its
+    * cohort), then for each (cohort, period-offset) count how many of
+    * that cohort were active, as an absolute count and as a fraction of
+    * the cohort's size. `bucket` ∈ day | week | month (`date_trunc`
+    * semantics — weeks are ISO Monday-start in both engines).
+    *
+    * Scale shape: the raw event stream reduces FIRST to distinct
+    * (entity, period) — bounded by entities × periods, orders of
+    * magnitude below event cardinality, and the only corpus-sized
+    * shuffle. The cohort (min period per entity) rides a window over
+    * the same entity partitioning, and because activity rows are
+    * distinct per (entity, period), the per-cell aggregate is a plain
+    * `count(*)` — no count-distinct buffer. Cohort size = the offset-0
+    * cell (every entity is active in its own first period by
+    * construction), recovered with a cohort-partitioned window over the
+    * cohort×offset matrix — metadata-sized.
+    *
+    * Determinism: counts are exact longs; `retention` is one
+    * long/long double division (engine-exact operands → engine-exact
+    * quotient).
+    *
+    * @return (cohort, offset, n_active, cohort_size, retention) with
+    *         offset in `bucket` units (days / weeks / months).
+    */
+  def retentionCohorts(df: DataFrame, entity: String, tsCol: String,
+      bucket: String = "day"): DataFrame = {
+    require(Set("day", "week", "month")(bucket),
+      s"bucket must be day|week|month, got $bucket")
+    val period = date_trunc(bucket, col(tsCol)).cast("date")
+    val activity = df.select(col(entity), period.as("period")).distinct()
+    val wEnt = Window.partitionBy(col(entity))
+    val offset = bucket match {
+      case "day"   => datediff(col("period"), col("cohort")).cast("long")
+      case "week"  => (datediff(col("period"), col("cohort")) / 7)
+        .cast("long")
+      case "month" => (
+        (year(col("period")) - year(col("cohort"))) * 12 +
+          (month(col("period")) - month(col("cohort")))).cast("long")
+    }
+    val wCoh = Window.partitionBy(col("cohort"))
+    activity
+      .withColumn("cohort", min(col("period")).over(wEnt))
+      .withColumn("offset", offset)
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("offset") === 0, col("n_active"))).over(wCoh))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+  }
+
+  /** Two-sided CUSUM mean-shift detection (Page 1954) per entity:
+    * accumulate deviations from the entity's mean beyond a slack band
+    * `slack`, and flag when either one-sided accumulation exceeds `h`
+    * — the classic sequential changepoint statistic (a level shift
+    * that a per-point threshold like [[seasonalAnomaly]] never sees
+    * accumulates here linearly until it trips).
+    *
+    * The recursive definition s⁺ᵢ = max(0, s⁺ᵢ₋₁ + dᵢ) is computed in
+    * CLOSED FORM — s⁺ᵢ = Sᵢ − min(0, min_{j≤i} Sⱼ) with Sᵢ the running
+    * sum of dᵢ (induction: max(0, Sᵢ₋₁ − Mᵢ₋₁ + dᵢ) = Sᵢ −
+    * min(Mᵢ₋₁, Sᵢ) = Sᵢ − Mᵢ) — so the whole statistic is two stacked
+    * window passes over ONE entity-keyed sort, no sequential
+    * per-entity fold and no driver loop.
+    *
+    * Exactness: values quantize to `scale`-granular longs; deviations
+    * are cross-multiplied by the entity's row count n so the mean
+    * never materializes as a float — dᵢ = qᵢ·n − Σq ∓ slack·scale·n,
+    * all exact integer arithmetic, and the flag compares longs. The
+    * emitted s⁺/s⁻/threshold are in (scale·n)-units; `n` rides along
+    * for interpretation. Magnitudes: |d| ≤ range·scale·n, so the
+    * running sum is bounded by range·scale·n² per entity — for 1e4
+    * scale this holds to ~1e6 rows per entity; past that the plan
+    * raises (raise_error guard on n) instead of silently wrapping.
+    *
+    * Null values are excluded from n, Σq, and the accumulation (a
+    * null deviation would poison every later row of the entity).
+    */
+  def cusum(df: DataFrame, entity: String, order: Seq[Column],
+      valueCol: String, slack: Double, h: Double,
+      scale: Long = 10000L): DataFrame = {
+    require(slack >= 0 && h > 0, s"need slack >= 0, h > 0, got $slack $h")
+    val wEnt = Window.partitionBy(col(entity))
+    val wRun = Window.partitionBy(col(entity)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("value_q", round(col(valueCol) * scale, 0).cast("long"))
+      .withColumn("__n",
+        when(count(lit(1)).over(wEnt) <= 1000000L,
+          count(lit(1)).over(wEnt))
+          .otherwise(raise_error(concat(
+            lit("cusum: entity group exceeds the exact-arithmetic " +
+              "bound (1e6 rows): "), col(entity).cast("string")))))
+      .withColumn("__sum", sum(col("value_q")).over(wEnt))
+    val slackQ = math.round(slack * scale)
+    val hQ = math.round(h * scale)
+    val dev = col("value_q") * col("__n") - col("__sum")
+    base
+      .withColumn("__sp", sum(dev - lit(slackQ) * col("__n")).over(wRun))
+      .withColumn("__sn", sum(-dev - lit(slackQ) * col("__n")).over(wRun))
+      .withColumn("s_pos",
+        col("__sp") - least(lit(0L), min(col("__sp")).over(wRun)))
+      .withColumn("s_neg",
+        col("__sn") - least(lit(0L), min(col("__sn")).over(wRun)))
+      .withColumn("threshold_q", lit(hQ) * col("__n"))
+      .withColumn("is_shift",
+        col("s_pos") > col("threshold_q") ||
+          col("s_neg") > col("threshold_q"))
+      .withColumn("n", col("__n"))
+      .drop("__n", "__sum", "__sp", "__sn")
+  }
+
   def seasonalAnomaly(df: DataFrame, entity: String, order: Seq[Column],
       value: String, season: Int, window: Int, minObs: Int, k: Int,
       scale: Long = 10000L): DataFrame = {

@@ -206,7 +206,7 @@ object PipelineQueries {
     docs.unionByName(dups).unionByName(cluster)
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // ── Text analysis ────────────────────────────────────────────────
     "q30_text_stats" -> ((s, d) =>
       TextAnalysis.textStats(Tables.documents(s, d))),
@@ -1891,6 +1891,113 @@ object PipelineQueries {
         season = 7, window = 28, minObs = 14, k = 3)
         .select(col("user_id"), col("event_id"), col("residual_q"),
           col("window_abs_sum"), col("window_n"), col("is_anomaly")))
+  ) ++ wave4Queries
+
+  /** BM25 gate queries (q196): three multi-term queries over the
+    * documents vocabulary — a selective pair, a common-term query
+    * (positive-idf even above 50% df, the Lucene +1 branch live), and
+    * one carrying a term absent from the corpus (contributes nothing;
+    * the query still ranks on its other term). Literal in both engines.
+    */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "hash merge batch"),
+    (2L, "table value"),
+    (3L, "quantum scan"))
+
+  private def wave4Queries: Map[String, Q] = Map(
+    // BM25 lexical retrieval (round 17): stored inverted index + Okapi
+    // scoring, top-5 per query. Scores quantized to 1e-9 longs before
+    // the per-(query, doc) sum and RANKED on the long, so no float
+    // boundary decides the order; the shipped double is one long/1e9
+    // division (hash-exact both engines).
+    "q196_bm25_search" -> ((s, d) => {
+      import s.implicits._
+      val idx = graft.operators.Search.textIndex(Tables.documents(s, d))
+      val qs = Bm25Queries.toDF("query_id", "query_text")
+      graft.operators.Search.bm25TopK(idx, qs, k = 5)
+        .select(col("query_id"), col("doc_id"), col("score_q"),
+          col("score"), col("rank"))
+    }),
+
+    // Retention cohorts (round 17): daily first-activity cohorts over
+    // the events month — the product-analytics staple. All-integer
+    // counts; retention is one long/long double division.
+    "q197_retention_cohorts" -> ((s, d) =>
+      graft.operators.TimeSeries.retentionCohorts(
+        Tables.events(s, d), "user_id", "ts", bucket = "day")),
+
+    // CUSUM mean-shift flags (round 17): per-user two-sided CUSUM with
+    // slack 10 / threshold 200 (866 positive + 285 negative flags at
+    // sf0.01 — both branches live). The recursion runs in closed form
+    // (prefix sum − running min), and the whole decision is exact
+    // cross-multiplied integers — no float boundary anywhere.
+    "q198_cusum" -> ((s, d) =>
+      graft.operators.TimeSeries.cusum(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("value")),
+        "user_id", Seq(col("ts_ns"), col("event_id")), "value",
+        slack = 10.0, h = 200.0)
+        .select(col("user_id"), col("event_id"), col("value_q"),
+          col("s_pos"), col("s_neg"), col("threshold_q"),
+          col("is_shift"), col("n"))),
+
+    // Adamic-Adar link prediction (round 17): non-adjacent part pairs
+    // of the high-quantity co-order graph scored by shared-neighbor
+    // evidence (2,982 / 30,711 candidate links at sf0.01 / sf0.1).
+    // Wedge contributions quantize to 1e-9 longs before the pair sum.
+    "q199_adamic_adar" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val co = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graphs.adamicAdar(co)
+    }),
+
+    // HDR log-linear quantile sketch (round 17): p50/p90/p99 of value
+    // per event_type from the stored sketch — bucket ids, counts, and
+    // the estimator walk are ALL exact integers, so even this
+    // "approximate" operator is value-oracled (the sketch-family
+    // convention).
+    "q200_hdr_quantile" -> ((s, d) => {
+      val sk = graft.operators.Sketches.hdrSketch(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        Seq("event_type"), "value")
+      graft.operators.Sketches.hdrQuantiles(sk, Seq("event_type"),
+        Seq(0.5, 0.9, 0.99))
+    }),
+
+    // Sketch-merge ≡ recompute, cross-engine (the q174 pattern): Spark
+    // merges the sketches of two ingest halves; the oracle sketches the
+    // whole table in one pass. Identical quantiles prove the merge.
+    "q201_hdr_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"), col("value"))
+      val a = graft.operators.Sketches.hdrSketch(
+        ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "value")
+      val b = graft.operators.Sketches.hdrSketch(
+        ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "value")
+      val merged = graft.operators.Sketches.hdrMerge(a, b,
+        Seq("event_type"))
+      graft.operators.Sketches.hdrQuantiles(merged, Seq("event_type"),
+        Seq(0.25, 0.75, 0.999))
+    }),
+
+    // Exact set-similarity self-join (round 17): every shingle-Jaccard
+    // ≥ 0.5 pair via prefix filtering — the full-recall complement of
+    // q36's MinHash-LSH (25 / 256 pairs at sf0.01 / sf0.1). The oracle
+    // generates candidates from ANY shared shingle — deliberately
+    // independent of the prefix-filter choice, so a filter bug that
+    // lost a pair would hash-mismatch, not silently agree.
+    "q202_set_similarity_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sets = docs.select(col("doc_id"),
+        graft.operators.Dedup.wordShingles(col("text")).as("sh"))
+      graft.operators.SimilarityJoin.setSimilarityJoin(
+        sets, "doc_id", "sh", 0.5)
+    })
   )
 
   /** q158/q159's benchmark: offset-shifted excerpts of every 22nd long
@@ -6342,5 +6449,212 @@ object PipelineQueries {
         |  (b.bench_id IS NOT NULL) AS contaminated
         |FROM documents d
         |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""".stripMargin
+  ) ++ wave4Oracle
+
+  // q196 = the identical BM25 expression tree: same tokenization, same
+  // Lucene idf (ln(1 + (N-df+.5)/(df+.5))), same k1=1.2 / b=0.75 tf
+  // normalization, contributions quantized to 1e-9 longs before the
+  // per-(query, doc) sum, rank on the LONG (ties doc asc).
+  private def wave4Oracle: Map[String, String] = Map(
+    "q196_bm25_search" ->
+      s"""WITH qs(query_id, query_text) AS (VALUES
+         |  ${Bm25Queries.map { case (i, t) => s"($i::BIGINT, '$t')" }
+            .mkString(", ")}),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+         |      AS t
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term
+         |        FROM toks)
+         |  GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::BIGINT AS n,
+         |    sum(dl)::BIGINT AS sumdl
+         |  FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+         |qterms AS (
+         |  SELECT DISTINCT query_id, unnest(list_filter(
+         |    string_split_regex(query_text, '\\s+'), x -> x <> '')) AS term
+         |  FROM qs),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    sum(round(
+         |      ln(1.0 + (n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+         |      * (tf::DOUBLE * 2.2 /
+         |         (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE /
+         |            (sumdl::DOUBLE / n::DOUBLE))))
+         |      * 1e9)::BIGINT)::BIGINT AS score_q
+         |  FROM qterms q
+         |  JOIN tf ON tf.term = q.term
+         |  JOIN df ON df.term = q.term
+         |  CROSS JOIN stats
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score_q,
+         |    score_q::DOUBLE / 1e9 AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_q DESC, doc_id ASC)::INT AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, score_q, score, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // q197 = the same distinct-activity reduction, window cohort min,
+    // count(*) cells, and offset-0 cohort size.
+    "q197_retention_cohorts" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS period
+        |  FROM events),
+        |coh AS (
+        |  SELECT user_id, period,
+        |    min(period) OVER (PARTITION BY user_id) AS cohort
+        |  FROM act),
+        |cell AS (
+        |  SELECT cohort, date_diff('day', cohort, period)::BIGINT
+        |      AS "offset",
+        |    count(*)::BIGINT AS n_active
+        |  FROM coh GROUP BY 1, 2),
+        |sized AS (
+        |  SELECT cohort, "offset", n_active,
+        |    (max(CASE WHEN "offset" = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort))::BIGINT AS cohort_size
+        |  FROM cell)
+        |SELECT cohort, "offset", n_active, cohort_size,
+        |  n_active::DOUBLE / cohort_size::DOUBLE AS retention
+        |FROM sized""".stripMargin,
+
+    // q198 = the same quantization, the same cross-multiplied
+    // deviations, the same closed-form prefix-sum/running-min pair.
+    "q198_cusum" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+        |    round(value * 10000.0)::BIGINT AS value_q,
+        |    count(*) OVER (PARTITION BY user_id)::BIGINT AS n,
+        |    (sum(round(value * 10000.0)::BIGINT)
+        |      OVER (PARTITION BY user_id))::BIGINT AS s
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT *,
+        |    sum(value_q * n - s - 100000 * n) OVER w AS sp,
+        |    sum(-(value_q * n - s) - 100000 * n) OVER w AS sn
+        |  FROM b WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_ns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT *,
+        |    (sp - least(0, min(sp) OVER w))::BIGINT AS s_pos,
+        |    (sn - least(0, min(sn) OVER w))::BIGINT AS s_neg
+        |  FROM c WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_ns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value_q, s_pos, s_neg,
+        |  (2000000 * n)::BIGINT AS threshold_q,
+        |  (s_pos > 2000000 * n OR s_neg > 2000000 * n) AS is_shift,
+        |  n
+        |FROM d""".stripMargin,
+
+    // q199 = the same wedge enumeration at the shared neighbor, the
+    // same 1e-9-quantized 1/ln(deg) contributions, existing edges out
+    // via anti join.
+    "q199_adamic_adar" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 45),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |adj AS (
+        |  SELECT u AS w, v AS nb FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT w, count(*)::BIGINT AS dg FROM adj GROUP BY 1),
+        |k AS (
+        |  SELECT a.w, a.nb, round(1e9 / ln(dg::DOUBLE))::BIGINT AS c
+        |  FROM adj a JOIN deg d ON d.w = a.w),
+        |p AS (
+        |  SELECT x.nb AS u, y.nb AS v, sum(x.c)::BIGINT AS score_q
+        |  FROM k x JOIN k y ON x.w = y.w AND x.nb < y.nb
+        |  GROUP BY 1, 2)
+        |SELECT p.u, p.v, score_q, score_q::DOUBLE / 1e9 AS score
+        |FROM p ANTI JOIN e ON e.u = p.u AND e.v = p.v""".stripMargin,
+
+    // q200/q201 = the identical log-linear bucket arithmetic (s = 3:
+    // exact below 16, (e-3)*8 + (q >> (e-3)) above), cumulative-sum
+    // walk, ppm-cross-multiplied rank test, and integer decode. q201's
+    // oracle sketches the WHOLE table — equality proves merge ≡
+    // recompute across engines.
+    "q200_hdr_quantile" -> hdrOracleSql(Seq(500000L, 900000L, 990000L)),
+    "q201_hdr_merge" -> hdrOracleSql(Seq(250000L, 750000L, 999000L)),
+
+    // q202 = same shingles, same ppm-cross-multiplied threshold test —
+    // but candidates from ANY shared shingle (complete because J ≥ t >
+    // 0 needs ≥ 1 shared element), NOT from the prefix filter under
+    // test.
+    "q202_set_similarity_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1), i ->
+        |        array_to_string(list_slice(w, i, i + 2), ' ')))
+        |    ELSE [array_to_string(w, ' ')] END AS t
+        |  FROM toks),
+        |g AS (SELECT doc_id, len(t)::BIGINT AS l, unnest(t) AS gr FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        |    AND 500000 * a.l <= 1000000 * b.l
+        |    AND 500000 * b.l <= 1000000 * a.l),
+        |v AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_intersect(x.t, y.t))::BIGINT AS n_inter,
+        |    (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t)))::BIGINT
+        |      AS n_union
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a
+        |            JOIN sh y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, n_inter, n_union,
+        |  round(n_inter::DOUBLE / n_union::DOUBLE, 4) AS jaccard
+        |FROM v
+        |WHERE n_inter * 1500000 >= 500000 * (n_union + n_inter)""".stripMargin
   )
+
+  private def hdrOracleSql(ppm: Seq[Long]): String =
+    s"""WITH qv AS (
+       |  SELECT event_type, round(value * 100.0)::BIGINT AS q
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type,
+       |    (CASE WHEN q < 16 THEN q
+       |          ELSE (length(bin(q)) - 4) * 8 +
+       |               (q >> (length(bin(q)) - 4)) END)::BIGINT AS idx
+       |  FROM qv),
+       |sk AS (SELECT event_type, idx, count(*)::BIGINT AS n
+       |  FROM b GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, idx, n,
+       |    sum(n) OVER (PARTITION BY event_type ORDER BY idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(n) OVER (PARTITION BY event_type) AS tot
+       |  FROM sk),
+       |ps AS (SELECT unnest([${ppm.mkString(", ")}])::BIGINT AS p_ppm),
+       |picked AS (
+       |  SELECT event_type, p_ppm, min(idx)::BIGINT AS idx,
+       |    max(tot)::BIGINT AS n_total
+       |  FROM c CROSS JOIN ps
+       |  WHERE cum * 1000000 >= p_ppm * tot
+       |  GROUP BY 1, 2),
+       |dec AS (
+       |  SELECT event_type, p_ppm, idx, n_total,
+       |    (CASE WHEN idx < 16 THEN idx
+       |          ELSE (idx - ((idx >> 3) - 1) * 8) << ((idx >> 3) - 1)
+       |     END)::BIGINT AS lo_q,
+       |    (CASE WHEN idx < 16 THEN idx
+       |          ELSE ((idx - ((idx >> 3) - 1) * 8 + 1)
+       |            << ((idx >> 3) - 1)) - 1 END)::BIGINT AS hi_q
+       |  FROM picked)
+       |SELECT event_type, p_ppm::DOUBLE / 1e6 AS p, idx, lo_q, hi_q,
+       |  n_total, ((lo_q + hi_q)::DOUBLE / 2.0) / 100.0 AS est
+       |FROM dec""".stripMargin
 }

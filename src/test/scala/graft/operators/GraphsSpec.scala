@@ -165,4 +165,54 @@ class GraphsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { Graphs.kCore(g, 0) }
   }
+
+  test("adamicAdar: wedge scores, adjacency exclusion, dirty input") {
+    // square 1-2-3-4 plus diagonal (1,3): the only non-adjacent pair
+    // with shared neighbors is (2,4) — shared {1, 3}, both deg 3
+    val g = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)) ++
+      Seq((2L, 1L), (2L, 2L))) // dirty: reversed dup + self loop
+      .toDF("src", "dst")
+    val got = Graphs.adamicAdar(g)
+      .select("u", "v", "score_q").as[(Long, Long, Long)]
+      .collect().map { case (u, v, s) => (u, v) -> s }.toMap
+    val c3 = math.round(1e9 / math.log(3.0)) // one wedge at a deg-3 node
+    assert(got == Map((2L, 4L) -> 2 * c3),
+      s"expected only (2,4) at 2/ln(3): $got")
+    // plain square (all deg 2): both diagonals score 2/ln(2)
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c2 = math.round(1e9 / math.log(2.0))
+    val sqGot = Graphs.adamicAdar(sq)
+      .select("u", "v", "score_q").as[(Long, Long, Long)]
+      .collect().map { case (u, v, s) => (u, v) -> s }.toMap
+    assert(sqGot == Map((1L, 3L) -> 2 * c2, (2L, 4L) -> 2 * c2), s"$sqGot")
+    // score column is the quantized long divided once
+    val row = Graphs.adamicAdar(sq).select("score", "score_q")
+      .as[(Double, Long)].collect()
+    assert(row.forall { case (d, q) => d == q.toDouble / 1e9 })
+  }
+
+  test("adamicAdar: maxDegree cap drops hub evidence; guard") {
+    // star: hub 0 with leaves 1..4, plus edge (1,2). Uncapped: every
+    // leaf pair shares the hub (deg 4); (1,2) also wedge at each other
+    // but those pairs are adjacent or hub-involved
+    val star = ((1L to 4L).map(l => (0L, l)) :+ (1L, 2L)).toDF("src", "dst")
+    val un = Graphs.adamicAdar(star)
+      .select("u", "v", "score_q").as[(Long, Long, Long)]
+      .collect().map { case (u, v, s) => (u, v) -> s }.toMap
+    val hub = math.round(1e9 / math.log(4.0))
+    assert(un == Map((1L, 3L) -> hub, (1L, 4L) -> hub, (2L, 3L) -> hub,
+      (2L, 4L) -> hub, (3L, 4L) -> hub), s"uncapped: $un")
+    // cap 3 drops the deg-4 hub as a shared neighbor: nothing is left
+    // (the only other wedges land on adjacent pairs)
+    assert(Graphs.adamicAdar(star, maxDegree = Some(3)).count() == 0,
+      "capped run must drop all hub-only evidence")
+    // cap above every degree is a no-op
+    val capped = Graphs.adamicAdar(star, maxDegree = Some(4))
+      .select("u", "v", "score_q").as[(Long, Long, Long)]
+      .collect().map { case (u, v, s) => (u, v) -> s }.toMap
+    assert(capped == un, "cap >= max degree must change nothing")
+    intercept[IllegalArgumentException] {
+      Graphs.adamicAdar(star, maxDegree = Some(1))
+    }
+  }
 }

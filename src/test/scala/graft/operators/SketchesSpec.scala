@@ -491,4 +491,71 @@ class SketchesSpec extends SparkSpec {
       Sketches.hllEstimate(without, Seq("g"), 13)
     }
   }
+
+  test("hdrSketch: exact linear range, log-linear buckets, zero, guards") {
+    // scale 1 keeps the hand math in integers. q < 16 buckets exactly
+    // (idx = q, including ZERO); q = 100 -> e=6, idx = (6-3)*8 +
+    // (100>>3) = 36
+    val vals = Seq(0.0, 7.0, 7.0, 15.0, 100.0).map(("g", _))
+      .toDF("g", "v")
+    val sk = Sketches.hdrSketch(vals, Seq("g"), "v", scale = 1L)
+      .as[(String, Long, Long)].collect()
+      .map { case (_, i, n) => i -> n }.toMap
+    assert(sk == Map(0L -> 1L, 7L -> 2L, 15L -> 1L, 36L -> 1L), s"$sk")
+    // decode of idx 36: j=3, m=12 -> [96, 103]; the value 100 is inside
+    val est = Sketches.hdrQuantiles(sk.toSeq.map { case (i, n) =>
+        ("g", i, n) }.toDF("g", "idx", "n"),
+        Seq("g"), Seq(1.0), scale = 1L)
+      .select("idx", "lo_q", "hi_q", "est")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(est == ((36L, 96L, 103L, 99.5)), s"$est")
+    // negative and null fail loudly; bad params rejected at build time
+    intercept[Exception] {
+      Sketches.hdrSketch(Seq(("g", -1.0)).toDF("g", "v"), Seq("g"), "v")
+        .collect()
+    }
+    intercept[Exception] {
+      Sketches.hdrSketch(Seq(("g", null.asInstanceOf[java.lang.Double]))
+        .toDF("g", "v"), Seq("g"), "v").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hdrSketch(vals, Seq("g"), "v", precision = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hdrQuantiles(vals, Seq("g"), Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hdrQuantiles(vals, Seq("g"), Nil)
+    }
+  }
+
+  test("hdrSketch: merge ≡ recompute; quantile error bound on 1..1000") {
+    val all = (1L to 1000L).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val sk = Sketches.hdrSketch(all, Seq("g"), "v", scale = 1L)
+    // merge of the halves equals the whole, counter for counter
+    val a = Sketches.hdrSketch(
+      (1L to 500L).map(v => ("g", v.toDouble)).toDF("g", "v"),
+      Seq("g"), "v", scale = 1L)
+    val b = Sketches.hdrSketch(
+      (501L to 1000L).map(v => ("g", v.toDouble)).toDF("g", "v"),
+      Seq("g"), "v", scale = 1L)
+    assert(Sketches.hdrMerge(a, b, Seq("g"))
+        .as[(String, Long, Long)].collect().toSet ==
+      sk.as[(String, Long, Long)].collect().toSet,
+      "merge must equal the one-pass sketch bucket-for-bucket")
+    // every requested quantile: the true rank statistic lies in the
+    // picked bucket's [lo, hi], and the midpoint is within the 2^-(s+1)
+    // relative bound (s=3 -> 1/16)
+    val ps = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val got = Sketches.hdrQuantiles(sk, Seq("g"), ps, scale = 1L)
+      .select("p", "lo_q", "hi_q", "est")
+      .as[(Double, Long, Long, Double)].collect()
+    assert(got.length == ps.length)
+    got.foreach { case (p, lo, hi, estV) =>
+      val truth = math.ceil(p * 1000).toLong // percentile_disc on 1..1000
+      assert(lo <= truth && truth <= hi, s"p=$p: $truth not in [$lo,$hi]")
+      assert(math.abs(estV - truth) <= truth / 16.0 + 0.5,
+        s"p=$p: est $estV vs $truth")
+    }
+  }
 }

@@ -794,4 +794,75 @@ class IncrementalAggSpec extends SparkSpec {
       TimeSeries.seasonalAnomaly(rows, "e", Seq(col("idx")), "v", 2, 1, 2, 3)
     }
   }
+
+  test("retentionCohorts: day cohorts, dup collapse, month boundary") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    // u1: days 1, 2, 4 (two events on day 1 — must collapse);
+    // u2: day 1 only; u3: days 2, 3
+    val df = Seq(
+      (1L, t("2024-03-01 08:00:00")), (1L, t("2024-03-01 17:00:00")),
+      (1L, t("2024-03-02 09:00:00")), (1L, t("2024-03-04 09:00:00")),
+      (2L, t("2024-03-01 10:00:00")),
+      (3L, t("2024-03-02 10:00:00")), (3L, t("2024-03-03 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.retentionCohorts(df, "user_id", "ts")
+      .select("cohort", "offset", "n_active", "cohort_size", "retention")
+      .as[(java.sql.Date, Long, Long, Long, Double)].collect()
+      .map { case (c, o, n, sz, r) => (c.toString, o) -> ((n, sz, r)) }
+      .toMap
+    assert(got == Map(
+      ("2024-03-01", 0L) -> ((2L, 2L, 1.0)),
+      ("2024-03-01", 1L) -> ((1L, 2L, 0.5)),
+      ("2024-03-01", 3L) -> ((1L, 2L, 0.5)),
+      ("2024-03-02", 0L) -> ((1L, 1L, 1.0)),
+      ("2024-03-02", 1L) -> ((1L, 1L, 1.0))), s"$got")
+    // month buckets cross a year boundary: Dec 2023 -> Feb 2024 = 2
+    val m = Seq((1L, t("2023-12-15 00:00:00")),
+      (1L, t("2024-02-03 00:00:00"))).toDF("user_id", "ts")
+    val mo = TimeSeries.retentionCohorts(m, "user_id", "ts", "month")
+      .select("offset").as[Long].collect().sorted
+    assert(mo.toSeq == Seq(0L, 2L), s"$mo")
+    intercept[IllegalArgumentException] {
+      TimeSeries.retentionCohorts(df, "user_id", "ts", "hour")
+    }
+  }
+
+  test("cusum: closed form ≡ sequential recursion; flags; null; guards") {
+    // level shift: 10 ×10 then 20 ×10, plus one null (excluded from n
+    // and the accumulation)
+    val rows = ((1 to 10).map(i => ("a", i.toLong, Some(10.0))) ++
+      Seq(("a", 11L, Option.empty[Double])) ++
+      (12 to 21).map(i => ("a", i.toLong, Some(20.0))))
+      .toDF("e", "idx", "v")
+    val got = TimeSeries.cusum(rows, "e", Seq(col("idx")), "v",
+        slack = 2.0, h = 10.0, scale = 1L)
+      .select("idx", "value_q", "s_pos", "s_neg", "threshold_q",
+        "is_shift", "n")
+      .as[(Long, Long, Long, Long, Long, Boolean, Long)].collect()
+      .sortBy(_._1)
+    assert(got.length == 20 && got.forall(_._7 == 20L),
+      "null row excluded from output and from n")
+    // replay the textbook recursion on the same quantized integers:
+    // d_i = q_i*n - sum, s+_i = max(0, s+_{i-1} + d_i - slack*n)
+    val qs = got.map(_._2)
+    val n = 20L; val s = qs.sum; val slackN = 2L * n
+    var sp = 0L; var sn = 0L
+    got.zip(qs).foreach { case ((idx, _, gp, gn, th, flag, _), q) =>
+      val d = q * n - s
+      sp = math.max(0L, sp + d - slackN)
+      sn = math.max(0L, sn - d - slackN)
+      assert(gp == sp && gn == sn, s"row $idx: ($gp,$gn) vs ($sp,$sn)")
+      assert(th == 10L * n)
+      assert(flag == (sp > th || sn > th), s"row $idx flag")
+    }
+    // both sides actually fired on this fixture
+    assert(got.exists(r => r._3 > r._5) && got.exists(r => r._4 > r._5),
+      "fixture must exercise both CUSUM sides")
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusum(rows, "e", Seq(col("idx")), "v", -1.0, 10.0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusum(rows, "e", Seq(col("idx")), "v", 2.0, 0.0)
+    }
+  }
 }
