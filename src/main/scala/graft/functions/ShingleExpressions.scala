@@ -28,6 +28,16 @@ object ShingleFunctions {
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(text), n))
 
+  /** Word n-gram shingles WITH multiplicity (array<string>, one entry
+    * per sliding position) — the term-frequency-carrying sibling of
+    * [[wordShingles]] for weighted retrieval ([[graft.operators.Search
+    * .shingleIndex]]); identical token/fallback semantics, minus the
+    * distinct.
+    */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      AllWordShinglesExpr(ExpressionUtils.expression(text), n))
+
   /** Distinct character n-grams of the (already-normalized) input,
     * xxhash64-hashed and sorted ascending (array<long>) — the
     * [[VectorFunctions.sortedIntersectCount]]-ready form. Whole-string
@@ -92,6 +102,54 @@ object WordShinglesExpr {
       val it = seen.iterator()
       var k = 0
       while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+case class AllWordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"word_shingles_all n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles_all"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.string(prettyName, child.dataType)
+
+  protected override def nullSafeEval(input: Any): Any =
+    AllWordShinglesExpr.shinglesAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AllWordShinglesExpr.shinglesAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AllWordShinglesExpr {
+  private val Whitespace = Pattern.compile("\\s+")
+
+  def shinglesAll(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = Whitespace.split(text.toString).filter(_.nonEmpty)
+    if (toks.length < n) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    } else {
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
       new GenericArrayData(out)
     }
   }

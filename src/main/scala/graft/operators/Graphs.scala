@@ -364,4 +364,267 @@ object Graphs {
     }
     ranks
   }
+
+  /** Multi-source BFS: minimum hop count from any seed node to every
+    * node reachable within `maxHops` — the k-hop-neighborhood /
+    * blast-radius primitive (who is ≤ 3 links from a flagged account;
+    * which pages sit ≤ 2 hops from a seed crawl list). Unweighted
+    * shortest paths ONLY — hop counts are exact small integers, so the
+    * whole artifact is value-oracle-able, unlike weighted Dijkstra
+    * whose float relaxations are engine-order-dependent.
+    *
+    * Frontier-expansion form (the Pregel iteration pattern, Malewicz
+    * SIGMOD'10, expressed as dataframe joins like [[pageRank]]): round
+    * h joins the CURRENT frontier — only nodes first reached at h−1,
+    * never the full visited set — to the adjacency list, anti-joins
+    * out already-visited nodes, and checkpoints. Work per round is
+    * frontier-degree-sum; total work is each edge examined at most
+    * twice (once per endpoint's first reach), the textbook BFS bound.
+    * The driver sees one COUNT per round (loop control, the [[kCore]]
+    * discipline) — never node data.
+    *
+    * `maxHops` is a SEMANTIC radius, not a convergence guard: the
+    * result is "distances within maxHops", and a frontier still live
+    * at the cap simply stops (standard k-hop semantics; pass a
+    * diameter bound to get full single-source distances).
+    *
+    * Self-loops and duplicate edges collapse; null endpoints drop;
+    * seeds not present in the edge list still report hops = 0 (they
+    * are trivially reachable from themselves).
+    *
+    * @param directed false = treat edges as undirected (both
+    *                 directions traversable)
+    * @return (node, hops) — one row per node reached within maxHops,
+    *         hops = minimal distance from the nearest seed
+    */
+  def shortestHops(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", directed: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val fwd = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+    val adj = (if (directed) fwd
+      else fwd.unionByName(
+        fwd.select(col("__v").as("__u"), col("__u").as("__v"))))
+      .distinct().localCheckpoint()
+    var dist = sources.select(col(nodeCol).as("node")).distinct()
+      .where(col("node").isNotNull)
+      .withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var h = 0L
+    var live = frontier.count() > 0
+    while (live && h < maxHops) {
+      h += 1
+      frontier = frontier
+        .join(adj.withColumnRenamed("__u", "node"), Seq("node"))
+        .select(col("__v").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      live = frontier.count() > 0
+      if (live) dist = dist.unionByName(frontier).localCheckpoint()
+    }
+    dist
+  }
+
+  /** Connected components by min-label propagation: every node ends up
+    * labeled with the SMALLEST node id reachable from it — a canonical,
+    * engine-independent component id (the same canonical-min convention
+    * as [[Dedup]]'s cluster closure and [[Linkage.resolveEntities]];
+    * this is the graph-general form those entity-specific closures
+    * specialize).
+    *
+    * Iteration: synchronous label relaxation — each round every node
+    * takes min(own label, neighbors' labels) — run to FIXPOINT,
+    * detected by "no label changed this round" (an aggregate count,
+    * not a collect). Rounds needed = graph diameter; `maxRounds` is a
+    * fail-loud guard against a pathological chain (the [[kCore]]
+    * discipline: a silent early stop would emit WRONG labels, so
+    * non-convergence throws). For 100 TB graphs with large diameters
+    * the literature's large-star/small-star contraction (Kiveris et
+    * al., SoCC'14) converges in O(log²) rounds; this implementation
+    * keeps the simple relaxation because diameter-bounded real graphs
+    * (co-occurrence, dedup, link graphs) converge in single-digit
+    * rounds — the scaladoc'd trade, revisit if a diameter-10³ graph
+    * shows up.
+    *
+    * Scale shape: each round is one self-join-free pass — labels join
+    * the adjacency list at the node key (both frames id-partitioned,
+    * shuffle payload = (node, long) pairs), aggregate min per
+    * neighbor, and the convergence test is a 1-row count aggregate.
+    * localCheckpoint per round truncates lineage exactly like
+    * [[pageRank]].
+    *
+    * Isolated nodes (in `nodes` but no surviving edge) keep themselves
+    * as their component. Null endpoints and self-loops drop.
+    *
+    * @return (node, component) — component = min reachable node id
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val fwd = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+    val adj = fwd.unionByName(
+        fwd.select(col("__v").as("__u"), col("__u").as("__v")))
+      .distinct().localCheckpoint()
+    val nodes = adj.select(col("__u").as("node")).distinct()
+    var labels = nodes.withColumn("component", col("node"))
+      .localCheckpoint()
+    var r = 0
+    var changed = 1L
+    while (changed > 0 && r < maxRounds) {
+      val fromNbr = adj
+        .join(labels.withColumnRenamed("node", "__u"), Seq("__u"))
+        .groupBy(col("__v").as("node"))
+        .agg(min(col("component")).as("__nc"))
+      val next = labels.join(fromNbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__nc"), col("component")))
+            .as("component"),
+          (col("__nc").isNotNull && col("__nc") < col("component"))
+            .as("__chg"))
+        .localCheckpoint()
+      changed = next.where(col("__chg")).count()
+      labels = next.drop("__chg")
+      r += 1
+    }
+    if (changed > 0) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "graph diameter exceeds the guard; raise maxRounds")
+    }
+    labels
+  }
+
+  /** Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    * correlation of the degrees at the two ends of each undirected
+    * edge — positive means hubs link to hubs (social graphs), negative
+    * means hubs link to leaves (the web, co-occurrence trees). ONE
+    * summary row, the graph-health gauge dashboards pair with the
+    * degree histogram.
+    *
+    * Exactness: degrees are integers, so every Pearson sum (Σx, Σx²,
+    * Σxy over the 2m directed edge-ends) is an exact LONG aggregate —
+    * order-free — and the coefficient is one double expression over
+    * those seven longs: (2m·Σxy − Σx·Σy) / √((2m·Σx²−(Σx)²)·(2m·Σy²
+    * −(Σy)²)) — replayable bit-exactly (the [[Segmentation]] /
+    * [[Associations]] one-division discipline). Long bound: Σxy ≤
+    * 2m·dmax² — safe through ~10⁹ edges of ~10³-degree graphs;
+    * degenerate graphs (every degree equal — a cycle) have zero
+    * variance and return NULL r, surfaced not NaN.
+    *
+    * Scale shape: one degree aggregate, one join of edges to degrees
+    * at each endpoint key, one global 1-row reduce. Self-loops/nulls
+    * drop, duplicate edges collapse (the [[triangleCounts]] hygiene).
+    *
+    * @return 1 row: (n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+    *         r) — the sums over both edge orientations (x = one end's
+    *         degree, y = the other's), r = the coefficient
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val fwd = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val deg = fwd.select(col("u").as("node"))
+      .unionByName(fwd.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // both orientations so the coefficient is symmetric by construction
+    val ends = fwd.unionByName(
+        fwd.select(col("v").as("u"), col("u").as("v")))
+      .join(deg.withColumnRenamed("node", "u")
+        .withColumnRenamed("deg", "dx"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v")
+        .withColumnRenamed("deg", "dy"), Seq("v"))
+    val agg = ends.agg(
+      count(lit(1)).as("n_edges"),
+      sum(col("dx")).as("sum_x"), sum(col("dy")).as("sum_y"),
+      sum(col("dx") * col("dy")).as("sum_xy"),
+      sum(col("dx") * col("dx")).as("sum_x2"),
+      sum(col("dy") * col("dy")).as("sum_y2"))
+    val m = col("n_edges")
+    val varX = m * col("sum_x2") - col("sum_x") * col("sum_x")
+    val varY = m * col("sum_y2") - col("sum_y") * col("sum_y")
+    agg.withColumn("r",
+      when(varX > 0 && varY > 0,
+        (m * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double") /
+          sqrt(varX.cast("double") * varY.cast("double")))
+        .otherwise(lit(null).cast("double")))
+  }
+
+  /** Newman–Girvan modularity of a GIVEN node partition (Newman &
+    * Girvan, PRE 2004): Q = Σ_c (e_c/m − (d_c/2m)²) — how much denser
+    * the communities are than a degree-preserving random rewiring.
+    * The quality gauge for any clustering over a graph — pointed at
+    * [[connectedComponents]] labels it sanity-checks a split; pointed
+    * at an external community assignment it scores it.
+    *
+    * Exactness: e_c (intra-community edges), d_c (community degree
+    * sums), and m are exact longs; Q is computed over the quantized
+    * per-community terms — q_c = 4·m²·e_c/m-term arithmetic stays
+    * integral: Q = (4m·Σe_c − Σd_c²) / (4m²), ONE division of two
+    * exact longs (numerator bound 4m·m — safe through ~10⁹ edges).
+    * Nodes missing from `labels` form singleton communities of their
+    * own (zero intra-edges; their degree still dilutes Q — the honest
+    * convention).
+    *
+    * Scale shape: one labels join per edge endpoint (node-keyed), one
+    * community aggregate (community-cardinality), one 1-row reduce.
+    *
+    * @param labels (node, community) assignment
+    * @return 1 row: (m, intra_edges, q_num, q_den, modularity) with
+    *         modularity = q_num/q_den exactly
+    */
+  def modularity(edges: DataFrame, labels: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", communityCol: String = "community")
+      : DataFrame = {
+    val fwd = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct().localCheckpoint()
+    val lab = labels.select(col(nodeCol).as("__n"),
+      col(communityCol).as("__c"))
+    // missing labels → the node ids themselves (singleton communities);
+    // node ids can't collide with caller communities across types, so
+    // tag the fallback to keep the community key space disjoint
+    val cu = coalesce(col("__cu").cast("string"),
+      concat(lit("__node:"), col("u").cast("string")))
+    val cv = coalesce(col("__cv").cast("string"),
+      concat(lit("__node:"), col("v").cast("string")))
+    val tagged = fwd
+      .join(lab.withColumnRenamed("__n", "u")
+        .withColumnRenamed("__c", "__cu"), Seq("u"), "left")
+      .join(lab.withColumnRenamed("__n", "v")
+        .withColumnRenamed("__c", "__cv"), Seq("v"), "left")
+      .select(cu.as("cu"), cv.as("cv"))
+      .localCheckpoint()
+    val m = tagged.count()
+    require(m > 0, "modularity: graph has no surviving edges")
+    val intra = tagged.where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_c"))
+    val degByC = tagged.select(col("cu").as("community"))
+      .unionByName(tagged.select(col("cv").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("d_c"))
+    val terms = degByC.join(intra, Seq("community"), "left")
+      .agg(coalesce(sum(col("e_c")), lit(0L)).as("intra_edges"),
+        sum(col("d_c") * col("d_c")).as("__sumd2"))
+    terms.select(
+      lit(m).as("m"), col("intra_edges"),
+      (lit(4L) * lit(m) * col("intra_edges") - col("__sumd2"))
+        .as("q_num"),
+      lit(4L * m * m).as("q_den"),
+      ((lit(4L) * lit(m) * col("intra_edges") - col("__sumd2"))
+        .cast("double") / lit((4L * m * m).toDouble)).as("modularity"))
+  }
 }

@@ -61,6 +61,144 @@ object Search {
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col(idCol), col("tf"), col("dl"))
 
+  /** [[textIndex]] over word n-gram shingles instead of unigrams —
+    * same `(term, <idCol>, tf, dl)` schema, `term` = space-joined
+    * n-gram, `tf` = how many sliding positions produced it, `dl` = the
+    * document's total shingle count. This is the index to build when
+    * the unigram vocabulary is too small to discriminate (boilerplate-
+    * heavy corpora collapse to a few hundred words; their 3-shingle
+    * space stays sparse) — the same reason [[Dedup]]'s similarity
+    * family shingles before hashing. Tokenization and the shorter-
+    * than-n whole-text fallback match [[Dedup.wordShingles]] exactly;
+    * multiplicity is kept (the codegen'd
+    * [[graft.functions.AllWordShinglesExpr]], one text walk per row).
+    */
+  def shingleIndex(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.ShingleFunctions.wordShinglesAll(col(textCol), n)
+          .as("__t"))
+      .select(col(idCol), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+
+  /** Top-k keyword extraction: each document's `k` highest-tf-idf
+    * terms from a stored [[textIndex]]/[[shingleIndex]] — the
+    * unsupervised doc-tagging / search-facet / "what is this page
+    * about" primitive (the tf-idf keyword baseline every extraction
+    * paper benchmarks against). Weights are the [[tfidfCosinePairs]]
+    * quantization EXACTLY (w_q = tf · round(ln(1 + N/df)·idfScale)
+    * longs), so ranking compares integers — ties break (w_q desc,
+    * term asc), fully deterministic.
+    *
+    * Scale shape: two aggregates over the index (df table joined back
+    * at the term key, N one broadcast row) and ONE rank window
+    * partitioned by document — group size = the doc's distinct-term
+    * count, never the corpus. Document text is never touched (the
+    * index is the input).
+    *
+    * @return (<idCol>, term, tf, w_q, rank), rank 1..k per document
+    */
+  def topKeywords(index: DataFrame, k: Int, idCol: String = "doc_id",
+      idfScale: Long = 1000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(idfScale >= 1, s"idfScale must be >= 1, got $idfScale")
+    val stats = index.groupBy(col(idCol)).agg(count(lit(1)).as("__one"))
+      .agg(count(lit(1)).as("__n"))
+    val dfTab = index.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val idfQ = round(log(lit(1.0) +
+      col("__n").cast("double") / col("__df").cast("double")) *
+      lit(idfScale.toDouble)).cast("long")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("w_q").desc, col("term").asc)
+    index.join(dfTab, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w_q", col("tf") * idfQ)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("w_q"), col("rank"))
+  }
+
+  /** All document pairs with tf-idf cosine similarity ≥ `threshold`,
+    * from a stored [[textIndex]]/[[shingleIndex]] — the WEIGHTED
+    * complement of [[SimilarityJoin.setSimilarityJoin]] (Jaccard treats
+    * every shared term equally; cosine lets rare terms dominate, the
+    * Salton vector-space convention) and the sparse-lexical complement
+    * of [[Similarity]]'s dense-embedding pair ops.
+    *
+    * Weights: w(t,d) = tf · idf_q(t), idf_q = round(ln(1 + N/df)·10³)
+    * — idf quantized to 1e-3 BEFORE the multiply, so w is an exact
+    * long, ‖d‖² = Σw² an exact long sum (order-free), each pair dot
+    * Σ wₐ·w_b an exact long sum, and cosine ONE double expression
+    * dot/√(‖a‖²·‖b‖²) over exact integers — bit-replayable by any
+    * engine, no distributed float sum (the q151 discipline). Long
+    * bounds: safe while tf·idf_q ≤ ~3·10⁷ and ≤ ~10⁴ distinct terms
+    * per doc (Σw² < 2⁶³); a corpus beyond that drops `idfScale` a
+    * decade.
+    *
+    * Scale shape (100 TB posture):
+    *  - Candidate enumeration self-joins the index at the TERM key:
+    *    work is Σ df(t)² — viable exactly when the vocabulary is
+    *    discriminative (the [[shingleIndex]] regime). `maxDf` removes
+    *    dimensions hotter than the cap from the vector space ENTIRELY
+    *    (weights, norms, and candidates — a DOCUMENTED semantic:
+    *    "cosine over the ≤ maxDf vocabulary", the df-cut every sparse
+    *    all-pairs system applies (Elsayed, Lin & Oard, ACL'08), not a
+    *    silent drop: ubiquitous terms carry ~zero idf weight but
+    *    quadratic join cost).
+    *  - Shuffled payloads are (term, id, w_q) and (id, id, dot) —
+    *    document text never moves; norms join on the pair's own id
+    *    keys (doc-cardinality, deliberately NOT broadcast).
+    *  - N and the df table compute from the index itself — one
+    *    aggregate each, no second corpus scan.
+    *
+    * @return (doc_a, doc_b, dot_q, cosine), doc_a < doc_b, every pair
+    *         with cosine ≥ threshold over the (df ≤ maxDf) vocabulary
+    */
+  def tfidfCosinePairs(index: DataFrame, threshold: Double,
+      idCol: String = "doc_id", maxDf: Option[Long] = None,
+      idfScale: Long = 1000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(idfScale >= 1, s"idfScale must be >= 1, got $idfScale")
+    // N = docs in the WHOLE index: pruning a dimension shrinks
+    // vectors, not the corpus idf is measured against
+    val stats = index.groupBy(col(idCol)).agg(count(lit(1)).as("__one"))
+      .agg(count(lit(1)).as("__n"))
+    val dfTab = index.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val dfKept = maxDf match {
+      case None => dfTab
+      case Some(cap) => dfTab.where(col("__df") <= cap)
+    }
+    val idfQ = round(log(lit(1.0) +
+      col("__n").cast("double") / col("__df").cast("double")) *
+      lit(idfScale.toDouble)).cast("long")
+    val w = index.join(dfKept, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col(idCol).as("id"),
+        (col("tf") * idfQ).as("__w"))
+    val norms = w.groupBy(col("id"))
+      .agg(sum(col("__w") * col("__w")).as("__norm2"))
+    w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(sum(col("a.__w") * col("b.__w")).as("dot_q"))
+      .join(norms.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("__norm2", "__na"), Seq("doc_a"))
+      .join(norms.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("__norm2", "__nb"), Seq("doc_b"))
+      .withColumn("cosine", col("dot_q").cast("double") /
+        sqrt(col("__na").cast("double") * col("__nb").cast("double")))
+      .where(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("dot_q"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** BM25 top-k retrieval of `k` documents per query from a stored
     * [[textIndex]]. `queries` carries `(qidCol, qtextCol)`; its text
     * tokenizes with the same whitespace rule as the index and DISTINCT

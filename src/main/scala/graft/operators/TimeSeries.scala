@@ -546,4 +546,50 @@ object TimeSeries {
         abs(col("residual_q")) * col("window_n") >
           lit(k.toLong) * col("window_abs_sum")))
   }
+
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: P(next state | state), estimated from every adjacent
+    * pair in each entity's `order`-sorted stream — the "where do users
+    * go next" table behind journey Sankeys, next-step prediction
+    * baselines, and anomalous-flow alerts. Each entity's LAST event
+    * additionally transits to the `__end__` absorbing state so every
+    * source row sums to exactly 1 (the standard chain completion; no
+    * `__start__` row is emitted — marginal entry rates are a plain
+    * state count).
+    *
+    * Scale shape (100 TB posture): the only shuffle keyed by entity is
+    * the lag window (group size = one entity's history — the same
+    * bound every window op here accepts, cf. [[saltedRollingTimeWindow]]
+    * for the hot-entity escape); pairs then reduce map-side to the
+    * (state, next) matrix, which is vocabulary², metadata-sized. The
+    * per-source totals join is a broadcast of that same matrix
+    * aggregated once more — the raw stream is read exactly once.
+    *
+    * Determinism: counts are exact longs; `p` is ONE long/long double
+    * division (replayable bit-exactly by any engine). A NULL state is
+    * a real token ("the tracker dropped the field") and would poison
+    * both the groupBy and the lead — rows with NULL state are excluded
+    * from the sequence BEFORE pairing (the stream splices around them,
+    * matching how sessionizers treat malformed hits).
+    *
+    * @return (state, next_state, n, n_from, p) — one row per observed
+    *         transition, `next_state = "__end__"` for terminal events
+    */
+  def transitionMatrix(df: DataFrame, entity: String, order: Seq[Column],
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(order: _*)
+    val pairs = df
+      .filter(col(entity).isNotNull && col(stateCol).isNotNull)
+      .select(col(entity), col(stateCol).cast("string").as("state"),
+        lead(col(stateCol).cast("string"), 1).over(w).as("__nx"))
+      .select(col("state"),
+        coalesce(col("__nx"), lit("__end__")).as("next_state"))
+      .groupBy(col("state"), col("next_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("state"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("state"))
+      .select(col("state"), col("next_state"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
 }

@@ -1997,8 +1997,139 @@ object PipelineQueries {
         graft.operators.Dedup.wordShingles(col("text")).as("sh"))
       graft.operators.SimilarityJoin.setSimilarityJoin(
         sets, "doc_id", "sh", 0.5)
+    }),
+
+    // Tf-idf cosine pairs (round 17): the WEIGHTED near-dup join over
+    // the multiplicity-keeping shingle index — idf quantized to 1e-3
+    // longs before the multiply, so norms and dots are exact integer
+    // sums and cosine is one cross-engine-identical double expression.
+    "q203_tfidf_cosine" -> ((s, d) => {
+      val idx = graft.operators.Search.shingleIndex(Tables.documents(s, d))
+      graft.operators.Search.tfidfCosinePairs(idx, 0.3)
+    }),
+
+    // Market-basket pair rules (round 17): parts co-ordered ≥ 2 times
+    // with support/confidence/lift/PMI — all counts exact longs, each
+    // derived stat ONE division/log of exact integers.
+    "q204_pair_rules" -> ((s, d) =>
+      graft.operators.Associations.pairRules(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minCount = 2L)),
+
+    // RFM segmentation (round 17): quartile scores from broadcast
+    // percentile_disc cutpoints — no global ntile window; monetary in
+    // exact cents.
+    "q205_rfm" -> ((s, d) =>
+      graft.operators.Segmentation.rfmSegments(Tables.orders(s, d),
+        "o_custkey", "o_orderdate", "o_totalprice", lit("2001-12-31"))),
+
+    // Markov transition matrix (round 17): per-user next-event-type
+    // probabilities with the __end__ absorbing state; counts exact,
+    // p one long/long division.
+    "q206_transitions" -> ((s, d) =>
+      graft.operators.TimeSeries.transitionMatrix(
+        Tables.events(s, d), "user_id",
+        Seq(col("ts_ns"), col("event_id")), "event_type")),
+
+    // Multi-source BFS (round 17): minimal hop counts from the pk%97
+    // seed parts over the high-quantity co-order graph, radius 4 —
+    // exact integer distances, frontier-expansion iterations.
+    "q207_shortest_hops" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      val seeds = li.filter(col("pk") % 97 === 0)
+        .select(col("pk").as("node")).distinct()
+      graft.operators.Graphs.shortestHops(edges, seeds, maxHops = 4)
+    }),
+
+    // Connected components (round 17): min-label propagation to
+    // fixpoint over the co-order graph — component id = min reachable
+    // node, the canonical engine-independent labeling.
+    "q208_connected_components" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graphs.connectedComponents(edges, maxRounds = 40)
+    }),
+
+    // Tf-idf keyword extraction (round 17): each document's 5
+    // heaviest shingles — integer-ranked (w_q longs), ties to the
+    // lexicographically first term.
+    "q209_keywords" -> ((s, d) => {
+      val idx = graft.operators.Search.shingleIndex(Tables.documents(s, d))
+      graft.operators.Search.topKeywords(idx, k = 5)
+    }),
+
+    // Also-bought serving table (round 17): both directions of the
+    // q204 rules, top-3 partners per part by quantized pmi.
+    "q210_top_affinities" -> ((s, d) => {
+      val rules = graft.operators.Associations.pairRules(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minCount = 2L)
+      graft.operators.Associations.topAffinities(rules, k = 3)
+    }),
+
+    // Degree assortativity (round 17): one-row Pearson-of-degrees over
+    // the co-order graph — all seven sums exact longs, r one double
+    // expression.
+    "q211_assortativity" -> ((s, d) =>
+      graft.operators.Graphs.degreeAssortativity(coOrderEdges(s, d))),
+
+    // Modularity of the brand partition (round 17): does the co-order
+    // graph cluster by p_brand? Exact long numerator/denominator, the
+    // double is one division.
+    "q212_modularity" -> ((s, d) => {
+      val labels = Tables.part(s, d)
+        .select(col("p_partkey").as("node"), col("p_brand").as("community"))
+      graft.operators.Graphs.modularity(coOrderEdges(s, d), labels)
+    }),
+
+    // Component census (round 17): q208's labels joined back to the
+    // edge list — nodes, edges, and exact-ratio density per component.
+    "q213_component_stats" -> ((s, d) => {
+      val edges = coOrderEdges(s, d)
+      val comp = graft.operators.Graphs.connectedComponents(edges,
+        maxRounds = 40)
+      val nodes = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val eTagged = edges
+        .join(comp.withColumnRenamed("node", "src")
+          .withColumnRenamed("component", "__c"), Seq("src"))
+      val edgeCnt = eTagged.groupBy(col("__c").as("component"))
+        .agg(count(lit(1)).as("n_edges"))
+      nodes.join(edgeCnt, Seq("component"), "left")
+        .select(col("component"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          ((lit(2L) * coalesce(col("n_edges"), lit(0L))).cast("double") /
+            (col("n_nodes") * (col("n_nodes") - 1L)).cast("double"))
+            .as("density"))
     })
   )
+
+  /** The high-quantity co-order part graph every round-17 graph gate
+    * shares (q199/q207/q208/q211/q212/q213): distinct part pairs that
+    * appear on the same order with l_quantity ≥ 45.
+    */
+  private def coOrderEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.alias("x").join(li.alias("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      .distinct() // a pair co-ordered on TWO orders is still one edge
+  }
 
   /** q158/q159's benchmark: offset-shifted excerpts of every 22nd long
     * document — the q135 fixture shape pointed at decontamination.
@@ -6617,8 +6748,333 @@ object PipelineQueries {
         |SELECT doc_a, doc_b, n_inter, n_union,
         |  round(n_inter::DOUBLE / n_union::DOUBLE, 4) AS jaccard
         |FROM v
-        |WHERE n_inter * 1500000 >= 500000 * (n_union + n_inter)""".stripMargin
+        |WHERE n_inter * 1500000 >= 500000 * (n_union + n_inter)""".stripMargin,
+
+    // q203 = the identical vector space: multiplicity shingles, the
+    // same 1e-3-quantized idf, exact long norms/dots, ONE double
+    // cosine expression — candidates from any shared term (complete:
+    // cosine > 0 needs a shared dimension).
+    "q203_tfidf_cosine" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_transform(range(1, len(w) - 1), i ->
+        |        array_to_string(list_slice(w, i, i + 2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END AS t
+        |  FROM toks),
+        |idx AS (
+        |  SELECT doc_id, g, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS g FROM sh) GROUP BY 1, 2),
+        |dft AS (SELECT g AS gg, count(*)::BIGINT AS df FROM idx GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM idx),
+        |wv AS (
+        |  SELECT doc_id, g,
+        |    tf * round(ln(1.0 + n::DOUBLE / df::DOUBLE) * 1000.0)::BIGINT
+        |      AS wq
+        |  FROM idx JOIN dft ON g = gg CROSS JOIN st),
+        |nrm AS (SELECT doc_id, sum(wq * wq)::BIGINT AS n2 FROM wv
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(a.wq * b.wq)::BIGINT AS dot_q
+        |  FROM wv a JOIN wv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT doc_a, doc_b, dot_q,
+        |    dot_q::DOUBLE / sqrt(x.n2::DOUBLE * y.n2::DOUBLE) AS cosine
+        |  FROM d JOIN nrm x ON x.doc_id = doc_a
+        |         JOIN nrm y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, dot_q, round(cosine, 4) AS cosine
+        |FROM c WHERE cosine >= 0.3""".stripMargin,
+
+    // q204 = the same distinct (basket, item) reduction, pair counts,
+    // marginals, and one-division/one-log derived stats — lift's
+    // numerator and denominator formed as exact long products first.
+    "q204_pair_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT b)::BIGINT AS n FROM bi),
+        |ic AS (SELECT i, count(*)::BIGINT AS ci FROM bi GROUP BY 1),
+        |p AS (
+        |  SELECT x.i AS item_a, y.i AS item_b, count(*)::BIGINT AS n_pair
+        |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_pair,
+        |  a.ci AS n_a, b.ci AS n_b, n AS n_baskets,
+        |  n_pair::DOUBLE / n::DOUBLE AS support,
+        |  n_pair::DOUBLE / a.ci::DOUBLE AS conf_a_b,
+        |  n_pair::DOUBLE / b.ci::DOUBLE AS conf_b_a,
+        |  (n * n_pair)::DOUBLE / (a.ci * b.ci)::DOUBLE AS lift,
+        |  round(ln((n * n_pair)::DOUBLE / (a.ci * b.ci)::DOUBLE) * 1e6)
+        |    ::BIGINT AS pmi_q,
+        |  round(ln((n * n_pair)::DOUBLE / (a.ci * b.ci)::DOUBLE) * 1e6)
+        |    ::BIGINT::DOUBLE / 1e6 AS pmi
+        |FROM p JOIN ic a ON a.i = item_a JOIN ic b ON b.i = item_b
+        |CROSS JOIN nb""".stripMargin,
+
+    // q205 = the same customer reduction (recency days, count, exact
+    // cents), the same percentile_disc cutpoints, the same <=-banded
+    // 1-4 scores (ties to the lower band).
+    "q205_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS customer,
+        |    date_diff('day', max(o_orderdate)::DATE, DATE '2001-12-31')
+        |      ::BIGINT AS recency_days,
+        |    count(*)::BIGINT AS frequency,
+        |    sum(round(o_totalprice * 100.0)::BIGINT)::BIGINT AS monetary_q
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |cuts AS (
+        |  SELECT
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) r25,
+        |    percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days) r50,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) r75,
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) f25,
+        |    percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency) f50,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) f75,
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary_q) m25,
+        |    percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary_q) m50,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary_q) m75
+        |  FROM base),
+        |sc AS (
+        |  SELECT customer, recency_days, frequency, monetary_q,
+        |    CASE WHEN recency_days IS NULL THEN 1
+        |         WHEN recency_days <= r25 THEN 4
+        |         WHEN recency_days <= r50 THEN 3
+        |         WHEN recency_days <= r75 THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN frequency <= f25 THEN 1
+        |         WHEN frequency <= f50 THEN 2
+        |         WHEN frequency <= f75 THEN 3 ELSE 4 END AS f_score,
+        |    CASE WHEN monetary_q IS NULL THEN 1
+        |         WHEN monetary_q <= m25 THEN 1
+        |         WHEN monetary_q <= m50 THEN 2
+        |         WHEN monetary_q <= m75 THEN 3 ELSE 4 END AS m_score
+        |  FROM base CROSS JOIN cuts)
+        |SELECT customer, recency_days, frequency, monetary_q,
+        |  r_score, f_score, m_score,
+        |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+        |    AS segment
+        |FROM sc""".stripMargin,
+
+    // q206 = the same null-spliced lead pairing, __end__ completion,
+    // exact counts, one-division p.
+    "q206_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS nx
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |pairs AS (
+        |  SELECT state, coalesce(nx, '__end__') AS next_state,
+        |    count(*)::BIGINT AS n
+        |  FROM seq GROUP BY 1, 2),
+        |tot AS (SELECT state AS st, sum(n)::BIGINT AS n_from FROM pairs
+        |  GROUP BY 1)
+        |SELECT state, next_state, n, n_from,
+        |  n::DOUBLE / n_from::DOUBLE AS p
+        |FROM pairs JOIN tot ON st = state""".stripMargin,
+
+    // q207 = textbook recursive-CTE BFS with the same radius; min over
+    // every within-radius path = the frontier expansion's first-reach
+    // distance.
+    "q207_shortest_hops" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 45),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |seeds AS (SELECT DISTINCT pk FROM li WHERE pk % 97 = 0),
+        |r(node, hops) AS (
+        |  SELECT pk, 0 FROM seeds
+        |  UNION
+        |  SELECT a.v, r.hops + 1 FROM r JOIN adj a ON a.u = r.node
+        |  WHERE r.hops < 4)
+        |SELECT node, min(hops)::BIGINT AS hops FROM r GROUP BY 1""".stripMargin,
+
+    // q208 = component id by definition: the minimum node reachable
+    // from each node (recursive reachability closure, bounded by the
+    // node count) — independent of the propagation schedule under test.
+    "q208_connected_components" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 45),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |r(node, reach) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM adj)
+        |  UNION
+        |  SELECT r.node, a.v FROM r JOIN adj a ON a.u = r.reach)
+        |SELECT node, min(reach)::BIGINT AS component FROM r
+        |GROUP BY 1""".stripMargin,
+
+    // q209 = the same multiplicity-shingle index, the same quantized
+    // weights, rank replayed with the identical tiebreak.
+    "q209_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_transform(range(1, len(w) - 1), i ->
+        |        array_to_string(list_slice(w, i, i + 2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END AS t
+        |  FROM toks),
+        |idx AS (
+        |  SELECT doc_id, g, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS g FROM sh) GROUP BY 1, 2),
+        |dft AS (SELECT g AS gg, count(*)::BIGINT AS df FROM idx GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM idx),
+        |wv AS (
+        |  SELECT doc_id, g AS term, tf,
+        |    tf * round(ln(1.0 + n::DOUBLE / df::DOUBLE) * 1000.0)::BIGINT
+        |      AS w_q
+        |  FROM idx JOIN dft ON g = gg CROSS JOIN st),
+        |rk AS (
+        |  SELECT doc_id, term, tf, w_q,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY w_q DESC, term ASC)::INT AS rank
+        |  FROM wv)
+        |SELECT doc_id, term, tf, w_q, rank FROM rk WHERE rank <= 5""".stripMargin,
+
+    // q210 = q204's rules symmetrized and re-ranked with the identical
+    // integer tiebreak.
+    "q210_top_affinities" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT b)::BIGINT AS n FROM bi),
+        |ic AS (SELECT i, count(*)::BIGINT AS ci FROM bi GROUP BY 1),
+        |p AS (
+        |  SELECT x.i AS item_a, y.i AS item_b, count(*)::BIGINT AS n_pair
+        |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS (
+        |  SELECT item_a, item_b, n_pair, a.ci AS n_a, b.ci AS n_b, n,
+        |    round(ln((n * n_pair)::DOUBLE / (a.ci * b.ci)::DOUBLE) * 1e6)
+        |      ::BIGINT AS pmi_q,
+        |    (n * n_pair)::DOUBLE / (a.ci * b.ci)::DOUBLE AS lift
+        |  FROM p JOIN ic a ON a.i = item_a JOIN ic b ON b.i = item_b
+        |  CROSS JOIN nb),
+        |sym AS (
+        |  SELECT item_a AS item, item_b AS partner, n_pair,
+        |    n_pair::DOUBLE / n_a::DOUBLE AS confidence, lift, pmi_q
+        |  FROM rules
+        |  UNION ALL
+        |  SELECT item_b, item_a, n_pair,
+        |    n_pair::DOUBLE / n_b::DOUBLE, lift, pmi_q
+        |  FROM rules),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY item
+        |    ORDER BY pmi_q DESC, n_pair DESC, partner ASC)::INT AS rank
+        |  FROM sym)
+        |SELECT item, partner, n_pair, confidence, lift, pmi_q, rank
+        |FROM rk WHERE rank <= 3""".stripMargin,
+
+    // q211 = the identical seven integer sums over both edge
+    // orientations and the one-expression Pearson.
+    "q211_assortativity" ->
+      (coOrderCtes +
+        """,
+          |deg AS (
+          |  SELECT node, count(*)::BIGINT AS dg FROM
+          |    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+          |  GROUP BY 1),
+          |ends AS (
+          |  SELECT x.dg AS dx, y.dg AS dy
+          |  FROM (SELECT u, v FROM e UNION ALL SELECT v, u FROM e) b
+          |  JOIN deg x ON x.node = b.u JOIN deg y ON y.node = b.v),
+          |s AS (
+          |  SELECT count(*)::BIGINT AS n_edges,
+          |    sum(dx)::BIGINT AS sum_x, sum(dy)::BIGINT AS sum_y,
+          |    sum(dx * dy)::BIGINT AS sum_xy,
+          |    sum(dx * dx)::BIGINT AS sum_x2,
+          |    sum(dy * dy)::BIGINT AS sum_y2
+          |  FROM ends)
+          |SELECT n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+          |  CASE WHEN n_edges * sum_x2 - sum_x * sum_x > 0
+          |        AND n_edges * sum_y2 - sum_y * sum_y > 0 THEN
+          |    (n_edges * sum_xy - sum_x * sum_y)::DOUBLE /
+          |    sqrt((n_edges * sum_x2 - sum_x * sum_x)::DOUBLE *
+          |         (n_edges * sum_y2 - sum_y * sum_y)::DOUBLE)
+          |  END AS r
+          |FROM s""").stripMargin,
+
+    // q212 = the same per-edge community tagging (brand labels,
+    // singleton fallback unused — every part is labeled), exact
+    // (4m·Σe_c − Σd_c²)/4m².
+    "q212_modularity" ->
+      (coOrderCtes +
+        """,
+          |lab AS (SELECT p_partkey AS n, p_brand AS c FROM part),
+          |tagged AS (
+          |  SELECT coalesce(x.c, '__node:' || e.u::VARCHAR) AS cu,
+          |         coalesce(y.c, '__node:' || e.v::VARCHAR) AS cv
+          |  FROM e LEFT JOIN lab x ON x.n = e.u
+          |         LEFT JOIN lab y ON y.n = e.v),
+          |mm AS (SELECT count(*)::BIGINT AS m FROM tagged),
+          |intra AS (
+          |  SELECT cu AS community, count(*)::BIGINT AS e_c
+          |  FROM tagged WHERE cu = cv GROUP BY 1),
+          |degc AS (
+          |  SELECT community, count(*)::BIGINT AS d_c FROM
+          |    (SELECT cu AS community FROM tagged
+          |     UNION ALL SELECT cv FROM tagged)
+          |  GROUP BY 1),
+          |t AS (
+          |  SELECT coalesce(sum(e_c), 0)::BIGINT AS intra_edges,
+          |    sum(d_c * d_c)::BIGINT AS sumd2
+          |  FROM degc LEFT JOIN intra USING (community))
+          |SELECT m, intra_edges,
+          |  (4 * m * intra_edges - sumd2)::BIGINT AS q_num,
+          |  (4 * m * m)::BIGINT AS q_den,
+          |  (4 * m * intra_edges - sumd2)::DOUBLE / (4 * m * m)::DOUBLE
+          |    AS modularity
+          |FROM t CROSS JOIN mm""").stripMargin,
+
+    // q213 = q208's reachability closure labeling + per-component
+    // census; density = one exact-ratio division.
+    "q213_component_stats" ->
+      (coOrderCtes +
+        """,
+          |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+          |r(node, reach) AS (
+          |  SELECT u, u FROM (SELECT DISTINCT u FROM adj)
+          |  UNION
+          |  SELECT r.node, a.v FROM r JOIN adj a ON a.u = r.reach),
+          |comp AS (SELECT node, min(reach)::BIGINT AS component FROM r
+          |  GROUP BY 1),
+          |nn AS (SELECT component, count(*)::BIGINT AS n_nodes FROM comp
+          |  GROUP BY 1),
+          |ec AS (
+          |  SELECT c.component, count(*)::BIGINT AS n_edges
+          |  FROM e JOIN comp c ON c.node = e.u GROUP BY 1)
+          |SELECT component, n_nodes, coalesce(n_edges, 0)::BIGINT
+          |    AS n_edges,
+          |  (2 * coalesce(n_edges, 0))::DOUBLE /
+          |    (n_nodes * (n_nodes - 1))::DOUBLE AS density
+          |FROM nn LEFT JOIN ec USING (component)""").stripMargin
   )
+
+  /** The q211/q212/q213 oracle prefix: the shared co-order edge list
+    * ([[coOrderEdges]] replayed literally; q213 needs `WITH RECURSIVE`
+    * so the prefix declares it for all three).
+    */
+  private def coOrderCtes: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem WHERE l_quantity >= 45),
+      |e AS (
+      |  SELECT DISTINCT x.pk AS u, y.pk AS v
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)""".stripMargin
 
   private def hdrOracleSql(ppm: Seq[Long]): String =
     s"""WITH qv AS (

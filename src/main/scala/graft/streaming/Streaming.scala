@@ -360,6 +360,50 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.operators.TimeSeries.transitionMatrix]]'s
+    * PAIRING stage: per-user last-state kept in `GroupState`, one
+    * `(user, state, next_state)` row emitted per observed adjacent
+    * pair; the matrix itself is the caller's downstream
+    * `groupBy(state, next).count` (update mode), exactly how the batch
+    * twin's counts sit on top of its pairing. Two deliberate semantic
+    * gaps vs batch, both inherent to unbounded streams and documented
+    * rather than papered over: no `__end__` rows (a stream never
+    * observes "the last event"), and an event arriving with an event
+    * time BEHIND its user's stored frontier is dropped (the chain it
+    * belongs in was already emitted; re-splicing would retract emitted
+    * pairs — the batch operator is the authority for late data, the
+    * [[dedupStream]] within-watermark discipline). In-order input ≡
+    * batch pairing exactly (spec-gated).
+    */
+  def transitionPairsStream(events: Dataset[Event])
+      : Dataset[(Long, String, String)] = {
+    import events.sparkSession.implicits._
+    events
+      .filter((e: Event) => e.event_type != null)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, String), (Long, String, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event],
+            state: GroupState[(Long, String)]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var cur = state.getOption
+          val out = Seq.newBuilder[(Long, String, String)]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some((lastT, lastS)) if t >= lastT =>
+                out += ((user, lastS, e.event_type))
+                cur = Some((t, e.event_type))
+              case Some(_) => // behind the frontier: dropped (late)
+              case None => cur = Some((t, e.event_type))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: events within
     * `gapMs` of each other extend a session; a longer silence closes it
     * and emits it. Closed sessions flush on the batch AFTER the gap is

@@ -215,4 +215,107 @@ class GraphsSpec extends SparkSpec {
       Graphs.adamicAdar(star, maxDegree = Some(1))
     }
   }
+
+  test("shortestHops: path graph distances, radius cap, seeds off-graph") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus isolated edge 8-9; seed 1 (and 99, which has
+    // no edges — still reports hops 0)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val got = Graphs.shortestHops(edges, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"got $got") // 5 is 4 hops out — beyond the radius; 8/9 unreachable
+  }
+
+  test("shortestHops: undirected default vs directed; min over multiple seeds") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val undir = Graphs.shortestHops(edges, Seq(1L).toDF("node"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(undir == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    val dir = Graphs.shortestHops(edges, Seq(1L).toDF("node"), 2,
+      directed = true).as[(Long, Long)].collect().toMap
+    assert(dir == Map(1L -> 0L), "1 has no outgoing edges when directed")
+    // two seeds: each node takes the NEAREST seed's distance
+    val two = Graphs.shortestHops(edges, Seq(1L, 3L).toDF("node"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
+  }
+
+  test("connectedComponents: chains, isolates via self-reference, fixpoint guard") {
+    import spark.implicits._
+    // two components: {1,2,3,4} (a path — diameter exercises multiple
+    // rounds) and {7,9}; self-loop (5,5) and null rows drop entirely
+    val edges = Seq(
+      (Option(4L), Option(3L)), (Option(3L), Option(2L)),
+      (Option(2L), Option(1L)), (Option(9L), Option(7L)),
+      (Option(5L), Option(5L)), (Option.empty[Long], Option(6L)))
+      .toDF("src", "dst")
+    val got = Graphs.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L), s"got $got")
+    // a diameter bigger than maxRounds must throw, not mislabel
+    intercept[IllegalStateException] {
+      Graphs.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
+        maxRounds = 2).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.connectedComponents(edges, maxRounds = 0)
+    }
+  }
+
+  test("degreeAssortativity: path graph r = -1 exactly; cycle has no variance") {
+    import spark.implicits._
+    // path 1-2-3: every edge joins a deg-1 leaf to the deg-2 middle —
+    // perfectly disassortative. Hand sums: n=4 ends, Σx=Σy=6, Σxy=8,
+    // Σx²=Σy²=10 → r = (32-36)/√(4·4) = -1.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val row = Graphs.degreeAssortativity(path)
+      .select("n_edges", "sum_x", "sum_xy", "sum_x2", "r")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(row == ((4L, 6L, 8L, 10L, Some(-1.0))), s"got $row")
+    // triangle: all degrees equal — zero variance — r is NULL not NaN
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r2 = Graphs.degreeAssortativity(cyc)
+      .select("r").as[Option[Double]].collect().head
+    assert(r2.isEmpty)
+  }
+
+  test("modularity: two-triangle hand value; unlabeled nodes are singletons") {
+    import spark.implicits._
+    // two triangles bridged by (3,4): m=7, Σe_c=6, d_A=d_B=7 →
+    // Q = (4·7·6 − 98)/196 = 70/196
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, "B"), (6L, "B")).toDF("node", "community")
+    val row = Graphs.modularity(edges, labels)
+      .select("m", "intra_edges", "q_num", "q_den", "modularity")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(row == ((7L, 6L, 70L, 196L, 70.0 / 196.0)), s"got $row")
+    // node 2 unlabeled → its own singleton: edge (1,2) no longer
+    // intra; m=1, d = {x:1, __node:2:1} → Q = (0 - 2)/4
+    val partial = Graphs.modularity(Seq((1L, 2L)).toDF("src", "dst"),
+      Seq((1L, "x")).toDF("node", "community"))
+      .select("q_num", "q_den").as[(Long, Long)].collect().head
+    assert(partial == ((-2L, 4L)), s"got $partial")
+    intercept[IllegalArgumentException] {
+      Graphs.modularity(Seq((1L, 1L)).toDF("src", "dst"), labels)
+    }
+  }
+
+  test("shortestHops: maxHops 0 returns just the seeds; guard on negative") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graphs.shortestHops(edges, Seq(1L).toDF("node"), 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L))
+    intercept[IllegalArgumentException] {
+      Graphs.shortestHops(edges, Seq(1L).toDF("node"), -1)
+    }
+  }
 }

@@ -95,4 +95,72 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Search.bm25TopK(idx, qs, k = 1, b = 1.5))
   }
+
+  test("shingleIndex: multiplicity kept, whole-text fallback, dl = shingle count") {
+    // "x y x y x" → 2-shingles: "x y","y x","x y" — tf("x y")=2
+    val d = Seq((1L, "x y x y x"), (2L, "solo")).toDF("doc_id", "text")
+    val got = Search.shingleIndex(d, n = 2)
+      .select("term", "doc_id", "tf", "dl")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("x y", 1L, 2L, 4L), ("y x", 1L, 2L, 4L),
+      ("solo", 2L, 1L, 1L)), s"got $got")
+  }
+
+  test("tfidfCosinePairs: hand-computed cosine on a 3-doc space") {
+    // unigram-style index via n=1 shingles; N=3, dfs: a=3, b=2, c=1
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val index = Search.shingleIndex(d, n = 1)
+    val got = Search.tfidfCosinePairs(index, 0.01)
+      .select("doc_a", "doc_b", "dot_q", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val wa = math.round(math.log(1.0 + 3.0 / 3.0) * 1000) // idf_q(a)
+    val wb = math.round(math.log(1.0 + 3.0 / 2.0) * 1000)
+    val wc = math.round(math.log(1.0 + 3.0 / 1.0) * 1000)
+    val n12 = wa * wa + wb * wb
+    val n3 = wa * wa + wc * wc
+    def cos(dot: Long, na: Long, nb: Long): Double =
+      math.floor(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+        * 1e4 + 0.5) / 1e4
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) == ((wa * wa + wb * wb, 1.0)))
+    assert(got((1L, 3L))._1 == wa * wa)
+    assert(got((1L, 3L))._2 == cos(wa * wa, n12, n3))
+  }
+
+  test("topKeywords: integer rank, rare term outranks frequent common term") {
+    // d1: "common" tf=3 (df 2), "rare" tf=1 (df 1) over N=2 docs:
+    // idf_q(common)=round(ln(2)*1000)=693, idf_q(rare)=round(ln(3)*1000)
+    // =1099 → w(common)=2079 > w(rare)=1099 — tf buys rank here; k=1
+    // keeps only common. A second doc shares "common" only.
+    val d = Seq((1L, "common common common rare"), (2L, "common x"))
+      .toDF("doc_id", "text")
+    val index = Search.shingleIndex(d, n = 1)
+    val got = Search.topKeywords(index, k = 1)
+      .select("doc_id", "term", "w_q", "rank")
+      .as[(Long, String, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("common", 3 * 693L, 1)))
+    val all = Search.topKeywords(index, k = 10)
+      .select("doc_id", "term", "w_q")
+      .as[(Long, String, Long)].collect()
+    assert(all.filter(_._1 == 1L).map(_._2).toSet == Set("common", "rare"))
+    assert(all.find(r => r._1 == 1L && r._2 == "rare").get._3 == 1099L)
+    intercept[IllegalArgumentException](Search.topKeywords(index, 0))
+  }
+
+  test("tfidfCosinePairs: maxDf removes hot dimensions from the whole space") {
+    // with df(a)=3 pruned at maxDf=2, docs 1/2 keep only b (cosine 1),
+    // and doc 3 shares no surviving term with them
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val index = Search.shingleIndex(d, n = 1)
+    val got = Search.tfidfCosinePairs(index, 0.01, maxDf = Some(2L))
+      .select("doc_a", "doc_b", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((1L, 2L) -> 1.0), s"got $got")
+    intercept[IllegalArgumentException](
+      Search.tfidfCosinePairs(index, 1.5))
+  }
 }

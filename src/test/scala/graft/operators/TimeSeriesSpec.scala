@@ -865,4 +865,31 @@ class IncrementalAggSpec extends SparkSpec {
       TimeSeries.cusum(rows, "e", Seq(col("idx")), "v", 2.0, 0.0)
     }
   }
+
+  test("transitionMatrix: hand-computed chain, __end__ completion, null splice") {
+    import spark.implicits._
+    // u1: a b a b END; u2: a a END; null state in u1 splices b->a
+    // across it; null entity row drops entirely
+    val rows = Seq(
+      (Option("u1"), 1L, Option("a")), (Option("u1"), 2L, Option("b")),
+      (Option("u1"), 3L, Option.empty[String]),
+      (Option("u1"), 4L, Option("a")), (Option("u1"), 5L, Option("b")),
+      (Option("u2"), 1L, Option("a")), (Option("u2"), 2L, Option("a")),
+      (Option.empty[String], 1L, Option("x")))
+      .toDF("u", "t", "st")
+    val got = TimeSeries.transitionMatrix(rows, "u", Seq(col("t")), "st")
+      .select("state", "next_state", "n", "n_from", "p")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 4L, 0.5)),
+      ("a", "a") -> ((1L, 4L, 0.25)),
+      ("a", "__end__") -> ((1L, 4L, 0.25)),
+      ("b", "a") -> ((1L, 2L, 0.5)),
+      ("b", "__end__") -> ((1L, 2L, 0.5))), s"got $got")
+    // per-source probabilities sum to exactly 1
+    val sums = got.toSeq.groupBy(_._1._1)
+      .map { case (s, rs) => s -> rs.map(_._2._3).sum }
+    assert(sums.values.forall(_ == 1.0), s"sums $sums")
+  }
 }

@@ -365,4 +365,37 @@ class StreamingSpec extends SparkSpec {
       .filter(_.user_id == 20)
     assert(flushed.toSeq == Seq(UserSession(20, ts(1), ts(3), 2, 3.0)))
   }
+
+  test("transitionPairsStream: cross-batch chaining ≡ batch pairing; late dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.transitionPairsStream(in.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    in.addData(Event(ts(1), 7, "a", 1.0), Event(ts(2), 7, "b", 2.0))
+    q.processAllAvailable()
+    // chain continues across the batch boundary from stored state b
+    in.addData(Event(ts(3), 7, "a", 3.0), Event(ts(4), 8, "x", 4.0))
+    q.processAllAvailable()
+    // late event behind user 7's frontier (ts 2 < stored ts 3): dropped
+    in.addData(Event(ts(2), 7, "zzz", 5.0), Event(ts(5), 8, "y", 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(got == Seq((7L, "a", "b"), (7L, "b", "a"), (8L, "x", "y")),
+      s"got $got")
+    // in-order replay matches the batch twin's non-__end__ pairs
+    val batch = graft.operators.TimeSeries.transitionMatrix(
+      Seq((7L, 1L, "a"), (7L, 2L, "b"), (7L, 3L, "a"),
+        (8L, 4L, "x"), (8L, 5L, "y")).toDF("u", "t", "st"),
+      "u", Seq(org.apache.spark.sql.functions.col("t")), "st")
+      .filter(org.apache.spark.sql.functions.col("next_state")
+        =!= "__end__")
+      .select("state", "next_state", "n")
+      .as[(String, String, Long)].collect().toSet
+    val streamCounts = got.groupBy(p => (p._2, p._3))
+      .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    assert(streamCounts == batch, s"stream $streamCounts vs batch $batch")
+  }
 }
