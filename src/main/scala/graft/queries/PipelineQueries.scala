@@ -2093,6 +2093,13 @@ object PipelineQueries {
       graft.operators.Graphs.modularity(coOrderEdges(s, d), labels)
     }),
 
+    // Label-propagation communities (round 17): 4 deterministic
+    // synchronous rounds, min-label ties — the dense-region sibling of
+    // q208's reachability labels.
+    "q214_label_propagation" -> ((s, d) =>
+      graft.operators.Graphs.labelPropagation(coOrderEdges(s, d),
+        rounds = 4)),
+
     // Component census (round 17): q208's labels joined back to the
     // edge list — nodes, edges, and exact-ratio density per component.
     "q213_component_stats" -> ((s, d) => {
@@ -7061,8 +7068,34 @@ object PipelineQueries {
           |    AS n_edges,
           |  (2 * coalesce(n_edges, 0))::DOUBLE /
           |    (n_nodes * (n_nodes - 1))::DOUBLE AS density
-          |FROM nn LEFT JOIN ec USING (component)""").stripMargin
+          |FROM nn LEFT JOIN ec USING (component)""").stripMargin,
+
+    "q214_label_propagation" -> lpaOracleSql(4)
   )
+
+  /** q214 = the identical synchronous rounds replayed as chained CTEs
+    * (the q181 pageRank replay discipline): round k's labeling is a
+    * pure function of round k−1's — argmax neighbor label, count desc
+    * then label asc, exactly the operator's window.
+    */
+  private def lpaOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT a.v AS node, l.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY a.v
+         |        ORDER BY count(*) DESC, l.label ASC) AS rn
+         |    FROM adj a JOIN l${k - 1} l ON l.node = a.u
+         |    GROUP BY a.v, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    coOrderCtes +
+      s""",
+         |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+         |$roundCtes
+         |SELECT node, label FROM l$rounds""".stripMargin
+  }
 
   /** The q211/q212/q213 oracle prefix: the shared co-order edge list
     * ([[coOrderEdges]] replayed literally; q213 needs `WITH RECURSIVE`

@@ -268,6 +268,31 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: hand-replayed rounds; fixed-round oscillation semantics") {
+    import spark.implicits._
+    // two triangles bridged at (3,4): hand-replayed synchronous rounds
+    val bar = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r1 = Graphs.labelPropagation(bar, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L), s"round 1: $r1")
+    val r2 = Graphs.labelPropagation(bar, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 3L, 6L -> 3L), s"round 2: $r2")
+    // path 1-2-3 demonstrates the documented oscillation — labels are
+    // a pure function of the ROUND COUNT, not a fixpoint
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p1 = Graphs.labelPropagation(path, 1).as[(Long, Long)]
+      .collect().toMap
+    val p2 = Graphs.labelPropagation(path, 2).as[(Long, Long)]
+      .collect().toMap
+    assert(p1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    assert(p2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    intercept[IllegalArgumentException](Graphs.labelPropagation(path, 0))
+  }
+
   test("degreeAssortativity: path graph r = -1 exactly; cycle has no variance") {
     import spark.implicits._
     // path 1-2-3: every edge joins a deg-1 leaf to the deg-2 middle —

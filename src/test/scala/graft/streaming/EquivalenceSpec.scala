@@ -681,6 +681,36 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
       s"CMS diverges: ${(cmsStream.toSet -- cmsBatch.toSet).take(3)}")
   }
 
+  test("HDR quantile sketch: the SAME operator run as a complete-mode stream ≡ batch") {
+    assume(fixtureExists("events"))
+    // hdrSketch is a pure (group, bucket) count — counts add across
+    // micro-batches exactly as hdrMerge adds sketches, so the drained
+    // complete-mode table must equal one batch pass bucket for bucket
+    // (and therefore every quantile read off it).
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"ts", $"user_id", $"event_type", $"value")
+    val batch = graft.operators.Sketches
+      .hdrSketch(ev, Seq("event_type"), "value")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = ev.as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val sq = graft.operators.Sketches
+      .hdrSketch(in.toDF(), Seq("event_type"), "value")
+      .writeStream.format("memory").queryName("eqhdr")
+      .outputMode("complete").start()
+    fixture.grouped((fixture.size + 1) / 2).foreach { chunk =>
+      in.addData(chunk)
+      sq.processAllAvailable()
+    }
+    sq.stop()
+    val streamed = spark.table("eqhdr").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"HDR diverges: ${(streamed.toSet -- batch.toSet).take(3)}")
+  }
+
   test("incremental linkage: stream rule-1 ≡ batch from_stored flags; rules 2-3 stay batch") {
     val stored = Seq(
       (1L, "ada lovelace", "london", 10.0, 1L),
