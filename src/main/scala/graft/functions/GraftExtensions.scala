@@ -90,6 +90,11 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       "word_shingles(text, n) - distinct word n-gram shingles",
       (args: Seq[Expression]) =>
         WordShinglesExpr(args.head, intArg(args(1), "n")))
+    reg(ext, "word_shingles_all",
+      "word_shingles_all(text, n) - word n-gram shingles WITH " +
+        "multiplicity (the tf-carrying index form)",
+      (args: Seq[Expression]) =>
+        AllWordShinglesExpr(args.head, intArg(args(1), "n")))
     reg(ext, "token_chunks",
       "token_chunks(text, size) - consecutive size-token chunks",
       (args: Seq[Expression]) =>

@@ -89,10 +89,15 @@ object Search {
     * terms from a stored [[textIndex]]/[[shingleIndex]] — the
     * unsupervised doc-tagging / search-facet / "what is this page
     * about" primitive (the tf-idf keyword baseline every extraction
-    * paper benchmarks against). Weights are the [[tfidfCosinePairs]]
-    * quantization EXACTLY (w_q = tf · round(ln(1 + N/df)·idfScale)
-    * longs), so ranking compares integers — ties break (w_q desc,
-    * term asc), fully deterministic.
+    * paper benchmarks against). This is the INDEX-side sibling of
+    * [[TextAnalysis.tfidfTopTerms]] (which scans raw text with the
+    * classic ln(N/df) weight): here the corpus is never rescanned —
+    * the stored postings are the input, the term space is whatever the
+    * index was built over (shingles included), and the weight is the
+    * [[tfidfCosinePairs]] quantization EXACTLY (w_q = tf ·
+    * round(ln(1 + N/df)·idfScale) longs) so keyword ranks and cosine
+    * pairs come from ONE consistent vector space. Ranking compares
+    * integers — ties break (w_q desc, term asc), fully deterministic.
     *
     * Scale shape: two aggregates over the index (df table joined back
     * at the term key, N one broadcast row) and ONE rank window

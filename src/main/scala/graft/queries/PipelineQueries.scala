@@ -1845,7 +1845,13 @@ object PipelineQueries {
     // (18/8) sit mid-gap, so a final-ulp log2 difference between
     // engines can't move a band.
     "q193_fs_weights" -> ((s, d) => {
+      // three nations keep the gate plan-sized (the q186 discipline:
+      // (nation, length) blocks over ALL 25 nations cost 4.5M
+      // levenshtein candidate pairs at sf0.1 — 55 s measuring the
+      // comparator, not the plan); twins preserve nationkey, so the
+      // restriction drops no planted evidence class
       val recs = linkageRecords(s, d)
+        .filter(col("c_nationkey") < 3)
         .withColumn("bkv_len", length(col("c_name")))
       graft.operators.Linkage.fsWeightedPairs(recs, "c_custkey",
           Seq("c_nationkey", "bkv_len"),
@@ -6358,7 +6364,8 @@ object PipelineQueries {
          |  FROM base a JOIN base b
          |    ON a.c_nationkey = b.c_nationkey
          |   AND length(a.c_name) = length(b.c_name)
-         |   AND a.c_custkey < b.c_custkey)
+         |   AND a.c_custkey < b.c_custkey
+         |  WHERE a.c_nationkey < 3 AND b.c_nationkey < 3)
          |SELECT doc_a, doc_b, round(w, 4) AS fs_weight,
          |  CASE WHEN w >= 18.0 THEN 'match'
          |       WHEN w >= 8.0 THEN 'possible'

@@ -233,6 +233,10 @@ class VectorFunctionsSpec extends SparkSpec {
         |       size(hashed_char_grams('abcd', 3)) AS hg""".stripMargin)
       .collect()(0)
     assert(row.getInt(0) == 2 && row.getInt(1) == 2)
+    // multiplicity form: "x y x y" 2-shingles = [x y, y x, x y] — kept
+    val all = spark.sql("SELECT word_shingles_all('x y x y', 2)")
+      .as[Seq[String]].collect()(0)
+    assert(all == Seq("x y", "y x", "x y"))
     val bands = spark.sql(
       """SELECT hyperplane_band_rows(array(CAST(1.0 AS FLOAT),
         |  CAST(0.5 AS FLOAT)), 4, 8)""".stripMargin).collect()
