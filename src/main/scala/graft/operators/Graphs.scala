@@ -437,26 +437,43 @@ object Graphs {
     * this is the graph-general form those entity-specific closures
     * specialize).
     *
-    * Iteration: synchronous label relaxation — each round every node
-    * takes min(own label, neighbors' labels) — run to FIXPOINT,
+    * Iteration: synchronous label relaxation WITH POINTER JUMPING —
+    * each round every node first takes min(own label, neighbors'
+    * labels) (one graph hop), then jumps through the label table
+    * itself: component := relaxed(relaxed(node)) (path doubling,
+    * Shiloach–Vishkin 1982). The jump is sound because a label is
+    * always the id of a REACHABLE node (the relaxation only ever
+    * installs neighbor labels, and reachability is transitive), so
+    * min-reachable stays min-reachable and the FIXPOINT is unchanged —
+    * but the propagation distance per round roughly doubles,
+    * collapsing rounds from O(diameter) to O(log diameter): a
+    * 199-hop path converges in 8 rounds instead of 199 (spec-gated),
+    * and the q208 co-order giant component at sf0.1 settles in 17
+    * rounds. At gate scale the loop is per-round-overhead-bound
+    * (tiny label tables, fixed job/checkpoint cost), so the local
+    * wall win sits inside window noise — the round count is the
+    * claim, because at 100 TB each round is a full shuffle of the
+    * label table and rounds ARE the bill. Convergence is
     * detected by "no label changed this round" (an aggregate count,
-    * not a collect). Rounds needed = graph diameter; `maxRounds` is a
-    * fail-loud guard against a pathological chain (the [[kCore]]
-    * discipline: a silent early stop would emit WRONG labels, so
-    * non-convergence throws). For 100 TB graphs with large diameters
-    * the literature's large-star/small-star contraction (Kiveris et
-    * al., SoCC'14) converges in O(log²) rounds; this implementation
-    * keeps the simple relaxation because diameter-bounded real graphs
-    * (co-occurrence, dedup, link graphs) converge in single-digit
-    * rounds — the scaladoc'd trade, revisit if a diameter-10³ graph
-    * shows up.
+    * not a collect) comparing the round's FINAL label to its starting
+    * one — at the true fixpoint both the hop and the jump are no-ops.
+    * `maxRounds` is a fail-loud guard against a pathological chain
+    * (the [[kCore]] discipline: a silent early stop would emit WRONG
+    * labels, so non-convergence throws). The literature's
+    * large-star/small-star contraction (Kiveris et al., SoCC'14)
+    * additionally rewrites the EDGE set per round; label-table
+    * doubling gets the same O(log) round count on a static adjacency
+    * — the cheaper move at this operator's scale shape.
     *
-    * Scale shape: each round is one self-join-free pass — labels join
-    * the adjacency list at the node key (both frames id-partitioned,
+    * Scale shape: each round is two narrow joins — labels join the
+    * adjacency list at the node key (both frames id-partitioned,
     * shuffle payload = (node, long) pairs), aggregate min per
-    * neighbor, and the convergence test is a 1-row count aggregate.
-    * localCheckpoint per round truncates lineage exactly like
-    * [[pageRank]].
+    * neighbor; then the jump self-joins the relaxed label table on
+    * the LABEL key (payload again (long, long) pairs — node text or
+    * payloads never enter the loop). The convergence test is a 1-row
+    * count aggregate. localCheckpoint per round truncates lineage
+    * exactly like [[pageRank]]; the relaxed table checkpoints once
+    * per round because the jump reads it on both sides.
     *
     * Isolated nodes (in `nodes` but no surviving edge) keep themselves
     * as their component. Null endpoints and self-loops drop.
@@ -483,12 +500,25 @@ object Graphs {
         .join(labels.withColumnRenamed("node", "__u"), Seq("__u"))
         .groupBy(col("__v").as("node"))
         .agg(min(col("component")).as("__nc"))
-      val next = labels.join(fromNbr, Seq("node"), "left")
-        .select(col("node"),
+      // hop: min(own, neighbors') — checkpointed because the jump
+      // below reads it on BOTH sides of a self-join (re-deriving it
+      // twice would re-run the adjacency shuffle)
+      val relaxed = labels.join(fromNbr, Seq("node"), "left")
+        .select(col("node"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nc"), col("component")))
+            .as("__rc"))
+        .localCheckpoint()
+      // jump: component := relaxed(relaxed(node)). __rc is always a
+      // real node id (labels only ever hold node ids), so the lookup
+      // hits; left + coalesce is belt-and-braces, not a semantic.
+      val next = relaxed.alias("l")
+        .join(relaxed.select(col("node").as("__t"), col("__rc").as("__tc"))
+          .alias("p"), col("l.__rc") === col("p.__t"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.__rc"), coalesce(col("p.__tc"), col("l.__rc")))
             .as("component"),
-          (col("__nc").isNotNull && col("__nc") < col("component"))
-            .as("__chg"))
+          (least(col("l.__rc"), coalesce(col("p.__tc"), col("l.__rc")))
+            < col("l.__old")).as("__chg"))
         .localCheckpoint()
       changed = next.where(col("__chg")).count()
       labels = next.drop("__chg")

@@ -268,6 +268,18 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: pointer jumping converges a 199-hop path in " +
+      "O(log) rounds") {
+    // plain 1-hop relaxation needs 199 rounds here; the label-table
+    // doubling must land the fixpoint (plus its no-change round) well
+    // inside 12 — this gate is what keeps the jump LIVE (a regression
+    // to hop-only relaxation throws on the round guard, not mislabels)
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labs = Graphs.connectedComponents(path, maxRounds = 12)
+    assert(labs.agg(max(col("component"))).head.getLong(0) == 1L &&
+      labs.count() == 200L)
+  }
+
   test("labelPropagation: hand-replayed rounds; fixed-round oscillation semantics") {
     import spark.implicits._
     // two triangles bridged at (3,4): hand-replayed synchronous rounds
