@@ -83,6 +83,53 @@ object Sampling {
     deterministicSplit(keyed, "split_key", splits)
   }
 
+  /** Split-leakage AUDIT — [[leakageSafeSplit]]'s diagnostic sibling:
+    * given a corpus that already carries a split column (an id-keyed
+    * [[deterministicSplit]], a legacy assignment, anything external)
+    * and a near-dup cluster table, report every document whose cluster
+    * straddles a split boundary. A val/test doc with a train near-dup
+    * is a leaked eval — the within-corpus form of benchmark
+    * contamination ([[Decontaminate]] guards the benchmark boundary;
+    * this guards the split boundary) — and the audit is what a
+    * migration runs BEFORE adopting the safe split, and what a QA gate
+    * runs after any manual split surgery.
+    *
+    * Scale shape: singleton documents (the overwhelming majority —
+    * anything not in the pair-derived cluster table) cannot straddle,
+    * so the distinct-split aggregate runs over CLUSTERED docs only (an
+    * inner join against the broadcast cluster table); the verdict then
+    * rides back to the full corpus as a second broadcast join of the
+    * cluster-sized aggregate. The corpus streams twice, shuffles
+    * never; document payloads ride untouched.
+    *
+    * @param clusters (id, cluster) — [[graft.operators.Dedup.nearDupClusters]]'
+    *                 frame; pair-derived, broadcast-sized
+    * @return the input frame plus (cluster, n_cluster_splits,
+    *         is_leaked) — cluster coalesces to the doc's own id for
+    *         singletons, whose n_cluster_splits is 1 by construction
+    */
+  def splitLeakage(df: DataFrame, clusters: DataFrame, idCol: String,
+      splitCol: String = "split"): DataFrame = {
+    Seq("cluster", "n_cluster_splits", "is_leaked").foreach(c =>
+      require(!df.columns.contains(c),
+        s"df already has a '$c' column — splitLeakage would overwrite it"))
+    require(df.columns.contains(splitCol),
+      s"df has no '$splitCol' column — run a split assignment first")
+    val c = broadcast(clusters)
+    val perCluster = df.join(c, df(idCol) === c("id"))
+      .groupBy(c("cluster").as("__cl"))
+      .agg(countDistinct(df(splitCol)).as("n_cluster_splits"))
+    val labeled = df.join(c, df(idCol) === c("id"), "left")
+      .select(df.columns.map(df(_)) :+
+        coalesce(c("cluster"), df(idCol)).as("cluster"): _*)
+    labeled
+      .join(broadcast(perCluster), col("cluster") === col("__cl"), "left")
+      .drop("__cl")
+      .withColumn("n_cluster_splits",
+        coalesce(col("n_cluster_splits"), lit(1L)))
+      .withColumn("is_leaked", col("n_cluster_splits") > 1)
+  }
+
   /** Per-stratum-rate sampling — the data-MIXING primitive ([[
     * deterministicSplit]]'s sibling): each stratum keeps its own fraction
     * of rows (down-weight boilerplate sources, up-weight scarce

@@ -250,4 +250,56 @@ object Search {
       .select(col(qidCol), col(idCol), col("score_q"), col("score"),
         col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+    * combine N independent per-query rankings — BM25, dense ANN,
+    * recency, anything that emits (query, doc, rank) — into one list by
+    * score(d) = Σ_systems 1/(k0 + rank_s(d)), k0 = 60 per the paper.
+    * RRF is THE production hybrid-retrieval baseline (a RAG stack's
+    * sparse+dense merge) precisely because it reads only RANKS: no
+    * score normalization across incomparable scales, and a document
+    * missing from a system's list simply contributes nothing.
+    *
+    * Determinism: each contribution quantizes to a 1e-9-grain long
+    * (`round(1e9/(k0+rank))`) BEFORE the per-(query, doc) sum — the
+    * [[bm25TopK]] discipline — so the fused order is decided on exact
+    * integer sums, never a float summation order; ties break to the
+    * lowest doc id. The shipped `rrf` double is one long/1e9 division.
+    *
+    * Scale shape: the inputs are top-k-per-query frames — RANKING
+    * METADATA (k × queries rows each), not corpus data — so the whole
+    * fusion is one union + one (query, doc)-keyed aggregate + one
+    * per-query rank window over frames that are tiny by construction.
+    * The corpus-scale work lives in the systems that PRODUCED the
+    * rankings; fusion cost is independent of corpus size.
+    *
+    * @param rankings  per-system rankings, each carrying (qidCol,
+    *                  idCol, rankCol); ranks are 1-based positions
+    * @param k         fused results per query
+    * @param k0        the RRF damping constant (60 in the paper: deep
+    *                  ranks still vote, but top ranks dominate)
+    * @return (qidCol, idCol, rrf_q, n_systems, fused_rank, rrf) —
+    *         fused_rank 1..k by (rrf_q desc, idCol asc)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60,
+      qidCol: String = "query_id", idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    val all = rankings
+      .map(_.select(col(qidCol), col(idCol), col(rankCol)))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("rrf_q").desc, col(idCol).asc)
+    all
+      .withColumn("__c",
+        round(lit(1e9) / (lit(k0).cast("double") +
+          col(rankCol).cast("double"))).cast("long"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__c")).as("rrf_q"), count(lit(1)).as("n_systems"))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= k)
+      .withColumn("rrf", col("rrf_q").cast("double") / lit(1e9))
+  }
 }

@@ -1910,7 +1910,7 @@ object PipelineQueries {
     (2L, "table value"),
     (3L, "quantum scan"))
 
-  private def wave4Queries: Map[String, Q] = Map(
+  private def wave4Queries: Map[String, Q] = Map[String, Q](
     // BM25 lexical retrieval (round 17): stored inverted index + Okapi
     // scoring, top-5 per query. Scores quantized to 1e-9 longs before
     // the per-(query, doc) sum and RANKED on the long, so no float
@@ -2125,6 +2125,79 @@ object PipelineQueries {
           ((lit(2L) * coalesce(col("n_edges"), lit(0L))).cast("double") /
             (col("n_nodes") * (col("n_nodes") - 1L)).cast("double"))
             .as("density"))
+    })
+  ) ++ wave7Queries
+
+  /** Round-17 wave 7: hybrid-retrieval fusion and the split-leakage
+    * audit — the two composition gaps a RAG/training stack hits after
+    * everything else here is in place.
+    */
+  private def wave7Queries: Map[String, Q] = Map[String, Q](
+    // Reciprocal-rank fusion (round 17): THREE-system hybrid retrieval
+    // — for each of 8 query documents, fuse the BM25 unigram top-10
+    // (self-excluded, re-ranked), the tf-idf 3-shingle cosine list at
+    // threshold 0.5, and the exact dense cosine top-10, under RRF
+    // k0=60; emit the fused top-5. Each query doc gets a PLANTED
+    // near-dup twin (id + 700000, one appended token) in the indexed
+    // corpus: the twin provably tops both lexical systems (all unigrams
+    // and nearly all 3-shingles shared) while being absent from the
+    // dense corpus, so the multi-system sum path is live BY
+    // CONSTRUCTION at every scale — the organic corpus shares too few
+    // exact 3-grams for cross-system overlap to happen on its own.
+    // Contributions quantize to 1e-9 longs before the per-(query, doc)
+    // sum, so the fused order is integer-decided.
+    "q215_rrf_fusion" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score_q").desc, col("doc_id").asc)
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"), col("text"))
+      val twins = base.filter(col("doc_id") < 8)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(col("text"), lit(" zz9")).as("text"))
+      val corpus = base.unionByName(twins)
+      val idx = graft.operators.Search.textIndex(corpus)
+      val qdocs = base.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+      val lex = graft.operators.Search.bm25TopK(idx, qdocs, k = 10)
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(w))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val sidx = graft.operators.Search.shingleIndex(corpus)
+      val spairs = graft.operators.Search.tfidfCosinePairs(sidx, 0.5)
+      val ssym = spairs
+        .select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"),
+          col("cosine"))
+        .unionByName(spairs.select(col("doc_b").as("query_id"),
+          col("doc_a").as("doc_id"), col("cosine")))
+        .filter(col("query_id") < 8)
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("doc_id").asc)
+      val shing = ssym.withColumn("rank", row_number().over(ws))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val dense = graft.operators.Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.operators.Search.rrfFuse(Seq(lex, shing, dense), k = 5)
+    }),
+
+    // Split-leakage audit (round 17): an id-keyed deterministic split
+    // over the documents corpus — which by construction CAN strand a
+    // near-dup cluster across boundaries — audited against q45's
+    // near-dup clusters. The planted near-dup families make straddling
+    // clusters a certainty; every doc ships its cluster's distinct-split
+    // count and leak flag.
+    "q216_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 0.8)
+      val clusters = Dedup.nearDupClusters(pairs)
+      val split = Sampling.deterministicSplit(
+        docs.select(col("doc_id")), "doc_id")
+      Sampling.splitLeakage(split, clusters, "doc_id")
     })
   )
 
@@ -7078,6 +7151,192 @@ object PipelineQueries {
           |FROM nn LEFT JOIN ec USING (component)""").stripMargin,
 
     "q214_label_propagation" -> lpaOracleSql(4)
+  ) ++ wave7Oracle
+
+  /** Wave-7 oracles: q215 replays q196's BM25 CTE chain with the query
+    * docs' own text, the q152-shape exact dense top-10, and the
+    * integer-quantized RRF fold; q216 replays q130's recursive closure
+    * + md5-bucket split (drawn on the doc's OWN id, the leaky form) and
+    * the per-cluster distinct-split audit.
+    */
+  private def wave7Oracle: Map[String, String] = Map(
+    "q215_rrf_fusion" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, text || ' zz9' FROM documents
+        |  WHERE doc_id < 8),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS t
+        |  FROM corpus),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term
+        |        FROM toks)
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*)::BIGINT AS n,
+        |    sum(dl)::BIGINT AS sumdl
+        |  FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+        |qterms AS (
+        |  SELECT DISTINCT doc_id AS query_id, unnest(t) AS term
+        |  FROM toks WHERE doc_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    sum(round(
+        |      ln(1.0 + (n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+        |      * (tf::DOUBLE * 2.2 /
+        |         (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE /
+        |            (sumdl::DOUBLE / n::DOUBLE))))
+        |      * 1e9)::BIGINT)::BIGINT AS score_q
+        |  FROM qterms q
+        |  JOIN tf ON tf.term = q.term
+        |  JOIN df ON df.term = q.term
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |lextop AS (
+        |  SELECT query_id, doc_id, score_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id ASC) AS r0
+        |  FROM scored),
+        |lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id ASC)::INT AS rank
+        |  FROM lextop WHERE r0 <= 10 AND doc_id <> query_id),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1), i ->
+        |        array_to_string(list_slice(t, i, i + 2), ' '))
+        |    ELSE [array_to_string(t, ' ')] END AS g
+        |  FROM toks),
+        |sidx AS (
+        |  SELECT doc_id, g, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(g) AS g FROM sh) GROUP BY 1, 2),
+        |dft AS (SELECT g AS gg, count(*)::BIGINT AS sdf FROM sidx
+        |  GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id)::BIGINT AS sn FROM sidx),
+        |wv AS (
+        |  SELECT doc_id, g,
+        |    tf * round(ln(1.0 + sn::DOUBLE / sdf::DOUBLE) * 1000.0)::BIGINT
+        |      AS wq
+        |  FROM sidx JOIN dft ON g = gg CROSS JOIN st),
+        |nrm AS (SELECT doc_id, sum(wq * wq)::BIGINT AS n2 FROM wv
+        |  GROUP BY 1),
+        |sdot AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(a.wq * b.wq)::BIGINT AS dot_q
+        |  FROM wv a JOIN wv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |spairs AS (
+        |  SELECT doc_a, doc_b, round(dot_q::DOUBLE /
+        |      sqrt(x.n2::DOUBLE * y.n2::DOUBLE), 4) AS cos
+        |  FROM sdot JOIN nrm x ON x.doc_id = doc_a
+        |           JOIN nrm y ON y.doc_id = doc_b
+        |  WHERE dot_q::DOUBLE / sqrt(x.n2::DOUBLE * y.n2::DOUBLE) >= 0.5),
+        |ssym AS (
+        |  SELECT doc_a AS query_id, doc_b AS doc_id, cos FROM spairs
+        |  UNION ALL SELECT doc_b, doc_a, cos FROM spairs),
+        |shing AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, doc_id ASC)::INT AS rank
+        |    FROM ssym WHERE query_id < 8)
+        |  WHERE rank <= 10),
+        |dsims AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+        |      AS sim
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q,
+        |    embeddings e
+        |  WHERE e.vec_id <> q.vec_id),
+        |dense AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, doc_id ASC)::INT AS rank
+        |    FROM dsims)
+        |  WHERE rank <= 10),
+        |unioned AS (
+        |  SELECT query_id, doc_id, rank FROM lex
+        |  UNION ALL SELECT query_id, doc_id, rank FROM shing
+        |  UNION ALL SELECT query_id, doc_id, rank FROM dense),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |    sum(round(1e9 / (60.0 + rank))::BIGINT)::BIGINT AS rrf_q,
+        |    count(*)::BIGINT AS n_systems
+        |  FROM unioned GROUP BY 1, 2),
+        |franked AS (
+        |  SELECT query_id, doc_id, rrf_q, n_systems,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_q DESC, doc_id ASC)::INT AS fused_rank
+        |  FROM fused)
+        |SELECT query_id, doc_id, rrf_q, n_systems, fused_rank,
+        |  rrf_q::DOUBLE / 1e9 AS rrf
+        |FROM franked WHERE fused_rank <= 5""".stripMargin,
+
+    "q216_split_leakage" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM ix
+        |  JOIN sz sa ON doc_a = sa.doc_id
+        |  JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |lbl AS (
+        |  SELECT s AS doc_id, least(s, min(t)) AS cluster
+        |  FROM reach GROUP BY s),
+        |sp AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents),
+        |spl AS (
+        |  SELECT doc_id, bucket,
+        |    CASE WHEN bucket < 90 THEN 'train'
+        |         WHEN bucket < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM sp),
+        |agg AS (
+        |  SELECT l.cluster,
+        |    count(DISTINCT s.split)::BIGINT AS n_cluster_splits
+        |  FROM lbl l JOIN spl s USING (doc_id) GROUP BY 1),
+        |corp AS (
+        |  SELECT s.doc_id, s.bucket, s.split,
+        |    coalesce(l.cluster, s.doc_id) AS cluster
+        |  FROM spl s LEFT JOIN lbl l USING (doc_id))
+        |SELECT f.doc_id, f.bucket, f.split, f.cluster,
+        |  coalesce(a.n_cluster_splits, 1)::BIGINT AS n_cluster_splits,
+        |  coalesce(a.n_cluster_splits, 1) > 1 AS is_leaked
+        |FROM corp f LEFT JOIN agg a USING (cluster)""".stripMargin
   )
 
   /** q214 = the identical synchronous rounds replayed as chained CTEs

@@ -2220,6 +2220,43 @@ class SamplingSpec extends SparkSpec {
       .foreach(r => assert(r._3 == plain(r._1)))
   }
 
+  test("splitLeakage: straddling clusters flagged, pure clusters and " +
+      "singletons never, payload rides") {
+    val docs = (0L until 400L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val split = Sampling.deterministicSplit(docs, "doc_id")
+    // build clusters from the ACTUAL split draw so the straddle is
+    // certain: A = two train docs + one non-train doc (leaked),
+    // B = two train docs (pure)
+    val byName = split.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val tr = byName.filter(_._2 == "train").keys.toSeq.sorted
+    val ev = byName.filter(_._2 != "train").keys.toSeq.sorted
+    val cA = Seq(tr(0), tr(1), ev(0)).map(i => (i, tr(0)))
+    val cB = Seq(tr(2), tr(3)).map(i => (i, tr(2)))
+    val clusters = (cA ++ cB).toDF("id", "cluster")
+    val audited = Sampling.splitLeakage(split, clusters, "doc_id")
+    assert(audited.columns.toSeq == Seq("doc_id", "text", "bucket",
+      "split", "cluster", "n_cluster_splits", "is_leaked"))
+    val m = audited
+      .select("doc_id", "cluster", "n_cluster_splits", "is_leaked")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m.size == 400, "every corpus doc is audited")
+    cA.foreach { case (i, _) =>
+      assert(m(i)._3 == 2L && m(i)._4, s"cluster-A doc $i must be leaked") }
+    cB.foreach { case (i, _) =>
+      assert(m(i)._3 == 1L && !m(i)._4, s"cluster-B doc $i is pure") }
+    val lone = m(ev(1)) // unclustered: own-id cluster, never leaked
+    assert(lone._2 == ev(1) && lone._3 == 1L && !lone._4)
+    intercept[IllegalArgumentException] { // no split column yet
+      Sampling.splitLeakage(docs, clusters, "doc_id")
+    }
+    intercept[IllegalArgumentException] { // output-name collision guard
+      Sampling.splitLeakage(split.withColumn("is_leaked", lit(true)),
+        clusters, "doc_id")
+    }
+  }
+
   test("deterministicSplit: rejects frames already carrying an added column") {
     // ADVICE r10: the collision guard must protect the DIRECT entry
     // point, not only leakageSafeSplit — 'bucket' and the out column

@@ -163,4 +163,35 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Search.tfidfCosinePairs(index, 1.5))
   }
+
+  test("rrfFuse: quantized reciprocal-rank sums, single-list docs, " +
+      "ties to the low id, k truncation") {
+    def c(r: Int): Long = math.rint(1e9 / (60.0 + r)).toLong
+    // query 1: doc 10 in both systems (rank 1 + rank 2), docs 20/30
+    // only in A, doc 40 only in B; query 2: a pure rrf_q tie (both at
+    // rank 1 in one system each) must order by doc id.
+    val sysA = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3), (2L, 5L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val sysB = Seq((1L, 10L, 2), (1L, 40L, 1), (2L, 3L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(Seq(sysA, sysB), k = 10)
+      .select("query_id", "doc_id", "rrf_q", "n_systems", "fused_rank")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    val q1 = out.filter(_._1 == 1L).sortBy(_._5)
+    assert(q1.map(r => (r._2, r._3, r._4)).toSeq == Seq(
+      (10L, c(1) + c(2), 2L), // fused vote beats either single list
+      (40L, c(1), 1L),        // B's rank-1 beats A's rank-2
+      (20L, c(2), 1L),
+      (30L, c(3), 1L)), s"got ${q1.toSeq}")
+    val q2 = out.filter(_._1 == 2L).sortBy(_._5)
+    assert(q2.map(_._2).toSeq == Seq(3L, 5L), "rrf_q tie breaks to low id")
+    // k truncation keeps the TOP of the fused order
+    val top2 = Search.rrfFuse(Seq(sysA, sysB), k = 2)
+      .filter($"query_id" === 1L).select("doc_id")
+      .as[Long].collect().toSet
+    assert(top2 == Set(10L, 40L))
+    intercept[IllegalArgumentException](Search.rrfFuse(Nil, 5))
+    intercept[IllegalArgumentException](Search.rrfFuse(Seq(sysA), 0))
+    intercept[IllegalArgumentException](Search.rrfFuse(Seq(sysA), 5, -1))
+  }
 }
