@@ -366,6 +366,92 @@ object Graphs {
     ranks
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; Jeh & Widom WWW'03):
+    * [[pageRank]] with the uniform teleport replaced by a PREFERENCE
+    * VECTOR over a seed set — both the (1−d) restart mass and the
+    * dangling mass land on the seeds instead of everywhere, so ranks
+    * measure proximity TO THE SEEDS through the link structure: the
+    * "related to these accounts / these pages / this topic" serving
+    * primitive (recommendation candidates, topic-conditioned authority,
+    * fraud blast-radius weighting) that global PageRank by definition
+    * cannot answer.
+    *
+    * Same determinism discipline as [[pageRank]]: per-edge
+    * contributions quantize to 1e-12-scaled longs BEFORE every
+    * corpus-wide sum; each round collects ONE metadata row (the
+    * dangling mass); the update is literal-mirrored by the oracle —
+    * rank' = (1−d)·p + d·(cs/scale + (dang/scale)·p), with p = 1/|S∩V|
+    * on seeds and 0.0 elsewhere. Ranks start AT the preference vector
+    * (the standard PPR initialization — mass already at the seeds).
+    * Nodes unreachable from the seeds report exactly 0.0.
+    *
+    * Scale shape: identical to [[pageRank]] (edge projection
+    * checkpointed once, node-keyed contribution join + aggregate per
+    * round) plus one broadcast seed join when the preference vector is
+    * built — seeds are query metadata, never corpus-sized.
+    *
+    * Seeds absent from the graph carry no mass (they can neither emit
+    * nor receive through edges); the preference vector normalizes over
+    * the seeds PRESENT, and an entirely-absent seed set fails loudly
+    * rather than silently returning the zero vector.
+    *
+    * @param seeds frame carrying `seedCol` — the restart set; metadata-
+    *              sized, broadcast
+    * @return (node, rank) over every node in the edge list
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct().localCheckpoint()
+    val sd = broadcast(
+      seeds.select(col(seedCol).as("node")).distinct())
+    val ns = nodes.join(sd, Seq("node"), "left_semi").count()
+    require(ns > 0, "no seed node is present in the edge list")
+    val deg = e.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("__outdeg")).localCheckpoint()
+    val pref = nodes
+      .join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(1.0 / ns.toDouble))
+          .otherwise(lit(0.0)).as("__p"))
+      .localCheckpoint()
+    val scale = 1e12
+    var ranks = pref.select(col("node"), col("__p").as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(deg, Seq("node"), "left")
+      val contrib = withDeg.where(col("__outdeg").isNotNull)
+        .join(e.withColumnRenamed("__src", "node"), Seq("node"))
+        .select(col("__dst").as("node"),
+          round(col("rank") / col("__outdeg").cast("double") * lit(scale))
+            .cast("long").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__cs"))
+      val dangScaled = withDeg.where(col("__outdeg").isNull)
+        .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")),
+          lit(0L)))
+        .collect()(0).getLong(0)
+      // association order mirrored literally by the oracle:
+      // (1-d)*p + d * (cs/scale + (dang/scale)*p)
+      ranks = pref.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("__p") + lit(damping) *
+            (coalesce(col("__cs"), lit(0L)).cast("double") / lit(scale) +
+              lit(dangScaled.toDouble / scale) * col("__p"))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Multi-source BFS: minimum hop count from any seed node to every
     * node reachable within `maxHops` — the k-hop-neighborhood /
     * blast-radius primitive (who is ≤ 3 links from a flagged account;

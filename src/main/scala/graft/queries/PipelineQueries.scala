@@ -2198,6 +2198,27 @@ object PipelineQueries {
       val split = Sampling.deterministicSplit(
         docs.select(col("doc_id")), "doc_id")
       Sampling.splitLeakage(split, clusters, "doc_id")
+    }),
+
+    // Personalized PageRank (round 17): q181's purchase graph with the
+    // teleport restricted to the three lowest-custkey buyers — ranks
+    // become proximity to THOSE customers (their suppliers first, then
+    // second-order neighbors), the "related to these accounts" serving
+    // primitive. Same quantized-round replay discipline as q181;
+    // unreachable nodes report exactly 0.0, no output rounding.
+    "q217_personalized_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val seeds = Tables.orders(s, d)
+        .select(col("o_custkey")).distinct()
+        .orderBy(col("o_custkey")).limit(3)
+        .select(concat(lit("c"), col("o_custkey")).as("node"))
+      graft.operators.Graphs.personalizedPageRank(edges, seeds,
+        iterations = 5, damping = 0.85)
     })
   )
 
@@ -3025,6 +3046,54 @@ object PipelineQueries {
     * order mirrored against the Spark side. `edgesCte` must yield
     * (src, dst).
     */
+  /** DuckDB replay of [[graft.operators.Graphs.personalizedPageRank]]:
+    * the q181 unrolled-round discipline with the preference vector p
+    * (1/|S∩V| on seeds, 0.0 elsewhere) replacing the uniform teleport
+    * in BOTH the restart and the dangling term, every literal and
+    * association mirrored.
+    */
+  private def pprOracle(edgesCte: String, seedsCte: String,
+      iterations: Int, damping: Double): String = {
+    val S = "1000000000000.0::DOUBLE"
+    def iter(i: Int): String = {
+      val p = s"r${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    sum(round(r.rank / d.outdeg::DOUBLE * $S)::BIGINT) AS cs
+         |  FROM $p r JOIN deg d ON d.node = r.node JOIN e ON e.src = r.node
+         |  GROUP BY e.dst),
+         |d$i AS MATERIALIZED (
+         |  SELECT coalesce(sum(round(r.rank * $S)::BIGINT), 0) AS dm
+         |  FROM $p r LEFT JOIN deg d ON d.node = r.node
+         |  WHERE d.node IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT pref.node,
+         |    (1.0::DOUBLE - $damping::DOUBLE) * pref.p + $damping::DOUBLE *
+         |      (coalesce(c$i.cs, 0)::DOUBLE / $S +
+         |        (d$i.dm::DOUBLE / $S) * pref.p) AS rank
+         |  FROM pref CROSS JOIN d$i
+         |  LEFT JOIN c$i ON c$i.node = pref.node)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED ($edgesCte),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |sd AS MATERIALIZED ($seedsCte),
+       |ns AS MATERIALIZED (
+       |  SELECT count(*)::DOUBLE AS n FROM nodes
+       |  WHERE node IN (SELECT node FROM sd)),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, count(*)::BIGINT AS outdeg
+       |  FROM e GROUP BY src),
+       |pref AS MATERIALIZED (
+       |  SELECT nodes.node,
+       |    CASE WHEN nodes.node IN (SELECT node FROM sd)
+       |      THEN 1.0::DOUBLE / ns.n ELSE 0.0::DOUBLE END AS p
+       |  FROM nodes CROSS JOIN ns),
+       |r0 AS MATERIALIZED (SELECT node, p AS rank FROM pref),
+       |${(1 to iterations).map(iter).mkString(",\n")}
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
   private def pageRankOracle(edgesCte: String, iterations: Int,
       damping: Double): String = {
     val S = "1000000000000.0::DOUBLE"
@@ -7336,7 +7405,18 @@ object PipelineQueries {
         |SELECT f.doc_id, f.bucket, f.split, f.cluster,
         |  coalesce(a.n_cluster_splits, 1)::BIGINT AS n_cluster_splits,
         |  coalesce(a.n_cluster_splits, 1) > 1 AS is_leaked
-        |FROM corp f LEFT JOIN agg a USING (cluster)""".stripMargin
+        |FROM corp f LEFT JOIN agg a USING (cluster)""".stripMargin,
+
+    // q217 = the personalized update unrolled 5 rounds over q181's
+    // prefixed purchase graph, teleport on the 3 lowest-custkey buyers.
+    "q217_personalized_pagerank" -> pprOracle(
+      """SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+        .stripMargin,
+      """SELECT 'c' || o_custkey AS node FROM (
+        |    SELECT DISTINCT o_custkey FROM orders
+        |    ORDER BY o_custkey LIMIT 3)""".stripMargin,
+      iterations = 5, damping = 0.85)
   )
 
   /** q214 = the identical synchronous rounds replayed as chained CTEs

@@ -56,6 +56,67 @@ class GraphsSpec extends SparkSpec {
       conv("d") > conv("c"), s"converged order wrong: $conv")
   }
 
+  /** Scala replay of the personalized quantized update. */
+  private def refPpr(edges: Seq[(String, String)], seeds: Set[String],
+      iters: Int, d: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val present = seeds.intersect(nodes.toSet)
+    val p = nodes.map(v =>
+      v -> (if (present(v)) 1.0 / present.size else 0.0)).toMap
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var r = p
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (s, t) =>
+          t -> math.rint(r(s) / out(s).toDouble * 1e12).toLong }
+        .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).sum }
+      val dang = nodes.filterNot(out.contains)
+        .map(v => math.rint(r(v) * 1e12).toLong).sum
+      r = nodes.map { v =>
+        v -> ((1.0 - d) * p(v) + d *
+          (contrib.getOrElse(v, 0L).toDouble / 1e12 +
+            (dang.toDouble / 1e12) * p(v)))
+      }.toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank ≡ hand-replayed update; mass stays at the " +
+      "seeds' side; unreachable nodes report exactly 0.0") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "a"), ("c", "d"))
+    val seeds = Seq("c").toDF("node")
+    val got = Graphs.personalizedPageRank(g, seeds, iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(got == refPpr(edges, Set("c"), 4, 0.85),
+      s"diverged from the reference replay: $got")
+    // restart + dangling both land on c, so total mass stays 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // b is 2 hops from c (via a); d is 1 hop — with a 2-cycle feeding a,
+    // a must outrank d, and everything reachable outranks nothing
+    assert(got("a") > got("d") && got.values.forall(_ >= 0.0))
+    // a seed with no edges TO it is never ranked up by others: teleport
+    // keeps c alive, but nothing flows back (a->b->a cycle absorbs)
+    // unreachable check: seed b in the a<->b cycle leaves c,d at 0.0
+    val cyc = Graphs.personalizedPageRank(g, Seq("b").toDF("node"), 3)
+      .as[(String, Double)].collect().toMap
+    assert(cyc("c") == 0.0 && cyc("d") == 0.0,
+      s"mass leaked to nodes unreachable from the seed: $cyc")
+    // seeds absent from the graph: present subset normalizes; all-absent
+    // fails loudly instead of returning the zero vector
+    val mixed = Graphs.personalizedPageRank(g,
+        Seq("c", "zz").toDF("node"), 2)
+      .as[(String, Double)].collect().toMap
+    assert(mixed == refPpr(edges, Set("c"), 2, 0.85),
+      "an absent seed must not dilute the preference vector")
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(g, Seq("zz").toDF("node"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(g, seeds, 0)
+    }
+  }
+
   test("pageRank: deterministic across partitionings; parameter guards") {
     val big = (0L until 400L).map(i => (s"n$i", s"n${(i * 7) % 400}"))
       .toDF("src", "dst")
