@@ -516,6 +516,80 @@ object Graphs {
     dist
   }
 
+  /** Weighted shortest paths within a hop radius — [[shortestHops]]'
+    * weighted sibling: minimum total edge WEIGHT from any seed over
+    * paths of at most `maxHops` edges (bounded Bellman–Ford). Weights
+    * are LONGS by contract: [[shortestHops]]' scaladoc scopes out float
+    * Dijkstra because float relaxations are engine-order-dependent, and
+    * integer costs are the remedy — every relaxation is an exact long
+    * sum and a min, so the whole artifact is value-oracle-able (callers
+    * with float costs quantize first, the repo-wide discipline).
+    * Negative weights fail loudly (one metadata aggregate up front):
+    * under a hop cap a negative edge makes "cheapest within H hops"
+    * well-defined but useless for the proximity semantics this serves.
+    *
+    * Iteration (the frontier discipline of [[shortestHops]]): round h
+    * relaxes only the nodes IMPROVED in round h−1 — a settled node
+    * re-emits nothing — so per-round work is frontier-degree-bounded
+    * and total work is O(maxHops × m) worst-case but frontier-sized in
+    * practice. Parallel edges collapse to their cheapest; `maxHops` is
+    * a SEMANTIC radius (the standard k-hop-budget form), and the loop
+    * exits early when a round improves nothing — the fixpoint within
+    * the radius, identical to running the remaining rounds as no-ops
+    * (which is exactly how the oracle replays it).
+    *
+    * @param weightCol long-typed (or losslessly castable) non-negative
+    *                  edge cost column
+    * @return (node, cost) — one row per node reachable within maxHops,
+    *         cost = minimum total weight from the nearest seed
+    */
+  def cheapestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: String = "w", nodeCol: String = "node",
+      directed: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val fwd = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(weightCol).isNotNull && col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("__u"), col(dstCol).as("__v"),
+        col(weightCol).cast("long").as("__w"))
+    val adj = (if (directed) fwd
+      else fwd.unionByName(fwd.select(col("__v").as("__u"),
+        col("__u").as("__v"), col("__w"))))
+      .groupBy(col("__u"), col("__v")).agg(min(col("__w")).as("__w"))
+      .localCheckpoint()
+    val negatives = adj.agg(
+      coalesce(min(col("__w")), lit(0L))).collect()(0).getLong(0)
+    require(negatives >= 0,
+      s"cheapestPaths requires non-negative weights; min weight = $negatives")
+    var dist = sources.select(col(nodeCol).as("node")).distinct()
+      .where(col("node").isNotNull)
+      .withColumn("cost", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var h = 0
+    var live = frontier.count() > 0
+    while (live && h < maxHops) {
+      h += 1
+      val cand = frontier
+        .join(adj.withColumnRenamed("__u", "node"), Seq("node"))
+        .groupBy(col("__v").as("node"))
+        .agg(min(col("cost") + col("__w")).as("__c"))
+      // improved = strictly cheaper than the settled cost (or unseen)
+      frontier = cand
+        .join(dist.withColumnRenamed("cost", "__old"), Seq("node"), "left")
+        .where(col("__old").isNull || col("__c") < col("__old"))
+        .select(col("node"), col("__c").as("cost"))
+        .localCheckpoint()
+      live = frontier.count() > 0
+      if (live) {
+        dist = dist.unionByName(frontier)
+          .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+          .localCheckpoint()
+      }
+    }
+    dist
+  }
+
   /** Connected components by min-label propagation: every node ends up
     * labeled with the SMALLEST node id reachable from it — a canonical,
     * engine-independent component id (the same canonical-min convention

@@ -2219,6 +2219,25 @@ object PipelineQueries {
         .select(concat(lit("c"), col("o_custkey")).as("node"))
       graft.operators.Graphs.personalizedPageRank(edges, seeds,
         iterations = 5, damping = 0.85)
+    }),
+
+    // Weighted shortest paths (round 17): q207's seeds and radius over
+    // the co-order graph with AFFINITY-derived integer costs — edge
+    // weight 101 − min(co-order count, 100), so strongly co-ordered
+    // parts are "closer" and the 4-hop cheapest cost is a proximity
+    // ranking, not just reachability. All relaxations exact long sums.
+    "q218_cheapest_paths" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .agg((lit(101L) - least(count(lit(1)), lit(100L))).as("w"))
+      val seeds = li.filter(col("pk") % 97 === 0)
+        .select(col("pk").as("node")).distinct()
+      graft.operators.Graphs.cheapestPaths(edges, seeds, maxHops = 4)
     })
   )
 
@@ -7416,7 +7435,41 @@ object PipelineQueries {
       """SELECT 'c' || o_custkey AS node FROM (
         |    SELECT DISTINCT o_custkey FROM orders
         |    ORDER BY o_custkey LIMIT 3)""".stripMargin,
-      iterations = 5, damping = 0.85)
+      iterations = 5, damping = 0.85),
+
+    // q218 = 4 chained Bellman-Ford rounds (d_i = min cost over paths
+    // of <= i edges) over the affinity-weighted co-order graph — the
+    // frontier optimization under test changes the work, never the
+    // fixpoint, and rounds past convergence are no-ops in both engines.
+    "q218_cheapest_paths" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, min(cost)::BIGINT AS cost FROM (
+           |    SELECT node, cost FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT a.v AS node, d.cost + a.w AS cost
+           |    FROM d${i - 1} d JOIN adj a ON a.u = d.node)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_quantity >= 45),
+         |pe AS MATERIALIZED (
+         |  SELECT x.pk AS src, y.pk AS dst,
+         |    (101 - least(count(*), 100))::BIGINT AS w
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+         |  GROUP BY x.pk, y.pk),
+         |adj AS MATERIALIZED (
+         |  SELECT u, v, min(w)::BIGINT AS w FROM (
+         |    SELECT src AS u, dst AS v, w FROM pe
+         |    UNION ALL SELECT dst, src, w FROM pe)
+         |  GROUP BY 1, 2),
+         |d0 AS MATERIALIZED (
+         |  SELECT DISTINCT pk AS node, 0::BIGINT AS cost
+         |  FROM li WHERE pk % 97 = 0),
+         |$rounds
+         |SELECT node, cost FROM d4""".stripMargin
+    }
   )
 
   /** q214 = the identical synchronous rounds replayed as chained CTEs

@@ -329,6 +329,39 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("cheapestPaths: hop budget vs cheap detour, directed, parallel " +
+      "edges, guards") {
+    import spark.implicits._
+    // a-b-c-d at weight 1 each vs a direct a-d shortcut at 10: within
+    // 1 hop only the shortcut exists; within 3 the detour wins
+    val g4 = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("a", "d", 10L)).toDF("src", "dst", "w")
+    val seedsA = Seq("a").toDF("node")
+    def run(hops: Int, directed: Boolean = false) =
+      Graphs.cheapestPaths(g4, seedsA, hops, directed = directed)
+        .as[(String, Long)].collect().toMap
+    assert(run(1) == Map("a" -> 0L, "b" -> 1L, "d" -> 10L))
+    assert(run(3) == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    assert(run(0) == Map("a" -> 0L), "maxHops = 0 keeps seeds only")
+    // early fixpoint exit equals the full-round run
+    assert(run(25) == run(3))
+    // directed: nothing points at a, so from d only d itself
+    assert(Graphs.cheapestPaths(g4, Seq("d").toDF("node"), 4,
+        directed = true)
+      .as[(String, Long)].collect().toMap == Map("d" -> 0L))
+    // parallel edges collapse to the cheapest
+    val par = Seq(("a", "b", 5L), ("a", "b", 2L)).toDF("src", "dst", "w")
+    assert(Graphs.cheapestPaths(par, seedsA, 1)
+      .as[(String, Long)].collect().toMap == Map("a" -> 0L, "b" -> 2L))
+    intercept[IllegalArgumentException] {
+      Graphs.cheapestPaths(
+        Seq(("a", "b", -1L)).toDF("src", "dst", "w"), seedsA, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.cheapestPaths(g4, seedsA, -1)
+    }
+  }
+
   test("connectedComponents: pointer jumping converges a 199-hop path in " +
       "O(log) rounds") {
     // plain 1-hop relaxation needs 199 rounds here; the label-table
