@@ -539,7 +539,9 @@ object Graphs {
     * (which is exactly how the oracle replays it).
     *
     * @param weightCol long-typed (or losslessly castable) non-negative
-    *                  edge cost column
+    *                  edge cost column — a value that does NOT survive
+    *                  the long round-trip raises at runtime rather
+    *                  than truncating
     * @return (node, cost) — one row per node reachable within maxHops,
     *         cost = minimum total weight from the nearest seed
     */
@@ -552,7 +554,17 @@ object Graphs {
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(weightCol).isNotNull && col(srcCol) =!= col(dstCol))
       .select(col(srcCol).as("__u"), col(dstCol).as("__v"),
-        col(weightCol).cast("long").as("__w"))
+        // fail-loud on lossy casts (ADVICE r17): a fractional weight
+        // silently truncating (0.9 -> 0; -0.7 -> 0, which would also
+        // slip past the negative-weight check below) violates the
+        // quantize-first contract — compare the long cast back against
+        // the original and raise on mismatch (NaN compares false too).
+        when(col(weightCol).cast("long") === col(weightCol),
+          col(weightCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("cheapestPaths: weight not losslessly castable to " +
+              "long (quantize first): "),
+            col(weightCol).cast("string")))).as("__w"))
     val adj = (if (directed) fwd
       else fwd.unionByName(fwd.select(col("__v").as("__u"),
         col("__u").as("__v"), col("__w"))))

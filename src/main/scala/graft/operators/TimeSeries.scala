@@ -485,9 +485,12 @@ object TimeSeries {
     * all exact integer arithmetic, and the flag compares longs. The
     * emitted s⁺/s⁻/threshold are in (scale·n)-units; `n` rides along
     * for interpretation. Magnitudes: |d| ≤ range·scale·n, so the
-    * running sum is bounded by range·scale·n² per entity — for 1e4
-    * scale this holds to ~1e6 rows per entity; past that the plan
-    * raises (raise_error guard on n) instead of silently wrapping.
+    * running sum is bounded by (2·max|q| + slack·scale)·n² per entity.
+    * TWO fail-loud guards enforce exactness instead of silently
+    * wrapping: n ≤ 1e6 rows per entity, AND max|value_q| must fit the
+    * remaining Long headroom (Long.MaxValue/4)/n² — so a 1e5-row
+    * entity with |value| ~1e6 at scale 1e4 raises rather than emitting
+    * wrong s⁺/s⁻ (the n-only cap would have passed it).
     *
     * Null values are excluded from n, Σq, and the accumulation (a
     * null deviation would poison every later row of the entity).
@@ -499,6 +502,8 @@ object TimeSeries {
     val wEnt = Window.partitionBy(col(entity))
     val wRun = Window.partitionBy(col(entity)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slackQ = math.round(slack * scale)
+    val hQ = math.round(h * scale)
     val base = df.filter(col(valueCol).isNotNull)
       .withColumn("value_q", round(col(valueCol) * scale, 0).cast("long"))
       .withColumn("__n",
@@ -507,9 +512,24 @@ object TimeSeries {
           .otherwise(raise_error(concat(
             lit("cusum: entity group exceeds the exact-arithmetic " +
               "bound (1e6 rows): "), col(entity).cast("string")))))
+      // fail-loud magnitude guard (ADVICE r17): the running sums are
+      // bounded by (2·max|q| + slackQ)·n² per entity, so the row-count
+      // cap alone does not prevent a silent long wrap for large |value|
+      // at large scale. Enforce the actual bound: max|q| must fit in
+      // the headroom (Long.MaxValue/4)/n² after the slack term — all
+      // long arithmetic, n² ≤ 1e12 guaranteed by the __n guard above.
+      .withColumn("__maxabs", max(abs(col("value_q"))).over(wEnt))
+      .withColumn("__n",
+        when(col("__maxabs") <=
+            (lit(Long.MaxValue / 4) / (col("__n") * col("__n")) -
+              lit(slackQ)) / lit(2L),
+          col("__n"))
+          .otherwise(raise_error(concat(
+            lit("cusum: |value| x n exceeds the exact-long bound " +
+              "(would overflow the running sum); lower `scale` or " +
+              "split the entity: "), col(entity).cast("string"),
+            lit(" max|q|="), col("__maxabs").cast("string")))))
       .withColumn("__sum", sum(col("value_q")).over(wEnt))
-    val slackQ = math.round(slack * scale)
-    val hQ = math.round(h * scale)
     val dev = col("value_q") * col("__n") - col("__sum")
     base
       .withColumn("__sp", sum(dev - lit(slackQ) * col("__n")).over(wRun))
@@ -523,7 +543,7 @@ object TimeSeries {
         col("s_pos") > col("threshold_q") ||
           col("s_neg") > col("threshold_q"))
       .withColumn("n", col("__n"))
-      .drop("__n", "__sum", "__sp", "__sn")
+      .drop("__n", "__sum", "__sp", "__sn", "__maxabs")
   }
 
   def seasonalAnomaly(df: DataFrame, entity: String, order: Seq[Column],

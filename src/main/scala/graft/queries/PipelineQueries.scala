@@ -6876,7 +6876,8 @@ object PipelineQueries {
         |deg AS (SELECT w, count(*)::BIGINT AS dg FROM adj GROUP BY 1),
         |k AS (
         |  SELECT a.w, a.nb, round(1e9 / ln(dg::DOUBLE))::BIGINT AS c
-        |  FROM adj a JOIN deg d ON d.w = a.w),
+        |  FROM adj a JOIN deg d ON d.w = a.w
+        |  WHERE dg >= 2),
         |p AS (
         |  SELECT x.nb AS u, y.nb AS v, sum(x.c)::BIGINT AS score_q
         |  FROM k x JOIN k y ON x.w = y.w AND x.nb < y.nb

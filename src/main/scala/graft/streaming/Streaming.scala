@@ -373,7 +373,16 @@ object Streaming {
     * belongs in was already emitted; re-splicing would retract emitted
     * pairs — the batch operator is the authority for late data, the
     * [[dedupStream]] within-watermark discipline). In-order input ≡
-    * batch pairing exactly (spec-gated).
+    * batch pairing exactly (spec-gated) — with one tie-resolution
+    * caveat, stated rather than hidden: within a micro-batch, events
+    * tied at the SAME millisecond sort by `(ts, value)` here, while
+    * the batch gate (q206) orders by `(ts_ns, event_id)` — columns the
+    * streaming [[Event]] does not carry (its `ts` is millisecond
+    * `Timestamp`). Same-millisecond ties can therefore pair in a
+    * different order than batch; the equivalence contract holds
+    * exactly for per-user distinct event timestamps (the spec's
+    * fixtures), and callers with sub-millisecond collision rates that
+    * matter should widen `Event` with the nanosecond column and id.
     */
   def transitionPairsStream(events: Dataset[Event])
       : Dataset[(Long, String, String)] = {

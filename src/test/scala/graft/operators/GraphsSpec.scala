@@ -360,6 +360,20 @@ class GraphsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graphs.cheapestPaths(g4, seedsA, -1)
     }
+    // lossy-cast guard (ADVICE r17): fractional double weights raise
+    // instead of truncating (0.9 -> 0 would corrupt costs; -0.7 -> 0
+    // would also slip the negative check); integral doubles cast fine
+    intercept[Exception] {
+      Graphs.cheapestPaths(
+        Seq(("a", "b", 0.9)).toDF("src", "dst", "w"), seedsA, 1)
+    }
+    intercept[Exception] {
+      Graphs.cheapestPaths(
+        Seq(("a", "b", -0.7)).toDF("src", "dst", "w"), seedsA, 1)
+    }
+    assert(Graphs.cheapestPaths(
+        Seq(("a", "b", 2.0)).toDF("src", "dst", "w"), seedsA, 1)
+      .as[(String, Long)].collect().toMap == Map("a" -> 0L, "b" -> 2L))
   }
 
   test("connectedComponents: pointer jumping converges a 199-hop path in " +

@@ -864,6 +864,18 @@ class IncrementalAggSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeSeries.cusum(rows, "e", Seq(col("idx")), "v", 2.0, 0.0)
     }
+    // magnitude guard (ADVICE r17): |value_q|·n² past the long headroom
+    // raises instead of silently wrapping — 100 rows of 5e10 at scale
+    // 1e4 gives max|q| = 5e14 > (Long.MaxValue/4)/1e4 ≈ 2.3e14
+    val big = (1 to 100).map(i => ("a", i.toLong, Some(5.0e10)))
+      .toDF("e", "idx", "v")
+    intercept[Exception] {
+      TimeSeries.cusum(big, "e", Seq(col("idx")), "v",
+        slack = 2.0, h = 10.0, scale = 10000L).collect()
+    }
+    // the same magnitude at a lower quantization scale fits and runs
+    assert(TimeSeries.cusum(big, "e", Seq(col("idx")), "v",
+      slack = 2.0, h = 10.0, scale = 1L).count() == 100L)
   }
 
   test("transitionMatrix: hand-computed chain, __end__ completion, null splice") {
