@@ -366,6 +366,96 @@ object Graphs {
     ranks
   }
 
+  /** Edge-weighted PageRank (the Xing–Ghorbani WI'04 generalization of
+    * Page et al. 1999): a node's rank flows to its out-neighbors in
+    * proportion to EDGE WEIGHT rather than uniformly — contribution
+    * from u to v is rank(u)·w(u,v)/W(u) with W(u) the total out-weight
+    * — so purchase counts, click volumes, and transfer amounts shape
+    * the centrality instead of being flattened to 0/1 adjacency (the
+    * VERDICT r17 gap: every real interaction graph carries weights).
+    *
+    * Weight contract (the [[cheapestPaths]] discipline): weights are
+    * LONGS — callers with float weights quantize first; a value that
+    * does not survive the long cast raises rather than truncating, and
+    * non-positive weights fail loudly up front (one metadata
+    * aggregate) — a 0-weight edge is "no edge", and silently dropping
+    * it would change which nodes count as dangling. Parallel edges sum
+    * their weights (the natural multigraph collapse: two 3-unit orders
+    * ≡ one 6-unit order).
+    *
+    * Determinism (the [[pageRank]] discipline, oracle-mirrored literal
+    * for literal): per-edge contributions quantize to 1e-12-scaled
+    * longs BEFORE the corpus-wide sum — round(rank·(w/W)·scale) — so
+    * no float addition order can shift a rank; dangling mass (nodes
+    * with no out-edges) redistributes uniformly, collected as ONE long
+    * per round; the update is (1−d)/n + d·(cs/scale + (dang/scale)/n).
+    *
+    * Scale shape: identical to [[pageRank]] — the edge projection
+    * (with summed weights and the guard applied) checkpoints once and
+    * feeds nodes, the out-weight table, and every round's contribution
+    * join; per-round shuffle is one node-keyed join + aggregate; the
+    * only collect is the 1-row dangling mass.
+    *
+    * @param weightCol long-typed (or losslessly castable) POSITIVE
+    *                  edge weight; lossy casts and w ≤ 0 raise
+    * @return (node, rank) over every node in the edge list
+    */
+  def weightedPageRank(edges: DataFrame, iterations: Int,
+      damping: Double = 0.85, srcCol: String = "src",
+      dstCol: String = "dst", weightCol: String = "w"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(weightCol).isNotNull)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        when(col(weightCol).cast("long") === col(weightCol),
+          col(weightCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("weightedPageRank: weight not losslessly castable to " +
+              "long (quantize first): "),
+            col(weightCol).cast("string")))).as("__w"))
+      .groupBy(col("__src"), col("__dst"))
+      .agg(sum(col("__w")).as("__w"))
+      .localCheckpoint()
+    val minW = e.agg(coalesce(min(col("__w")), lit(1L)))
+      .collect()(0).getLong(0)
+    require(minW > 0L,
+      s"weightedPageRank requires positive weights; min weight = $minW")
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val outW = e.groupBy(col("__src").as("node"))
+      .agg(sum(col("__w")).as("__outw")).localCheckpoint()
+    val scale = 1e12
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val withW = ranks.join(outW, Seq("node"), "left")
+      val contrib = withW.where(col("__outw").isNotNull)
+        .join(e.withColumnRenamed("__src", "node"), Seq("node"))
+        .select(col("__dst").as("node"),
+          // association mirrored by the oracle:
+          // round(rank * (w / W) * scale)
+          round(col("rank") *
+            (col("__w").cast("double") / col("__outw").cast("double")) *
+            lit(scale)).cast("long").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__cs"))
+      val dangScaled = withW.where(col("__outw").isNull)
+        .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")),
+          lit(0L)))
+        .collect()(0).getLong(0)
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("__cs"), lit(0L)).cast("double") / lit(scale) +
+              lit((dangScaled.toDouble / scale) / n))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Personalized PageRank (Page et al. 1999 §6; Jeh & Widom WWW'03):
     * [[pageRank]] with the uniform teleport replaced by a PREFERENCE
     * VECTOR over a seed set — both the (1−d) restart mass and the

@@ -2238,6 +2238,23 @@ object PipelineQueries {
       val seeds = li.filter(col("pk") % 97 === 0)
         .select(col("pk").as("node")).distinct()
       graft.operators.Graphs.cheapestPaths(edges, seeds, maxHops = 4)
+    }),
+
+    // Edge-weighted PageRank (round 18, VERDICT r17 gap #4): q181's
+    // purchase graph with weight = lineitem count per (customer,
+    // supplier) pair, so rank flows in proportion to actual purchase
+    // volume instead of flattened 0/1 adjacency. 5 rounds of the
+    // quantized rank·(w/W) update, oracle-replayed round for round;
+    // no output rounding.
+    "q219_weighted_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graphs.weightedPageRank(edges, iterations = 5,
+        damping = 0.85)
     })
   )
 
@@ -3109,6 +3126,48 @@ object PipelineQueries {
        |      THEN 1.0::DOUBLE / ns.n ELSE 0.0::DOUBLE END AS p
        |  FROM nodes CROSS JOIN ns),
        |r0 AS MATERIALIZED (SELECT node, p AS rank FROM pref),
+       |${(1 to iterations).map(iter).mkString(",\n")}
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Graphs.weightedPageRank]] —
+    * [[pageRankOracle]] with the uniform 1/outdeg split replaced by the
+    * weighted rank·(w/W) split, association order mirrored exactly;
+    * `edgesCte` must yield (src, dst, w) with parallel edges already
+    * collapsed (the gates aggregate at build time).
+    */
+  private def weightedPageRankOracle(edgesCte: String, iterations: Int,
+      damping: Double): String = {
+    val S = "1000000000000.0::DOUBLE"
+    def iter(i: Int): String = {
+      val p = s"r${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    sum(round(r.rank * (e.w::DOUBLE / d.outw::DOUBLE) * $S)
+         |      ::BIGINT) AS cs
+         |  FROM $p r JOIN outw d ON d.node = r.node JOIN e ON e.src = r.node
+         |  GROUP BY e.dst),
+         |d$i AS MATERIALIZED (
+         |  SELECT coalesce(sum(round(r.rank * $S)::BIGINT), 0) AS dm
+         |  FROM $p r LEFT JOIN outw d ON d.node = r.node
+         |  WHERE d.node IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    (1.0::DOUBLE - $damping::DOUBLE) / nn.n + $damping::DOUBLE *
+         |      (coalesce(c$i.cs, 0)::DOUBLE / $S +
+         |        (d$i.dm::DOUBLE / $S) / nn.n) AS rank
+         |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED ($edgesCte),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |outw AS MATERIALIZED (
+       |  SELECT src AS node, sum(w)::BIGINT AS outw
+       |  FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / nn.n AS rank
+       |  FROM nodes CROSS JOIN nn),
        |${(1 to iterations).map(iter).mkString(",\n")}
        |SELECT node, rank FROM r$iterations""".stripMargin
   }
@@ -7470,7 +7529,16 @@ object PipelineQueries {
          |  FROM li WHERE pk % 97 = 0),
          |$rounds
          |SELECT node, cost FROM d4""".stripMargin
-    }
+    },
+
+    // q219 = the weighted rank·(w/W) update unrolled 5 rounds over the
+    // purchase-count-weighted customer→supplier edge list.
+    "q219_weighted_pagerank" -> weightedPageRankOracle(
+      """SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+        |    count(*)::BIGINT AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2""".stripMargin,
+      iterations = 5, damping = 0.85)
   )
 
   /** q214 = the identical synchronous rounds replayed as chained CTEs

@@ -129,6 +129,71 @@ class GraphsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graphs.pageRank(g, 2, damping = 1.0) }
   }
 
+  /** Plain-Scala replay of the weighted quantized update. */
+  private def refWRanks(edges: Seq[(String, String, Long)], iters: Int,
+      d: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outW = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._3).sum }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (s, t, w) =>
+          t -> math.rint(
+            r(s) * (w.toDouble / outW(s).toDouble) * 1e12).toLong }
+        .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).sum }
+      val dang = nodes.filterNot(outW.contains)
+        .map(v => math.rint(r(v) * 1e12).toLong).sum
+      r = nodes.map { v =>
+        v -> ((1.0 - d) / n + d *
+          (contrib.getOrElse(v, 0L).toDouble / 1e12 +
+            (dang.toDouble / 1e12) / n))
+      }.toMap
+    }
+    r
+  }
+
+  test("weightedPageRank ≡ hand-replayed update; parallel edges sum; guards") {
+    // a splits 3:1 between b and c; b sends everything to c; c dangles
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L))
+    val wg = edges.toDF("src", "dst", "w")
+    val got = Graphs.weightedPageRank(wg, iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(got == refWRanks(edges, 4, 0.85),
+      s"diverged from the reference replay: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass not conserved")
+    // the 3:1 split must actually bias: c (receiving from both, plus
+    // b's full mass) outranks b
+    assert(got("c") > got("b"), s"weight bias missing: $got")
+    // parallel edges sum to the same single edge
+    val par = Seq(("a", "b", 2L), ("a", "b", 1L), ("a", "c", 1L),
+      ("b", "c", 2L)).toDF("src", "dst", "w")
+    assert(Graphs.weightedPageRank(par, 4)
+      .as[(String, Double)].collect().toMap == got,
+      "parallel-edge weights must collapse by summing")
+    // guards: lossy cast, non-positive weight, bad params
+    intercept[Exception] {
+      Graphs.weightedPageRank(
+        Seq(("a", "b", 0.9)).toDF("src", "dst", "w"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.weightedPageRank(
+        Seq(("a", "b", 0L)).toDF("src", "dst", "w"), 2)
+    }
+    intercept[IllegalArgumentException] { Graphs.weightedPageRank(wg, 0) }
+    intercept[IllegalArgumentException] {
+      Graphs.weightedPageRank(wg, 2, damping = 1.0)
+    }
+    // uniform weights reproduce plain pageRank's ORDER on g (values may
+    // differ in final ulps: w/W multiplies where pageRank divides)
+    val uni = Graphs.weightedPageRank(
+        g.withColumn("w", lit(1L)), 25)
+      .as[(String, Double)].collect().toMap
+    assert(uni("a") > uni("b") && uni("b") > uni("d") &&
+      uni("d") > uni("c"), s"uniform-weight order wrong: $uni")
+  }
+
   /** Scala replay of the quantized HITS rounds. */
   private def refHits(edges: Seq[(String, String)], iters: Int)
       : Map[String, (Double, Double)] = {
