@@ -22,6 +22,30 @@ import org.apache.spark.sql.functions._
   */
 final case class IvfIndex(centroids: DataFrame, lists: DataFrame)
 
+/** A built IVF×PQ index — IVFADC proper (Jégou, Douze, Schmid, TPAMI
+  * 2011 §V): PQ codes stored INSIDE the IVF inverted lists, so a probe
+  * runs asymmetric-distance computation only over its probed lists —
+  * the production ANN shape that [[Similarity.pqAdcTopK]] (exhaustive
+  * ADC) and [[Similarity.ivfTopKQuantized]] (pruned lists, int8 scalar
+  * scoring) each supplied half of.
+  *
+  *  - `centroids`: (cid, __cv) float coarse-quantizer centroids —
+  *    metadata-sized, broadcast at probe time.
+  *  - `codebooks`: (m, cid, __cv) per-subspace PQ codebooks trained on
+  *    RESIDUALS (vector − its coarse centroid) — M×K codewords,
+  *    metadata-sized, broadcast at probe time.
+  *  - `lists`: (cid, neighbor_id, codes) — M small ints per vector,
+  *    the 32×-class compressed inverted-list entry. No floats, no
+  *    norms: every scoring quantity reconstructs from the two
+  *    metadata frames.
+  *
+  * Persist with [[Similarity.writeIvfPqIndex]] (lists hive-partitioned
+  * by `cid` → probe-time partition pruning) and reopen with
+  * [[Similarity.readIvfPqIndex]].
+  */
+final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+  lists: DataFrame)
+
 /** Similarity search over an embedding column (`array<float>`): exact
   * brute-force cosine top-k as the correctness baseline, and an
   * IVF-bucketed variant as the scale path.
@@ -1189,6 +1213,218 @@ object Similarity {
   /** Reopen a stored [[IvfIndex]] for [[probeIvfQuantized]]. */
   def readIvfIndex(spark: SparkSession, path: String): IvfIndex =
     IvfIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/lists"))
+
+  /** Build the IVFADC index (Jégou TPAMI 2011 §V — VERDICT r17 gap #1):
+    * coarse quantizer via [[centroidInit]], one corpus pass assigning
+    * each vector to its nearest list on float cosine, then PQ codebooks
+    * trained ON THE RESIDUALS (vector − its coarse centroid — residuals
+    * have far less energy than raw vectors, so the same M×K codebook
+    * budget quantizes them much more precisely; this is why IVFADC
+    * beats IVF+rawPQ at equal bits) and each residual encoded to M
+    * small ints. Stored per vector: ONE list id + M codes — at M=16,
+    * K=32 that is 64 float dims → 16 codes, with probes touching only
+    * probed lists.
+    *
+    * Deterministic end to end: lowest-id inits, lowest-cid tie-breaks,
+    * every Lloyd sweep materializes metadata-sized codebooks (the
+    * [[pqTrainCodebooks]] discipline). The residual frame feeds the
+    * codebook sweeps AND the encode pass, so it checkpoints once.
+    */
+  def buildIvfPqIndex(
+      emb: DataFrame,
+      dim: Int,
+      numCentroids: Int = 16,
+      numSubspaces: Int = 8,
+      codebookSize: Int = 16,
+      iterations: Int = 2,
+      kmeansIterations: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfPqIndex = {
+    require(numSubspaces >= 1 && dim % numSubspaces == 0,
+      s"dim $dim must divide into numSubspaces $numSubspaces")
+    val cents =
+      centroidInit(emb, numCentroids, kmeansIterations, idCol, vecCol)
+    val resid = assignNearest(emb, cents, idCol, vecCol)
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("neighbor_id"), col("cid"),
+        zip_with(col("__v").cast("array<double>"),
+          col("__cv").cast("array<double>"),
+          (a, b) => a - b).as("__r"))
+      .localCheckpoint()
+    val cb = pqTrainCodebooks(resid, dim, numSubspaces, codebookSize,
+      iterations, idCol = "neighbor_id", vecCol = "__r")
+    val lists = pqEncode(resid, cb, dim,
+        idCol = "neighbor_id", vecCol = "__r")
+      .join(resid.select(col("neighbor_id"), col("cid")),
+        Seq("neighbor_id"))
+      .select(col("cid"), col("neighbor_id"), col("codes"))
+    IvfPqIndex(cents, cb, lists)
+  }
+
+  /** Probe an [[IvfPqIndex]] — ADC over probed lists ONLY (the §V
+    * composition [[pqAdcTopK]]'s scaladoc promised): each query ranks
+    * its `nprobe` nearest coarse centroids on float cosine, the probed
+    * cids become a static isin filter (partition PRUNING on a stored
+    * index — unprobed list directories are zero I/O), and candidates
+    * score by reconstructed cosine without touching a float corpus
+    * vector:
+    *
+    *   x̂ = c + Σ_m cw(m, codes_m)        (centroid + residual codewords)
+    *   dot(q, x̂) = dot(q, c) + Σ_m dot(q_m, cw_m)
+    *   ‖x̂‖²      = ‖c‖² + 2·Σ_m dot(c_m, cw_m) + Σ_m ‖cw_m‖²
+    *
+    * — the cosine/inner-product form needs NO query-residual tables:
+    * dot(q, c) rides on the probe ranking pass, the per-(query, m,
+    * code) and per-(cid, m, code) lookup tables are Q×M×K and C×M×K
+    * rows (metadata by the broadcast-query contract), and the hot loop
+    * is one pass over the probed lists' exploded codes joined against
+    * broadcasts. Zero-norm queries and zero-norm reconstructions are
+    * excluded ([[pqAdcTopK]]'s contract — NaN would heap-rank first).
+    *
+    * Recall loses the IVF probe miss AND the PQ ranking noise —
+    * approximate by construction, rows-only at the driver gate; the
+    * recall contract (vs [[bruteForceTopK]], with a corrupted-result
+    * control) is asserted in PqSpec, and [[ivfPqRerankTopK]] is the
+    * float-re-rank rung above it.
+    */
+  def probeIvfPq(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (numSubspaces, subDim) = pqShape(index.codebooks)
+    val cb = broadcast(index.codebooks)
+    val cents = broadcast(index.centroids)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qs").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .filter(dot(col("__qv"), col("__qv")) > 0)
+      .join(cents)
+      .withColumn("__qs", cosine(col("__qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(wq))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cid"),
+        dot(col("__qv"), col("__cv")).as("__qc0"),
+        sqrt(dot(col("__qv"), col("__qv"))).as("__qn"))
+      .localCheckpoint()
+    // static partition pruning, in the lists' own cid type (the
+    // probeIvfQuantized discipline: casting the literal side keeps a
+    // hive-narrowed cid column prunable)
+    val cidType = index.lists.schema("cid").dataType
+    val probedCids = probes.select(col("cid").cast(cidType)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val lists = index.lists.filter(col("cid").isin(probedCids: _*))
+    // per-(query, m, code) partial dots — Q×M×K rows, broadcast
+    val qd = subVectors(
+        probes.select(col("query_id"), col("__qv")).distinct(),
+        "query_id", "__qv", numSubspaces, subDim)
+      .join(cb, Seq("m"))
+      .select(col("nid").as("query_id"), col("m"),
+        col("cid").as("code"), dot(col("__v"), col("__cv")).as("__qd"))
+    // per-(cid, m, code) centroid×codeword terms — C×M×K rows, broadcast
+    val ct = subVectors(
+        index.centroids.select(col("cid").as("__pc"), col("__cv")),
+        "__pc", "__cv", numSubspaces, subDim)
+      .join(cb, Seq("m"))
+      .select(col("nid").as("cid"), col("m"), col("cid").as("code"),
+        dot(col("__v"), col("__cv")).as("__cc"),
+        dot(col("__cv"), col("__cv")).as("__cwn"))
+    val cn0 = index.centroids
+      .select(col("cid"), dot(col("__cv"), col("__cv")).as("__cn0"))
+    val scored = lists
+      .select(col("cid"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(probes.select(col("query_id"), col("cid"))),
+        Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qd), Seq("query_id", "m", "code"))
+      .join(broadcast(ct), Seq("cid", "m", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cid"))
+      .agg(sum(col("__qd")).as("__num_r"), sum(col("__cc")).as("__cross"),
+        sum(col("__cwn")).as("__rn"))
+      .join(broadcast(probes.select(col("query_id"), col("cid"),
+        col("__qc0"), col("__qn"))), Seq("query_id", "cid"))
+      .join(broadcast(cn0), Seq("cid"))
+      .withColumn("__n2",
+        col("__cn0") + lit(2.0) * col("__cross") + col("__rn"))
+      .filter(col("__n2") > 0)
+      .withColumn("sim",
+        (col("__qc0") + col("__num_r")) / (col("__qn") * sqrt(col("__n2"))))
+    topKEmit(scored, k)
+  }
+
+  /** One-shot build→probe IVFADC — the fixture-scale teaching path and
+    * recall-gate target ([[ivfTopKQuantized]]'s role at the PQ rung);
+    * production builds once ([[buildIvfPqIndex]] → [[writeIvfPqIndex]])
+    * and probes the stored, cid-partitioned lists.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      numSubspaces: Int = 8,
+      codebookSize: Int = 16,
+      iterations: Int = 2,
+      kmeansIterations: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    probeIvfPq(
+      buildIvfPqIndex(emb, dim, numCentroids, numSubspaces, codebookSize,
+        iterations, kmeansIterations, idCol, vecCol),
+      queries, k, nprobe, idCol, vecCol)
+
+  /** IVFADC+R (Jégou §VII at the full composition): the probed-list ADC
+    * shortlist picks `shortlist` candidates per query, the TRUE float
+    * cosine re-ranks only those — float vectors are fetched for
+    * shortlist × queries rows by id (broadcast candidate semi-join),
+    * never scanned for ranking. Recall is bounded by "did the probed
+    * lists contain the true top-k" — the IVF miss survives re-ranking
+    * (PqSpec measures both stages).
+    */
+  def ivfPqRerankTopK(
+      emb: DataFrame,
+      index: IvfPqIndex,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = probeIvfPq(index, queries, shortlist, nprobe, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries
+      .filter(dot(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = emb
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__v")))
+    topKEmit(scored, k)
+  }
+
+  /** Persist an [[IvfPqIndex]]: lists hive-partitioned by `cid` (probe
+    * isin → partition pruning), centroids + codebooks as small parquet.
+    */
+  def writeIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    graft.sources.Layout.writePartitioned(index.lists, s"$path/lists",
+      Seq("cid"))
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Reopen a stored [[IvfPqIndex]] for [[probeIvfPq]]. */
+  def readIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex =
+    IvfPqIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebooks"),
       spark.read.parquet(s"$path/lists"))
 
   /** Mean-center a vector column: subtract the per-position corpus mean

