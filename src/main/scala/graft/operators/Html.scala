@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction with link-density boilerplate removal — the
+  * crawl pipeline's STEP ZERO (the trafilatura/jusText class of the
+  * C4/RefinedWeb "extract" stage; VERDICT r17 gap #2): before
+  * [[Urls.normalizeUrl]] screens hosts and [[Curation.curateWeb]]
+  * screens text, raw crawl payloads must become text at all.
+  *
+  * The pipeline, per document:
+  *  1. drop invisible content (`<script>`/`<style>` elements whole,
+  *     HTML comments);
+  *  2. segment into BLOCKS at block-level tag boundaries (`p`, `div`,
+  *     headings, list/table elements, `br`, sectioning tags — the
+  *     jusText unit of decision);
+  *  3. per block: strip remaining inline tags, decode the common
+  *     entities, collapse whitespace; measure `text_chars` and
+  *     `link_chars` (characters contributed by `<a>` elements — the
+  *     classic boilerplate signal: navigation, footers, and link farms
+  *     are link-dense, body prose is not);
+  *  4. a block is boilerplate when it is SHORT (< `minBlockChars`) or
+  *     LINK-DENSE (link_chars/text_chars > `maxLinkDensityPpm`, tested
+  *     as an exact integer cross-multiply — no float boundary decides
+  *     a block's fate);
+  *  5. [[Html.extractHtmlText]] reassembles the surviving blocks in
+  *     document order.
+  *
+  * Everything is built-in codegen'd string/regexp expressions over one
+  * narrow scan — no UDFs, no collects, embarrassingly parallel, and
+  * every regex is written in the common Java-regex/RE2 dialect (no
+  * backreferences or lookaround) so the DuckDB oracle replays the
+  * extraction literally (q222/q223 hash-compare block tables and
+  * reassembled text cross-engine).
+  *
+  * Scope, stated: this is a deterministic heuristic extractor, not a
+  * browser — no JS rendering, no CSS visibility, no charset sniffing
+  * (payloads are already strings by the time they reach the engine).
+  * That matches what C4-class pipelines actually run at 100 TB.
+  */
+object Html {
+
+  /** Block-level tags that terminate a text block (jusText's
+    * segmentation set: structural + sectioning + table elements).
+    */
+  private val BlockTags =
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|br|hr|" +
+      "section|article|aside|header|footer|nav|blockquote|pre|form|" +
+      "title|head|body|html"
+
+  private val BlockSplit =
+    s"(?i)</?(?:$BlockTags)(?:[ \\t\\r\\n][^>]*)?>"
+
+  /** `<script>`/`<style>` elements (content included) and comments. */
+  private def dropInvisible(c: Column): Column =
+    regexp_replace(c,
+      "(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>|" +
+        "<!--.*?-->", " ")
+
+  /** Remove `<a>` elements whole — the link-character measurement's
+    * "what would remain without the links" side.
+    */
+  private def dropAnchors(c: Column): Column =
+    regexp_replace(c, "(?is)<a\\b[^>]*>.*?</a>", " ")
+
+  private def stripTags(c: Column): Column =
+    regexp_replace(c, "(?s)<[^>]*>", " ")
+
+  /** The five common named entities + the numeric apostrophe, `&amp;`
+    * LAST so `&amp;lt;` decodes to the text `&lt;`, not to `<` (the
+    * standard single-pass order).
+    */
+  private def decodeEntities(c: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+  }
+
+  private def normWs(c: Column): Column =
+    trim(regexp_replace(c, "[ \\t\\r\\n]+", " "))
+
+  private def toText(c: Column): Column =
+    normWs(decodeEntities(stripTags(c)))
+
+  /** The per-block audit table: (id, block_idx, block_text, text_chars,
+    * link_chars, is_boilerplate) — one row per non-empty block, indexed
+    * in document order. This is the inspectable middle every extraction
+    * debugging session needs ("WHY did the extractor drop my
+    * paragraph?"), and the value-oracled surface under
+    * [[extractHtmlText]].
+    */
+  def htmlBlocks(df: DataFrame, idCol: String, htmlCol: String,
+      minBlockChars: Int = 25,
+      maxLinkDensityPpm: Long = 400000L): DataFrame = {
+    require(minBlockChars >= 1,
+      s"minBlockChars must be >= 1, got $minBlockChars")
+    require(maxLinkDensityPpm >= 0 && maxLinkDensityPpm <= 1000000L,
+      s"maxLinkDensityPpm must be in [0, 1e6], got $maxLinkDensityPpm")
+    df.select(col(idCol),
+        posexplode(split(dropInvisible(col(htmlCol)), BlockSplit))
+          .as(Seq("block_idx", "__raw")))
+      .withColumn("block_text", toText(col("__raw")))
+      .withColumn("text_chars", length(col("block_text")))
+      .filter(col("text_chars") > 0)
+      .withColumn("link_chars",
+        col("text_chars") - length(toText(dropAnchors(col("__raw")))))
+      .withColumn("is_boilerplate",
+        col("text_chars") < minBlockChars ||
+          col("link_chars") * lit(1000000L) >
+            lit(maxLinkDensityPpm) * col("text_chars"))
+      .select(col(idCol), col("block_idx"), col("block_text"),
+        col("text_chars"), col("link_chars"), col("is_boilerplate"))
+  }
+
+  /** Document-level extraction: the non-boilerplate blocks of
+    * [[htmlBlocks]] reassembled in document order (newline-joined),
+    * with the block census alongside — (id, text, blocks_total,
+    * blocks_kept). Documents whose every block is boilerplate emit an
+    * EMPTY text row (not a dropped row): the census is the curation
+    * signal, and silently losing the id would break join-backs.
+    */
+  def extractHtmlText(df: DataFrame, idCol: String, htmlCol: String,
+      minBlockChars: Int = 25,
+      maxLinkDensityPpm: Long = 400000L): DataFrame =
+    htmlBlocks(df, idCol, htmlCol, minBlockChars, maxLinkDensityPpm)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("is_boilerplate"),
+            struct(col("block_idx"), col("block_text"))))),
+          s => s.getField("block_text")), "\n").as("text"),
+        count(lit(1)).as("blocks_total"),
+        sum(when(col("is_boilerplate"), 0L).otherwise(1L))
+          .as("blocks_kept"))
+}

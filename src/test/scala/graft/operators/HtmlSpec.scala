@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed gates for the HTML extraction front door (q222/q223). */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val page =
+    "<html><head><title>T</title><style>p{color:red}</style></head>" +
+      "<body>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+      "<p>Hello &amp; world. This paragraph is body prose.</p>" +
+      "<br><p>Short</p>" +
+      "<script>var x = 1; if (x < 2) { track(); }</script>" +
+      "<!-- hidden <p>comment</p> -->" +
+      "<div>Read the follow-up article <a href=\"/x\">here</a>.</div>" +
+      "<FOOTER><A HREF=\"/p\">Privacy</A> | <A HREF=\"/t\">Terms</A></FOOTER>" +
+      "</body></html>"
+
+  test("htmlBlocks: segmentation, invisible content, link density, case") {
+    val df = Seq((1L, page)).toDF("id", "html")
+    val got = Html.htmlBlocks(df, "id", "html")
+      .select("block_text", "text_chars", "link_chars", "is_boilerplate")
+      .as[(String, Int, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // script content (with its < and { traps), style, and the comment's
+    // fake <p> must all be gone entirely
+    assert(!got.keys.exists(t => t.contains("track") || t.contains("var x")
+      || t.contains("color:red") || t.contains("comment")),
+      s"invisible content leaked into blocks: ${got.keys}")
+    // title is its own (short -> boilerplate) block
+    assert(got("T") == ((1, 0, true)))
+    // nav: 10 chars, all of them anchor text -> short AND link-dense
+    assert(got("Home About") == ((10, 10, true)))
+    // body prose: entities decoded, no links, long enough -> kept
+    assert(got("Hello & world. This paragraph is body prose.") ==
+      ((44, 0, false)))
+    assert(got("Short") == ((5, 0, true)))
+    // mixed block: 36 chars, "here" + its joining spaces = 5 link chars
+    // -> 139k ppm, under the 400k default -> kept
+    val mixed = got("Read the follow-up article here .")
+    assert(mixed._3 == false && mixed._2 > 0 &&
+      mixed._1 * 400000L >= mixed._2 * 1000000L, s"mixed block: $mixed")
+    // UPPERCASE tags segment and strip the same (the (?i) contract)
+    assert(got("Privacy | Terms") ==
+      ((15, 14, true)), s"${got.get("Privacy | Terms")}")
+    // parameter guards
+    intercept[IllegalArgumentException] {
+      Html.htmlBlocks(df, "id", "html", minBlockChars = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Html.htmlBlocks(df, "id", "html", maxLinkDensityPpm = 2000000L)
+    }
+  }
+
+  test("extractHtmlText: document order, census, all-boilerplate empties") {
+    val allBp = "<div><a href=\"/\">Only links here</a></div>"
+    val df = Seq((1L, page), (2L, allBp)).toDF("id", "html")
+    val got = Html.extractHtmlText(df, "id", "html")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (text1, total1, kept1) = got(1L)
+    assert(kept1 == 2L && total1 >= 6L, s"census wrong: $total1/$kept1")
+    // kept blocks joined by \n IN DOCUMENT ORDER
+    assert(text1 ==
+      "Hello & world. This paragraph is body prose.\n" +
+        "Read the follow-up article here .", s"got: $text1")
+    // a document whose every block is boilerplate keeps its id with
+    // empty text — the census is the signal, the row must survive
+    assert(got(2L) == (("", 1L, 0L)), s"${got(2L)}")
+    // entity decode order: &amp;lt; is the TEXT "&lt;", never "<"
+    val amp = Seq((3L, "<p>use &amp;lt; to write a less-than sign</p>"))
+      .toDF("id", "html")
+    val t3 = Html.extractHtmlText(amp, "id", "html")
+      .select("text").as[String].collect().head
+    assert(t3 == "use &lt; to write a less-than sign", s"got: $t3")
+  }
+}
