@@ -339,6 +339,144 @@ object TextAnalysis {
     */
   private val EncodeCheckpointEvery = 16
 
+  /** Unknown-code-point cost for the unigram tokenizer: −ln p ≈ 30
+    * (p ≈ 1e-13) at the 1e-9 quantization — far above any trained piece
+    * cost, so the unknown edge is taken only when no vocabulary path
+    * covers a position. A named constant because the DuckDB oracle
+    * mirrors it literally.
+    */
+  val UnigramUnkCost: Long = 30000000000L
+
+  /** Unigram-LM tokenizer TRAINING (the SentencePiece unigram model,
+    * Kudo 2018 — VERDICT r17 gap #3; [[learnBpeMerges]] and the greedy
+    * WordPiece kernel are the other two tokenizer families): seed a
+    * substring vocabulary from the corpus, then `rounds` of hard EM —
+    * E-step: Viterbi-segment every dictionary word under the current
+    * piece costs ([[graft.functions.UnigramFunctions.unigramSegment]]);
+    * M-step: re-estimate cost(piece) = round(ln(total/usage)·1e9) from
+    * the frequency-weighted piece usage, PRUNING pieces that went
+    * unused (single code points are never pruned — they are the
+    * coverage floor; an unused one re-enters at pseudo-count 1, the
+    * deterministic smoothing the oracle mirrors).
+    *
+    * Hard EM (Viterbi counts) rather than full forward–backward
+    * expected counts — deliberately: the E-step is then a pure integer
+    * argmin, every round's usage table is EXACTLY replayable in SQL
+    * (the q134/q167 unrolled-round discipline), and hard EM is the
+    * standard deterministic simplification of Kudo's §4.2 loop. The
+    * seed is the classic substring-frequency heuristic: all substrings
+    * of dictionary words up to `maxPieceLen`, each occurrence weighted
+    * by word frequency, top `seedSize` by (count desc, piece asc) plus
+    * every single code point.
+    *
+    * Scale shape (the Sennrich dictionary trick, same as
+    * [[learnBpeMerges]]): the corpus collapses ONCE into the
+    * word-frequency dictionary; every EM round runs over the dictionary
+    * (|vocab| ≤ ~100 M rows at web scale), and the only driver-side
+    * state is the piece table itself — `seedSize`-bounded metadata by
+    * contract (a 32k-piece vocabulary is KBs), collected once per round
+    * to ship as the segmenter's trie literal.
+    *
+    * @return the final vocabulary: (piece, usage, cost) — usage is the
+    *         last E-step's frequency-weighted count (0 for a single
+    *         code point kept by the coverage floor), cost the
+    *         quantized −ln p under the last M-step
+    */
+  def learnUnigramVocab(df: DataFrame, text: Column, seedSize: Int,
+      rounds: Int, maxPieceLen: Int): DataFrame = {
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(tokens(text)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // seed: every substring occurrence up to maxPieceLen, weighted by
+    // word frequency
+    val subs = words
+      .select(col("word"), col("n"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("i"))
+      .select(col("word"), col("n"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("i"))))
+          .as("l"))
+      .select(col("word").substr(col("i") + 1, col("l")).as("piece"),
+        col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+      .localCheckpoint()
+    val selected = subs
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+    val vocab0 = selected
+      .unionByName(subs.filter(length(col("piece")) === 1))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // initial costs from seed counts (usage₀ = seed count)
+    var vocab: Seq[(String, Long, Long)] = {
+      val total = vocab0.map(_._2).sum
+      vocab0.toSeq.map { case (p, c) =>
+        (p, c, math.round(math.log(total.toDouble / c.toDouble) * 1e9))
+      }
+    }
+    for (_ <- 1 to rounds) {
+      val costs = vocab.map(v => (v._1, v._3))
+      val usage = words
+        .select(col("n"), explode(element_at(
+          graft.functions.UnigramFunctions.unigramSegment(
+            array(col("word")), costs, UnigramUnkCost), 1)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("n")).as("usage"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // M-step: prune unused multi-char pieces; single code points stay
+      // at pseudo-count 1 (usage reported 0)
+      val survivors = vocab.flatMap { case (p, _, _) =>
+        val u = usage.getOrElse(p, 0L)
+        if (u > 0L) Some((p, u, u))
+        else if (p.codePointCount(0, p.length) == 1) Some((p, 0L, 1L))
+        else None
+      }
+      val total = survivors.map(_._3).sum
+      vocab = survivors.map { case (p, u, eff) =>
+        (p, u, math.round(math.log(total.toDouble / eff.toDouble) * 1e9))
+      }
+    }
+    vocab.toDF("piece", "usage", "cost")
+  }
+
+  /** Unigram ENCODE — the inference half of [[learnUnigramVocab]]
+    * ([[encodeBpe]]'s contract at the Viterbi rung): segment every
+    * document under the trained (piece, cost) vocabulary and emit
+    * `(id, n_words, n_pieces, encoded)`, pieces '+'-joined per word,
+    * words ' '-joined in document order — lossless up to whitespace
+    * (piece concatenation reproduces the word; the unknown edge emits
+    * the code point itself). Same scale shape as [[encodeBpe]]: the
+    * Viterbi runs over the DISTINCT-WORD dictionary, the corpus is
+    * touched exactly twice (dictionary build + the (pos, word)
+    * projection that joins the finished word→pieces table).
+    */
+  def encodeUnigram(df: DataFrame, text: Column,
+      vocab: Seq[(String, Long)], idCol: String = "doc_id"): DataFrame = {
+    require(vocab.nonEmpty, "encodeUnigram needs a non-empty vocabulary")
+    val toks = df.select(col(idCol),
+      posexplode_outer(tokens(text)).as(Seq("pos", "word")))
+    val wordEnc = toks.where(col("word").isNotNull)
+      .select(col("word")).distinct()
+      .select(col("word"), element_at(
+        graft.functions.UnigramFunctions.unigramSegment(
+          array(col("word")), vocab, UnigramUnkCost), 1).as("pieces"))
+      .select(col("word"),
+        concat_ws("+", col("pieces")).as("w_enc"),
+        size(col("pieces")).as("np"))
+    toks.join(wordEnc, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("word")).as("n_words"),
+        coalesce(sum(when(col("np").isNotNull, col("np").cast("long"))),
+          lit(0L)).as("n_pieces"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w_enc")))),
+          s => s.getField("w_enc"))).as("encoded"))
+  }
+
   /** Composite quality score in [0,1]: four equal-weight heuristics a
     * pretraining filter would apply (length band, token-length band,
     * stopword presence, alphabetic density). Deterministic thresholds so

@@ -2303,7 +2303,31 @@ object PipelineQueries {
 
     "q223_html_extract" -> ((s, d) =>
       graft.operators.Html.extractHtmlText(
-        htmlFixture(Tables.documents(s, d)), "doc_id", "html"))
+        htmlFixture(Tables.documents(s, d)), "doc_id", "html")),
+
+    // Unigram-LM tokenizer (round 18, VERDICT r17 gap #3 — the third
+    // major tokenizer family next to BPE q134/q154 and the greedy
+    // WordPiece kernel): substring-frequency seed (top 40 + all single
+    // chars), then 2 hard-EM rounds — Viterbi re-segmentation of the
+    // word dictionary under quantized −ln p costs, usage recount,
+    // prune-unused M-step. The oracle replays EVERYTHING: the seed
+    // ranking, each round's min-cost DP (unrolled over the fixture's
+    // ≤ 8 positions with the same smallest-start tie-break), the
+    // backtrace, and the exact-long cost updates.
+    "q224_unigram_learn" -> ((s, d) =>
+      TextAnalysis.learnUnigramVocab(Tables.documents(s, d), col("text"),
+        seedSize = 40, rounds = 2, maxPieceLen = 4)),
+
+    // Unigram ENCODE composed over the learned vocabulary (q154's shape
+    // at the Viterbi rung): per-document piece encoding, words
+    // '+'-joined in document order — chained full value oracle.
+    "q225_unigram_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = TextAnalysis.learnUnigramVocab(docs, col("text"),
+          seedSize = 40, rounds = 2, maxPieceLen = 4)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      TextAnalysis.encodeUnigram(docs, col("text"), vocab)
+    })
   )
 
   /** q222/q223's synthetic page: deterministic HTML assembled from the
@@ -7625,6 +7649,16 @@ object PipelineQueries {
         |    AS is_boilerplate
         |FROM f""".stripMargin),
 
+    // q224/q225 = the hard-EM unigram loop replayed in full: seed
+    // ranking, per-round unrolled Viterbi DP (min cost, min(j)
+    // tie-break — the kernel's smallest-start rule), recursive
+    // backtrace, usage recount, and the exact-long M-step; the encode
+    // runs one more DP under the final vocabulary and re-assembles
+    // documents exactly like the q154 BPE encode oracle.
+    "q224_unigram_learn" -> unigramLearnOracle(rounds = 2),
+
+    "q225_unigram_encode" -> unigramEncodeOracle(rounds = 2),
+
     "q223_html_extract" -> (htmlBlocksCtes +
       """,
         |g AS (
@@ -7639,6 +7673,151 @@ object PipelineQueries {
         |  sum(CASE WHEN bp THEN 0 ELSE 1 END)::BIGINT AS blocks_kept
         |FROM g GROUP BY doc_id""".stripMargin)
   )
+
+  /** One hard-EM round of the unigram oracle (q224/q225): edge table
+    * (every vocabulary match at every position + the 30e9 unknown
+    * edge), the Viterbi DP unrolled over `maxLen` positions — per
+    * position a candidate set, the min cost, and the min(j) argmin
+    * (the kernel's smallest-start tie-break) — then the recursive
+    * backtrace, the frequency-weighted usage count, and the
+    * prune-unused / keep-singles M-step with the exact-long cost
+    * update. `vocab` names the incoming vocabulary CTE (piece, usage,
+    * cost); emits `vocab$r`.
+    */
+  private def unigramDpBlock(r: Int, vocab: String,
+      maxLen: Int = 8): String = {
+    val dp = (1 to maxLen).map { i =>
+      s"""c_${r}_$i AS MATERIALIZED (
+         |  SELECT e.word, d.cost + e.cost AS c, d.i AS j
+         |  FROM a_${r}_${i - 1} d JOIN e_$r e
+         |    ON e.word = d.word AND e.j = d.i AND e.e = $i),
+         |m_${r}_$i AS (SELECT word, min(c) AS cost FROM c_${r}_$i
+         |  GROUP BY word),
+         |d_${r}_$i AS (
+         |  SELECT c.word, $i::BIGINT AS i, m.cost, min(c.j)::BIGINT AS prev
+         |  FROM c_${r}_$i c JOIN m_${r}_$i m
+         |    ON m.word = c.word AND c.c = m.cost
+         |  GROUP BY c.word, m.cost),
+         |a_${r}_$i AS MATERIALIZED (
+         |  SELECT * FROM a_${r}_${i - 1} UNION ALL SELECT * FROM d_${r}_$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e_$r AS MATERIALIZED (
+       |  SELECT w.word, i.i AS j, i.i + length(v.piece) AS e, v.cost
+       |  FROM words w, range(0, $maxLen) i(i) JOIN $vocab v
+       |    ON substr(w.word, (i.i + 1)::INT, length(v.piece)::INT) = v.piece
+       |  WHERE i.i < length(w.word)
+       |  UNION ALL
+       |  SELECT w.word, i.i, i.i + 1, 30000000000
+       |  FROM words w, range(0, $maxLen) i(i) WHERE i.i < length(w.word)),
+       |a_${r}_0 AS MATERIALIZED (
+       |  SELECT word, 0::BIGINT AS i, 0::BIGINT AS cost,
+       |    NULL::BIGINT AS prev
+       |  FROM words),
+       |$dp,
+       |f_$r AS (SELECT a.word, a.i, a.prev FROM a_${r}_$maxLen a
+       |  WHERE a.i = length(a.word)),
+       |bt_$r AS (
+       |  SELECT word, i, prev FROM f_$r
+       |  UNION ALL
+       |  SELECT b.word, a.i, a.prev FROM bt_$r b JOIN a_${r}_$maxLen a
+       |    ON a.word = b.word AND a.i = b.prev WHERE b.prev > 0),
+       |use_$r AS MATERIALIZED (
+       |  SELECT substr(b.word, (b.prev + 1)::INT, (b.i - b.prev)::INT)
+       |      AS piece,
+       |    sum(w.n)::BIGINT AS usage
+       |  FROM bt_$r b JOIN words w ON w.word = b.word
+       |  WHERE b.i > 0 GROUP BY 1),
+       |sv_$r AS MATERIALIZED (
+       |  SELECT v.piece, coalesce(u.usage, 0)::BIGINT AS usage,
+       |    (CASE WHEN coalesce(u.usage, 0) > 0 THEN u.usage
+       |          ELSE 1 END)::BIGINT AS eff
+       |  FROM $vocab v LEFT JOIN use_$r u ON u.piece = v.piece
+       |  WHERE coalesce(u.usage, 0) > 0 OR length(v.piece) = 1),
+       |tt_$r AS (SELECT sum(eff)::BIGINT AS total FROM sv_$r),
+       |vocab$r AS MATERIALIZED (
+       |  SELECT piece, usage,
+       |    round(ln(total::DOUBLE / eff::DOUBLE) * 1e9)::BIGINT AS cost
+       |  FROM sv_$r CROSS JOIN tt_$r)""".stripMargin
+  }
+
+  /** The q224/q225 shared prefix: word-frequency dictionary (the
+    * learnBpeMerges/tokens() whitespace semantics), the substring-
+    * frequency seed (every occurrence ≤ maxPieceLen weighted by word
+    * frequency), the (cnt desc, piece asc) top-`seedSize` selection +
+    * single-char coverage floor, and the initial quantized −ln p costs.
+    * Dedup is an explicit group-by — under WITH RECURSIVE DuckDB gives
+    * a bare UNION recursive semantics, double-emitting rows.
+    */
+  private def unigramPrefixSql(seedSize: Int = 40, maxPieceLen: Int = 4,
+      maxLen: Int = 8): String =
+    s"""WITH RECURSIVE
+       |words AS MATERIALIZED (
+       |  SELECT word, count(*)::BIGINT AS n FROM (
+       |    SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> x <> '')) AS word
+       |    FROM documents WHERE text IS NOT NULL) GROUP BY word),
+       |sub AS MATERIALIZED (
+       |  SELECT substr(w.word, (i.i + 1)::INT, l.l::INT) AS piece,
+       |    sum(w.n)::BIGINT AS cnt
+       |  FROM words w, range(0, $maxLen) i(i),
+       |    range(1, ${maxPieceLen + 1}) l(l)
+       |  WHERE i.i < length(w.word) AND i.i + l.l <= length(w.word)
+       |  GROUP BY 1),
+       |sel AS (SELECT piece, cnt FROM sub
+       |  ORDER BY cnt DESC, piece ASC LIMIT $seedSize),
+       |v0 AS (
+       |  SELECT piece, max(cnt) AS cnt FROM (
+       |    SELECT piece, cnt FROM sel
+       |    UNION ALL
+       |    SELECT piece, cnt FROM sub WHERE length(piece) = 1)
+       |  GROUP BY piece),
+       |t0 AS (SELECT sum(cnt)::BIGINT AS total FROM v0),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT piece, cnt AS usage,
+       |    round(ln(total::DOUBLE / cnt::DOUBLE) * 1e9)::BIGINT AS cost
+       |  FROM v0 CROSS JOIN t0)""".stripMargin
+
+  private def unigramLearnOracle(rounds: Int): String =
+    unigramPrefixSql() + ",\n" +
+      (1 to rounds).map(r => unigramDpBlock(r, s"vocab${r - 1}"))
+        .mkString(",\n") +
+      s"\nSELECT piece, usage, cost FROM vocab$rounds"
+
+  /** q225: one more Viterbi DP under the FINAL vocabulary, word
+    * encodings assembled from the backtrace in left-to-right order,
+    * documents re-assembled exactly like [[bpeEncodeOracle]].
+    */
+  private def unigramEncodeOracle(rounds: Int): String =
+    unigramPrefixSql() + ",\n" +
+      (1 to rounds).map(r => unigramDpBlock(r, s"vocab${r - 1}"))
+        .mkString(",\n") + ",\n" +
+      unigramDpBlock(rounds + 1, s"vocab$rounds") +
+      s""",
+         |wp AS MATERIALIZED (
+         |  SELECT b.word,
+         |    string_agg(substr(b.word, (b.prev + 1)::INT,
+         |      (b.i - b.prev)::INT), '+' ORDER BY b.i) AS w_enc,
+         |    count(*)::BIGINT AS np
+         |  FROM bt_${rounds + 1} b WHERE b.i > 0 GROUP BY b.word),
+         |ct AS (
+         |  SELECT doc_id, list_filter(string_split_regex(
+         |    coalesce(text, ''), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |dw AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+         |    i -> {'pos': i, 'word': t[i]})) AS u
+         |  FROM ct),
+         |dw2 AS (SELECT doc_id, u.pos AS pos, u.word AS word FROM dw)
+         |SELECT c.doc_id,
+         |  count(w.word)::BIGINT AS n_words,
+         |  coalesce(sum(wp.np), 0)::BIGINT AS n_pieces,
+         |  coalesce(string_agg(wp.w_enc, ' ' ORDER BY w.pos), '')
+         |    AS encoded
+         |FROM ct c
+         |LEFT JOIN dw2 w ON w.doc_id = c.doc_id
+         |LEFT JOIN wp ON wp.word = w.word
+         |GROUP BY c.doc_id""".stripMargin
 
   /** The q222/q223 fixture page, mirrored from [[htmlFixture]]. */
   private def htmlFixtureSql: String =
