@@ -147,7 +147,7 @@ object Curation {
     val first = curate(docs, benchmark, textCol, idCol, minQuality,
       maxTopWordFrac, shingleTokens)
     val contIds = first.filter(col("reason") === "contaminated")
-      .select(col(idCol)).localCheckpoint()
+      .select(col(idCol)).transform(Persist.round)
     val contDocs = docs.join(contIds, Seq(idCol), "left_semi")
       .select(col(idCol), col(textCol))
     val spans = Decontaminate.spanDecontaminate(contDocs, benchmark,

@@ -428,11 +428,13 @@ object Dedup {
     * references the previous labels ~3× per sweep and grows ~3^sweeps —
     * deep chains OOM the driver just RENDERING the plan around a dozen
     * iterations. Checkpointing truncates the plan to a materialized leaf
-    * per sweep (constant size). localCheckpoint trades fault tolerance
-    * for not needing a checkpoint directory — an executor loss mid-run
-    * fails the job and the caller reruns; swap in `checkpoint()` with a
-    * configured checkpoint dir if that matters at your scale. The
-    * convergence check is one tiny count per sweep.
+    * per sweep (constant size). The default backend (localCheckpoint)
+    * trades fault tolerance for not needing a checkpoint directory — an
+    * executor loss mid-run fails the job and the caller reruns; set
+    * `spark.graft.checkpointDir` to a durable path and every sweep
+    * stages through a reliable `checkpoint()` instead ([[Persist]] —
+    * round 18, the conf-flipped 100 TB posture). The convergence check
+    * is one tiny count per sweep.
     *
     * @return (id, cluster) for every node appearing in `pairs` —
     *         compose with a left join + coalesce(cluster, id) for a
@@ -447,7 +449,7 @@ object Dedup {
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+      .withColumn("cluster", col("id")).transform(Persist.round)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -460,7 +462,7 @@ object Dedup {
         .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
-        .localCheckpoint() // eager: materializes AND truncates the plan
+        .transform(Persist.round) // eager: materializes AND truncates the plan
       val changed = step.filter(col("cluster") =!= col("__old")).count()
       labels = step.select(col("id"), col("cluster"))
       converged = changed == 0

@@ -71,13 +71,13 @@ object Graphs {
     val e = edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .localCheckpoint()
+      .transform(Persist.round)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Persist.round)
     val scale = 1e9
     var scores = nodes.withColumn("hub", lit(1.0))
-      .withColumn("auth", lit(1.0)).localCheckpoint()
+      .withColumn("auth", lit(1.0)).transform(Persist.round)
     for (_ <- 1 to iterations) {
       // each edge-join aggregate materializes ONCE (it feeds both its
       // 1-row normalizer and the next node-sized join — without the
@@ -88,20 +88,20 @@ object Graphs {
         .join(e, Seq("__src"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("__qh")).as("__ar"))
-        .localCheckpoint()
+        .transform(Persist.round)
       val aTot = araw.agg(sum(col("__ar"))).collect()(0).getLong(0)
       val withAuth = scores.drop("auth")
         .join(araw, Seq("node"), "left")
         .withColumn("auth",
           coalesce(col("__ar"), lit(0L)).cast("double") /
             lit(aTot.toDouble))
-        .drop("__ar").localCheckpoint()
+        .drop("__ar").transform(Persist.round)
       val hraw = withAuth.select(col("node").as("__dst"),
           round(col("auth") * lit(scale)).cast("long").as("__qa"))
         .join(e, Seq("__dst"))
         .groupBy(col("__src").as("node"))
         .agg(sum(col("__qa")).as("__hr"))
-        .localCheckpoint()
+        .transform(Persist.round)
       val hTot = hraw.agg(sum(col("__hr"))).collect()(0).getLong(0)
       scores = withAuth.drop("hub")
         .join(hraw, Seq("node"), "left")
@@ -110,7 +110,7 @@ object Graphs {
             lit(hTot.toDouble))
         .drop("__hr")
         .select(col("node"), col("hub"), col("auth"))
-        .localCheckpoint()
+        .transform(Persist.round)
     }
     scores
   }
@@ -150,11 +150,11 @@ object Graphs {
       // feeds degrees, orientation, and the closure join — one
       // materialization (the q181 lesson: the caller's edge derivation
       // is usually itself a join+distinct)
-      .localCheckpoint()
+      .transform(Persist.round)
     val deg = e0.select(col("u").as("node"))
       .unionByName(e0.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
-      .localCheckpoint()
+      .transform(Persist.round)
     // Orientation key (degree, id): a strict total order — ties in
     // degree break by node id, so every edge orients exactly one way.
     val du = deg.select(col("node").as("u"), col("__deg").as("__du"))
@@ -166,7 +166,7 @@ object Graphs {
         when(ordU < ordV, col("u")).otherwise(col("v")).as("s"),
         when(ordU < ordV, col("v")).otherwise(col("u")).as("t"),
         when(ordU < ordV, ordV).otherwise(ordU).as("__ord_t"))
-      .localCheckpoint() // wedge join reads it twice + closure once
+      .transform(Persist.round) // wedge join reads it twice + closure once
     val wedges = oriented.select(col("s"), col("t").as("a"),
         col("__ord_t").as("__oa"))
       .join(oriented.select(col("s"), col("t").as("b"),
@@ -178,7 +178,7 @@ object Graphs {
       .select(col("s"), col("a"), col("b"))
       // the three corner projections below each read tri — without this
       // the wedge+closure joins (the expensive part) execute three times
-      .localCheckpoint()
+      .transform(Persist.round)
     val perNode = tri.select(col("s").as("node"))
       .unionByName(tri.select(col("a").as("node")))
       .unionByName(tri.select(col("b").as("node")))
@@ -229,7 +229,7 @@ object Graphs {
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
-      .localCheckpoint() // feeds adjacency (twice), degrees, anti-join
+      .transform(Persist.round) // feeds adjacency (twice), degrees, anti-join
     // symmetric adjacency: (w, neighbor)
     val adj = e0.select(col("u").as("w"), col("v").as("nb"))
       .unionByName(e0.select(col("v").as("w"), col("u").as("nb")))
@@ -289,7 +289,7 @@ object Graphs {
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().transform(Persist.round)
     var prev = -1L
     var deg: DataFrame = null
     var done = false
@@ -299,7 +299,7 @@ object Graphs {
         .unionByName(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
         .filter(col("core_degree") >= k)
-        .localCheckpoint()
+        .transform(Persist.round)
       val n = deg.count()
       if (n == prev) done = true
       else {
@@ -308,7 +308,7 @@ object Graphs {
         e = e
           .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-          .localCheckpoint()
+          .transform(Persist.round)
       }
       r += 1
     }
@@ -333,15 +333,15 @@ object Graphs {
     val e = edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .localCheckpoint()
+      .transform(Persist.round)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Persist.round)
     val n = nodes.count().toDouble
     val deg = e.groupBy(col("__src").as("node"))
-      .agg(count(lit(1)).as("__outdeg")).localCheckpoint()
+      .agg(count(lit(1)).as("__outdeg")).transform(Persist.round)
     val scale = 1e12
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).transform(Persist.round)
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(deg, Seq("node"), "left")
       val contrib = withDeg.where(col("__outdeg").isNotNull)
@@ -361,7 +361,7 @@ object Graphs {
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__cs"), lit(0L)).cast("double") / lit(scale) +
               lit((dangScaled.toDouble / scale) / n))).as("rank"))
-        .localCheckpoint()
+        .transform(Persist.round)
     }
     ranks
   }
@@ -418,19 +418,19 @@ object Graphs {
             col(weightCol).cast("string")))).as("__w"))
       .groupBy(col("__src"), col("__dst"))
       .agg(sum(col("__w")).as("__w"))
-      .localCheckpoint()
+      .transform(Persist.round)
     val minW = e.agg(coalesce(min(col("__w")), lit(1L)))
       .collect()(0).getLong(0)
     require(minW > 0L,
       s"weightedPageRank requires positive weights; min weight = $minW")
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Persist.round)
     val n = nodes.count().toDouble
     val outW = e.groupBy(col("__src").as("node"))
-      .agg(sum(col("__w")).as("__outw")).localCheckpoint()
+      .agg(sum(col("__w")).as("__outw")).transform(Persist.round)
     val scale = 1e12
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).transform(Persist.round)
     for (_ <- 1 to iterations) {
       val withW = ranks.join(outW, Seq("node"), "left")
       val contrib = withW.where(col("__outw").isNotNull)
@@ -451,7 +451,7 @@ object Graphs {
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__cs"), lit(0L)).cast("double") / lit(scale) +
               lit((dangScaled.toDouble / scale) / n))).as("rank"))
-        .localCheckpoint()
+        .transform(Persist.round)
     }
     ranks
   }
@@ -499,25 +499,25 @@ object Graphs {
     val e = edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .localCheckpoint()
+      .transform(Persist.round)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Persist.round)
     val sd = broadcast(
       seeds.select(col(seedCol).as("node")).distinct())
     val ns = nodes.join(sd, Seq("node"), "left_semi").count()
     require(ns > 0, "no seed node is present in the edge list")
     val deg = e.groupBy(col("__src").as("node"))
-      .agg(count(lit(1)).as("__outdeg")).localCheckpoint()
+      .agg(count(lit(1)).as("__outdeg")).transform(Persist.round)
     val pref = nodes
       .join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
       .select(col("node"),
         when(col("__s").isNotNull, lit(1.0 / ns.toDouble))
           .otherwise(lit(0.0)).as("__p"))
-      .localCheckpoint()
+      .transform(Persist.round)
     val scale = 1e12
     var ranks = pref.select(col("node"), col("__p").as("rank"))
-      .localCheckpoint()
+      .transform(Persist.round)
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(deg, Seq("node"), "left")
       val contrib = withDeg.where(col("__outdeg").isNotNull)
@@ -537,7 +537,7 @@ object Graphs {
           (lit(1.0 - damping) * col("__p") + lit(damping) *
             (coalesce(col("__cs"), lit(0L)).cast("double") / lit(scale) +
               lit(dangScaled.toDouble / scale) * col("__p"))).as("rank"))
-        .localCheckpoint()
+        .transform(Persist.round)
     }
     ranks
   }
@@ -585,10 +585,10 @@ object Graphs {
     val adj = (if (directed) fwd
       else fwd.unionByName(
         fwd.select(col("__v").as("__u"), col("__u").as("__v"))))
-      .distinct().localCheckpoint()
+      .distinct().transform(Persist.round)
     var dist = sources.select(col(nodeCol).as("node")).distinct()
       .where(col("node").isNotNull)
-      .withColumn("hops", lit(0L)).localCheckpoint()
+      .withColumn("hops", lit(0L)).transform(Persist.round)
     var frontier = dist
     var h = 0L
     var live = frontier.count() > 0
@@ -599,9 +599,9 @@ object Graphs {
         .select(col("__v").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
-        .localCheckpoint()
+        .transform(Persist.round)
       live = frontier.count() > 0
-      if (live) dist = dist.unionByName(frontier).localCheckpoint()
+      if (live) dist = dist.unionByName(frontier).transform(Persist.round)
     }
     dist
   }
@@ -659,14 +659,14 @@ object Graphs {
       else fwd.unionByName(fwd.select(col("__v").as("__u"),
         col("__u").as("__v"), col("__w"))))
       .groupBy(col("__u"), col("__v")).agg(min(col("__w")).as("__w"))
-      .localCheckpoint()
+      .transform(Persist.round)
     val negatives = adj.agg(
       coalesce(min(col("__w")), lit(0L))).collect()(0).getLong(0)
     require(negatives >= 0,
       s"cheapestPaths requires non-negative weights; min weight = $negatives")
     var dist = sources.select(col(nodeCol).as("node")).distinct()
       .where(col("node").isNotNull)
-      .withColumn("cost", lit(0L)).localCheckpoint()
+      .withColumn("cost", lit(0L)).transform(Persist.round)
     var frontier = dist
     var h = 0
     var live = frontier.count() > 0
@@ -681,12 +681,12 @@ object Graphs {
         .join(dist.withColumnRenamed("cost", "__old"), Seq("node"), "left")
         .where(col("__old").isNull || col("__c") < col("__old"))
         .select(col("node"), col("__c").as("cost"))
-        .localCheckpoint()
+        .transform(Persist.round)
       live = frontier.count() > 0
       if (live) {
         dist = dist.unionByName(frontier)
           .groupBy(col("node")).agg(min(col("cost")).as("cost"))
-          .localCheckpoint()
+          .transform(Persist.round)
       }
     }
     dist
@@ -751,10 +751,10 @@ object Graphs {
       .select(col(srcCol).as("__u"), col(dstCol).as("__v"))
     val adj = fwd.unionByName(
         fwd.select(col("__v").as("__u"), col("__u").as("__v")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Persist.round)
     val nodes = adj.select(col("__u").as("node")).distinct()
     var labels = nodes.withColumn("component", col("node"))
-      .localCheckpoint()
+      .transform(Persist.round)
     var r = 0
     var changed = 1L
     while (changed > 0 && r < maxRounds) {
@@ -769,7 +769,7 @@ object Graphs {
         .select(col("node"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nc"), col("component")))
             .as("__rc"))
-        .localCheckpoint()
+        .transform(Persist.round)
       // jump: component := relaxed(relaxed(node)). __rc is always a
       // real node id (labels only ever hold node ids), so the lookup
       // hits; left + coalesce is belt-and-braces, not a semantic.
@@ -781,7 +781,7 @@ object Graphs {
             .as("component"),
           (least(col("l.__rc"), coalesce(col("p.__tc"), col("l.__rc")))
             < col("l.__old")).as("__chg"))
-        .localCheckpoint()
+        .transform(Persist.round)
       changed = next.where(col("__chg")).count()
       labels = next.drop("__chg")
       r += 1
@@ -838,9 +838,9 @@ object Graphs {
       .distinct()
     val adj = fwd.unionByName(
         fwd.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .transform(Persist.round)
     var labels = adj.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).transform(Persist.round)
     val w = Window.partitionBy(col("node"))
       .orderBy(col("__c").desc, col("label").asc)
     for (_ <- 1 to rounds) {
@@ -851,7 +851,7 @@ object Graphs {
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)
         .select(col("node"), col("label"))
-        .localCheckpoint()
+        .transform(Persist.round)
     }
     labels
   }
@@ -947,7 +947,7 @@ object Graphs {
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().transform(Persist.round)
     val lab = labels.select(col(nodeCol).as("__n"),
       col(communityCol).as("__c"))
     // missing labels → the node ids themselves (singleton communities);
@@ -963,7 +963,7 @@ object Graphs {
       .join(lab.withColumnRenamed("__n", "v")
         .withColumnRenamed("__c", "__cv"), Seq("v"), "left")
       .select(cu.as("cu"), cv.as("cv"))
-      .localCheckpoint()
+      .transform(Persist.round)
     val m = tagged.count()
     require(m > 0, "modularity: graph has no surviving edges")
     val intra = tagged.where(col("cu") === col("cv"))

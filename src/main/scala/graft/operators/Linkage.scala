@@ -135,7 +135,7 @@ object Linkage {
     // record projection — materialize the caller's derivation once (the
     // repeated-branch lesson: a records frame that is itself a
     // join/union pipeline would otherwise execute 2-3 times)
-    val recs = records.localCheckpoint()
+    val recs = records.transform(Persist.round)
     val base = if (maxBlock > 0) {
       val hot = recs.groupBy(blockCols.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBlock)
@@ -170,7 +170,7 @@ object Linkage {
     require(window >= 2, s"window must be >= 2, got $window")
     // both band-join sides read the ranked frame — without this the
     // rank window (an exchange + sort) executes twice
-    val ranked = globalRank(records, idCol, sortKey).localCheckpoint()
+    val ranked = globalRank(records, idCol, sortKey).transform(Persist.round)
     val w = window.toLong
     val bkt = floor(col("__rank") / lit(w)).cast("long")
     // Band trick: a pair (i, j) with 1 <= j - i <= w-1 has bucket(j) in
@@ -204,7 +204,7 @@ object Linkage {
       // boundaries so the two actions can't see different partitionings
       // (ranks would still be correct either way — the key is unique —
       // but __pid/offset pairs must come from ONE partitioning)
-      .localCheckpoint()
+      .transform(Persist.round)
     val counts = keyed.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, n)) =>
@@ -252,7 +252,7 @@ object Linkage {
       verify: Column, maxIterations: Int = 10): DataFrame = {
     // read by the new-stored join, the new-new self-join, and the id
     // projection — one materialization of the (narrow) batch
-    val newRecs = newRecords.localCheckpoint()
+    val newRecs = newRecords.transform(Persist.round)
     val a = newRecs.alias("a")
     val b = stored.alias("b")
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
@@ -299,7 +299,7 @@ object Linkage {
       // feeds the size aggregate AND the final join — one
       // materialization of a two-long-column frame, not two cluster
       // joins
-      .localCheckpoint()
+      .transform(Persist.round)
     // entity cardinality ~ record cardinality: a keyed join, NOT a
     // broadcast
     val sizes = mapped.groupBy(col("entity_id"))

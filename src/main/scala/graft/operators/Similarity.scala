@@ -1037,7 +1037,7 @@ object Similarity {
       // stage before overwrite: the relabeled plan reads the files the
       // write replaces (see scaladoc)
       val staged = IvfIndex(compacted.centroids,
-        compacted.lists.localCheckpoint())
+        compacted.lists.transform(Persist.round))
       writeIvfIndex(staged, path)
       val after = meanRecall(readIvfIndex(spark, path))
       IvfMaintenanceReport(appended, before, compacted = true, after)
@@ -1181,7 +1181,7 @@ object Similarity {
       .select(col("query_id"), col("__qc"), col("__qn"), col("cid"))
       // eager: the cid collect below needs this subtree NOW; checkpointing
       // it in the same job lets the returned plan reuse it (see scaladoc)
-      .localCheckpoint()
+      .transform(Persist.round)
     // Static partition pruning: collect the probed cids (bounded by
     // numCentroids — metadata, not data) in the lists' own cid type (a
     // hive-partitioned read may have narrowed long cids to int; a cast
@@ -1251,7 +1251,7 @@ object Similarity {
         zip_with(col("__v").cast("array<double>"),
           col("__cv").cast("array<double>"),
           (a, b) => a - b).as("__r"))
-      .localCheckpoint()
+      .transform(Persist.round)
     val cb = pqTrainCodebooks(resid, dim, numSubspaces, codebookSize,
       iterations, idCol = "neighbor_id", vecCol = "__r")
     val lists = pqEncode(resid, cb, dim,
@@ -1310,7 +1310,7 @@ object Similarity {
       .select(col("query_id"), col("__qv"), col("cid"),
         dot(col("__qv"), col("__cv")).as("__qc0"),
         sqrt(dot(col("__qv"), col("__qv"))).as("__qn"))
-      .localCheckpoint()
+      .transform(Persist.round)
     // static partition pruning, in the lists' own cid type (the
     // probeIvfQuantized discipline: casting the literal side keeps a
     // hive-narrowed cid column prunable)

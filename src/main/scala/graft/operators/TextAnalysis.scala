@@ -252,7 +252,7 @@ object TextAnalysis {
     var dict = words.select(col("word"), col("n"),
         element_at(graft.functions.SubwordFunctions
           .subwordPieces(array(col("word")), baseVocab), 1).as("pieces"))
-      .localCheckpoint()
+      .transform(Persist.round)
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var exhausted = false
@@ -270,7 +270,7 @@ object TextAnalysis {
         learned += ((r, a, b, a + b, cnt))
         dict = dict
           .withColumn("pieces", applyBpeMerge(col("pieces"), a, b))
-          .localCheckpoint()
+          .transform(Persist.round)
       }
     }
     learned.toSeq.toDF("round", "p1", "p2", "merged", "cnt")
@@ -317,7 +317,7 @@ object TextAnalysis {
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       dict = dict.withColumn("pieces", applyBpeMerge(col("pieces"), a, b))
       if ((i + 1) % EncodeCheckpointEvery == 0 && i + 1 < merges.size)
-        dict = dict.localCheckpoint()
+        dict = dict.transform(Persist.round)
     }
     val wordEnc = dict.select(col("word"),
       concat_ws("+", col("pieces")).as("w_enc"),
@@ -391,7 +391,7 @@ object TextAnalysis {
     import spark.implicits._
     val words = df.select(explode(tokens(text)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .transform(Persist.round)
     // seed: every substring occurrence up to maxPieceLen, weighted by
     // word frequency
     val subs = words
@@ -404,7 +404,7 @@ object TextAnalysis {
       .select(col("word").substr(col("i") + 1, col("l")).as("piece"),
         col("n"))
       .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
-      .localCheckpoint()
+      .transform(Persist.round)
     val selected = subs
       .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
     val vocab0 = selected
@@ -593,7 +593,7 @@ object TextAnalysis {
       .map { case (c, i) => coalesce(c, lit(0.0)).as(s"__x$i") }
     val data = df.where(label.isNotNull)
       .select(label.cast("double").as("__y") +: featCols: _*)
-      .localCheckpoint()
+      .transform(Persist.round)
     val xs = (0 until 4).map(i => col(s"__x$i"))
     var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
     val audit = scala.collection.mutable.Buffer

@@ -111,7 +111,7 @@ object TrainingPipeline {
     // Stage 1 — curate; keep-list materialized once (narrow: ids only)
     val keepIds = Curation.curate(docs, benchmark, textCol, idCol)
       .filter(col("keep")).select(col(idCol))
-      .localCheckpoint()
+      .transform(Persist.round)
     mixFromKeep(docs, keepIds, targets, textCol, idCol, domainCol,
       nearDupThreshold, maxBucket, stageDir)
   }
@@ -225,7 +225,7 @@ object TrainingPipeline {
     val keepIds = Curation.curateWeb(docs, benchmark, blocklist, textCol,
         idCol, urlCol, spamMaxDupFrac = spamMaxDupFrac)
       .filter(col("keep")).select(col(idCol))
-      .localCheckpoint()
+      .transform(Persist.round)
     shardLayout(mixFromKeep(docs, keepIds, targets, textCol, idCol,
       domainCol, nearDupThreshold, maxBucket, stageDir),
       idCol, domainCol, shards, budget)
@@ -251,7 +251,7 @@ object TrainingPipeline {
     val keepIds = Curation.curateWeb(docs, benchmark, blocklist, textCol,
         idCol, urlCol, spamMaxDupFrac = spamMaxDupFrac)
       .filter(col("keep")).select(col(idCol))
-      .localCheckpoint()
+      .transform(Persist.round)
     batchLayout(mixFromKeep(docs, keepIds, targets, textCol, idCol,
       domainCol, nearDupThreshold, maxBucket, stageDir),
       idCol, domainCol, bucketWidth, batchSize, shards)

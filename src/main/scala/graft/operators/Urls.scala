@@ -201,7 +201,7 @@ object Urls {
     // narrow — id + host + 16-byte fp, ~40 B/doc at 100 TB.
     val perDoc = df.select(col(idCol), hostOf(col(urlCol)).as("host"),
         urlFingerprint(col(urlCol), col(idCol)).as("__fp"))
-      .localCheckpoint()
+      .transform(Persist.round)
     val canon = perDoc.groupBy(col("__fp"))
       .agg(min(col(idCol)).as("__canon"))
     val withDup = perDoc.join(canon, Seq("__fp"))
