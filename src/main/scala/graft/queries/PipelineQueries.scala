@@ -2327,6 +2327,31 @@ object PipelineQueries {
           seedSize = 40, rounds = 2, maxPieceLen = 4)
         .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
       TextAnalysis.encodeUnigram(docs, col("text"), vocab)
+    }),
+
+    // The crawl front door END-TO-END (round 18): raw HTML pages →
+    // extractHtmlText (step zero) → curateWeb's full verdict chain —
+    // blocklist, URL dedup, then the content battery over the
+    // EXTRACTED text. The page fixture preserves the token stream
+    // through extraction (paragraph splits keep the split token), so
+    // fingerprint dedup and 8-shingle contamination stay live; twins
+    // render identical pages and must fall to url_duplicate, blocked
+    // hosts beat everything. One chained full value oracle replays
+    // extraction AND curation.
+    "q226_crawl_extract_curate" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pages = htmlCrawlFixture(docs)
+      val frame = graft.operators.Html
+        .extractHtmlText(pages, "doc_id", "html")
+        .select(col("doc_id"), col("text"))
+        .join(pages.select(col("doc_id"), col("url")), Seq("doc_id"))
+      val bench = docs
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 300)
+        .select(substring(col("text"), 41, 200).as("text"))
+      val block = Seq("h7.example.com", "h13.example.com", "example.org")
+        .toDF("domain")
+      graft.operators.Curation.curateWeb(frame, bench, block)
     })
   )
 
@@ -2425,6 +2450,55 @@ object PipelineQueries {
     docs.select(id, origUrlExpr(id).as("url"))
       .unionByName(docs.filter(id % 10 === 0)
         .select((id + 800000).as("doc_id"), twinUrlExpr(id).as("url")))
+  }
+
+  /** q226's raw-crawl page: the q222 fixture reduced to text-only
+    * content (no id/lang interpolation — twins must render the SAME
+    * page as their source) with the paragraph split KEEPING the split
+    * token (' table ' → ' table</p><p> '), so extraction preserves the
+    * source token stream and the downstream content screens
+    * (fingerprint dedup, 8-shingle contamination) stay live on the
+    * extracted text. Mirrored literally by [[htmlPageSqlExpr]].
+    */
+  private def htmlPageExpr(text: Column): Column = concat(
+    lit("<html><head><title>T</title><style>p{margin:0}</style>" +
+      "</head><body>"),
+    lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+      "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+      "</div>"),
+    lit("<p>"), replace(text, lit(" table "), lit(" table</p><p> ")),
+    lit("</p>"),
+    lit("<div class=\"share\">Share: <a href=\"/tw\">Twitter</a> " +
+      "<a href=\"/fb\">Facebook</a></div>"),
+    lit("<script>track()</script><!-- c -->"),
+    lit("<footer><a href=\"/privacy\">Privacy</a> " +
+      "<a href=\"/terms\">Terms</a></footer></body></html>"))
+
+  private def htmlPageSqlExpr: String =
+    "'<html><head><title>T</title><style>p{margin:0}</style>" +
+      "</head><body>' || " +
+      "'<div class=\"nav\"><a href=\"/\">Home</a> " +
+      "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+      "</div>' || " +
+      "'<p>' || replace(text, ' table ', ' table</p><p> ') || '</p>' || " +
+      "'<div class=\"share\">Share: <a href=\"/tw\">Twitter</a> " +
+      "<a href=\"/fb\">Facebook</a></div>' || " +
+      "'<script>track()</script><!-- c -->' || " +
+      "'<footer><a href=\"/privacy\">Privacy</a> " +
+      "<a href=\"/terms\">Terms</a></footer></body></html>'"
+
+  /** q226's crawl frame: the urlFixture twins carrying raw HTML pages
+    * instead of clean text — what a crawler actually hands the
+    * pipeline.
+    */
+  private def htmlCrawlFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id, htmlPageExpr(col("text")).as("html"),
+        origUrlExpr(id).as("url"))
+      .unionByName(docs.filter(id % 10 === 0)
+        .select((id + 800000).as("doc_id"),
+          htmlPageExpr(col("text")).as("html"),
+          twinUrlExpr(id).as("url")))
   }
 
   /** q163's crawl frame: urlFixture WITH the document text carried —
@@ -7642,12 +7716,60 @@ object PipelineQueries {
     // invisible-content drop, same block-split tag set, same tag strip
     // + entity decode order + whitespace collapse, same exact-integer
     // link-density test (400000 ppm, min 25 chars).
-    "q222_html_blocks" -> (htmlBlocksCtes +
+    "q222_html_blocks" -> (htmlBlocksCtes() +
       """
         |SELECT doc_id, block_idx, block_text, text_chars, link_chars,
         |  (text_chars < 25 OR link_chars * 1000000 > 400000 * text_chars)
         |    AS is_boilerplate
         |FROM f""".stripMargin),
+
+    // q226 = the extraction chain (q222's CTEs over the raw-crawl page
+    // fixture) reassembled per document, fed as the TEXT side of q163's
+    // web-curation chain — blocklist + URL dedup off `norm`, q90's
+    // content battery over the EXTRACTED text, WebReasons fold.
+    "q226_crawl_extract_curate" -> (
+      urlNormCtes(
+        """SELECT p.doc_id, p.url, x.text
+          |  FROM h p JOIN ex x ON x.doc_id = p.doc_id""".stripMargin,
+        htmlBlocksCtes(
+          urlFixtureSql(" " + htmlPageSqlExpr + " AS html,")) +
+          """,
+            |ex AS (
+            |  SELECT doc_id,
+            |    coalesce(string_agg(CASE WHEN NOT (text_chars < 25 OR
+            |        link_chars * 1000000 > 400000 * text_chars)
+            |      THEN block_text END, chr(10) ORDER BY block_idx), '')
+            |      AS text
+            |  FROM f GROUP BY doc_id),
+            |""".stripMargin) + "," +
+      """
+        |sfx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(1, len(string_split(host, '.')) + 1),
+        |      i -> array_to_string(list_slice(string_split(host, '.'),
+        |        i, len(string_split(host, '.'))), '.'))) AS dom
+        |  FROM norm WHERE host IS NOT NULL),
+        |blk AS (SELECT DISTINCT doc_id FROM sfx
+        |  WHERE dom IN ('h7.example.com', 'h13.example.com',
+        |    'example.org')),
+        |ud AS (
+        |  SELECT doc_id,
+        |    doc_id <> min(doc_id) OVER (PARTITION BY nurl) AS isdup
+        |  FROM norm),
+        |""".stripMargin +
+      curateCtes("SELECT doc_id, text FROM urls") +
+      """,
+        |w AS (
+        |  SELECT v.doc_id,
+        |    CASE WHEN blk.doc_id IS NOT NULL THEN 'blocked_host'
+        |         WHEN ud.isdup THEN 'url_duplicate'
+        |         ELSE v.reason END AS reason
+        |  FROM v
+        |  LEFT JOIN blk ON blk.doc_id = v.doc_id
+        |  JOIN ud ON ud.doc_id = v.doc_id)
+        |SELECT doc_id, reason IS NULL AS keep, reason FROM w"""
+        .stripMargin),
 
     // q224/q225 = the hard-EM unigram loop replayed in full: seed
     // ranking, per-round unrolled Viterbi DP (min cost, min(j)
@@ -7659,7 +7781,7 @@ object PipelineQueries {
 
     "q225_unigram_encode" -> unigramEncodeOracle(rounds = 2),
 
-    "q223_html_extract" -> (htmlBlocksCtes +
+    "q223_html_extract" -> (htmlBlocksCtes() +
       """,
         |g AS (
         |  SELECT doc_id, block_idx, block_text,
@@ -7850,9 +7972,11 @@ object PipelineQueries {
   /** Shared q222/q223 prefix: fixture page → invisible-content drop →
     * block split (ordinality preserved) → per-block text/link
     * measurement, every stage mirroring [[graft.operators.Html]].
+    * q226 re-enters with its own page fixture and WITH prefix.
     */
-  private def htmlBlocksCtes: String =
-    s"""WITH h AS ($htmlFixtureSql),
+  private def htmlBlocksCtes(fixtureSql: String = htmlFixtureSql,
+      withPrefix: String = "WITH "): String =
+    s"""${withPrefix}h AS ($fixtureSql),
        |c AS (
        |  SELECT doc_id, regexp_replace(html,
        |    '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>|<!--.*?-->',
