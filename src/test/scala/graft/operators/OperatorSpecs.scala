@@ -3645,16 +3645,42 @@ class PqSpec extends SparkSpec {
       s"probing more lists must not lose recall: $rr vs $rr8")
     assert(rr8 == ((1.0, 1.0)),
       s"all-list shortlist=100 re-rank must recover exact top-5: $rr8")
-    // store round-trip: the stored index probes identically
+    // store round-trip: the stored index probes identically, and the
+    // probed-lists-ONLY claim holds on the PLAN — the lists scan
+    // carries a cid partition filter and reads a strict subset of the
+    // list directories (the probeIvfQuantized pruning gate at the
+    // IVFADC rung; AQE off so the scans stay visible to collect)
     val path = java.nio.file.Files
       .createTempDirectory("ivfpq").toString
     Similarity.writeIvfPqIndex(idx, path)
     val stored = Similarity.readIvfPqIndex(spark, path)
     val mem = Similarity.probeIvfPq(idx, queries, 5, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val disk = Similarity.probeIvfPq(stored, queries, 5, nprobe = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(mem == disk, "stored IVFADC index diverged from in-memory")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val disk = Similarity.probeIvfPq(stored, queries, 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(mem == disk, "stored IVFADC index diverged from in-memory")
+      // narrow probe (2 queries × nprobe 1 → ≤ 2 lists) for the plan
+      // assert: broad probes can legitimately cover all 8 lists
+      val narrow = Similarity.probeIvfPq(stored,
+        queries.filter($"vec_id" < 2), 5, nprobe = 1)
+      narrow.collect()
+      val totalCids = stored.lists.select($"cid").distinct().count()
+      val scans = narrow.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata("Location").contains("/lists") => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScan over the lists")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(_.toString.contains("cid")),
+        s"lists scan must carry a cid partition filter: " +
+          s"${scan.partitionFilters}")
+      val readPartitions = scan.selectedPartitions.partitionCount
+      assert(readPartitions <= 2 && readPartitions < totalCids,
+        s"probe read $readPartitions of $totalCids partitions — " +
+          "ADC ran outside the probed lists")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     // corrupted control: the measurement itself must trip on garbage
     val corrupt = Similarity.probeIvfPq(idx, queries, 5, nprobe = 8)
       .withColumn("neighbor_id", col("neighbor_id") + lit(100000L))
