@@ -135,4 +135,57 @@ object Html {
         count(lit(1)).as("blocks_total"),
         sum(when(col("is_boilerplate"), 0L).otherwise(1L))
           .as("blocks_kept"))
+
+  /** ROW-LOCAL extraction — the same pipeline as [[extractHtmlText]]
+    * computed entirely inside one row via array higher-order functions
+    * (no explode, no groupBy, no shuffle, no state), which is what
+    * makes [[extractHtmlTextStream]] a stateless streaming map.
+    * Equivalence with the batch operator is spec-gated on the shared
+    * fixture (documents whose every block is empty differ only in
+    * ABSENCE: the batch groupBy has no rows to group, the row-local
+    * form keeps the row with text '' and blocks_total 0 — same
+    * contract as an all-boilerplate page).
+    *
+    * Trade, stated: the per-block lambdas (regexp strip + entity
+    * decode) run INTERPRETED under Spark's HOF evaluation, unlike the
+    * batch form's codegen'd post-explode expressions — right for the
+    * unbounded-stream and a-few-columns-at-a-time shapes, while the
+    * batch explode form stays the 100 TB backfill scan shape.
+    */
+  def htmlTextCols(html: Column, minBlockChars: Int = 25,
+      maxLinkDensityPpm: Long = 400000L)
+      : (Column, Column, Column) = {
+    val blocks = split(dropInvisible(html), BlockSplit)
+    val stats = filter(
+      transform(blocks, b => {
+        val t = toText(b)
+        val n = toText(dropAnchors(b))
+        struct(t.as("t"), length(t).as("tc"),
+          (length(t) - length(n)).as("lc"))
+      }),
+      s => s.getField("tc") > 0)
+    val kept = filter(stats, s =>
+      !(s.getField("tc") < minBlockChars ||
+        s.getField("lc") * lit(1000000L) >
+          lit(maxLinkDensityPpm) * s.getField("tc")))
+    (array_join(transform(kept, _.getField("t")), "\n"),
+      size(stats).cast("long"),
+      size(kept).cast("long"))
+  }
+
+  /** Streaming twin of [[extractHtmlText]] — the crawl front door's
+    * step zero at ingest time, joining `urlDedupStream` /
+    * `hostBlocklistFilterStream` in the stream-parity family: a pure
+    * stateless map (the [[htmlTextCols]] row-local pipeline), so it
+    * runs under any output mode with zero state store. Works on batch
+    * frames too (the equivalence gate runs it both ways).
+    */
+  def extractHtmlTextStream(pages: DataFrame, idCol: String,
+      htmlCol: String, minBlockChars: Int = 25,
+      maxLinkDensityPpm: Long = 400000L): DataFrame = {
+    val (text, total, kept) =
+      htmlTextCols(col(htmlCol), minBlockChars, maxLinkDensityPpm)
+    pages.select(col(idCol), text.as("text"),
+      total.as("blocks_total"), kept.as("blocks_kept"))
+  }
 }

@@ -762,6 +762,39 @@ class BatchStreamEquivalenceSpec extends SparkSpec {
       }
     }
   }
+
+  test("html extraction: stateless streaming twin ≡ batch operator " +
+      "(q222 fixture shape)") {
+    assume(fixtureExists("documents"))
+    // realistic page per doc: nav + paragraphs (split keeping the
+    // token) + script + link-dense footer — the q226 fixture shape
+    val pages = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">About</a></div><p>"),
+        regexp_replace($"text", " table ", " table</p><p> "),
+        lit("</p><script>x()</script><footer>" +
+          "<a href=\"/t\">Terms</a></footer></body></html>")).as("html"))
+    val batch = graft.operators.Html
+      .extractHtmlText(pages, "doc_id", "html")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(batch.nonEmpty && batch.exists(_._3 > 2),
+      "fixture must yield multi-block documents")
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Html.extractHtmlTextStream(
+        in.toDF().toDF("doc_id", "html"), "doc_id", "html")
+      .writeStream.format("memory").queryName("eqhtml")
+      .outputMode("append").start()
+    in.addData(pages.as[(Long, String)].collect().toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("eqhtml")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch,
+      "row-local streaming extraction must equal the batch operator")
+  }
 }
 
 /** Fixture row for the incremental-linkage equivalence gate. */
