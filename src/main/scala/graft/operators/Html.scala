@@ -85,6 +85,31 @@ object Html {
   private def toText(c: Column): Column =
     normWs(decodeEntities(stripTags(c)))
 
+  /** `<a href="...">` targets, either quote style; group 1 = the URL.
+    * Common Java-regex∩RE2 dialect (lazy quantifier, no lookaround) so
+    * the DuckDB oracle replays it literally.
+    */
+  private val HrefPattern =
+    "(?is)<a[ \\t\\r\\n][^>]*?href[ \\t\\r\\n]*=[ \\t\\r\\n]*" +
+      "[\"']([^\"'>]*)[\"']"
+
+  /** Outlink extraction — the crawl FRONTIER and link-graph edge
+    * source: every `<a href>` target of the visible document (script/
+    * style/comment content dropped first — a URL string inside
+    * JavaScript is not a link), one row per link in document order.
+    * Relative hrefs pass through untouched; link-graph builders take
+    * hosts via [[Urls.hostOf]], under which relative targets are null
+    * and drop out naturally (q228 composes exactly that into
+    * [[Graphs.weightedPageRank]]). Documents with no links emit no
+    * rows.
+    */
+  def htmlOutlinks(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame =
+    df.select(col(idCol), posexplode(
+        regexp_extract_all(dropInvisible(col(htmlCol)),
+          lit(HrefPattern), lit(1)))
+      .as(Seq("link_idx", "href")))
+
   /** The per-block audit table: (id, block_idx, block_text, text_chars,
     * link_chars, is_boilerplate) — one row per non-empty block, indexed
     * in document order. This is the inspectable middle every extraction

@@ -2352,6 +2352,34 @@ object PipelineQueries {
       val block = Seq("h7.example.com", "h13.example.com", "example.org")
         .toDF("domain")
       graft.operators.Curation.curateWeb(frame, bench, block)
+    }),
+
+    // Outlink extraction (round 18): every <a href> of the VISIBLE
+    // document in document order — the crawl-frontier / link-graph edge
+    // source. The fixture plants script- and comment-embedded URLs that
+    // must NOT extract, relative nav links that must pass through raw,
+    // and three absolute cross-host links per page.
+    "q227_html_outlinks" -> ((s, d) =>
+      graft.operators.Html.htmlOutlinks(
+        htmlLinkFixture(Tables.documents(s, d)), "doc_id", "html")),
+
+    // The crawl→graph composition (round 18): pages → outlinks → host
+    // edge list (hostOf both sides; relative targets drop out null) →
+    // link-count weights → 3 rounds of weighted PageRank. The planted
+    // h0 hub link on every page must emerge as the top authority. One
+    // chained oracle: the extraction subquery feeds q219's unrolled
+    // weighted update directly.
+    "q228_link_graph_rank" -> ((s, d) => {
+      val pages = htmlLinkFixture(Tables.documents(s, d))
+      val edges = graft.operators.Html
+        .htmlOutlinks(pages, "doc_id", "html")
+        .join(pages.select(col("doc_id"), col("url")), Seq("doc_id"))
+        .select(Urls.hostOf(col("url")).as("src"),
+          Urls.hostOf(col("href")).as("dst"))
+        .where(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graphs.weightedPageRank(edges, iterations = 3)
     })
   )
 
@@ -2500,6 +2528,56 @@ object PipelineQueries {
           htmlPageExpr(col("text")).as("html"),
           twinUrlExpr(id).as("url")))
   }
+
+  /** q227/q228's linked pages: each document's page carries relative
+    * nav links (no host — must drop out of the host graph), a
+    * "related" div with three ABSOLUTE cross-host links from doc_id
+    * arithmetic (two modular neighbors + the fixed h0 hub, which must
+    * emerge as the authority), and two invisible-content traps — a
+    * script-embedded and a comment-embedded absolute URL that MUST NOT
+    * be extracted. Mirrored literally by [[htmlLinkFixtureSql]].
+    */
+  private def htmlLinkFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def h(e: Column): Column =
+      concat(lit("https://h"), e.cast("string"), lit(".example.com"))
+    docs.select(id,
+      concat(h(id % 40), lit("/docs/"), id.cast("string")).as("url"),
+      concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a></div><p>"),
+        replace(col("text"), lit(" table "), lit(" table</p><p> ")),
+        lit("</p><div class=\"rel\">"),
+        lit("<a href=\""), h((id + 1) % 40), lit("/d/"),
+        id.cast("string"), lit("\">next</a> "),
+        lit("<a href=\""), h((id * 7 + 3) % 40), lit("/d/"),
+        id.cast("string"), lit("\">rel</a> "),
+        lit("<a href=\"https://h0.example.com/\">hub</a></div>"),
+        lit("<script>track(\"<a href='https://fake.example.net/x'>" +
+          "x</a>\")</script>"),
+        lit("<!-- <a href=\"https://comment.example.net/\">dead</a> " +
+          "-->"),
+        lit("</body></html>")).as("html"))
+  }
+
+  private def htmlLinkFixtureSql: String =
+    """SELECT doc_id,
+      |  'https://h' || (doc_id % 40)::VARCHAR || '.example.com/docs/' ||
+      |    doc_id::VARCHAR AS url,
+      |  '<html><body><div class="nav"><a href="/">Home</a> ' ||
+      |  '<a href="/about">About</a></div><p>' ||
+      |  replace(text, ' table ', ' table</p><p> ') ||
+      |  '</p><div class="rel">' ||
+      |  '<a href="https://h' || ((doc_id + 1) % 40)::VARCHAR ||
+      |    '.example.com/d/' || doc_id::VARCHAR || '">next</a> ' ||
+      |  '<a href="https://h' || ((doc_id * 7 + 3) % 40)::VARCHAR ||
+      |    '.example.com/d/' || doc_id::VARCHAR || '">rel</a> ' ||
+      |  '<a href="https://h0.example.com/">hub</a></div>' ||
+      |  '<script>track("<a href=''https://fake.example.net/x''>' ||
+      |    'x</a>")</script>' ||
+      |  '<!-- <a href="https://comment.example.net/">dead</a> -->' ||
+      |  '</body></html>' AS html
+      |FROM documents""".stripMargin
 
   /** q163's crawl frame: urlFixture WITH the document text carried —
     * twins keep their ORIGINAL text, so they are simultaneously URL-dups
@@ -7771,6 +7849,35 @@ object PipelineQueries {
         |SELECT doc_id, reason IS NULL AS keep, reason FROM w"""
         .stripMargin),
 
+    // q227 = the same invisible-content drop + href extraction with
+    // ordinality; q228 = that extraction (as a nested subquery) feeding
+    // hostOf on both sides and q219's unrolled weighted update.
+    "q227_html_outlinks" -> (
+      "WITH pages AS (" + htmlLinkFixtureSql + "),\n" +
+        "c AS (SELECT doc_id, regexp_replace(html, " + InvisibleSql +
+        ", ' ', 'g') AS clean FROM pages),\n" +
+        "l AS (SELECT doc_id, regexp_extract_all(clean, " + HrefSql +
+        ", 1) AS hs FROM c)\n" +
+        "SELECT doc_id, generate_subscripts(hs, 1) - 1 AS link_idx,\n" +
+        "  unnest(hs) AS href FROM l"),
+
+    "q228_link_graph_rank" -> weightedPageRankOracle(
+      "SELECT src, dst, count(*)::BIGINT AS w\n" +
+        "  FROM (\n" +
+        "    SELECT\n" +
+        "      nullif(lower(regexp_extract(trim(u.url)," +
+        " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*).*$', 1)), '') AS src,\n" +
+        "      nullif(lower(regexp_extract(trim(u.href)," +
+        " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*).*$', 1)), '') AS dst\n" +
+        "    FROM (\n" +
+        "      SELECT p.url, unnest(regexp_extract_all(" +
+        "regexp_replace(p.html, " + InvisibleSql + ", ' ', 'g'), " +
+        HrefSql + ", 1)) AS href\n" +
+        "      FROM (" + htmlLinkFixtureSql + ") p\n" +
+        "    ) u) e\n" +
+        "  WHERE dst IS NOT NULL GROUP BY src, dst",
+      iterations = 3, damping = 0.85),
+
     // q224/q225 = the hard-EM unigram loop replayed in full: seed
     // ranking, per-round unrolled Viterbi DP (min cost, min(j)
     // tie-break — the kernel's smallest-start rule), recursive
@@ -7940,6 +8047,15 @@ object PipelineQueries {
          |LEFT JOIN dw2 w ON w.doc_id = c.doc_id
          |LEFT JOIN wp ON wp.word = w.word
          |GROUP BY c.doc_id""".stripMargin
+
+  /** Invisible-content and href regexes as DuckDB literals (plain
+    * triple-quoted Scala — raw, so the backslashes survive; quotes in
+    * the href class are SQL-doubled). Shared by q227/q228.
+    */
+  private def InvisibleSql =
+    """'(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->'"""
+  private def HrefSql =
+    """'(?is)<a[ \t\r\n][^>]*?href[ \t\r\n]*=[ \t\r\n]*["'']([^"''>]*)["'']'"""
 
   /** The q222/q223 fixture page, mirrored from [[htmlFixture]]. */
   private def htmlFixtureSql: String =

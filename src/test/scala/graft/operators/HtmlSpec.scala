@@ -56,6 +56,25 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("htmlOutlinks: both quote styles, document order, invisible traps, " +
+      "relative pass-through") {
+    val doc = "<html><body>" +
+      "<a href=\"https://a.example.com/x\">one</a>" +
+      "<A HREF='https://b.example.com/y'>two</A>" +
+      "<a class=\"z\" href=\"/relative/path\">three</a>" +
+      "<script>go(\"<a href='https://fake.example.net/'>t</a>\")</script>" +
+      "<!-- <a href=\"https://comment.example.net/\">dead</a> -->" +
+      "<a name=\"anchor-without-href\">four</a>" +
+      "</body></html>"
+    val got = Html.htmlOutlinks(
+        Seq((1L, doc), (2L, "<p>no links here</p>")).toDF("id", "html"),
+        "id", "html")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 0, "https://a.example.com/x"),
+      (1L, 1, "https://b.example.com/y"), (1L, 2, "/relative/path")),
+      s"got $got")
+  }
+
   test("extractHtmlText: document order, census, all-boilerplate empties") {
     val allBp = "<div><a href=\"/\">Only links here</a></div>"
     val df = Seq((1L, page), (2L, allBp)).toDF("id", "html")
