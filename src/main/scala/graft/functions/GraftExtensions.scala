@@ -36,6 +36,32 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** [[strSeqArg]]'s long sibling — cost vectors for the unigram
+    * kernel, plan-side constant by design.
+    */
+  private def longSeqArg(e: Expression, what: String): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a constant bigint array, got $e")
+    e.eval() match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map { i =>
+          if (a.isNullAt(i)) throw new IllegalArgumentException(
+            s"$what must not contain nulls")
+          a.getLong(i)
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a constant bigint array, got $other")
+    }
+  }
+
   // Vocabulary arguments arrive as `array('a','b',...)` — CreateArray,
   // not Literal, but still foldable: evaluate at registration time. The
   // vocab must be plan-side constant (that is the whole design of the
@@ -144,5 +170,19 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] (prefix " +
         "boost capped at 4, applied when jaro > 0.7)",
       (args: Seq[Expression]) => JaroWinklerExpr(args.head, args(1)))
+    reg(ext, "unigram_segment",
+      "unigram_segment(tokens, pieces, costs, unkCost) - per word, its " +
+        "Viterbi min-cost unigram-LM piece sequence (quantized -ln p " +
+        "long costs; ties to the smallest edge start; unknown edge " +
+        "advances one code point at unkCost)",
+      (args: Seq[Expression]) => {
+        val pieces = strSeqArg(args(1), "pieces")
+        val costs = longSeqArg(args(2), "costs")
+        require(pieces.length == costs.length,
+          s"unigram_segment: ${pieces.length} pieces vs " +
+            s"${costs.length} costs")
+        UnigramSegmentExpr(args.head, pieces.zip(costs),
+          longArg(args(3), "unkCost"))
+      })
   }
 }

@@ -52,6 +52,19 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("unigram_segment SQL registration: literal arrays, length guard") {
+    val got = spark.sql(
+        "SELECT unigram_segment(array('abc'), " +
+          "array('ab', 'a', 'b', 'bc', 'c'), " +
+          "array(100L, 1L, 50L, 1L, 50L), 30000000000L)")
+      .as[Seq[Seq[String]]].collect().head
+    assert(got == Seq(Seq("a", "bc")), s"got $got")
+    intercept[Exception] {
+      spark.sql("SELECT unigram_segment(array('x'), array('a', 'b'), " +
+        "array(1L), 5L)").collect()
+    }
+  }
+
   test("learnUnigramVocab: hand-replayed seed, EM round, and costs") {
     // corpus: "ab ab b" -> dictionary ab(2), b(1). Substrings (maxLen
     // 2): a:2, ab:2, b:3. seedSize=2 keeps (b,3) then (a,2) — "a" < "ab"
