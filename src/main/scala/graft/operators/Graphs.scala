@@ -456,6 +456,85 @@ object Graphs {
     ranks
   }
 
+  /** [[weightedPageRank]] × [[personalizedPageRank]] — the full matrix
+    * corner: rank flows in proportion to EDGE WEIGHT while the restart
+    * and dangling mass land on a seed-set preference vector, so ranks
+    * measure VOLUME-weighted proximity to the seeds ("which suppliers
+    * are closest to these accounts, by how much they actually buy" —
+    * the recommendation/blast-radius primitive where both the weights
+    * and the conditioning matter). Same weight contract as
+    * [[weightedPageRank]] (longs; lossy casts raise; w ≤ 0 fails loud;
+    * parallel edges sum), same seed contract as
+    * [[personalizedPageRank]] (absent seeds fail loud, unreachable
+    * nodes report exactly 0.0), same quantized-round determinism —
+    * update rank' = (1−d)·p + d·(cs/scale + (dang/scale)·p) with
+    * contributions round(rank·(w/W)·scale), oracle-mirrored literally.
+    */
+  def weightedPersonalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: String = "w", seedCol: String = "node"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(weightCol).isNotNull)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        when(col(weightCol).cast("long") === col(weightCol),
+          col(weightCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("weightedPersonalizedPageRank: weight not losslessly " +
+              "castable to long (quantize first): "),
+            col(weightCol).cast("string")))).as("__w"))
+      .groupBy(col("__src"), col("__dst"))
+      .agg(sum(col("__w")).as("__w"))
+      .transform(Persist.round)
+    val minW = e.agg(coalesce(min(col("__w")), lit(1L)))
+      .collect()(0).getLong(0)
+    require(minW > 0L, "weightedPersonalizedPageRank requires positive " +
+      s"weights; min weight = $minW")
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct().transform(Persist.round)
+    val sd = broadcast(
+      seeds.select(col(seedCol).as("node")).distinct())
+    val ns = nodes.join(sd, Seq("node"), "left_semi").count()
+    require(ns > 0, "no seed node is present in the edge list")
+    val outW = e.groupBy(col("__src").as("node"))
+      .agg(sum(col("__w")).as("__outw")).transform(Persist.round)
+    val pref = nodes
+      .join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(1.0 / ns.toDouble))
+          .otherwise(lit(0.0)).as("__p"))
+      .transform(Persist.round)
+    val scale = 1e12
+    var ranks = pref.select(col("node"), col("__p").as("rank"))
+      .transform(Persist.round)
+    for (_ <- 1 to iterations) {
+      val withW = ranks.join(outW, Seq("node"), "left")
+      val contrib = withW.where(col("__outw").isNotNull)
+        .join(e.withColumnRenamed("__src", "node"), Seq("node"))
+        .select(col("__dst").as("node"),
+          round(col("rank") *
+            (col("__w").cast("double") / col("__outw").cast("double")) *
+            lit(scale)).cast("long").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__cs"))
+      val dangScaled = withW.where(col("__outw").isNull)
+        .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")),
+          lit(0L)))
+        .collect()(0).getLong(0)
+      ranks = pref.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("__p") + lit(damping) *
+            (coalesce(col("__cs"), lit(0L)).cast("double") / lit(scale) +
+              lit(dangScaled.toDouble / scale) * col("__p"))).as("rank"))
+        .transform(Persist.round)
+    }
+    ranks
+  }
+
   /** Personalized PageRank (Page et al. 1999 §6; Jeh & Widom WWW'03):
     * [[pageRank]] with the uniform teleport replaced by a PREFERENCE
     * VECTOR over a seed set — both the (1−d) restart mass and the

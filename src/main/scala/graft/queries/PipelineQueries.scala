@@ -2380,6 +2380,26 @@ object PipelineQueries {
         .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("w"))
       graft.operators.Graphs.weightedPageRank(edges, iterations = 3)
+    }),
+
+    // Weighted PERSONALIZED PageRank (round 18): the full matrix corner
+    // — q219's purchase-count weights with q217's three-lowest-custkey
+    // teleport, so ranks measure volume-weighted proximity to those
+    // buyers. 5 quantized rounds, unrolled-CTE oracle, unreachable
+    // nodes exactly 0.0, no output rounding.
+    "q229_weighted_ppr" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = Tables.orders(s, d)
+        .select(col("o_custkey")).distinct()
+        .orderBy(col("o_custkey")).limit(3)
+        .select(concat(lit("c"), col("o_custkey")).as("node"))
+      graft.operators.Graphs.weightedPersonalizedPageRank(edges, seeds,
+        iterations = 5, damping = 0.85)
     })
   )
 
@@ -3418,6 +3438,54 @@ object PipelineQueries {
        |  FROM e GROUP BY src),
        |r0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / nn.n AS rank
        |  FROM nodes CROSS JOIN nn),
+       |${(1 to iterations).map(iter).mkString(",\n")}
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
+  /** DuckDB replay of
+    * [[graft.operators.Graphs.weightedPersonalizedPageRank]] —
+    * [[pprOracle]] with the weighted rank·(w/W) split, every literal
+    * and association mirrored; `edgesCte` yields (src, dst, w).
+    */
+  private def weightedPprOracle(edgesCte: String, seedsCte: String,
+      iterations: Int, damping: Double): String = {
+    val S = "1000000000000.0::DOUBLE"
+    def iter(i: Int): String = {
+      val p = s"r${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    sum(round(r.rank * (e.w::DOUBLE / d.outw::DOUBLE) * $S)
+         |      ::BIGINT) AS cs
+         |  FROM $p r JOIN outw d ON d.node = r.node JOIN e ON e.src = r.node
+         |  GROUP BY e.dst),
+         |d$i AS MATERIALIZED (
+         |  SELECT coalesce(sum(round(r.rank * $S)::BIGINT), 0) AS dm
+         |  FROM $p r LEFT JOIN outw d ON d.node = r.node
+         |  WHERE d.node IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT pref.node,
+         |    (1.0::DOUBLE - $damping::DOUBLE) * pref.p + $damping::DOUBLE *
+         |      (coalesce(c$i.cs, 0)::DOUBLE / $S +
+         |        (d$i.dm::DOUBLE / $S) * pref.p) AS rank
+         |  FROM pref CROSS JOIN d$i
+         |  LEFT JOIN c$i ON c$i.node = pref.node)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED ($edgesCte),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |sd AS MATERIALIZED ($seedsCte),
+       |ns AS MATERIALIZED (
+       |  SELECT count(*)::DOUBLE AS n FROM nodes
+       |  WHERE node IN (SELECT node FROM sd)),
+       |outw AS MATERIALIZED (
+       |  SELECT src AS node, sum(w)::BIGINT AS outw
+       |  FROM e GROUP BY src),
+       |pref AS MATERIALIZED (
+       |  SELECT nodes.node,
+       |    CASE WHEN nodes.node IN (SELECT node FROM sd)
+       |      THEN 1.0::DOUBLE / ns.n ELSE 0.0::DOUBLE END AS p
+       |  FROM nodes CROSS JOIN ns),
+       |r0 AS MATERIALIZED (SELECT node, p AS rank FROM pref),
        |${(1 to iterations).map(iter).mkString(",\n")}
        |SELECT node, rank FROM r$iterations""".stripMargin
   }
@@ -7848,6 +7916,18 @@ object PipelineQueries {
         |  JOIN ud ON ud.doc_id = v.doc_id)
         |SELECT doc_id, reason IS NULL AS keep, reason FROM w"""
         .stripMargin),
+
+    // q229 = the weighted rank·(w/W) split under the q217 preference
+    // vector, unrolled 5 rounds.
+    "q229_weighted_ppr" -> weightedPprOracle(
+      """SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+        |    count(*)::BIGINT AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2""".stripMargin,
+      """SELECT 'c' || o_custkey AS node FROM (
+        |    SELECT DISTINCT o_custkey FROM orders
+        |    ORDER BY o_custkey LIMIT 3)""".stripMargin,
+      iterations = 5, damping = 0.85),
 
     // q227 = the same invisible-content drop + href extraction with
     // ordinality; q228 = that extraction (as a nested subquery) feeding

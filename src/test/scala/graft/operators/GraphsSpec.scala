@@ -154,6 +154,72 @@ class GraphsSpec extends SparkSpec {
     r
   }
 
+  /** Plain-Scala replay of the weighted personalized update. */
+  private def refWPpr(edges: Seq[(String, String, Long)],
+      seeds: Set[String], iters: Int, d: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val present = seeds.intersect(nodes.toSet)
+    val p = nodes.map(v =>
+      v -> (if (present(v)) 1.0 / present.size else 0.0)).toMap
+    val outW = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._3).sum }
+    var r = p
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (s, t, w) =>
+          t -> math.rint(
+            r(s) * (w.toDouble / outW(s).toDouble) * 1e12).toLong }
+        .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).sum }
+      val dang = nodes.filterNot(outW.contains)
+        .map(v => math.rint(r(v) * 1e12).toLong).sum
+      r = nodes.map { v =>
+        v -> ((1.0 - d) * p(v) + d *
+          (contrib.getOrElse(v, 0L).toDouble / 1e12 +
+            (dang.toDouble / 1e12) * p(v)))
+      }.toMap
+    }
+    r
+  }
+
+  test("weightedPersonalizedPageRank ≡ replay; unreachable zero; guards") {
+    // seed a: a splits 3:1 to b and c, b feeds c, c dangles back to a's
+    // preference; island x->y is unreachable from the seed
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("x", "y", 5L))
+    val wg = edges.toDF("src", "dst", "w")
+    val got = Graphs.weightedPersonalizedPageRank(wg,
+        Seq("a").toDF("node"), iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(got == refWPpr(edges, Set("a"), 4, 0.85),
+      s"diverged from the reference replay: $got")
+    assert(got("x") == 0.0 && got("y") == 0.0,
+      s"mass leaked to nodes unreachable from the seed: $got")
+    // the 3:1 split is live: b takes 3/4 of the seed's mass directly
+    // every round and outranks c despite c ALSO receiving b's full
+    // pass-through (under uniform weights b and c would each take 1/2
+    // of a's mass and c's extra inflow would win)
+    assert(got("b") > got("c"), s"weight bias missing: $got")
+    val uni = Graphs.weightedPersonalizedPageRank(
+        edges.map { case (s, t, _) => (s, t, 1L) }.toDF("src", "dst", "w"),
+        Seq("a").toDF("node"), iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(uni("c") > uni("b"),
+      s"uniform-weight foil must flip the b/c order: $uni")
+    intercept[IllegalArgumentException] {
+      Graphs.weightedPersonalizedPageRank(wg, Seq("zz").toDF("node"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.weightedPersonalizedPageRank(
+        Seq(("a", "b", 0L)).toDF("src", "dst", "w"),
+        Seq("a").toDF("node"), 2)
+    }
+    intercept[Exception] {
+      Graphs.weightedPersonalizedPageRank(
+        Seq(("a", "b", 0.9)).toDF("src", "dst", "w"),
+        Seq("a").toDF("node"), 2)
+    }
+  }
+
   test("weightedPageRank ≡ hand-replayed update; parallel edges sum; guards") {
     // a splits 3:1 between b and c; b sends everything to c; c dangles
     val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L))
