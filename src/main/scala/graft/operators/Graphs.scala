@@ -377,11 +377,12 @@ object Graphs {
     * Weight contract (the [[cheapestPaths]] discipline): weights are
     * LONGS — callers with float weights quantize first; a value that
     * does not survive the long cast raises rather than truncating, and
-    * non-positive weights fail loudly up front (one metadata
-    * aggregate) — a 0-weight edge is "no edge", and silently dropping
-    * it would change which nodes count as dangling. Parallel edges sum
-    * their weights (the natural multigraph collapse: two 3-unit orders
-    * ≡ one 6-unit order).
+    * non-positive weights fail loudly PER EDGE, before parallel edges
+    * collapse (ADVICE r18: a −3 edge masked by a +5 parallel edge must
+    * raise, not sum to +2) — a 0-weight edge is "no edge", and
+    * silently dropping it would change which nodes count as dangling.
+    * Parallel edges sum their weights (the natural multigraph
+    * collapse: two 3-unit orders ≡ one 6-unit order).
     *
     * Determinism (the [[pageRank]] discipline, oracle-mirrored literal
     * for literal): per-edge contributions quantize to 1e-12-scaled
@@ -410,19 +411,29 @@ object Graphs {
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(weightCol).isNotNull)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
-        when(col(weightCol).cast("long") === col(weightCol),
-          col(weightCol).cast("long"))
-          .otherwise(raise_error(concat(
+        // positivity is enforced PER EDGE, before the parallel-edge
+        // sum (ADVICE r18): a negative weight masked by a positive
+        // parallel edge (+5 and -3 on the same src/dst sum to +2)
+        // would otherwise pass the post-sum check while injecting a
+        // negative rank contribution.
+        when(col(weightCol).cast("long") =!= col(weightCol),
+          raise_error(concat(
             lit("weightedPageRank: weight not losslessly castable to " +
               "long (quantize first): "),
-            col(weightCol).cast("string")))).as("__w"))
+            col(weightCol).cast("string"))))
+          .when(col(weightCol).cast("long") <= 0L,
+            raise_error(concat(
+              lit("weightedPageRank requires positive weights; got "),
+              col(weightCol).cast("string"))))
+          .otherwise(col(weightCol).cast("long")).as("__w"))
       .groupBy(col("__src"), col("__dst"))
       .agg(sum(col("__w")).as("__w"))
       .transform(Persist.round)
-    val minW = e.agg(coalesce(min(col("__w")), lit(1L)))
-      .collect()(0).getLong(0)
-    require(minW > 0L,
-      s"weightedPageRank requires positive weights; min weight = $minW")
+    // eager 1-row pass: forces the per-edge guards above to fire at
+    // call time (Persist.round's backends are eager too — this is the
+    // belt-and-braces that keeps the raise out of the caller's first
+    // action even if a backend ever turns lazy)
+    e.agg(coalesce(min(col("__w")), lit(1L))).collect()
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct().transform(Persist.round)
@@ -481,19 +492,25 @@ object Graphs {
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(weightCol).isNotNull)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
-        when(col(weightCol).cast("long") === col(weightCol),
-          col(weightCol).cast("long"))
-          .otherwise(raise_error(concat(
+        // per-edge positivity BEFORE the parallel-edge sum (ADVICE
+        // r18; see [[weightedPageRank]] — a masked negative edge must
+        // not pass)
+        when(col(weightCol).cast("long") =!= col(weightCol),
+          raise_error(concat(
             lit("weightedPersonalizedPageRank: weight not losslessly " +
               "castable to long (quantize first): "),
-            col(weightCol).cast("string")))).as("__w"))
+            col(weightCol).cast("string"))))
+          .when(col(weightCol).cast("long") <= 0L,
+            raise_error(concat(
+              lit("weightedPersonalizedPageRank requires positive " +
+                "weights; got "),
+              col(weightCol).cast("string"))))
+          .otherwise(col(weightCol).cast("long")).as("__w"))
       .groupBy(col("__src"), col("__dst"))
       .agg(sum(col("__w")).as("__w"))
       .transform(Persist.round)
-    val minW = e.agg(coalesce(min(col("__w")), lit(1L)))
-      .collect()(0).getLong(0)
-    require(minW > 0L, "weightedPersonalizedPageRank requires positive " +
-      s"weights; min weight = $minW")
+    // eager guard-firing pass, as in [[weightedPageRank]]
+    e.agg(coalesce(min(col("__w")), lit(1L))).collect()
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct().transform(Persist.round)
@@ -871,6 +888,100 @@ object Graphs {
           "graph diameter exceeds the guard; raise maxRounds")
     }
     labels
+  }
+
+  /** Incremental connected components (VERDICT r18 gap #1 — the last
+    * stored artifact without a maintenance form): merge a BATCH of new
+    * edges into a stored [[connectedComponents]] labeling without
+    * re-clustering the corpus. `appendToComponents(cc(E), ΔE)` ≡
+    * `cc(E ∪ ΔE)` — gated literally by the q230 oracle and the spec's
+    * set-equality replay.
+    *
+    * Why it works: a stored labeling is a spanning-star compression of
+    * the old graph — every old PATH is summarized by "same component
+    * id". New edges can only MERGE components (edge deletion is out of
+    * scope, as in every incremental form here — q74/q128/q190 append
+    * batches, never retract). So project each new edge into COMPONENT
+    * space (u→label(u), with an unseen node its own label), run the
+    * full fixpoint on that component-level graph — whose size is
+    * bounded by the BATCH, not the corpus: ≤ 2·|ΔE| nodes — and apply
+    * the resulting old→new remap to the stored table with one join.
+    *
+    * Component-id convention preserved: [[connectedComponents]] labels
+    * every component by its MINIMUM node id; component ids are
+    * therefore node ids, the merged component's new id = min over the
+    * merged ids = the global minimum node id — the append output is
+    * bit-identical to a fresh re-cluster, so appends CHAIN (the spec
+    * replays two generations).
+    *
+    * Scale shape (the 100 TB ingest path this exists for): ONE
+    * batch-sized join against the stored labels (broadcastable when
+    * the batch is), the iterative fixpoint over the batch-bounded
+    * component graph (frontier joins on ≤ 2·|ΔE| rows — effectively
+    * free next to corpus-scale rounds), then ONE scan of the stored
+    * labels joined to the remap (remap is batch-bounded → broadcast
+    * hash join, no corpus shuffle). Unaffected components ride through
+    * the left join untouched. Total: corpus is SCANNED once and
+    * SHUFFLED never, vs the full re-cluster's diameter-many corpus
+    * shuffles.
+    *
+    * Contract: `labels` must be a CONVERGED labeling over the old
+    * graph ([[connectedComponents]] output or a previous append) —
+    * one row per node, component = min node id of its component.
+    * Nodes in `newEdges` absent from `labels` are new and join the
+    * output; null endpoints and self-loops drop ([[connectedComponents]]
+    * hygiene).
+    *
+    * @param labels    stored (nodeCol, componentCol) labeling
+    * @param newEdges  the edge batch to merge
+    * @return the updated labeling over old ∪ new nodes
+    */
+  def appendToComponents(labels: DataFrame, newEdges: DataFrame,
+      maxRounds: Int = 30, srcCol: String = "src",
+      dstCol: String = "dst", nodeCol: String = "node",
+      componentCol: String = "component"): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e = newEdges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .distinct().transform(Persist.round)
+    val lbl = labels.select(col(nodeCol).as("node"),
+      col(componentCol).as("component"))
+    // batch nodes → current labels (unseen node = its own label);
+    // batch-sized — one stored-labels join (left side broadcastable)
+    val batchNodes = e.select(col("__u").as("node"))
+      .unionByName(e.select(col("__v").as("node"))).distinct()
+    val batchLbl = batchNodes.join(lbl, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("__c"))
+      .transform(Persist.round)
+    // the component-level merge graph: ≤ 2·|ΔE| nodes by construction
+    val ce = e
+      .join(batchLbl.withColumnRenamed("node", "__u")
+        .withColumnRenamed("__c", "__cu"), Seq("__u"))
+      .join(batchLbl.withColumnRenamed("node", "__v")
+        .withColumnRenamed("__c", "__cv"), Seq("__v"))
+      .select(col("__cu").as("src"), col("__cv").as("dst"))
+      .where(col("src") =!= col("dst"))
+    // old component id → merged component id (min over the merged set,
+    // because component ids ARE node ids under the min convention);
+    // only components actually touched by the batch appear here
+    val remap = connectedComponents(ce, maxRounds)
+      .select(col("node").as("__oc"), col("component").as("__nc"))
+      .transform(Persist.round)
+    val updated = lbl
+      .join(remap.withColumnRenamed("__oc", "component"),
+        Seq("component"), "left")
+      .select(col("node"),
+        coalesce(col("__nc"), col("component")).as("component"))
+    // new nodes: remap their provisional self-label the same way
+    val added = batchLbl
+      .join(lbl.select(col("node")), Seq("node"), "left_anti")
+      .join(remap.withColumnRenamed("__oc", "__c"), Seq("__c"), "left")
+      .select(col("node"),
+        coalesce(col("__nc"), col("__c")).as("component"))
+    updated.unionByName(added)
   }
 
   /** Label-propagation community detection (Raghavan, Albert & Kumara,

@@ -145,12 +145,19 @@ object Html {
     * with the block census alongside — (id, text, blocks_total,
     * blocks_kept). Documents whose every block is boilerplate emit an
     * EMPTY text row (not a dropped row): the census is the curation
-    * signal, and silently losing the id would break join-backs.
+    * signal, and silently losing the id would break join-backs. That
+    * contract covers the zero-BLOCK page too (script-only, comment-
+    * only, pure-markup — [[htmlBlocks]] has no row to group): the
+    * aggregate left-joins back to df's id spine, so such a page keeps
+    * its row with text `''` and blocks_total 0, exactly matching the
+    * [[extractHtmlTextStream]] row-local twin (ADVICE r18 — the two
+    * forms previously diverged on this case, batch dropping the id).
     */
   def extractHtmlText(df: DataFrame, idCol: String, htmlCol: String,
       minBlockChars: Int = 25,
-      maxLinkDensityPpm: Long = 400000L): DataFrame =
-    htmlBlocks(df, idCol, htmlCol, minBlockChars, maxLinkDensityPpm)
+      maxLinkDensityPpm: Long = 400000L): DataFrame = {
+    val agg = htmlBlocks(df, idCol, htmlCol, minBlockChars,
+        maxLinkDensityPpm)
       .groupBy(col(idCol))
       .agg(
         array_join(transform(
@@ -160,16 +167,22 @@ object Html {
         count(lit(1)).as("blocks_total"),
         sum(when(col("is_boilerplate"), 0L).otherwise(1L))
           .as("blocks_kept"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("blocks_total"), lit(0L)).as("blocks_total"),
+        coalesce(col("blocks_kept"), lit(0L)).as("blocks_kept"))
+  }
 
   /** ROW-LOCAL extraction — the same pipeline as [[extractHtmlText]]
     * computed entirely inside one row via array higher-order functions
     * (no explode, no groupBy, no shuffle, no state), which is what
     * makes [[extractHtmlTextStream]] a stateless streaming map.
     * Equivalence with the batch operator is spec-gated on the shared
-    * fixture (documents whose every block is empty differ only in
-    * ABSENCE: the batch groupBy has no rows to group, the row-local
-    * form keeps the row with text '' and blocks_total 0 — same
-    * contract as an all-boilerplate page).
+    * fixture, INCLUDING the zero-block page (script-only / pure-markup
+    * documents): both forms keep the row with text '' and
+    * blocks_total 0 — the batch side join-backs its id spine (ADVICE
+    * r18), the row-local side never dropped it.
     *
     * Trade, stated: the per-block lambdas (regexp strip + entity
     * decode) run INTERPRETED under Spark's HOF evaluation, unlike the

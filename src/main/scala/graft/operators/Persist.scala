@@ -19,18 +19,41 @@ import org.apache.spark.sql.DataFrame
   * recompute-from-checkpoint — the 100 TB operational posture for
   * multi-hour iterative jobs, flipped by ONE conf with zero operator
   * changes.
+  *
+  * Lifecycle (ADVICE r18): changing the conf MID-SESSION takes effect
+  * on the next round — the applied conf value is tracked and
+  * `setCheckpointDir` re-runs when it differs (the SparkContext dir is
+  * a UUID SUBDIRECTORY of the conf path, so comparing against
+  * `sc.getCheckpointDir` could never detect the change). Reliable
+  * checkpoint files accumulate one directory per staged round and are
+  * NOT deleted here (the returned plans still read them); set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to let the
+  * ContextCleaner reap them when their frames are GC'd, or sweep the
+  * directory between jobs — the standard reliable-checkpoint
+  * housekeeping.
   */
 object Persist {
 
   /** The conf key selecting the reliable backend. */
   val CheckpointDirKey = "spark.graft.checkpointDir"
 
+  /** The conf value last pushed through `setCheckpointDir` — see the
+    * lifecycle note above (`sc.getCheckpointDir` returns the UUID
+    * child, never equal to the conf string).
+    */
+  @volatile private var appliedDir: String = null
+
   /** Stage an iterative round's frame (eager in both backends). */
   def round(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(CheckpointDirKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        synchronized {
+          if (sc.getCheckpointDir.isEmpty || appliedDir != dir) {
+            sc.setCheckpointDir(dir)
+            appliedDir = dir
+          }
+        }
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

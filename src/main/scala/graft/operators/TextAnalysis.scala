@@ -407,6 +407,13 @@ object TextAnalysis {
       .transform(Persist.round)
     val selected = subs
       .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+    // Coverage-floor unit (ADVICE r18 audit): Spark's `length`/`substr`
+    // count CODE POINTS, not UTF-16 units (UTF8String.numChars — a
+    // supplementary-plane char like U+1D11E has length 1), so this
+    // floor, the substring enumeration above, and the M-step's
+    // `codePointCount == 1` keep-rule all agree on non-BMP text —
+    // supplementary code points DO enter the seed (spec-gated in
+    // UnigramSpec's supplementary-plane case).
     val vocab0 = selected
       .unionByName(subs.filter(length(col("piece")) === 1))
       .distinct()

@@ -2400,6 +2400,28 @@ object PipelineQueries {
         .select(concat(lit("c"), col("o_custkey")).as("node"))
       graft.operators.Graphs.weightedPersonalizedPageRank(edges, seeds,
         iterations = 5, damping = 0.85)
+    }),
+
+    // Incremental connected components (round 19, VERDICT r18 gap #1):
+    // the q208 co-order graph split by orderkey into a stored 80% and
+    // a 20% ingest batch — labels = cc(old), result =
+    // appendToComponents(labels, batch). Every edge lives inside one
+    // order, so old ∪ batch = the FULL q208 edge set and the oracle is
+    // the full-graph reachability closure: the gate asserts the append
+    // is bit-identical to a fresh re-cluster.
+    "q230_incremental_components" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      def edgesOf(f: DataFrame): DataFrame = f.alias("x")
+        .join(f.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      val labels = graft.operators.Graphs.connectedComponents(
+        edgesOf(li.filter(col("ok") % 10 < 8)), maxRounds = 40)
+      graft.operators.Graphs.appendToComponents(labels,
+        edgesOf(li.filter(col("ok") % 10 >= 8)), maxRounds = 40)
     })
   )
 
@@ -7875,8 +7897,12 @@ object PipelineQueries {
     // content battery over the EXTRACTED text, WebReasons fold.
     "q226_crawl_extract_curate" -> (
       urlNormCtes(
-        """SELECT p.doc_id, p.url, x.text
-          |  FROM h p JOIN ex x ON x.doc_id = p.doc_id""".stripMargin,
+        // LEFT join + coalesce'd empty text mirrors extractHtmlText's
+        // id-spine join-back (ADVICE r18): a zero-block page keeps its
+        // row with text '' (none exist in this fixture — contract
+        // parity, not a value change)
+        """SELECT p.doc_id, p.url, coalesce(x.text, '') AS text
+          |  FROM h p LEFT JOIN ex x ON x.doc_id = p.doc_id""".stripMargin,
         htmlBlocksCtes(
           urlFixtureSql(" " + htmlPageSqlExpr + " AS html,")) +
           """,
@@ -7929,6 +7955,25 @@ object PipelineQueries {
         |    ORDER BY o_custkey LIMIT 3)""".stripMargin,
       iterations = 5, damping = 0.85),
 
+    // q230 = the FULL q208 reachability closure: the 80/20 orderkey
+    // split is internal to the operator under test (every edge lives
+    // inside one order, so old ∪ batch = the whole edge set), and the
+    // gate is exactly "append ≡ fresh re-cluster".
+    "q230_incremental_components" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 45),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |r(node, reach) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM adj)
+        |  UNION
+        |  SELECT r.node, a.v FROM r JOIN adj a ON a.u = r.reach)
+        |SELECT node, min(reach)::BIGINT AS component FROM r
+        |GROUP BY 1""".stripMargin,
+
     // q227 = the same invisible-content drop + href extraction with
     // ordinality; q228 = that extraction (as a nested subquery) feeding
     // hostOf on both sides and q219's unrolled weighted update.
@@ -7974,13 +8019,18 @@ object PipelineQueries {
         |  SELECT doc_id, block_idx, block_text,
         |    (text_chars < 25 OR link_chars * 1000000 > 400000 * text_chars)
         |      AS bp
-        |  FROM f)
-        |SELECT doc_id,
-        |  coalesce(string_agg(CASE WHEN NOT bp THEN block_text END,
-        |    chr(10) ORDER BY block_idx), '') AS text,
-        |  count(*)::BIGINT AS blocks_total,
-        |  sum(CASE WHEN bp THEN 0 ELSE 1 END)::BIGINT AS blocks_kept
-        |FROM g GROUP BY doc_id""".stripMargin)
+        |  FROM f),
+        |x AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN NOT bp THEN block_text END,
+        |      chr(10) ORDER BY block_idx), '') AS text,
+        |    count(*)::BIGINT AS blocks_total,
+        |    sum(CASE WHEN bp THEN 0 ELSE 1 END)::BIGINT AS blocks_kept
+        |  FROM g GROUP BY doc_id)
+        |SELECT h.doc_id, coalesce(x.text, '') AS text,
+        |  coalesce(x.blocks_total, 0)::BIGINT AS blocks_total,
+        |  coalesce(x.blocks_kept, 0)::BIGINT AS blocks_kept
+        |FROM h LEFT JOIN x ON x.doc_id = h.doc_id""".stripMargin)
   )
 
   /** One hard-EM round of the unigram oracle (q224/q225): edge table
@@ -8062,10 +8112,21 @@ object PipelineQueries {
       maxLen: Int = 8): String =
     s"""WITH RECURSIVE
        |words AS MATERIALIZED (
-       |  SELECT word, count(*)::BIGINT AS n FROM (
-       |    SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
-       |      x -> x <> '')) AS word
-       |    FROM documents WHERE text IS NOT NULL) GROUP BY word),
+       |  SELECT word, n FROM (
+       |    SELECT word, count(*)::BIGINT AS n FROM (
+       |      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |        x -> x <> '')) AS word
+       |      FROM documents WHERE text IS NOT NULL) GROUP BY word)
+       |  -- fail-loud maxLen guard (ADVICE r18): the DP below unrolls
+       |  -- over exactly $maxLen positions, so a dictionary word longer
+       |  -- than that would silently vanish from the oracle's seed
+       |  -- counts, usage, and backtrace while the Scala operator
+       |  -- handles it — a fixture change must surface as an ERROR, not
+       |  -- as a hash divergence.
+       |  WHERE CASE WHEN length(word) > $maxLen THEN
+       |    error('unigram oracle: word longer than the unrolled maxLen='
+       |      || '$maxLen: ' || word)
+       |    ELSE TRUE END),
        |sub AS MATERIALIZED (
        |  SELECT substr(w.word, (i.i + 1)::INT, l.l::INT) AS piece,
        |    sum(w.n)::BIGINT AS cnt

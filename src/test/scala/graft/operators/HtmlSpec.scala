@@ -97,4 +97,31 @@ class HtmlSpec extends SparkSpec {
       .select("text").as[String].collect().head
     assert(t3 == "use &lt; to write a less-than sign", s"got: $t3")
   }
+
+  test("extractHtmlText: zero-block pages keep their id (batch ≡ " +
+      "row-local twin — ADVICE r18)") {
+    // script-only, comment-only, whitespace-markup, and empty pages:
+    // htmlBlocks yields NO row for any of them, and the old batch
+    // groupBy silently dropped the ids — breaking join-backs and the
+    // stream contract. Both forms must now keep every id with
+    // text '' / blocks_total 0 / blocks_kept 0.
+    val pages = Seq(
+      (1L, "<script>var u='http://x.test/';track(u)</script>"),
+      (2L, "<!-- nothing to see -->"),
+      (3L, "<div>  \n\t </div><p></p>"),
+      (4L, ""),
+      (5L, page)).toDF("id", "html")
+    val batch = Html.extractHtmlText(pages, "id", "html")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(batch.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L),
+      s"zero-block ids must survive the batch aggregate: $batch")
+    batch.filter(_._1 < 5L).foreach { r =>
+      assert(r._2 == "" && r._3 == 0L && r._4 == 0L,
+        s"zero-block page must report ('', 0, 0): $r")
+    }
+    val rowLocal = Html.extractHtmlTextStream(pages, "id", "html")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(batch == rowLocal,
+      s"batch and row-local forms diverge: $batch vs $rowLocal")
+  }
 }

@@ -32,4 +32,27 @@ class PersistSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap == expected)
     }
   }
+
+  test("mid-session conf change re-targets the checkpoint dir " +
+      "(ADVICE r18)") {
+    val edges = (0L until 60L).map(i => (i, (i * 7) % 60))
+      .toDF("src", "dst")
+    val d1 = java.nio.file.Files.createTempDirectory("graftckpt1")
+    val d2 = java.nio.file.Files.createTempDirectory("graftckpt2")
+    try {
+      spark.conf.set(Persist.CheckpointDirKey, d1.toString)
+      Graphs.connectedComponents(edges).collect()
+      assert(java.nio.file.Files.walk(d1).count() > 1L,
+        s"first dir unused: $d1")
+      // flip the conf mid-session: the NEW dir must receive the next
+      // rounds (setCheckpointDir makes a UUID child, so comparing
+      // against sc.getCheckpointDir could never detect the change)
+      spark.conf.set(Persist.CheckpointDirKey, d2.toString)
+      Graphs.connectedComponents(edges).collect()
+      assert(java.nio.file.Files.walk(d2).count() > 1L,
+        s"conf change silently kept staging into the old dir: $d2")
+    } finally {
+      spark.conf.unset(Persist.CheckpointDirKey)
+    }
+  }
 }

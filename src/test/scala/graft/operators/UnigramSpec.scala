@@ -101,6 +101,35 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("learnUnigramVocab: supplementary-plane code points enter the " +
+      "seed floor (ADVICE r18 audit)") {
+    // Spark's length()/substr() count CODE POINTS, not UTF-16 units
+    // (UTF8String.numChars: U+1D11E has length 1), so the seed
+    // coverage floor length(piece)===1 ADMITS supplementary chars and
+    // agrees with the M-step's codePointCount==1 keep-rule — the
+    // advisory's UTF-16 premise does not hold for Spark SQL. This gate
+    // pins that: seedSize=1 keeps only (a,3) by ranking, so U+1D11E
+    // can ONLY enter through the coverage floor; a UTF-16-based floor
+    // would drop it and the final vocabulary would collapse to {a}.
+    val clef = "𝄞" // U+1D11E MUSICAL SYMBOL G CLEF
+    val docs = Seq((1L, s"${clef}a ${clef}a a")).toDF("doc_id", "text")
+    val got = TextAnalysis.learnUnigramVocab(docs, col("text"),
+        seedSize = 1, rounds = 1, maxPieceLen = 2)
+      .as[(String, Long, Long)].collect().toSet
+    // dictionary: clef+a (n=2), a (n=1); vocab after floor = {a:3,
+    // clef:2}, total 5; round 1 segments clef+a -> usage clef:2, a:3 —
+    // the same totals, so the costs re-derive unchanged
+    val expect = Set(
+      ("a", 3L, math.round(math.log(5.0 / 3.0) * 1e9)),
+      (clef, 2L, math.round(math.log(5.0 / 2.0) * 1e9)))
+    assert(got == expect, s"got $got")
+    // the byte-level trie segments the 4-byte piece intact
+    val enc = TextAnalysis.encodeUnigram(docs, col("text"),
+        Seq(clef -> 1L, "a" -> 1L))
+      .select(col("encoded")).as[String].collect().head
+    assert(enc == s"$clef+a $clef+a a", s"got $enc")
+  }
+
   test("encodeUnigram: document assembly, unknowns, lossless concat") {
     val docs = Seq((1L, "abc xq abc"), (2L, ""),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")

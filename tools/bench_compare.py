@@ -314,6 +314,11 @@ def main():
                          "only these become hard failures when over threshold")
     ap.add_argument("--min-sec", type=float, default=0.2,
                     help="ignore ratio noise below this absolute reference time (default 0.2s)")
+    ap.add_argument("--abs-cap", type=float, default=1.0,
+                    help="a sub-min-sec-floor query is still flagged when its "
+                         "measured time exceeds max(min_sec x threshold, this) "
+                         "(default 1.0s; VERDICT r18: the exemption must not "
+                         "hide a 13s reading on a 0.2s floor)")
     ap.add_argument("--local", default="BENCH_LOCAL.json",
                     help="graft.Bench's complete file artifact; used when its "
                          "nonce matches the bench input's (default BENCH_LOCAL.json)")
@@ -372,8 +377,14 @@ def main():
     new = sorted(set(times) - set(ref))
     flagged = []       # over threshold, plan unchanged -> re-measure isolated
     hard = []          # over threshold AND plan changed -> regression
+    # Sub-min_sec floors are noise-exempt ONLY while the measured time is
+    # also small (VERDICT r18 #2: q14's 0.197s floor read 12.96s — 65.9x,
+    # the largest ratio in the artifact — and was invisible to the old
+    # unconditional exemption). A tiny-floor query whose MEASURED time
+    # exceeds max(min_sec x threshold, abs_cap) is flagged like any other.
+    abs_exempt = max(args.min_sec * threshold, args.abs_cap)
     for q in sorted(set(ref) & set(times)):
-        if ref[q] < args.min_sec:
+        if ref[q] < args.min_sec and times[q] <= abs_exempt:
             continue
         ratio = times[q] / ref[q]
         if ratio > threshold:

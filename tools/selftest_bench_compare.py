@@ -198,4 +198,19 @@ rc, out = run(adjbench(5.0, 5.0, calib(900, 1000),
 check("adjudication-partial-still-refuses", rc == 3
       and "unadjudicated q01_a" in out, f"rc={rc} {out}")
 
+# 10. sub-min_sec floor exemption is capped by measured time (VERDICT
+#     r18 #2: q14's 0.197s floor read 12.96s — 65.9x — and was never
+#     flagged). A tiny-floor query measured HUGE must flag; the same
+#     floor measured small stays noise-exempt.
+TINY = {"queries": {"q01_a": 0.15, "q02_b": 1.0}, "n_queries": 2,
+        "calib": REF["calib"]}
+rc, out = run({"queries": {"q01_a": 12.96, "q02_b": 1.0},
+               "calib": calib(281, 321), "sf": "x"}, TINY)
+check("tiny-floor-abs-cap-flags", rc == 0
+      and "noise-or-regression q01_a" in out, f"rc={rc} {out}")
+rc, out = run({"queries": {"q01_a": 0.5, "q02_b": 1.0},
+               "calib": calib(281, 321), "sf": "x"}, TINY)
+check("tiny-floor-small-reading-exempt", rc == 0 and "clean" in out,
+      f"rc={rc} {out}")
+
 print("all bench_compare selftests passed")
