@@ -170,6 +170,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] (prefix " +
         "boost capped at 4, applied when jaro > 0.7)",
       (args: Seq[Expression]) => JaroWinklerExpr(args.head, args(1)))
+    reg(ext, "html_extract",
+      "html_extract(html, minBlockChars, maxLinkDensityPpm) - one-pass " +
+        "(text, blocks_total, blocks_kept) HTML extraction with " +
+        "link-density boilerplate removal",
+      (args: Seq[Expression]) => HtmlExtractExpr(args.head,
+        intArg(args(1), "minBlockChars"),
+        longArg(args(2), "maxLinkDensityPpm")))
     reg(ext, "unigram_segment",
       "unigram_segment(tokens, pieces, costs, unkCost) - per word, its " +
         "Viterbi min-cost unigram-LM piece sequence (quantized -ln p " +

@@ -1245,21 +1245,42 @@ object Similarity {
       s"dim $dim must divide into numSubspaces $numSubspaces")
     val cents =
       centroidInit(emb, numCentroids, kmeansIterations, idCol, vecCol)
-    val resid = assignNearest(emb, cents, idCol, vecCol)
+    val resid = pqResiduals(emb, cents, idCol, vecCol)
+    val cb = pqTrainCodebooks(resid, dim, numSubspaces, codebookSize,
+      iterations, idCol = "neighbor_id", vecCol = "__r")
+    IvfPqIndex(cents, cb, encodePqLists(resid, cb))
+  }
+
+  /** Residual frame (neighbor_id, cid, __r) under a FIXED coarse
+    * quantizer — the shared assignment stage of [[buildIvfPqIndex]],
+    * both PQ append paths, and [[compactIvfPqIndex]]'s re-encode.
+    * Checkpointed once: every caller reads it at least twice (codebook
+    * sweeps/encode, or encode/cid join-back). Zero-norm vectors are
+    * excluded by [[assignNearest]]'s contract (no cosine direction;
+    * ANSI 0/0 is an error, not a NaN).
+    */
+  private def pqResiduals(emb: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    assignNearest(emb, cents, idCol, vecCol)
       .join(broadcast(cents), Seq("cid"))
       .select(col("neighbor_id"), col("cid"),
         zip_with(col("__v").cast("array<double>"),
           col("__cv").cast("array<double>"),
           (a, b) => a - b).as("__r"))
       .transform(Persist.round)
-    val cb = pqTrainCodebooks(resid, dim, numSubspaces, codebookSize,
-      iterations, idCol = "neighbor_id", vecCol = "__r")
-    val lists = pqEncode(resid, cb, dim,
+
+  /** Encode a [[pqResiduals]] frame into inverted-list entries
+    * (cid, neighbor_id, codes) under FIXED codebooks — the list-build
+    * tail shared by [[buildIvfPqIndex]] and the append paths.
+    */
+  private def encodePqLists(resid: DataFrame,
+      codebooks: DataFrame): DataFrame = {
+    val (numSubspaces, subDim) = pqShape(codebooks)
+    pqEncode(resid, codebooks, numSubspaces * subDim,
         idCol = "neighbor_id", vecCol = "__r")
       .join(resid.select(col("neighbor_id"), col("cid")),
         Seq("neighbor_id"))
       .select(col("cid"), col("neighbor_id"), col("codes"))
-    IvfPqIndex(cents, cb, lists)
   }
 
   /** Probe an [[IvfPqIndex]] — ADC over probed lists ONLY (the §V
@@ -1426,6 +1447,302 @@ object Similarity {
     IvfPqIndex(spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"),
       spark.read.parquet(s"$path/lists"))
+
+  /** Incrementally extend a built IVFADC index with a batch of newly
+    * arrived vectors — [[appendToIvfIndex]]'s discipline at the PQ
+    * rung (VERDICT r18 gap #2): the batch is assigned to the EXISTING
+    * coarse centroids and residual-encoded against the EXISTING
+    * codebooks (one pass over the batch only), then unioned onto the
+    * lists. Both quantizers stay frozen by design (assignment + code
+    * determinism, zero old-list churn), so batch entries are
+    * bit-identical to what a build-time encode of the same vectors
+    * under the same quantizers would store.
+    *
+    * Decay is DOUBLE here ([[compactIvfPqIndex]]'s reason to exist):
+    * the frozen coarse centroids cost probe recall exactly like the
+    * int8 index, AND the frozen residual codebooks quantize appended
+    * residuals with codewords trained on the old corpus's residual
+    * distribution — ADC ranking noise grows with appended volume on
+    * top of the probe miss. The q231 artifact measures the composite;
+    * recover on recall evidence with [[maintainIvfPqIndex]].
+    *
+    * Batch ids must be NEW (the [[appendToIvfIndex]] ADVICE r15
+    * contract, same reasoning): no existing-list membership check —
+    * that would cost a corpus-index scan per batch — so a re-appended
+    * batch creates duplicate `neighbor_id` entries, which probes
+    * return twice and [[compactIvfPqIndex]] fails loudly on.
+    */
+  def appendToIvfPqIndex(
+      index: IvfPqIndex,
+      newEmb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfPqIndex =
+    IvfPqIndex(index.centroids, index.codebooks,
+      index.lists.unionByName(
+        encodePqLists(pqResiduals(newEmb, index.centroids, idCol, vecCol),
+          index.codebooks)))
+
+  /** [[appendToIvfPqIndex]] for a [[writeIvfPqIndex]]-stored index:
+    * encode the batch against the STORED quantizers and hive-append
+    * only the new entries under their cid partitions — existing list
+    * files are bit-untouched, probes see the batch on their next
+    * [[readIvfPqIndex]]. The batch-sized encode + write is the entire
+    * cost; never re-persist an appended in-memory index through
+    * [[writeIvfPqIndex]] (mode=overwrite — it would rewrite the whole
+    * lists table).
+    */
+  def appendToStoredIvfPqIndex(
+      spark: SparkSession,
+      path: String,
+      newEmb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    encodePqLists(pqResiduals(newEmb, cents, idCol, vecCol), cb)
+      .write.partitionBy("cid").mode("append").parquet(s"$path/lists")
+  }
+
+  /** The corpus AS THE INDEX STORES IT — every entry reconstructed to
+    * x̂ = c + Σ_m codeword(m, codes_m), the [[compactIvfIndex]]
+    * dequantize move at the PQ rung. One exploded pass over the lists
+    * against the broadcast codebooks; reassembly is deterministic
+    * (subspaces sort by m). Feeds [[compactIvfPqIndex]]'s re-cluster
+    * and [[maintainIvfPqIndex]]'s ground truth, so maintenance never
+    * re-reads or re-embeds the float corpus.
+    *
+    * Duplicate-id guard (the [[compactIvfIndex]] ADVICE r15 contract):
+    * a unique entry contributes exactly `numSubspaces` exploded rows,
+    * so a double-appended id shows 2M rows in its group — the per-id
+    * reassembly would silently interleave two entries' codewords into
+    * one garbage vector; instead the count piggybacks on the agg and
+    * fails the job naming the id.
+    */
+  def reconstructPq(index: IvfPqIndex): DataFrame = {
+    val (numSubspaces, _) = pqShape(index.codebooks)
+    val cb = broadcast(index.codebooks
+      .select(col("m"), col("cid").as("code"),
+        col("__cv").cast("array<double>").as("__cw")))
+    index.lists
+      .select(col("cid"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(cb, Seq("m", "code"))
+      .groupBy(col("neighbor_id"))
+      .agg(min(col("cid")).as("cid"), count(lit(1)).as("__n"),
+        transform(array_sort(collect_list(struct(col("m"), col("__cw")))),
+          s => s.getField("__cw")).as("__parts"))
+      .select(col("neighbor_id"),
+        when(col("__n") =!= numSubspaces,
+          raise_error(concat(
+            lit("reconstructPq: duplicate neighbor_id "),
+            col("neighbor_id").cast("string"),
+            lit(" in lists — was a batch appended twice?"))))
+          .otherwise(col("cid")).as("cid"),
+        flatten(col("__parts")).as("__r"))
+      .join(broadcast(index.centroids), Seq("cid"))
+      .select(col("neighbor_id").as("vec_id"),
+        zip_with(col("__r"), col("__cv").cast("array<double>"),
+          (r, c) => r + c).as("embedding"))
+  }
+
+  /** Compact a doubly-drifted IVFADC index: re-Lloyd the coarse
+    * centroids over the RECONSTRUCTED corpus (current centroids as the
+    * warm start — [[compactIvfIndex]]'s discipline, the lists are the
+    * corpus projection so nothing is re-read or re-embedded), then
+    * re-train the residual codebooks under the new assignment and
+    * re-encode every entry.
+    *
+    * Unlike the int8 [[compactIvfIndex]] (a pure relabel — its payload
+    * is centroid-independent), PQ compaction RE-QUANTIZES: codes are
+    * residuals against the coarse centroid, so moving an entry to a
+    * new list invalidates its codes by construction. Each compaction
+    * therefore adds one generation of PQ reconstruction noise
+    * (compact-of-compact quantizes an already-quantized vector — the
+    * generation-loss tape-copy shape). The contract is accordingly
+    * evidence-driven, not scheduled: run it from
+    * [[maintainIvfPqIndex]] when measured recall decays below floor,
+    * and when the float corpus is being re-scanned anyway, prefer a
+    * fresh [[buildIvfPqIndex]] — compaction is for when the lists are
+    * the only corpus projection at hand (the nightly-maintenance
+    * reality at 100 TB, where re-embedding is the expensive step).
+    *
+    * Validity precondition: the stored codes must actually BE a
+    * faithful corpus projection — which holds exactly when every
+    * appended batch passed [[pqBatchError]]'s gate (see
+    * [[maintainIvfPqIndex]]). Compacting an index that absorbed a
+    * codebook-decayed batch re-clusters the collapsed reconstructions,
+    * cementing the loss instead of recovering it.
+    *
+    * Zero-norm reconstructions (every codeword zero) are dropped by
+    * [[pqResiduals]]'s assignment contract — they have no cosine
+    * direction and [[probeIvfPq]]'s `__n2 > 0` filter could never
+    * return them anyway. Duplicate list ids fail loudly in
+    * [[reconstructPq]].
+    */
+  def compactIvfPqIndex(
+      index: IvfPqIndex,
+      iterations: Int = 2,
+      kmeansIterations: Int = 2): IvfPqIndex = {
+    require(iterations >= 1,
+      s"codebook re-train needs >= 1 sweep, got $iterations")
+    require(kmeansIterations >= 1,
+      s"compaction without Lloyd sweeps is a no-op, got $kmeansIterations")
+    val (numSubspaces, subDim) = pqShape(index.codebooks)
+    val codebookSize = index.codebooks.agg(max(col("cid")).cast("int"))
+      .collect()(0).getInt(0) + 1
+    // staged once: the Lloyd sweeps, the residual pass, and the encode
+    // all re-read the reconstruction
+    val recon = reconstructPq(index).transform(Persist.round)
+    val cents = kmeansCentroids(recon, index.centroids, kmeansIterations)
+    val resid = pqResiduals(recon, cents, "vec_id", "embedding")
+    val cb = pqTrainCodebooks(resid, numSubspaces * subDim, numSubspaces,
+      codebookSize, iterations, idCol = "neighbor_id", vecCol = "__r")
+    IvfPqIndex(cents, cb, encodePqLists(resid, cb))
+  }
+
+  /** Relative residual quantization error of a float batch under FIXED
+    * quantizers: Σ‖r − q(r)‖² / Σ‖r‖² over the batch, where r is each
+    * vector's coarse residual and q(r) its codeword reconstruction —
+    * the energy fraction the codebooks would DESTROY if this batch were
+    * appended. 0 = codes are lossless on this batch; → 1 = the
+    * reconstruction collapses to the coarse centroid (the decayed-
+    * codebook signature: the vector becomes unreachable garbage while
+    * every stored byte still "looks" valid). Exactly measurable at
+    * append time — the one moment the floats are in hand — and
+    * batch-sized: one assignment + encode pass, one scalar collected.
+    */
+  def pqBatchError(
+      batch: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Double = {
+    val (numSubspaces, subDim) = pqShape(codebooks)
+    val resid = pqResiduals(batch, centroids, idCol, vecCol)
+    val cb = broadcast(codebooks.select(col("m"), col("cid").as("code"),
+      col("__cv").cast("array<double>").as("__cw")))
+    val rhat = pqEncode(resid, codebooks, numSubspaces * subDim,
+        idCol = "neighbor_id", vecCol = "__r")
+      .select(col("neighbor_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(cb, Seq("m", "code"))
+      .groupBy(col("neighbor_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("__cw")))),
+        s => s.getField("__cw"))).as("__rhat"))
+    val row = resid.join(rhat, Seq("neighbor_id"))
+      .agg(sum(l2sq(col("__r"), col("__rhat"))).as("err"),
+        sum(dot(col("__r"), col("__r"))).as("energy"))
+      .collect()(0)
+    if (row.isNullAt(1) || row.getDouble(1) == 0.0) 0.0
+    else row.getDouble(0) / row.getDouble(1)
+  }
+
+  /** One [[maintainIvfPqIndex]] pass: what happened, and the evidence
+    * it acted on. `rebuildNeeded` means the batch was REFUSED — its
+    * quantization error says the frozen codebooks cannot encode it,
+    * so appending would silently destroy it; re-run
+    * [[buildIvfPqIndex]] over the corpus + held batches instead.
+    */
+  final case class PqMaintenanceReport(
+      appended: Long, batchError: Double, rebuildNeeded: Boolean,
+      recallBefore: Double, compacted: Boolean, recallAfter: Double)
+
+  /** Decay-triggered IVFADC maintenance — [[maintainIvfIndex]]'s
+    * cadence recipe at the PQ rung, where decay is DOUBLE and the two
+    * modes need different responses:
+    *
+    *  1. **Codebook decay** (PQ-specific): a distribution-shifted
+    *     batch's residuals fall outside what the frozen codebooks were
+    *     trained on, so its codes reconstruct near the coarse centroid
+    *     — the vectors become unreachable garbage, invisibly (every
+    *     stored byte still parses; measured on the gate fixture the
+    *     appended mode's reconstructions rank BELOW base noise).
+    *     Caught by [[pqBatchError]] BEFORE the append, the one moment
+    *     the floats are in hand: error > `errorCeiling` → the batch is
+    *     REFUSED (`rebuildNeeded` = true, nothing written) because no
+    *     lists-only operation can recover information the encode would
+    *     destroy — re-train from floats ([[buildIvfPqIndex]]) is the
+    *     only honest fix. This gate is also what keeps every OTHER
+    *     maintenance step valid: since every appended batch passed it,
+    *     the stored codes remain a faithful corpus projection, which
+    *     is exactly the license [[compactIvfPqIndex]] and the recall
+    *     measurement below need to operate from lists alone.
+    *  2. **Coarse decay** (shared with the int8 index): well-encoded
+    *     appends still split new modes across frozen list boundaries,
+    *     so narrow probes miss cross-list neighbors. Measured after
+    *     the append as mean recall@k of the probed-list ADC against
+    *     brute force over the index's own reconstruction (the quantity
+    *     a frozen coarse quantizer erodes — valid ground truth BECAUSE
+    *     of gate 1), recovered by [[compactIvfPqIndex]] + rewrite when
+    *     it decays below `recallFloor`.
+    *
+    * Cost per pass: the batch-sized error measurement (+ encode/append
+    * when accepted) + one |probes| × |reconstructed lists| scan
+    * (probes are held-out and metadata-sized by contract) and, when
+    * compaction triggers, the re-cluster sweeps plus one full lists
+    * rewrite (entries change lists AND codes — a rewrite is the
+    * operation). The re-encoded lists are staged before the overwrite
+    * — the compacted plan reads the very files the write replaces.
+    * Only scalars are collected.
+    */
+  def maintainIvfPqIndex(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      probes: DataFrame,
+      recallFloor: Double,
+      errorCeiling: Double = 0.5,
+      k: Int = 5,
+      nprobe: Int = 1,
+      iterations: Int = 2,
+      kmeansIterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): PqMaintenanceReport = {
+    require(recallFloor > 0.0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    require(errorCeiling > 0.0 && errorCeiling < 1.0,
+      s"errorCeiling must be in (0, 1), got $errorCeiling")
+    def meanRecall(index: IvfPqIndex): Double = {
+      val recon = reconstructPq(index)
+        .select(col("vec_id").as(idCol), col("embedding").as(vecCol))
+      val exact = bruteForceTopK(recon, probes, k, idCol, vecCol)
+      val approx = probeIvfPq(index, probes, k, nprobe, idCol, vecCol)
+      recallAtK(approx, exact).agg(avg(col("recall")))
+        .collect()(0).getDouble(0)
+    }
+    val toAppend = batch.count()
+    val batchError = if (toAppend > 0L) {
+      val stored = readIvfPqIndex(spark, path)
+      pqBatchError(batch, stored.centroids, stored.codebooks, idCol, vecCol)
+    } else 0.0
+    if (batchError > errorCeiling) {
+      // gate 1 trips: nothing written — the recall of the UNTOUCHED
+      // index is still reported so the operator sees the full picture
+      val r = meanRecall(readIvfPqIndex(spark, path))
+      PqMaintenanceReport(0L, batchError, rebuildNeeded = true,
+        recallBefore = r, compacted = false, recallAfter = r)
+    } else {
+      if (toAppend > 0L) {
+        appendToStoredIvfPqIndex(spark, path, batch, idCol, vecCol)
+      }
+      val grown = readIvfPqIndex(spark, path)
+      val before = meanRecall(grown)
+      if (before >= recallFloor) {
+        PqMaintenanceReport(toAppend, batchError, rebuildNeeded = false,
+          before, compacted = false, before)
+      } else {
+        val compacted = compactIvfPqIndex(grown, iterations, kmeansIterations)
+        // stage before overwrite: the re-encoded plan reads the files
+        // the write replaces (the maintainIvfIndex discipline)
+        val staged = IvfPqIndex(compacted.centroids, compacted.codebooks,
+          compacted.lists.transform(Persist.round))
+        writeIvfPqIndex(staged, path)
+        val after = meanRecall(readIvfPqIndex(spark, path))
+        PqMaintenanceReport(toAppend, batchError, rebuildNeeded = false,
+          before, compacted = true, after)
+      }
+    }
+  }
 
   /** Mean-center a vector column: subtract the per-position corpus mean
     * (computed exactly as [[centroidOutliers]]'s centroid — posexplode →

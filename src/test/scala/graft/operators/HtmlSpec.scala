@@ -119,9 +119,81 @@ class HtmlSpec extends SparkSpec {
       assert(r._2 == "" && r._3 == 0L && r._4 == 0L,
         s"zero-block page must report ('', 0, 0): $r")
     }
-    val rowLocal = Html.extractHtmlTextStream(pages, "id", "html")
+    val rowLocal = hofExtract(pages)
       .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
     assert(batch == rowLocal,
       s"batch and row-local forms diverge: $batch vs $rowLocal")
+  }
+
+  /** The independent declarative HOF formulation (htmlTextCols) as a
+    * frame — the kernel's cross-check reference.
+    */
+  private def hofExtract(pages: org.apache.spark.sql.DataFrame) = {
+    val (t, tot, k) = Html.htmlTextCols(col("html"))
+    pages.select(col("id"), t.as("text"), tot.as("blocks_total"),
+      k.as("blocks_kept"))
+  }
+
+  test("extractHtmlText kernel (round 19): ≡ the independent HOF " +
+      "formulation on the traps; plan is shuffle-free codegen") {
+    val pages = Seq(
+      (1L, page),
+      (2L, "<div><a href=\"/\">Only links here</a></div>"),
+      (3L, "<p>use &amp;lt; to write a less-than sign; &quot;q&#39;s" +
+        "&quot; &nbsp;and a &gt; b &lt; c stay decoded</p>"),
+      (4L, ""),
+      (5L, "<script>var u='http://x.test/';if(1<2){go()}</script>"),
+      (6L, "<P CLASS='x'>Uppercase tagged paragraph, long enough to " +
+        "keep.</P><p>multi\n  line\t\twhitespace   collapse check " +
+        "needs length</p>"),
+      // unterminated tag, stray <, entity-in-anchor, surrogate pair
+      (7L, "<p>a stray < sign and an &amp; in prose make this block " +
+        "long enough</p><div><a href=\"/x\">&amp; link text</a> " +
+        "plus some surrounding prose to measure density 😀 " +
+        "properly</div>")).toDF("id", "html")
+    val kernel = Html.extractHtmlText(pages, "id", "html")
+    val hof = hofExtract(pages)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = kernel.as[(Long, String, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == hof,
+      s"kernel diverged from the declarative formulation:\n$got\nvs\n$hof")
+    // non-default parameters flow through identically
+    val k2 = Html.extractHtmlText(pages, "id", "html",
+        minBlockChars = 10, maxLinkDensityPpm = 100000L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val h2 = {
+      val (t, tot, k) = Html.htmlTextCols(col("html"),
+        minBlockChars = 10, maxLinkDensityPpm = 100000L)
+      pages.select(col("id"), t.as("text"), tot.as("blocks_total"),
+        k.as("blocks_kept"))
+    }.as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(k2 == h2)
+    // the point of the kernel: document bytes never cross an exchange,
+    // and the extraction sits inside whole-stage codegen (a range-
+    // derived frame — the local fixture above constant-folds to a
+    // LocalTableScan and shows no stages at all)
+    val wide = Html.extractHtmlText(
+      spark.range(8).select($"id",
+        concat(lit("<p>paragraph body prose long enough to keep "),
+          $"id".cast("string"), lit("</p><div><a href='/'>nav</a></div>"))
+          .as("html")),
+      "id", "html")
+    wide.collect()
+    val plan = wide.queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, s"extraction plan must be shuffle-free:\n$plan")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, s"extraction must run under whole-stage codegen:\n$plan")
+    // parameter guards live on the expression now
+    intercept[IllegalArgumentException] {
+      Html.extractHtmlText(pages, "id", "html", minBlockChars = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Html.extractHtmlText(pages, "id", "html",
+        maxLinkDensityPpm = 2000000L)
+    }
   }
 }

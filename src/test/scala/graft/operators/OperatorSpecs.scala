@@ -3709,4 +3709,258 @@ class PqSpec extends SparkSpec {
     val zq = Seq((99L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
     assert(Similarity.pqAdcTopK(codes, zq, cb, k = 3).count() == 0L)
   }
+
+  test("appendToIvfPqIndex: old entries bit-identical, new entries are the " +
+      "batch, equals the frozen-quantizer encode of the union") {
+    val emb = (0L until 100L).map(i =>
+      (i, Seq.tabulate(8)(j => (((i * 31 + j * 7) % 97).toFloat / 97f) - 0.4f)))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 5 =!= 4)
+    val batch = emb.filter($"vec_id" % 5 === 4)
+    val index = Similarity.buildIvfPqIndex(base, dim = 8, numCentroids = 4,
+      numSubspaces = 2, codebookSize = 4, iterations = 2)
+    val appended = Similarity.appendToIvfPqIndex(index, batch)
+    def entries(l: org.apache.spark.sql.DataFrame) =
+      l.select($"cid", $"neighbor_id", $"codes")
+        .as[(Long, Long, Seq[Int])].collect().toSet
+    val old = entries(index.lists)
+    val app = entries(appended.lists)
+    assert(old.subsetOf(app), "append must not touch existing lists")
+    assert((app -- old).map(_._2) ==
+      batch.select($"vec_id").as[Long].collect().toSet,
+      "new entries must be exactly the batch")
+    // frozen-quantizer equivalence: appending the UNION onto an
+    // empty-list clone reproduces the appended lists bit for bit —
+    // appends are a fixed-quantizer rebuild, never a drifted one
+    val emptyIndex = graft.operators.IvfPqIndex(index.centroids,
+      index.codebooks, index.lists.filter(lit(false)))
+    assert(entries(Similarity.appendToIvfPqIndex(emptyIndex, emb).lists)
+      == app, "append must equal the frozen-quantizer encode of the union")
+    // both quantizers ride through untouched
+    assert(appended.centroids eq index.centroids)
+    assert(appended.codebooks eq index.codebooks)
+  }
+
+  test("appendToStoredIvfPqIndex: hive-appends only the batch; read-back " +
+      "probes like the in-memory append") {
+    val emb = (0L until 100L).map(i =>
+      (i, Seq.tabulate(8)(j => (((i * 31 + j * 7) % 97).toFloat / 97f) - 0.4f)))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 5 =!= 4)
+    val batch = emb.filter($"vec_id" % 5 === 4)
+    val index = Similarity.buildIvfPqIndex(base, dim = 8, numCentroids = 4,
+      numSubspaces = 2, codebookSize = 4, iterations = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqappend").toString
+    Similarity.writeIvfPqIndex(index, dir)
+    def listFiles() = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .flatMap(_.listFiles()).map(_.getPath).toSet
+    val before = listFiles()
+    Similarity.appendToStoredIvfPqIndex(spark, dir, batch)
+    val after = listFiles()
+    assert(before.subsetOf(after), "stored append rewrote existing list files")
+    assert(after.size > before.size, "stored append wrote no new files")
+    val q = emb.filter($"vec_id" < 5)
+    val viaStore = Similarity.probeIvfPq(
+        Similarity.readIvfPqIndex(spark, dir), q, 4, nprobe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val viaMem = Similarity.probeIvfPq(
+        Similarity.appendToIvfPqIndex(index, batch), q, 4, nprobe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaStore == viaMem,
+      "stored-append probe must reproduce the in-memory append probe")
+  }
+
+  test("compactIvfPqIndex: duplicate list ids (double-append) fail loudly " +
+      "instead of silently interleaving codewords") {
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(j => (((i * 31 + j * 7) % 97).toFloat / 97f) - 0.4f)))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter($"vec_id" < 30)
+    val batch = emb.filter($"vec_id" >= 30)
+    val index = Similarity.buildIvfPqIndex(base, dim = 8, numCentroids = 4,
+      numSubspaces = 2, codebookSize = 4, iterations = 1)
+    val doubled = Similarity.appendToIvfPqIndex(
+      Similarity.appendToIvfPqIndex(index, batch), batch)
+    val e = intercept[Exception] {
+      Similarity.compactIvfPqIndex(doubled, iterations = 1,
+        kmeansIterations = 1)
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(messages.contains("duplicate neighbor_id"),
+      s"expected the duplicate-id guard, got: $messages")
+    // and the clean single-append index compacts fine through the guard
+    Similarity.compactIvfPqIndex(Similarity.appendToIvfPqIndex(index, batch),
+      iterations = 1, kmeansIterations = 1).lists
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  // The int8 compact test's decay geometry at the PQ rung: 8 axis
+  // clusters (16-dim), appends deliver a dense blob at the MIDPOINT of
+  // clusters 0 and 1 — a new mode on a frozen decision boundary. Under
+  // this jitter the blob splits 116/4 between the two boundary lists
+  // (minority ids 107, 160, 187, 214 — computed from the formula), so
+  // minority-side queries at nprobe=1 miss their cross-list neighbors.
+  private def pqJit(i: Long, j: Int, s: Double) =
+    ((((i * 37 + j * 13) % 991) / 991.0 - 0.5) * s).toFloat
+  private lazy val pqBase = (0L until 96L).map { i =>
+    val axis = (i % 8).toInt
+    (i, Seq.tabulate(16)(j =>
+      (if (j == axis * 2) 10f else 0f) + pqJit(i, j, 1.0)))
+  }.toDF("vec_id", "embedding")
+  private lazy val pqBlob = (100L until 220L).map { i =>
+    (i, Seq.tabulate(16)(j =>
+      (if (j == 0 || j == 2) 5f else 0f) + pqJit(i, j, 1.5)))
+  }.toDF("vec_id", "embedding")
+  // probe set weighted toward the minority list, where the miss lives
+  private lazy val pqProbes = pqBlob.filter($"vec_id" < 116 ||
+    $"vec_id".isin(160L, 187L, 214L))
+  // recall of what the index COULD return (ground truth = brute force
+  // over its own reconstruction — maintainIvfPqIndex's gate-2
+  // quantity): within probed lists ADC ranks reconstructions exactly,
+  // so the loss isolated here is the coarse probe miss compaction
+  // repairs. Valid only when the codes are faithful (fixture B's
+  // seeded codebooks) — fixture A is exactly the case where this
+  // metric goes blind and the error gate must act instead.
+  private def pqReconRecall(ix: graft.operators.IvfPqIndex): Double =
+    Similarity.recallAtK(
+        Similarity.probeIvfPq(ix, pqProbes, 5, nprobe = 1),
+        Similarity.bruteForceTopK(Similarity.reconstructPq(ix), pqProbes, 5))
+      .agg(avg($"recall")).as[Double].collect()(0)
+
+  test("pqBatchError: a distribution-shifted batch reads ~0.8 against " +
+      "frozen codebooks (fixture A); a force-append collapses its " +
+      "reconstructions — the silent loss the maintenance gate refuses") {
+    val ix = Similarity.buildIvfPqIndex(pqBase, dim = 16, numCentroids = 8,
+      numSubspaces = 4, codebookSize = 16, iterations = 2,
+      kmeansIterations = 2)
+    // the blob's residuals were never seen by the codebooks: most of
+    // their energy is unencodable (0.80 measured)
+    val blobErr = Similarity.pqBatchError(pqBlob, ix.centroids, ix.codebooks)
+    assert(blobErr > 0.5, s"shifted-batch error $blobErr should be high")
+    // self-control: the build corpus re-encodes almost losslessly
+    val baseErr = Similarity.pqBatchError(pqBase, ix.centroids, ix.codebooks)
+    assert(baseErr < 0.1, s"build-corpus self error $baseErr should be low")
+    // the counterfactual behind the gate: force the append anyway and
+    // the blob's reconstructions collapse toward the coarse centroids
+    // (mean cosine vs truth 0.74 measured, vs 0.99 for a seeded encode
+    // in the compact test below) — every stored byte still parses, the
+    // vectors are just gone. No lists-only operation can undo this.
+    val forced = Similarity.appendToIvfPqIndex(ix, pqBlob)
+    val fid = Similarity.reconstructPq(forced)
+      .filter($"vec_id" >= 100)
+      .join(pqBlob.select($"vec_id", $"embedding".as("__true")), Seq("vec_id"))
+      .agg(avg(Similarity.cosine($"embedding", $"__true")))
+      .as[Double].collect()(0)
+    assert(fid < 0.9,
+      s"forced-append recon fidelity $fid — expected visible collapse")
+    // empty batch: no residual energy, error 0 by definition
+    assert(Similarity.pqBatchError(pqBase.filter(lit(false)),
+      ix.centroids, ix.codebooks) == 0.0)
+  }
+
+  test("compactIvfPqIndex: seeded build -> append -> compact recovers the " +
+      "coarse probe miss (fixture B); skip-compact control strictly lower") {
+    // fixture B — coarse decay WITHOUT codebook decay: the build corpus
+    // includes a 20-member blob seed (kmeansIterations = 0 keeps the 8
+    // coarse centroids pure axis vectors, so the seed's purpose is only
+    // to teach the CODEBOOKS the blob's residual patterns). The 100
+    // appended members then encode faithfully (batch error 0.038,
+    // recon cosine vs truth 0.987 measured) but split across the two
+    // frozen boundary lists — exactly the decay mode compaction CAN
+    // repair, isolated from the one it can't (fixture A).
+    val seed = pqBlob.filter($"vec_id" < 120)
+    val rest = pqBlob.filter($"vec_id" >= 120)
+    val built = Similarity.buildIvfPqIndex(pqBase.unionByName(seed),
+      dim = 16, numCentroids = 8, numSubspaces = 4, codebookSize = 16,
+      iterations = 2, kmeansIterations = 0)
+    // gate 1 would admit this batch: the seeded codebooks encode it
+    assert(Similarity.pqBatchError(rest, built.centroids,
+      built.codebooks) < 0.1)
+    val drifted = Similarity.appendToIvfPqIndex(built, rest)
+    val compacted = Similarity.compactIvfPqIndex(drifted,
+      iterations = 2, kmeansIterations = 2)
+    val driftedR = pqReconRecall(drifted)
+    val compactR = pqReconRecall(compacted)
+    assert(driftedR < compactR,
+      s"skip-compact control: drifted $driftedR not strictly below " +
+        s"compacted $compactR — compaction bought nothing on this fixture")
+    assert(driftedR <= 0.85,
+      s"drifted recall $driftedR — the fixture should show a real miss " +
+        "(0.789 measured)")
+    assert(compactR >= 0.95,
+      s"compacted recall $compactR under the fixture's 0.95 contract")
+  }
+
+  test("maintainIvfPqIndex: gate 1 refuses a codebook-decayed batch " +
+      "(rebuild, nothing written); gate 2 compacts coarse decay past the " +
+      "floor; a fresh append does neither") {
+    // gate 1 (fixture A): the unseeded blob cannot be encoded by the
+    // stored codebooks -> REFUSED, lists bit-untouched on disk
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_pqmaint1").toString
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(pqBase, dim = 16,
+      numCentroids = 8, numSubspaces = 4, codebookSize = 16,
+      iterations = 2, kmeansIterations = 2), dir1)
+    def listFiles(d: String) = new java.io.File(s"$d/lists").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .flatMap(_.listFiles()).map(_.getPath).toSet
+    val filesBefore = listFiles(dir1)
+    val refused = Similarity.maintainIvfPqIndex(spark, dir1, pqBlob,
+      pqProbes, recallFloor = 0.95)
+    assert(refused.rebuildNeeded,
+      s"batch error ${refused.batchError} should trip the 0.5 ceiling")
+    assert(refused.batchError > 0.5 && refused.appended == 0L &&
+      !refused.compacted)
+    assert(listFiles(dir1) == filesBefore,
+      "a refused batch must leave the stored lists bit-untouched")
+    assert(refused.recallAfter == refused.recallBefore)
+
+    // gate 2 (fixture B): the seeded index absorbs the batch (error
+    // under the ceiling), the split blob drops probed recall under the
+    // floor, compaction recovers past it and is what gets STORED
+    val seed = pqBlob.filter($"vec_id" < 120)
+    val rest = pqBlob.filter($"vec_id" >= 120)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pqmaint2").toString
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(
+      pqBase.unionByName(seed), dim = 16, numCentroids = 8,
+      numSubspaces = 4, codebookSize = 16, iterations = 2,
+      kmeansIterations = 0), dir2)
+    val decayed = Similarity.maintainIvfPqIndex(spark, dir2, rest,
+      pqProbes, recallFloor = 0.95)
+    assert(!decayed.rebuildNeeded && decayed.batchError < 0.1,
+      s"seeded codebooks should admit the batch: ${decayed.batchError}")
+    assert(decayed.appended == 100L)
+    assert(decayed.compacted,
+      s"recall ${decayed.recallBefore} should be under the 0.95 floor")
+    assert(decayed.recallAfter > decayed.recallBefore &&
+      decayed.recallAfter >= 0.95,
+      s"post-maintenance recall ${decayed.recallAfter} must clear the floor")
+    // the compacted index is what is now stored: re-measuring the
+    // report's own quantity on a fresh read reproduces recallAfter
+    assert(math.abs(
+      pqReconRecall(Similarity.readIvfPqIndex(spark, dir2)) -
+        decayed.recallAfter) < 1e-9,
+      "report.recallAfter must describe the stored index")
+
+    // fresh path: an append matching the frozen structure decays
+    // nothing -> admitted, no compaction, report echoes both sides
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_pqmaint3").toString
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(pqBase, dim = 16,
+      numCentroids = 8, numSubspaces = 4, codebookSize = 16,
+      iterations = 2, kmeansIterations = 2), dir3)
+    val moreAxis = (300L until 340L).map { i =>
+      val axis = (i % 8).toInt
+      (i, Seq.tabulate(16)(j =>
+        (if (j == axis * 2) 10f else 0f) + pqJit(i, j, 1.0)))
+    }.toDF("vec_id", "embedding")
+    val axisProbes = pqBase.filter($"vec_id" < 20)
+    val fresh = Similarity.maintainIvfPqIndex(spark, dir3, moreAxis,
+      axisProbes, recallFloor = 0.8)
+    assert(!fresh.rebuildNeeded && fresh.appended == 40L)
+    assert(!fresh.compacted,
+      s"fresh-append recall ${fresh.recallBefore} wrongly triggered compaction")
+    assert(fresh.recallAfter == fresh.recallBefore)
+  }
 }
