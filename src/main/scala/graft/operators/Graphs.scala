@@ -325,11 +325,72 @@ object Graphs {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    // Materialize the narrow edge projection ONCE (the hostReputation
-    // lesson): the caller's edge derivation may be a join+distinct over
-    // the raw corpus, and it feeds nodes, deg, and every iteration's
-    // contribution join — without this it re-executes ~2+iterations
-    // times (measured 2.5× on the q181 gate).
+    val (e, nodes, n) = prProject(edges, srcCol, dstCol)
+    val init = nodes.withColumn("rank", lit(1.0 / n))
+    prRounds(e, nodes, n, init, iterations, damping)
+  }
+
+  /** Warm-start continuation of [[pageRank]] — incremental rank
+    * maintenance for a growing graph (round 19, completing the
+    * incremental family: [[appendToComponents]] for labels,
+    * `incrementalExactDedup`/`appendToIvfIndex` for their stores, this
+    * for centralities). The power iteration is an affine contraction,
+    * so ANY starting vector converges to the same fixpoint — a cold
+    * start just pays more rounds to get there, and at 100 TB every
+    * round is a full node-keyed shuffle over the rank table, so rounds
+    * saved are the bill. Yesterday's stored ranks are already near the
+    * new fixpoint when the nightly edge delta is small; nodes the
+    * stored table does not cover (the delta's new pages) start at
+    * 1/n over the NEW node set, nodes no longer in the graph drop out
+    * (ranks ride on the node spine), and no re-normalization is
+    * applied — the teleport term re-centers mass by itself.
+    *
+    * Two contracts, both gated:
+    *  - EXACT RESUME (the value oracle, q232): on an unchanged graph,
+    *    `resumePageRank(pageRank(e, k), e, m)` ≡ `pageRank(e, k+m)`
+    *    round for round — same quantized-contribution arithmetic, same
+    *    literals, so the composition is replayed by the same unrolled
+    *    CTE oracle as a (k+m)-round run.
+    *  - WARM-START WINS (the spec): after equal rounds on a grown
+    *    graph, the warm start sits strictly closer (L1) to the
+    *    converged fixpoint than the cold start.
+    *
+    * Stored-rank contract: one row per node — a duplicate would feed a
+    * node's contributions twice, silently; validated up front with one
+    * metadata-sized aggregate (two longs collected), the same cost
+    * class as the node count the cold start already pays.
+    */
+  def resumePageRank(ranks: DataFrame, edges: DataFrame, iterations: Int,
+      damping: Double = 0.85, srcCol: String = "src",
+      dstCol: String = "dst", nodeCol: String = "node",
+      rankCol: String = "rank"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val stored = ranks.select(col(nodeCol).as("node"),
+      col(rankCol).cast("double").as("__r0"))
+    val dup = stored.agg(count(lit(1)), count_distinct(col("node")))
+      .collect()(0)
+    require(dup.getLong(0) == dup.getLong(1),
+      s"resumePageRank: stored ranks carry ${dup.getLong(0)} rows over " +
+        s"${dup.getLong(1)} distinct nodes — a duplicate node would " +
+        "contribute twice; dedup the rank table first")
+    val (e, nodes, n) = prProject(edges, srcCol, dstCol)
+    val init = nodes.join(stored, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__r0"), lit(1.0 / n)).as("rank"))
+    prRounds(e, nodes, n, init, iterations, damping)
+  }
+
+  /** Shared head of [[pageRank]]/[[resumePageRank]]: the narrow edge
+    * projection, the node spine, and the node count. Materialized ONCE
+    * (the hostReputation lesson): the caller's edge derivation may be
+    * a join+distinct over the raw corpus, and it feeds nodes, deg, and
+    * every iteration's contribution join — without this it re-executes
+    * ~2+iterations times (measured 2.5× on the q181 gate).
+    */
+  private def prProject(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame, Double) = {
     val e = edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
@@ -337,11 +398,20 @@ object Graphs {
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct().transform(Persist.round)
-    val n = nodes.count().toDouble
+    (e, nodes, nodes.count().toDouble)
+  }
+
+  /** The quantized-contribution power-iteration rounds shared by
+    * [[pageRank]] (uniform init) and [[resumePageRank]] (stored init)
+    * — one body, so a fix to either cannot silently miss the other and
+    * the exact-resume identity holds by construction.
+    */
+  private def prRounds(e: DataFrame, nodes: DataFrame, n: Double,
+      init: DataFrame, iterations: Int, damping: Double): DataFrame = {
     val deg = e.groupBy(col("__src").as("node"))
       .agg(count(lit(1)).as("__outdeg")).transform(Persist.round)
     val scale = 1e12
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).transform(Persist.round)
+    var ranks = init.transform(Persist.round)
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(deg, Seq("node"), "left")
       val contrib = withDeg.where(col("__outdeg").isNotNull)

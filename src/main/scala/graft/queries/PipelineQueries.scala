@@ -1646,6 +1646,34 @@ object PipelineQueries {
         .withColumn("batch_error", round(lit(err), 4))
     }),
 
+    // Warm-start PageRank maintenance (round 19): q181's purchase
+    // graph grows — the warm phase runs 3 quantized rounds over the
+    // ~75% old subgraph (orders with o_orderkey % 4 <> 3), then
+    // resumePageRank continues 2 rounds over the FULL graph from those
+    // stored ranks, with the delta's new nodes starting at 1/n over
+    // the new node set. FULL value oracle: both phases and the bridge
+    // replayed round for round in one chained CTE (no output rounding
+    // — exact integer sums and mirrored literals, the q181
+    // discipline). The exact-resume identity (resume(pr(e,k), e, m) ≡
+    // pr(e, k+m) on an unchanged graph) and the warm-beats-cold
+    // convergence contract live in GraphsSpec.
+    "q232_resume_pagerank" -> ((s, d) => {
+      def graph(filtered: Boolean) = {
+        val joined = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+        (if (filtered) joined.filter(col("o_orderkey") % 4 =!= 3)
+         else joined)
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+      }
+      val warm = graft.operators.Graphs.pageRank(graph(filtered = true),
+        iterations = 3, damping = 0.85)
+      graft.operators.Graphs.resumePageRank(warm, graph(filtered = false),
+        iterations = 2, damping = 0.85)
+    }),
+
     // CCNet's head/middle/tail split (round 17): per-LANGUAGE unigram-
     // perplexity terciles over the corpus — head = the lowest-perplexity
     // third of each language (CCNet keeps head+middle). Cutpoints are
@@ -3544,6 +3572,66 @@ object PipelineQueries {
        |r0 AS MATERIALIZED (SELECT node, p AS rank FROM pref),
        |${(1 to iterations).map(iter).mkString(",\n")}
        |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Graphs.resumePageRank]]'s
+    * two-phase composition (q232): the warm phase unrolls
+    * `warmRounds` of the quantized update over the OLD edge list from
+    * the uniform start, the bridge CTE maps the warm ranks onto the
+    * NEW node spine (absent nodes coalesce to 1/n over the new count —
+    * the operator's new-page init, replayed literally), and the resume
+    * phase unrolls `resumeRounds` over the NEW edge list from that
+    * bridge. Every literal and association order mirrors
+    * [[pageRankOracle]]'s iteration body.
+    */
+  private def resumePageRankOracle(oldEdgesCte: String,
+      newEdgesCte: String, warmRounds: Int, resumeRounds: Int,
+      damping: Double): String = {
+    val S = "1000000000000.0::DOUBLE"
+    // one phase's iteration CTEs, all names prefixed so the two phases
+    // coexist in a single WITH
+    def iter(px: String, i: Int): String = {
+      val p = s"${px}r${i - 1}"
+      s"""${px}c$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    sum(round(r.rank / d.outdeg::DOUBLE * $S)::BIGINT) AS cs
+         |  FROM $p r JOIN ${px}deg d ON d.node = r.node
+         |  JOIN ${px}e e ON e.src = r.node
+         |  GROUP BY e.dst),
+         |${px}d$i AS MATERIALIZED (
+         |  SELECT coalesce(sum(round(r.rank * $S)::BIGINT), 0) AS dm
+         |  FROM $p r LEFT JOIN ${px}deg d ON d.node = r.node
+         |  WHERE d.node IS NULL),
+         |${px}r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    (1.0::DOUBLE - $damping::DOUBLE) / nn.n + $damping::DOUBLE *
+         |      (coalesce(c.cs, 0)::DOUBLE / $S +
+         |        (d.dm::DOUBLE / $S) / nn.n) AS rank
+         |  FROM ${px}nodes nodes CROSS JOIN ${px}nn nn
+         |  CROSS JOIN ${px}d$i d
+         |  LEFT JOIN ${px}c$i c ON c.node = nodes.node)""".stripMargin
+    }
+    def phaseHead(px: String, edgesCte: String): String =
+      s"""${px}e AS MATERIALIZED ($edgesCte),
+         |${px}nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM ${px}e UNION SELECT dst FROM ${px}e),
+         |${px}nn AS MATERIALIZED (
+         |  SELECT count(*)::DOUBLE AS n FROM ${px}nodes),
+         |${px}deg AS MATERIALIZED (
+         |  SELECT src AS node, count(*)::BIGINT AS outdeg
+         |  FROM ${px}e GROUP BY src)""".stripMargin
+    s"""WITH ${phaseHead("o", oldEdgesCte)},
+       |or0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / nn.n AS rank
+       |  FROM onodes CROSS JOIN onn nn),
+       |${(1 to warmRounds).map(iter("o", _)).mkString(",\n")},
+       |${phaseHead("w", newEdgesCte)},
+       |wr0 AS MATERIALIZED (
+       |  SELECT nodes.node,
+       |    coalesce(o.rank, 1.0::DOUBLE / nn.n) AS rank
+       |  FROM wnodes nodes CROSS JOIN wnn nn
+       |  LEFT JOIN or$warmRounds o ON o.node = nodes.node),
+       |${(1 to resumeRounds).map(iter("w", _)).mkString(",\n")}
+       |SELECT node, rank FROM wr$resumeRounds""".stripMargin
   }
 
   private def pageRankOracle(edgesCte: String, iterations: Int,
@@ -6649,6 +6737,18 @@ object PipelineQueries {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
         .stripMargin,
       iterations = 5, damping = 0.85),
+
+    // q232 = the warm phase over the o_orderkey%4<>3 subgraph, the
+    // 1/n-coalesce bridge onto the full node spine, and the resume
+    // rounds over the full graph, in one chained replay.
+    "q232_resume_pagerank" -> resumePageRankOracle(
+      """SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderkey % 4 <> 3""".stripMargin,
+      """SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+        .stripMargin,
+      warmRounds = 3, resumeRounds = 2, damping = 0.85),
 
     // q184 = the same predicates under the same NULL-is-a-violation
     // coalesce, one aggregate row unpivoted per rule.

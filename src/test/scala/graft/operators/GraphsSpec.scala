@@ -129,6 +129,78 @@ class GraphsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graphs.pageRank(g, 2, damping = 1.0) }
   }
 
+  test("resumePageRank: exact-resume identity; stale nodes drop and new " +
+      "nodes start at 1/n (hand-replayed); duplicate stored ranks raise") {
+    // exact resume: on an unchanged graph, 2 warm + 3 resumed rounds
+    // reproduce the 5-round run bit for bit (shared loop body)
+    val warm = Graphs.pageRank(g, iterations = 2)
+    val resumed = Graphs.resumePageRank(warm, g, iterations = 3)
+      .as[(String, Double)].collect().toMap
+    val full = Graphs.pageRank(g, iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(resumed == full,
+      s"resume diverged from the single-run composition: $resumed vs $full")
+
+    // grown graph: e joins (a new page linking in), zzz left the graph
+    val grown = Seq(("a", "b"), ("b", "a"), ("c", "a"), ("c", "d"),
+      ("e", "a"))
+    val stored = warm.unionByName(Seq(("zzz", 0.25)).toDF("node", "rank"))
+    val got = Graphs.resumePageRank(stored, grown.toDF("src", "dst"),
+      iterations = 1).as[(String, Double)].collect().toMap
+    assert(!got.contains("zzz"), "a node no longer in the graph must drop")
+    // hand replay of the one resumed round: init = stored ranks with e
+    // coalesced to 1/n over the NEW 5-node spine
+    val w = Graphs.pageRank(g, iterations = 2)
+      .as[(String, Double)].collect().toMap
+    val init = w + ("e" -> 1.0 / 5.0)
+    val out = grown.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val contrib = grown
+      .map { case (s, t) =>
+        t -> math.rint(init(s) / out(s).toDouble * 1e12).toLong }
+      .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).sum }
+    val nodes5 = Seq("a", "b", "c", "d", "e")
+    val dang = nodes5.filterNot(out.contains)
+      .map(v => math.rint(init(v) * 1e12).toLong).sum
+    val expect = nodes5.map { v =>
+      v -> ((1.0 - 0.85) / 5.0 + 0.85 *
+        (contrib.getOrElse(v, 0L).toDouble / 1e12 +
+          (dang.toDouble / 1e12) / 5.0))
+    }.toMap
+    assert(got == expect, s"resumed round diverged: $got vs $expect")
+
+    // duplicate stored ranks feed a node twice — fail loud
+    val dup = warm.unionByName(warm.limit(1))
+    intercept[IllegalArgumentException] {
+      Graphs.resumePageRank(dup, g, iterations = 1)
+    }
+  }
+
+  test("resumePageRank: warm start sits closer to the fixpoint than a " +
+      "cold start after equal rounds on a grown graph") {
+    // Hub-and-spoke: ranks are FAR from uniform (the hub holds a large
+    // share), so a cold uniform start begins far from the fixpoint,
+    // while a small spoke delta barely moves it — the nightly-crawl
+    // shape warm-starting is for. (A near-regular graph is the
+    // opposite regime: its fixpoint IS near uniform, and there a cold
+    // start legitimately wins — measured while building this gate.)
+    val base = (0 until 50).map(i => (s"s$i", "hub")) :+ (("hub", "s0"))
+    val delta = (50 until 53).map(i => (s"s$i", "hub"))
+    val e1 = base.toDF("src", "dst")
+    val e2 = (base ++ delta).toDF("src", "dst")
+    val fix = Graphs.pageRank(e2, iterations = 25)
+      .as[(String, Double)].collect().toMap
+    def l1(m: Map[String, Double]): Double =
+      fix.map { case (k, v) => math.abs(v - m.getOrElse(k, 0.0)) }.sum
+    val cold = Graphs.pageRank(e2, iterations = 3)
+      .as[(String, Double)].collect().toMap
+    val warmed = Graphs.resumePageRank(
+        Graphs.pageRank(e1, iterations = 10), e2, iterations = 3)
+      .as[(String, Double)].collect().toMap
+    assert(l1(warmed) < l1(cold),
+      s"warm start ${l1(warmed)} not closer than cold ${l1(cold)} — " +
+        "the 10 stored rounds bought nothing")
+  }
+
   /** Plain-Scala replay of the weighted quantized update. */
   private def refWRanks(edges: Seq[(String, String, Long)], iters: Int,
       d: Double): Map[String, Double] = {
