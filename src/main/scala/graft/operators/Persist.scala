@@ -43,9 +43,23 @@ object Persist {
     */
   @volatile private var appliedDir: String = null
 
-  /** Stage an iterative round's frame (eager in both backends). */
-  def round(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(CheckpointDirKey) match {
+  /** Stage an iterative round's frame (eager in both backends).
+    *
+    * Stats clamp (round 19): checkpoints carry the origin plan's
+    * Statistics into the truncated LogicalRDD, and join estimation
+    * MULTIPLIES children — so a loop that self-joins its round frame
+    * squares the carried sizeInBytes every round, until from ~round 20
+    * the driver lives inside BigInteger.multiply in
+    * JoinSelection.canBroadcastBySize (observed: q230's inner
+    * connectedComponents pinned one core for 75+ minutes of PLANNING
+    * at sf0.1 while executors idled). Estimates that fit in a long
+    * pass through untouched — small checkpointed build sides stay
+    * broadcastable — anything wider clamps to Long.MaxValue, which is
+    * what such an estimate already meant to every consumer. See
+    * [[org.apache.spark.sql.graftbridge.StatsBridge]].
+    */
+  def round(df: DataFrame): DataFrame = {
+    val cp = df.sparkSession.conf.getOption(CheckpointDirKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
         synchronized {
@@ -57,4 +71,6 @@ object Persist {
         df.checkpoint()
       case _ => df.localCheckpoint()
     }
+    org.apache.spark.sql.graftbridge.StatsBridge.clampCheckpointStats(cp)
+  }
 }

@@ -33,6 +33,39 @@ class PersistSpec extends SparkSpec {
     }
   }
 
+  test("stats clamp (round 19): a self-join tower stays plannable — " +
+      "carried sizeInBytes bounded, true small sizes pass through") {
+    def carried(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.analyzed.stats.sizeInBytes
+    // the hazard shape: each round self-joins the previous STAGED frame
+    // (connectedComponents' pointer jump). Unclamped, the carried
+    // estimate SQUARES per round: by round 24 it would be a ~2^24-bit
+    // BigInt and the driver would grind inside BigInteger.multiply in
+    // broadcast-size estimation (observed on q230 at sf0.1: one core
+    // pinned for 75+ minutes of planning).
+    var cur = (0L until 64L).map(i => (i, (i * 7) % 64))
+      .toDF("a", "b").transform(Persist.round)
+    for (_ <- 1 to 24) {
+      cur = cur.alias("l")
+        .join(cur.alias("r"), col("l.b") === col("r.a"))
+        .select(col("l.a").as("a"), col("r.b").as("b"))
+        .limit(64)
+        .transform(Persist.round)
+    }
+    assert(carried(cur) <= BigInt(Long.MaxValue),
+      s"round-24 staged frame carries ${carried(cur).bitLength} bits " +
+        "of sizeInBytes — the clamp is not applied")
+    assert(cur.count() == 64L) // and the tower still executes
+    // pass-through: a small frame's checkpoint keeps its TRUE estimate
+    // (this is what keeps small staged build sides broadcastable)
+    val small = (0L until 10L).map(i => (i, i)).toDF("x", "y")
+    val smallCp = small.transform(Persist.round)
+    assert(carried(smallCp) > 0 &&
+      carried(smallCp) <= BigInt(Long.MaxValue))
+    assert(carried(smallCp) < BigInt(1000000),
+      s"small staged frame lost its true size: ${carried(smallCp)}")
+  }
+
   test("mid-session conf change re-targets the checkpoint dir " +
       "(ADVICE r18)") {
     val edges = (0L until 60L).map(i => (i, (i * 7) % 60))
