@@ -1674,6 +1674,22 @@ object PipelineQueries {
         iterations = 2, damping = 0.85)
     }),
 
+    // k-dimensional Z-order key (round 19 — q122's 2-D Morton spread
+    // generalized): MSB-first bit interleave of THREE dimensions into
+    // one 63-bit sort key (21 bits each), the layout behind
+    // multi-column data skipping when tables are filtered on more than
+    // two columns. Dims folded mod 2048 so the gate is sf-independent
+    // (the operator's 21-bit bound holds at any scale factor);
+    // value-gated bit for bit — the oracle replays the identical
+    // 63-step shift-or fold.
+    "q233_zorder3_key" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          col("l_suppkey"),
+          graft.sources.Layout.zorderKeyN(Seq(
+            col("l_orderkey") % 2048, col("l_partkey") % 2048,
+            col("l_suppkey") % 2048)).as("z_key"))),
+
     // CCNet's head/middle/tail split (round 17): per-LANGUAGE unigram-
     // perplexity terciles over the corpus — head = the lowest-perplexity
     // third of each language (CCNet keeps head+middle). Cutpoints are
@@ -6737,6 +6753,26 @@ object PipelineQueries {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
         .stripMargin,
       iterations = 5, damping = 0.85),
+
+    // q233 = the same interleave in closed form: bit b of dim i lands
+    // at position b·k + (k−1−i) under the MSB-first fold, so the key is
+    // the OR of 63 positioned (disjoint) bits — kept FLAT because
+    // DuckDB's binder caps expression nesting at 128 and the literal
+    // 63-step fold replay exceeds it (left-deep OR chains of 63 terms
+    // bind fine).
+    "q233_zorder3_key" -> {
+      val terms = for (b <- 20 to 0 by -1; (c, i) <- Seq("a", "b", "c").zipWithIndex)
+        yield s"((($c >> $b) & 1) << ${b * 3 + (2 - i)})"
+      s"""WITH d AS (
+         |  SELECT l_orderkey, l_partkey, l_linenumber, l_suppkey,
+         |    (l_orderkey % 2048)::BIGINT AS a,
+         |    (l_partkey % 2048)::BIGINT AS b,
+         |    (l_suppkey % 2048)::BIGINT AS c
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_partkey, l_linenumber, l_suppkey,
+         |  ${terms.mkString(" | ")} AS z_key
+         |FROM d""".stripMargin
+    },
 
     // q232 = the warm phase over the o_orderkey%4<>3 subgraph, the
     // 1/n-coalesce bridge onto the full node spine, and the resume

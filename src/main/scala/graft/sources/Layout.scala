@@ -74,6 +74,58 @@ object Layout {
     spread(a, 32).bitwiseOR(shiftleft(spread(b, 31), 1))
   }
 
+  /** [[zorderKey]] generalized to k dimensions (round 19 — real tables
+    * are filtered on more than two columns): MSB-first bit interleave
+    * of k non-negative ints into one 63-bit sort key, so every file's
+    * min/max footer range is narrow in ALL k dimensions at once. Each
+    * dimension gets floor(63/k) bits (the top bit stays 0 — a set sign
+    * bit would break range-partition ordering): k=3 → 21 bits (2M
+    * distinct values), k=4 → 15 bits (32k) — rank or bucket wider
+    * domains first (`Sketches.approxQuantileBuckets` / dense_rank),
+    * which is also what OPTIMIZE ZORDER implementations do. Built as a
+    * chain of shift-or Column ops (63 per key) — codegen-native longs,
+    * replayed literally by the q233 oracle as the same folded
+    * expression. Out-of-range values fail loudly ([[zorderKey]]'s
+    * ADVICE r8 contract); a NULL in ANY dimension nulls the whole key
+    * (there is no meaningful curve position for half a coordinate).
+    *
+    * The 2-D [[zorderKey]] keeps its 32+31-bit split (wider domains,
+    * the 5-step spread) — this is the ≥3-dim form, not a replacement.
+    */
+  def zorderKeyN(dims: Seq[Column]): Column = {
+    val k = dims.length
+    require(k >= 2, s"zorderKeyN needs >= 2 dimensions, got $k")
+    require(k <= 8, s"beyond 8 dimensions the per-dim range (2^${63 / 8})" +
+      s" stops being a useful clustering domain, got $k")
+    val bitsPerDim = 63 / k
+    val bound = 1L << bitsPerDim
+    val checked = dims.map(c =>
+      when(c < 0 || c >= lit(bound), raise_error(concat(
+          lit(s"zorderKeyN: input out of [0, 2^$bitsPerDim): "),
+          c.cast("string"))))
+        .otherwise(c).cast("long"))
+    var key = lit(0L)
+    for (b <- bitsPerDim - 1 to 0 by -1; c <- checked) {
+      key = shiftleft(key, 1)
+        .bitwiseOR(shiftright(c, b).bitwiseAND(lit(1L)))
+    }
+    key
+  }
+
+  /** [[zorderWrite]] for the k-dimensional key: range-partition +
+    * sort-within on [[zorderKeyN]], so files AND pages tile the k-D
+    * space.
+    */
+  def zorderWriteN(df: DataFrame, dimCols: Seq[String], path: String,
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.withColumn("__z", zorderKeyN(dimCols.map(col)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Z-ordered parquet write: range-partition on the interleaved key
     * (so FILES tile the 2-D key space) and sort within each partition
     * (so PAGES do too), then write. `numFiles` should target the

@@ -259,6 +259,85 @@ class LayoutSpec extends SparkSpec {
     assert(z(null, 3L).isNullAt(0), "null input must yield a null key")
   }
 
+  test("zorderKeyN (round 19): hand-computed 3-D interleave, guards, " +
+      "null propagation") {
+    // dims (0b101, 0b011, 0b110), 21 bits each: the top 18 interleave
+    // rounds contribute zeros, the last three bits (b=2,1,0 over dims
+    // left->right) give 101 -> a:1 b:0 c:1, 011 -> a:0 b:1 c:1,
+    // 110 -> a:1 b:1 c:0 => bits (a2 b2 c2 a1 b1 c1 a0 b0 c0) =
+    // 1 0 1  0 1 1  1 1 0 = 0b101011110 = 350
+    val z = Seq((5L, 3L, 6L)).toDF("a", "b", "c")
+      .select(Layout.zorderKeyN(Seq($"a", $"b", $"c"))).as[Long]
+      .collect().head
+    assert(z == 350L, s"hand interleave got $z")
+    // plain-Scala replay over a value battery
+    def ref(dims: Seq[Long], bits: Int): Long = {
+      var key = 0L
+      for (b <- bits - 1 to 0 by -1; d <- dims)
+        key = (key << 1) | ((d >> b) & 1L)
+      key
+    }
+    val battery = Seq(Seq(0L, 0L, 0L), Seq(1L, 2L, 4L),
+      Seq((1L << 21) - 1, 0L, (1L << 21) - 1), Seq(12345L, 678L, 9L))
+    battery.foreach { dims =>
+      val got = Seq((dims(0), dims(1), dims(2))).toDF("a", "b", "c")
+        .select(Layout.zorderKeyN(Seq($"a", $"b", $"c"))).as[Long]
+        .collect().head
+      assert(got == ref(dims, 21), s"$dims -> $got != ${ref(dims, 21)}")
+      assert(got >= 0L, "keys stay non-negative (63-bit budget)")
+    }
+    // 4 dims get 15 bits each
+    val z4 = Seq((1L, 1L, 1L, 1L)).toDF("a", "b", "c", "d")
+      .select(Layout.zorderKeyN(Seq($"a", $"b", $"c", $"d"))).as[Long]
+      .collect().head
+    assert(z4 == 15L, s"four dims of 1 must interleave to 0b1111: $z4")
+    // guards
+    intercept[IllegalArgumentException] {
+      Layout.zorderKeyN(Seq($"a"))
+    }
+    val e = intercept[Exception] {
+      Seq((1L << 21, 0L, 0L)).toDF("a", "b", "c")
+        .select(Layout.zorderKeyN(Seq($"a", $"b", $"c"))).collect()
+    }
+    assert(e.getMessage.contains("out of [0, 2^21)"), e.getMessage)
+    // one null dim nulls the whole key
+    assert(Seq((Option.empty[Long], Option(3L), Option(4L)))
+      .toDF("a", "b", "c")
+      .select(Layout.zorderKeyN(Seq($"a", $"b", $"c"))).collect()
+      .head.isNullAt(0))
+  }
+
+  test("zorderWriteN: point filters on ANY of three dimensions skip " +
+      "most files; single-column sort skips nothing on the others") {
+    // 16x16x16 grid, 16 files: z-ordered, each file tiles a sub-cube,
+    // so a point filter on any dim overlaps a fraction of files; an
+    // a-sorted layout leaves every file spanning b's and c's full range
+    val grid = (0 until 16).flatMap(a => (0 until 16).flatMap(b =>
+      (0 until 16).map(c => (a, b, c)))).toDF("a", "b", "c")
+    def overlapFrac(dir: String, colName: String, v: Int): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val hits = files.count { f =>
+        val mm = spark.read.parquet(f)
+          .agg(min(col(colName)), max(col(colName))).collect()(0)
+        mm.getInt(0) <= v && v <= mm.getInt(1)
+      }
+      hits.toDouble / files.length
+    }
+    val zdir = Files.createTempDirectory("graft_z3").toString + "/t"
+    Layout.zorderWriteN(grid, Seq("a", "b", "c"), zdir, numFiles = 16)
+    val adir = Files.createTempDirectory("graft_a3").toString + "/t"
+    grid.repartitionByRange(16, $"a").sortWithinPartitions($"a")
+      .write.mode("overwrite").parquet(adir)
+    assert(overlapFrac(adir, "b", 7) == 1.0 &&
+      overlapFrac(adir, "c", 7) == 1.0,
+      "single-column sort must leave every file a candidate on b and c")
+    assert(overlapFrac(zdir, "a", 7) <= 0.5, "no skipping on a-point")
+    assert(overlapFrac(zdir, "b", 7) <= 0.5, "no skipping on b-point")
+    assert(overlapFrac(zdir, "c", 7) <= 0.75, "no skipping on c-point")
+    assert(spark.read.parquet(zdir).count() == 16L * 16L * 16L)
+  }
+
   test("zorderWrite: point filters on EITHER dimension skip most files") {
     // 64x64 grid of (a, b) keys, 16 output files. Z-ordered, each file
     // tiles a ~16x16 square => a point filter on either dim overlaps
