@@ -983,6 +983,15 @@ object Similarity {
     * three pieces existed since r14/r15 but nothing invoked compaction
     * from evidence.
     *
+    * No admission gate here, deliberately (contrast
+    * [[maintainIvfPqIndex]]'s [[pqBatchError]] refusal): int8 scalar
+    * quantization is PER-VECTOR (scale = max|v|/127 of that vector) —
+    * nothing about it is trained on the old corpus's distribution, so
+    * a shifted batch quantizes exactly as faithfully as the build
+    * corpus did and the only decay mode is the coarse probe miss this
+    * loop already measures. PQ decays doubly because its codebooks ARE
+    * corpus-trained; that is the asymmetry, not an omission.
+    *
     * Ground truth is the brute-force top-k over the index's OWN
     * dequantized lists — the corpus projection the index already stores
     * — so maintenance never re-reads or re-embeds the corpus
