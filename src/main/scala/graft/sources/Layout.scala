@@ -82,35 +82,23 @@ object Layout {
     * bit would break range-partition ordering): k=3 → 21 bits (2M
     * distinct values), k=4 → 15 bits (32k) — rank or bucket wider
     * domains first (`Sketches.approxQuantileBuckets` / dense_rank),
-    * which is also what OPTIMIZE ZORDER implementations do. Built as a
-    * chain of shift-or Column ops (63 per key) — codegen-native longs,
-    * replayed literally by the q233 oracle as the same folded
-    * expression. Out-of-range values fail loudly ([[zorderKey]]'s
-    * ADVICE r8 contract); a NULL in ANY dimension nulls the whole key
-    * (there is no meaningful curve position for half a coordinate).
+    * which is also what OPTIMIZE ZORDER implementations do. Runs as
+    * the codegen'd [[graft.functions.ZorderKeyNExpr]] kernel — one
+    * register loop per row (the composed 63-node Column fold measured
+    * ~36× slower on the q233 scan; see the expression's scaladoc) —
+    * and the q233 oracle replays the fold in closed form. Out-of-range
+    * values fail loudly ([[zorderKey]]'s ADVICE r8 contract); a NULL
+    * in ANY dimension nulls the whole key (there is no meaningful
+    * curve position for half a coordinate).
     *
     * The 2-D [[zorderKey]] keeps its 32+31-bit split (wider domains,
     * the 5-step spread) — this is the ≥3-dim form, not a replacement.
     */
-  def zorderKeyN(dims: Seq[Column]): Column = {
-    val k = dims.length
-    require(k >= 2, s"zorderKeyN needs >= 2 dimensions, got $k")
-    require(k <= 8, s"beyond 8 dimensions the per-dim range (2^${63 / 8})" +
-      s" stops being a useful clustering domain, got $k")
-    val bitsPerDim = 63 / k
-    val bound = 1L << bitsPerDim
-    val checked = dims.map(c =>
-      when(c < 0 || c >= lit(bound), raise_error(concat(
-          lit(s"zorderKeyN: input out of [0, 2^$bitsPerDim): "),
-          c.cast("string"))))
-        .otherwise(c).cast("long"))
-    var key = lit(0L)
-    for (b <- bitsPerDim - 1 to 0 by -1; c <- checked) {
-      key = shiftleft(key, 1)
-        .bitwiseOR(shiftright(c, b).bitwiseAND(lit(1L)))
-    }
-    key
-  }
+  def zorderKeyN(dims: Seq[Column]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ZorderKeyNExpr(dims.map(c =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          c.cast("long")))))
 
   /** [[zorderWrite]] for the k-dimensional key: range-partition +
     * sort-within on [[zorderKeyN]], so files AND pages tile the k-D
