@@ -114,14 +114,35 @@ def main():
     force = {q.strip() for q in args.force_retire.split(",") if q.strip()}
     reset = {q.strip() for q in args.reset.split(",") if q.strip()}
     names = sorted(set().union(*[set(r["queries"]) for r in runs]))
-    surface = len(names)
     old_q = ref.get("queries", {})
     old_runs = ref.get("runs", {})
+    # Partial-run guard (round 19, learned the hard way): a
+    # SPARK_GRAFT_ONLY run covers a few queries, and treating its query
+    # list as THE surface silently deleted every absent floor (a
+    # single-query merge reduced a 232-row reference to 1 row). A run
+    # covering less than half the reference is a partial merge: absent
+    # queries are carried through untouched, never dropped.
+    partial = old_q and len(names) < len(old_q) / 2
+    if partial:
+        print(f"partial input ({len(names)} of {len(old_q)} reference "
+              "queries): absent floors carried through, none dropped")
+        names = sorted(set(names) | set(old_q))
+    surface = len(names)
     new_q, new_runs, prov = {}, {}, {}
     counts = {"new_floor": 0, "kept": 0, "retired": 0, "reset_or_new": 0}
 
+    old_prov = ref.get("provenance", {})
     for q in names:
         raw = [r["queries"][q] for r in runs if q in r["queries"]]
+        if not raw:
+            # partial merge: this query wasn't in the input runs —
+            # carry its floor, history, and provenance through verbatim
+            new_q[q] = old_q[q]
+            new_runs[q] = old_runs.get(q, [])
+            if q in old_prov:
+                prov[q] = old_prov[q]
+            counts["kept"] += 1
+            continue
         quiet_eq = [r["queries"][q] / ratio
                     for r, ratio in zip(runs, ratios) if q in r["queries"]]
         raw_floor, qe_floor = min(raw), min(quiet_eq)
@@ -170,8 +191,11 @@ def main():
     ref["runs"] = new_runs
     ref["provenance"] = prov
     ref["n_queries"] = surface
-    ref["run_totals_sec"] = ref.get("run_totals_sec", []) + \
-        [round(r["value"], 2) for r in runs]
+    if not partial:
+        # partial-run totals are not full-surface totals — appending a
+        # 0.5s single-query "total" would pollute the run history
+        ref["run_totals_sec"] = ref.get("run_totals_sec", []) + \
+            [round(r["value"], 2) for r in runs]
     ref["best_sum_sec"] = round(sum(new_q.values()), 2)
     if args.note:
         ref["method"] = ref.get("method", "") + " " + args.note
