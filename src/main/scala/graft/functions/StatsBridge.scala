@@ -49,10 +49,15 @@ object StatsBridge {
         val clamped = Statistics(
           sizeInBytes = MaxCarried,
           rowCount = lr.stats.rowCount.map(_.min(MaxCarried)))
+        // Constraints carry through unchanged: `lr.constraints` is the
+        // origin set already rebased onto this plan's output (and
+        // filtered to deterministic expressions — re-filtering is
+        // idempotent), so a frame whose size estimate overflowed keeps
+        // its inferred not-nulls instead of losing them with the clamp.
         Dataset.ofRows(spark,
           new LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
             lr.outputOrdering, lr.isStreaming, lr.stream)(
-            spark, Some(clamped), None))
+            spark, Some(clamped), Some(lr.constraints)))
       case _ => df
     }
   }

@@ -56,9 +56,15 @@ case class ZorderKeyNExpr(children: Seq[Expression]) extends Expression {
     val arr = ctx.freshName("zdims")
     val evals = children.zipWithIndex.map { case (c, i) =>
       val e = c.genCode(ctx)
-      code"""${e.code}
-            |if (${e.isNull}) { ${ev.isNull} = true; }
-            |else { $arr[$i] = ${e.value}; }
+      // Guarded so a null child short-circuits the REST of the children,
+      // exactly like eval()'s early return — without the guard a later
+      // child that throws (ANSI overflow, raise_error) would fail under
+      // codegen but yield NULL interpreted.
+      code"""if (!${ev.isNull}) {
+            |  ${e.code}
+            |  if (${e.isNull}) { ${ev.isNull} = true; }
+            |  else { $arr[$i] = ${e.value}; }
+            |}
             |""".stripMargin
     }
     ev.copy(code =

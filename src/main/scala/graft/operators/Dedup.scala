@@ -795,4 +795,130 @@ object Dedup {
         when(col("__rm").isNull, lit(0))
           .otherwise(size(col("__rm"))).as("n_removed"))
   }
+
+  /** All L-token windows of every document, keyed by the repo's 60-bit
+    * md5 hash of the space-joined window — the shared candidate frame of
+    * [[repeatedSpans]] / [[exciseRepeatedSpans]]. (id, pos 1-based,
+    * key); documents shorter than L emit nothing.
+    */
+  private def tokenWindows(df: DataFrame, minTokens: Int,
+      textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("__id"), col("__t"),
+        explode(when(size(col("__t")) >= minTokens,
+          sequence(lit(1), size(col("__t")) - minTokens + 1))
+          .otherwise(array().cast("array<int>"))).as("__p"))
+      .select(col("__id"), col("__p"),
+        conv(substring(md5(array_join(
+          slice(col("__t"), col("__p"), lit(minTokens)), " ")), 1, 15),
+          16, 10).cast("long").as("__key"))
+
+  /** Merge a frame of flagged window positions into maximal spans per
+    * document: equal-length windows make the coverage end monotone in
+    * the start, so two windows chain iff the start gap is ≤ L.
+    */
+  private def windowIslands(flagged: DataFrame, minTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("__id")).orderBy(col("__p").asc)
+    flagged
+      .withColumn("__brk",
+        when(col("__p") - lag(col("__p"), 1).over(w) <= minTokens, 0)
+          .otherwise(1)) // first row: lag null → otherwise → new island
+      .withColumn("__g", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__g"))
+      .agg(min(col("__p")).as("start_tok"),
+        (max(col("__p")) + minTokens - 1).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+  }
+
+  /** ExactSubstr repeated-span detection (Lee et al. 2021 §4.1, the
+    * full-guarantee class): flag EVERY maximal token span all of whose
+    * aligned L-token windows occur ≥ 2 times in the corpus — so ANY
+    * span of ≥ L tokens shared across documents (or self-repeated
+    * within one) is caught exactly, including the winnowing miss band
+    * (shared spans shorter than w+k−1 chars that
+    * [[TextAnalysis.winnowSharedSpans]]'s sampled fingerprints may
+    * never select). The published implementation is a suffix array
+    * over the concatenated corpus; the Spark-first equivalent is
+    * fixed-length window keys, which carry the same guarantee for the
+    * token-span threshold: a repeated span of ≥ L tokens repeats every
+    * one of its aligned L-grams, and every matched L-gram IS a
+    * repeated span (md5-keyed equality, engine-portable; the 60-bit
+    * truncation's collision odds are the repo's standing fingerprint
+    * convention).
+    *
+    * Output: (idCol, start_tok, end_tok, span_tokens, n_windows), token
+    * positions 1-based inclusive, one row per maximal flagged span.
+    *
+    * Scale shape: one corpus scan explodes ~n_tokens windows (hashed to
+    * 60-bit keys per row — the window STRING never shuffles), one
+    * map-side-combinable count per key, one key-shuffle join back, and
+    * a per-document island window whose group is the document's flagged
+    * windows. Never all-pairs, nothing corpus-sized on the driver.
+    */
+  def repeatedSpans(df: DataFrame, minTokens: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minTokens >= 2,
+      s"a 1-token repeat threshold flags every repeated word, got " +
+        s"$minTokens")
+    val win = tokenWindows(df, minTokens, textCol, idCol)
+      .transform(Persist.round) // read twice: key counts + the join back
+    val dup = win.groupBy(col("__key")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("__key"))
+    windowIslands(win.join(dup, Seq("__key")), minTokens)
+      .select(col("__id").as(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tokens"),
+        col("n_windows"))
+  }
+
+  /** ExactSubstr dedup proper (Lee et al. 2021 §4.1: "remove all but
+    * one"): every duplicated L-token window KEEPS its canonical
+    * occurrence — min (id, pos), the [[lineDedup]] winner convention —
+    * and every other occurrence is excised from the rebuilt text.
+    * Excised documents re-join their kept tokens with single spaces
+    * (the token-granularity contract; untouched documents pass through
+    * with original whitespace, zero rewriting). One pass: rejoining cut
+    * edges can create NEW L-grams — the published operator has the same
+    * property and runs once.
+    *
+    * Output: (idCol, textCol rebuilt, n_tokens_removed).
+    *
+    * Scale shape: [[repeatedSpans]]'s frame plus one broadcast-free
+    * min-struct aggregate for the canonical pick and a per-document
+    * rebuild whose lambda is per-row; spans ride a collect_list bounded
+    * by the document's own span count.
+    */
+  def exciseRepeatedSpans(df: DataFrame, minTokens: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minTokens >= 2,
+      s"a 1-token repeat threshold excises every repeated word, got " +
+        s"$minTokens")
+    val win = tokenWindows(df, minTokens, textCol, idCol)
+      .transform(Persist.round)
+    val keep = win.groupBy(col("__key"))
+      .agg(min(struct(col("__id"), col("__p"))).as("__w"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__key"), col("__w"))
+    val flagged = win.join(keep, Seq("__key"))
+      .filter(!(col("__id") === col("__w.__id") &&
+        col("__p") === col("__w.__p")))
+    val spans = windowIslands(flagged, minTokens)
+      .groupBy(col("__id"))
+      .agg(collect_list(struct(col("start_tok").as("s"),
+        col("end_tok").as("e"))).as("__spans"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.join(spans, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(filter(toks, (_, i) =>
+            !exists(col("__spans"),
+              sp => i + 1 >= sp.getField("s") && i + 1 <= sp.getField("e"))),
+            " ")).as(textCol),
+        when(col("__spans").isNull, lit(0))
+          .otherwise(aggregate(col("__spans"), lit(0),
+            (acc, sp) => acc + (sp.getField("e") - sp.getField("s") + 1)))
+          .as("n_tokens_removed"))
+  }
 }

@@ -1054,6 +1054,87 @@ object Graphs {
     updated.unionByName(added)
   }
 
+  /** Incremental triangle maintenance (VERDICT r19 #5 — completes the
+    * incremental family: labels/ranks/stores had append forms, motif
+    * counts did not): merge an edge batch into stored
+    * [[triangleCounts]] without re-enumerating the corpus's wedges.
+    * `appendToTriangleCounts(tc(E), E, ΔE)` ≡ `tc(E ∪ ΔE)` — gated by
+    * the q238 oracle (the full-graph q186 replay) and the spec's
+    * append-≡-recompute set equality.
+    *
+    * Why it works: appending edges only ADDS triangles (no deletions,
+    * the q230 convention), and every new triangle contains ≥ 1 batch
+    * edge — so it is discoverable from the batch alone: for each batch
+    * edge (u, v), the new triangles through it are the common
+    * neighbors of u and v in the FULL graph. A triangle with 2 or 3
+    * batch edges surfaces once per batch edge, so candidates dedup by
+    * their sorted corner triple before counting (array_sort, not
+    * arithmetic — node ids may be strings).
+    *
+    * Scale shape: the stored edge list is scanned (anti-join + closure
+    * join) but never wedge-exploded — wedge work is Σ over BATCH edges
+    * of min(deg u, deg v) (each edge pivots at its lower-(deg, id)
+    * endpoint, the Chiba–Nishizeki edge-iterator bound), vs the full
+    * recount's Σ over ALL edges. The candidate frame is batch-bounded;
+    * the corner dedup and per-node delta are candidate-sized
+    * aggregates; the final merge is one left join against the stored
+    * counts. A batch edge between two hubs still enumerates a hub
+    * neighborhood — that is the operator's inherent cost (AQE handles
+    * the skew), not a plan defect.
+    *
+    * Contract: `counts` is a [[triangleCounts]] output (or a previous
+    * append) over exactly the edge set `edges`; `newEdges` is the
+    * batch. Batch edges already present (either orientation), nulls,
+    * and self-loops drop; batch-only nodes join the output (zeros
+    * included, the triangleCounts every-node contract).
+    */
+  def appendToTriangleCounts(counts: DataFrame, edges: DataFrame,
+      newEdges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val old = canon(edges).transform(Persist.round) // anti-join + union
+    val delta = canon(newEdges).join(old, Seq("u", "v"), "left_anti")
+      .transform(Persist.round)
+    // full edge set: the closure side and the adjacency both read it
+    val full = old.unionByName(delta).transform(Persist.round)
+    val adj = full.unionByName(
+      full.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("__deg"))
+      .transform(Persist.round) // pivot orientation + the node universe
+    // pivot each delta edge at its lower-(degree, id) endpoint
+    val du = deg.select(col("node").as("u"), col("__deg").as("__du"))
+    val dv = deg.select(col("node").as("v"), col("__deg").as("__dv"))
+    val ordU = struct(col("__du").as("d"), col("u").as("n"))
+    val ordV = struct(col("__dv").as("d"), col("v").as("n"))
+    val piv = delta.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(when(ordU < ordV, col("u")).otherwise(col("v")).as("p"),
+        when(ordU < ordV, col("v")).otherwise(col("u")).as("q"))
+    // wedges at the pivot, closed against the full canonical edge list
+    val triples = piv
+      .join(adj.select(col("u").as("p"), col("v").as("w")), Seq("p"))
+      .where(col("w") =!= col("q"))
+      .join(full.select(col("u").as("__cu"), col("v").as("__cv")),
+        least(col("q"), col("w")) === col("__cu") &&
+          greatest(col("q"), col("w")) === col("__cv"))
+      .select(array_sort(array(col("p"), col("q"), col("w"))).as("__t"))
+      .distinct() // a 2/3-batch-edge triangle surfaced once per edge
+    val deltaCounts = triples.select(explode(col("__t")).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("__dt"))
+    deg.select(col("node"))
+      .join(counts.select(col("node"), col("triangles")), Seq("node"),
+        "left")
+      .join(deltaCounts, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("triangles"), lit(0L)) +
+          coalesce(col("__dt"), lit(0L))).as("triangles"))
+  }
+
   /** Label-propagation community detection (Raghavan, Albert & Kumara,
     * PRE 2007), DETERMINISTIC synchronous variant: every node starts
     * as its own label; each round every node adopts the most frequent

@@ -741,4 +741,132 @@ object Sampling {
         array_join(slice(col("__toks"), col("start_tok") + 1, lit(seqLen)),
           " ").as("chunk_text"))
   }
+
+  /** Hashed n-gram (unigram + bigram) feature counts per document — the
+    * DSIR feature map (Xie et al., NeurIPS 2023 §3: hashed n-grams are
+    * the published cheap sufficient statistic for distribution
+    * matching). Grams hash through the repo's portable md5 convention
+    * into `buckets` bins; output is (id, bucket, count).
+    *
+    * Scale shape: one corpus scan, exploded grams partial-aggregate
+    * map-side into the (id, bucket) frame — per-document feature rows
+    * are capped at `buckets`, so the output is ≤ |docs|·buckets and in
+    * practice ~tokens-sized before combine, feature-sized after.
+    */
+  private def dsirFeatures(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("__id"), explode(concat(col("__t"), expr(
+        "zip_with(slice(__t, 1, greatest(size(__t)-1, 0)), " +
+          "slice(__t, 2, greatest(size(__t)-1, 0)), " +
+          "(a, b) -> concat(a, ' ', b))"))).as("__g"))
+      .select(col("__id"),
+        (conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long")
+          % buckets).as("bucket"))
+      .groupBy(col("__id"), col("bucket")).agg(count(lit(1)).as("__cnt"))
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023): score every
+    * corpus document by how much more likely its hashed n-gram features
+    * are under a TARGET distribution than under the raw corpus —
+    * log w(x) = Σ_b c_x[b]·(log p̂[b] − log q̂[b]), where c_x is the
+    * document's hashed unigram+bigram count vector and p̂/q̂ are
+    * add-`smoothing` estimates of the target/corpus bucket
+    * distributions. This upgrades share-matching mixing
+    * ([[domainMixPlan]]) to distribution-matching SELECTION: resampling
+    * by w (see [[dsirResample]]) yields a corpus whose feature
+    * distribution approaches the target's.
+    *
+    * Determinism contract: per-bucket log-ratios are QUANTIZED —
+    * qlr[b] = round((ln(pc+s) − ln(pT+s·B) − ln(qc+s) + ln(qT+s·B))·10⁶)
+    * as a long (four libm lns, 1-ulp licensed; the quantization absorbs
+    * the wobble except on a measure-zero rounding boundary — the
+    * [[temperatureMixPlan]] discipline) — and each document's weight is
+    * then the EXACT integer Σ count·qlr, order-free in any engine.
+    * `log_weight` = log_weight_q / 10⁶ is one correctly-rounded IEEE
+    * division of that integer.
+    *
+    * Output: (idCol, n_features, log_weight_q, log_weight) — one row
+    * per corpus document; zero-token documents carry (0, 0, 0.0).
+    *
+    * Scale shape: corpus and target each scanned ONCE into hashed
+    * feature frames (map-side combined); the log-ratio table is
+    * bucket-cardinality (config-sized) and broadcasts into the weight
+    * join; the only collects are the two 1-row gram totals (the HITS
+    * normalizer class). No corpus shuffle beyond the (id, bucket)
+    * partial aggregate.
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 8192, smoothing: Double = 1.0): DataFrame = {
+    require(buckets >= 2, s"DSIR needs >= 2 hash buckets, got $buckets")
+    require(smoothing > 0.0,
+      s"unsmoothed bucket estimates put ln(0) on empty buckets, got " +
+        s"$smoothing")
+    val feats = dsirFeatures(corpus, idCol, textCol, buckets)
+      .transform(Persist.round) // read twice: corpus counts + weight join
+    val qc = feats.groupBy(col("bucket")).agg(sum(col("__cnt")).as("__qc"))
+    val pc = dsirFeatures(target, idCol, textCol, buckets)
+      .groupBy(col("bucket")).agg(sum(col("__cnt")).as("__pc"))
+    val qTotRow = qc.agg(sum(col("__qc"))).collect()(0)
+    val pTotRow = pc.agg(sum(col("__pc"))).collect()(0)
+    require(!qTotRow.isNullAt(0),
+      "dsirWeights: the corpus has no tokens — nothing to weight")
+    require(!pTotRow.isNullAt(0),
+      "dsirWeights: the target has no tokens — the target distribution " +
+        "is undefined")
+    val qTot = qTotRow.getLong(0)
+    val pTot = pTotRow.getLong(0)
+    val ratios = qc.join(pc, Seq("bucket"), "full")
+      .select(col("bucket"), round((
+        log(coalesce(col("__pc"), lit(0L)) + smoothing) -
+          log(lit(pTot + smoothing * buckets)) -
+          log(coalesce(col("__qc"), lit(0L)) + smoothing) +
+          log(lit(qTot + smoothing * buckets))) * 1e6)
+        .cast("long").as("__qlr"))
+    val w = feats.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__cnt")).as("n_features"),
+        sum(col("__cnt") * col("__qlr")).as("log_weight_q"))
+    corpus.select(col(idCol))
+      .join(w, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("log_weight_q"), lit(0L)).as("log_weight_q"),
+        (coalesce(col("log_weight_q"), lit(0L)).cast("double") / 1e6)
+          .as("log_weight"))
+  }
+
+  /** DSIR's resampling half: select `n` documents WITHOUT replacement
+    * with probability ∝ exp(log_weight), via the Gumbel-top-k identity
+    * (Kool et al., ICML 2019: the top n of log w_i + Gumbel_i is an
+    * exact without-replacement sample ∝ w). The Gumbel draw is
+    * DETERMINISTIC — u_i = (md5-bucket(id:dsir) + 0.5)/10⁴, the repo's
+    * no-rand() convention ([[materializeMix]]'s ':epoch' salt
+    * discipline, distinct ':dsir' salt so composing with a mix never
+    * correlates draws) — so the sample is reproducible across engines,
+    * retries, and runs. Keys quantize at 10⁻⁶ (ties break by id asc).
+    *
+    * Input is a [[dsirWeights]] frame; output its rows plus
+    * (key_q, rank), rank 1..n by (key_q desc, id asc).
+    *
+    * Scale shape: a per-row key projection + distributed top-n
+    * (TakeOrdered — per-partition heaps, no global sort); the rank
+    * window runs over the n-row result, config-sized by definition.
+    */
+  def dsirResample(weights: DataFrame, n: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"resample size must be >= 1, got $n")
+    val gumbel = -log(-log(
+      (conv(substring(md5(concat(col(idCol).cast("string"), lit(":dsir"))),
+        1, 15), 16, 10).cast("long") % 10000).cast("double")
+        .plus(lit(0.5)) / lit(10000.0)))
+    val key = round((col("log_weight_q").cast("double") / 1e6 + gumbel)
+      * 1e6).cast("long")
+    weights.withColumn("key_q", key)
+      .orderBy(col("key_q").desc, col(idCol).asc)
+      .limit(n)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("key_q").desc, col(idCol).asc)))
+  }
 }

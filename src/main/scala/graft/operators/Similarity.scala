@@ -1600,8 +1600,14 @@ object Similarity {
     val codebookSize = index.codebooks.agg(max(col("cid")).cast("int"))
       .collect()(0).getInt(0) + 1
     // staged once: the Lloyd sweeps, the residual pass, and the encode
-    // all re-read the reconstruction
-    val recon = reconstructPq(index).transform(Persist.round)
+    // all re-read the reconstruction. Zero-norm reconstructions (codes
+    // summing exactly to the coarse centroid's negation) are filtered
+    // BEFORE the Lloyd sweeps — kmeansCentroids' cosine assignment
+    // divides by the norm, so an unfiltered zero row is an ANSI
+    // DIVIDE_BY_ZERO (pqResiduals' own filter runs too late for this).
+    val recon = reconstructPq(index)
+      .filter(dot(col("embedding"), col("embedding")) > 0)
+      .transform(Persist.round)
     val cents = kmeansCentroids(recon, index.centroids, kmeansIterations)
     val resid = pqResiduals(recon, cents, "vec_id", "embedding")
     val cb = pqTrainCodebooks(resid, numSubspaces * subDim, numSubspaces,
@@ -1716,8 +1722,14 @@ object Similarity {
         .select(col("vec_id").as(idCol), col("embedding").as(vecCol))
       val exact = bruteForceTopK(recon, probes, k, idCol, vecCol)
       val approx = probeIvfPq(index, probes, k, nprobe, idCol, vecCol)
-      recallAtK(approx, exact).agg(avg(col("recall")))
-        .collect()(0).getDouble(0)
+      val row = recallAtK(approx, exact).agg(avg(col("recall"))).collect()(0)
+      // Fail loud on a degenerate probe set: an empty (or all-zero-norm)
+      // probes frame averages to NULL, which would otherwise surface as
+      // an opaque NPE instead of naming the contract.
+      require(!row.isNullAt(0),
+        "maintainIvfPqIndex: probes produced no recall rows — the " +
+          "probes frame must contain at least one non-zero-norm vector")
+      row.getDouble(0)
     }
     val toAppend = batch.count()
     val batchError = if (toAppend > 0L) {

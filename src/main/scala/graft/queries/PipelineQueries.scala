@@ -2488,20 +2488,93 @@ object PipelineQueries {
     // the full-graph reachability closure: the gate asserts the append
     // is bit-identical to a fresh re-cluster.
     "q230_incremental_components" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      def edgesOf(f: DataFrame): DataFrame = f.alias("x")
-        .join(f.alias("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       val labels = graft.operators.Graphs.connectedComponents(
-        edgesOf(li.filter(col("ok") % 10 < 8)), maxRounds = 40)
+        coOrderEdges(s, d, col("ok") % 10 < 8), maxRounds = 40)
       graft.operators.Graphs.appendToComponents(labels,
-        edgesOf(li.filter(col("ok") % 10 >= 8)), maxRounds = 40)
+        coOrderEdges(s, d, col("ok") % 10 >= 8), maxRounds = 40)
+    }),
+
+    // DSIR importance weights (round 20, VERDICT r18 #7 / r19 #1 —
+    // Xie et al., NeurIPS 2023): every document scored by how much its
+    // hashed unigram+bigram distribution resembles the src0/src1 target
+    // slice vs the raw corpus. FULL value oracle: hashed features and
+    // per-doc weights are exact integer arithmetic over 10⁻⁶-quantized
+    // log-ratios; the oracle derives target counts by restricting the
+    // shared per-doc feature frame (target ⊆ corpus, same hashing).
+    "q234_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.dsirWeights(docs,
+        docs.filter(col("source").isin("src0", "src1")), buckets = 256)
+    }),
+
+    // DSIR's materialization half chained on top (Gumbel-top-k, Kool
+    // 2019): deterministic md5 uniforms under the ':dsir' salt, top-100
+    // by quantized key — the whole features → log-ratios → weights →
+    // resample path replays in ONE chained oracle.
+    "q235_dsir_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.dsirResample(
+        Sampling.dsirWeights(docs,
+          docs.filter(col("source").isin("src0", "src1")), buckets = 256),
+        n = 100)
+    }),
+
+    // ExactSubstr repeated spans (round 20, VERDICT r19 #2 — Lee et al.
+    // 2021 §4.1, the full-guarantee class winnowing only samples):
+    // every 9th doc carries a shared 12-token boilerplate tail, every
+    // 50th-mod-3 doc a SELF-repeated 8-token phrase (two aligned
+    // occurrences merging into one 16-token span). Full value oracle —
+    // window keys, dup counts, and island merges are exact integer/hash
+    // arithmetic in both engines.
+    "q236_repeated_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(repeatFixture(Tables.documents(s, d)),
+        minTokens = 8)),
+
+    // ExactSubstr dedup proper chained on the same fixture: canonical
+    // min-(id,pos) occurrence kept, every other flagged span excised
+    // from the rebuilt text; untouched docs pass through byte-exact.
+    "q237_excise_repeats" -> ((s, d) =>
+      Dedup.exciseRepeatedSpans(repeatFixture(Tables.documents(s, d)),
+        minTokens = 8)),
+
+    // Incremental triangle maintenance (round 20, VERDICT r19 #5):
+    // q186's co-order graph split 80/20 by orderkey — stored counts
+    // over the 80%, the 20% merged as a batch (pairs co-ordered in
+    // both halves exercise the already-present anti-join). Oracle =
+    // the FULL-graph q186 recount, so the gate is literally
+    // "append ≡ recompute".
+    "q238_incremental_triangles" -> ((s, d) => {
+      def edgesOf(filter: Column): DataFrame = {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .filter(filter)
+        li.alias("x").join(li.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      }
+      val old = edgesOf(col("ok") % 10 < 8)
+      val counts = graft.operators.Graphs.triangleCounts(old)
+      graft.operators.Graphs.appendToTriangleCounts(counts, old,
+        edgesOf(col("ok") % 10 >= 8))
     })
   )
+
+  /** q236/q237's planted-repeat fixture: a cross-document boilerplate
+    * tail on every 9th doc and a within-document doubled phrase on the
+    * doc_id % 50 == 3 docs (the q165 fixture discipline — derived from
+    * driver tables, mirrored literally by the oracle CTE).
+    */
+  private def repeatFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 9 === 0, concat(col("text"),
+        lit(" subscribe to the channel and hit the bell icon for more" +
+          " updates")))
+        .when(col("doc_id") % 50 === 3, concat(col("text"),
+          lit(" alpha beta gamma delta epsilon zeta eta theta" +
+            " alpha beta gamma delta epsilon zeta eta theta")))
+        .otherwise(col("text")).as("text"))
 
   /** q222/q223's synthetic page: deterministic HTML assembled from the
     * documents table (the q165 mill-host fixture discipline — fixtures
@@ -2534,11 +2607,13 @@ object PipelineQueries {
     * appear on the same order with l_quantity ≥ 45.
     */
   private def coOrderEdges(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String,
+      okFilter: Column = lit(true)): org.apache.spark.sql.DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_quantity") >= 45)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .filter(okFilter) // q230/q236's 80/20 orderkey split rides here
     li.alias("x").join(li.alias("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("src"), col("y.pk").as("dst"))
@@ -7138,41 +7213,7 @@ object PipelineQueries {
 
     // q186 = the same degree-ordered orientation as tuple CASEs, wedge
     // join, closure join, and per-corner count union.
-    "q186_triangle_count" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem WHERE l_quantity >= 25),
-        |e AS (
-        |  SELECT DISTINCT x.pk AS u, y.pk AS v
-        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-        |deg AS (
-        |  SELECT node, count(*)::BIGINT AS dg FROM (
-        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
-        |  GROUP BY node),
-        |o AS (
-        |  SELECT
-        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END
-        |      AS s,
-        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END
-        |      AS t,
-        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN dv.dg ELSE du.dg
-        |      END AS td
-        |  FROM e JOIN deg du ON du.node = e.u
-        |    JOIN deg dv ON dv.node = e.v),
-        |w AS (
-        |  SELECT o1.s, o1.t AS a, o2.t AS b
-        |  FROM o o1 JOIN o o2 ON o1.s = o2.s
-        |  WHERE (o1.td, o1.t) < (o2.td, o2.t)),
-        |tri AS (SELECT w.s, w.a, w.b
-        |  FROM w JOIN o ON o.s = w.a AND o.t = w.b),
-        |cnt AS (
-        |  SELECT node, count(*)::BIGINT AS triangles FROM (
-        |    SELECT s AS node FROM tri
-        |    UNION ALL SELECT a FROM tri
-        |    UNION ALL SELECT b FROM tri)
-        |  GROUP BY node)
-        |SELECT deg.node, coalesce(cnt.triangles, 0::BIGINT) AS triangles
-        |FROM deg LEFT JOIN cnt USING (node)""".stripMargin,
+    "q186_triangle_count" -> TriangleOracleSql,
 
     // q183 = 4 HITS rounds unrolled over the same edge CTE.
     "q183_hits" -> hitsOracle(
@@ -8200,8 +8241,219 @@ object PipelineQueries {
         |SELECT h.doc_id, coalesce(x.text, '') AS text,
         |  coalesce(x.blocks_total, 0)::BIGINT AS blocks_total,
         |  coalesce(x.blocks_kept, 0)::BIGINT AS blocks_kept
-        |FROM h LEFT JOIN x ON x.doc_id = h.doc_id""".stripMargin)
+        |FROM h LEFT JOIN x ON x.doc_id = h.doc_id""".stripMargin),
+
+    // q234 = the full DSIR chain: hashed unigram+bigram features (the
+    // repo's md5 60-bit convention mod 256), add-1-smoothed target and
+    // corpus bucket distributions, 10⁻⁶-quantized log-ratios, and the
+    // exact integer per-doc weight sum. Target counts RESTRICT the
+    // shared per-doc feature frame (target ⊆ corpus, same hashing), so
+    // the grams are materialized once — mirroring the operator's
+    // single-feature-frame plan.
+    "q234_dsir_weights" -> (DsirWeightsCtes +
+      "\n" + DsirWeightsSelect),
+
+    // q235 = q234's weights + the deterministic Gumbel-top-k: uniform
+    // u = (md5-bucket(id:dsir) + 0.5)/10⁴, key = logw − ln(−ln u)
+    // quantized at 10⁻⁶, top 100 by (key desc, id asc).
+    "q235_dsir_resample" -> (DsirWeightsCtes +
+      """,
+        |wf AS (
+        |""".stripMargin + DsirWeightsSelect +
+      """),
+        |k AS (
+        |  SELECT doc_id, n_features, log_weight_q, log_weight,
+        |    round((log_weight_q::DOUBLE / 1000000.0 - ln(-ln(
+        |      ((('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 15))
+        |          ::BIGINT % 10000)::DOUBLE + 0.5) / 10000.0)))
+        |      * 1000000.0)::BIGINT AS key_q
+        |  FROM wf)
+        |SELECT doc_id, n_features, log_weight_q, log_weight, key_q, rank
+        |FROM (
+        |  SELECT *, row_number() OVER (ORDER BY key_q DESC, doc_id)::INT
+        |    AS rank
+        |  FROM k)
+        |WHERE rank <= 100""".stripMargin),
+
+    // q236 = the ExactSubstr window/count/island replay: 8-token window
+    // keys over the planted fixture, HAVING count > 1, lag-break island
+    // merge (equal window lengths make span ends monotone, so windows
+    // chain iff the start gap is <= 8).
+    "q236_repeated_spans" -> (RepeatedSpanCtes +
+      """,
+        |b AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |        <= 8 THEN 0 ELSE 1 END AS brk
+        |  FROM (SELECT w.doc_id, w.p FROM w
+        |        JOIN (SELECT key FROM w GROUP BY key HAVING count(*) > 1)
+        |          d USING (key))),
+        |g AS (
+        |  SELECT doc_id, p,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM b)
+        |SELECT doc_id, min(p)::INT AS start_tok, (max(p) + 7)::INT
+        |    AS end_tok,
+        |  (max(p) - min(p) + 8)::INT AS span_tokens,
+        |  count(*)::BIGINT AS n_windows
+        |FROM g GROUP BY doc_id, grp""".stripMargin),
+
+    // q237 = q236 plus the canonical-keep exception (min (doc, pos) per
+    // duplicated key survives) and the index-filter rebuild — kept
+    // tokens re-join with single spaces, untouched docs pass through
+    // byte-exact via the NULL-spans CASE.
+    "q237_excise_repeats" -> (RepeatedSpanCtes +
+      """,
+        |kp AS (
+        |  SELECT key, min(struct_pack(d := doc_id, p := p)) AS wmin
+        |  FROM w GROUP BY key HAVING count(*) > 1),
+        |f AS (
+        |  SELECT w.doc_id, w.p FROM w JOIN kp USING (key)
+        |  WHERE NOT (w.doc_id = kp.wmin.d AND w.p = kp.wmin.p)),
+        |b AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |        <= 8 THEN 0 ELSE 1 END AS brk
+        |  FROM f),
+        |g AS (
+        |  SELECT doc_id, p,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM b),
+        |isl AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 7 AS e
+        |  FROM g GROUP BY doc_id, grp),
+        |sp AS (
+        |  SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+        |  FROM isl GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN sp.spans IS NULL THEN t.text
+        |    ELSE coalesce(array_to_string(list_transform(
+        |      list_filter(range(1, len(t.toks) + 1),
+        |        i -> len(list_filter(sp.spans,
+        |          x -> i >= x.s AND i <= x.e)) = 0),
+        |      i -> t.toks[i]), ' '), '')
+        |  END AS text,
+        |  CASE WHEN sp.spans IS NULL THEN 0
+        |    ELSE list_sum(list_transform(sp.spans, x -> x.e - x.s + 1))
+        |  END::INT AS n_tokens_removed
+        |FROM t LEFT JOIN sp USING (doc_id)""".stripMargin),
+
+    // q238 = the full-graph q186 recount — the append gate IS
+    // equivalence with recomputation.
+    "q238_incremental_triangles" -> TriangleOracleSql
   )
+
+  /** The full-graph triangle oracle (q186's degree-ordered orientation
+    * as tuple CASEs, wedge join, closure join, per-corner count union)
+    * — shared verbatim by q238: the incremental gate is exactly "append
+    * ≡ fresh full-graph recount".
+    */
+  private def TriangleOracleSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem WHERE l_quantity >= 25),
+      |e AS (
+      |  SELECT DISTINCT x.pk AS u, y.pk AS v
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (
+      |  SELECT node, count(*)::BIGINT AS dg FROM (
+      |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY node),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END
+      |      AS s,
+      |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END
+      |      AS t,
+      |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN dv.dg ELSE du.dg
+      |      END AS td
+      |  FROM e JOIN deg du ON du.node = e.u
+      |    JOIN deg dv ON dv.node = e.v),
+      |w AS (
+      |  SELECT o1.s, o1.t AS a, o2.t AS b
+      |  FROM o o1 JOIN o o2 ON o1.s = o2.s
+      |  WHERE (o1.td, o1.t) < (o2.td, o2.t)),
+      |tri AS (SELECT w.s, w.a, w.b
+      |  FROM w JOIN o ON o.s = w.a AND o.t = w.b),
+      |cnt AS (
+      |  SELECT node, count(*)::BIGINT AS triangles FROM (
+      |    SELECT s AS node FROM tri
+      |    UNION ALL SELECT a FROM tri
+      |    UNION ALL SELECT b FROM tri)
+      |  GROUP BY node)
+      |SELECT deg.node, coalesce(cnt.triangles, 0::BIGINT) AS triangles
+      |FROM deg LEFT JOIN cnt USING (node)""".stripMargin
+
+  /** Shared CTE chain of the q236/q237 ExactSubstr oracle — the planted
+    * fixture (mirror of `repeatFixture`), tokens, and the 8-token md5
+    * window keys.
+    */
+  private def RepeatedSpanCtes: String =
+    """WITH base AS (
+      |  SELECT doc_id, CASE
+      |    WHEN doc_id % 9 = 0 THEN text ||
+      |      ' subscribe to the channel and hit the bell icon for more' ||
+      |      ' updates'
+      |    WHEN doc_id % 50 = 3 THEN text ||
+      |      ' alpha beta gamma delta epsilon zeta eta theta' ||
+      |      ' alpha beta gamma delta epsilon zeta eta theta'
+      |    ELSE text END AS text
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+      |      AS toks
+      |  FROM base),
+      |k AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+      |    i -> struct_pack(p := i,
+      |      key := ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),
+      |        1, 15))::BIGINT))) AS e
+      |  FROM t),
+      |w AS (SELECT doc_id, e.p AS p, e.key AS key FROM k)""".stripMargin
+
+  /** Shared CTE chain of the q234/q235 DSIR oracle — grams, hashed
+    * features, corpus/target bucket counts, quantized log-ratios.
+    */
+  private def DsirWeightsCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(toks) AS gram FROM t
+      |  UNION ALL
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t),
+      |f AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(gram), 1, 15))::BIGINT % 256 AS bucket,
+      |    count(*)::BIGINT AS cnt
+      |  FROM g GROUP BY 1, 2),
+      |qc AS (SELECT bucket, sum(cnt)::BIGINT AS qcnt FROM f GROUP BY 1),
+      |qt AS (SELECT sum(cnt)::BIGINT AS qtot FROM f),
+      |pcf AS (
+      |  SELECT f.bucket, sum(f.cnt)::BIGINT AS pcnt
+      |  FROM f JOIN documents dd USING (doc_id)
+      |  WHERE dd.source IN ('src0', 'src1') GROUP BY 1),
+      |pt AS (SELECT sum(pcnt)::BIGINT AS ptot FROM pcf),
+      |r AS (
+      |  SELECT qc.bucket,
+      |    round((ln(coalesce(pcf.pcnt, 0) + 1.0) - ln(pt.ptot + 256.0)
+      |         - ln(qc.qcnt + 1.0) + ln(qt.qtot + 256.0))
+      |      * 1000000.0)::BIGINT AS qlr
+      |  FROM qc LEFT JOIN pcf USING (bucket), pt, qt),
+      |w AS (
+      |  SELECT doc_id, sum(cnt)::BIGINT AS n_features,
+      |    sum(cnt * qlr)::BIGINT AS log_weight_q
+      |  FROM f JOIN r USING (bucket) GROUP BY 1)""".stripMargin
+
+  private def DsirWeightsSelect: String =
+    """SELECT d.doc_id, coalesce(w.n_features, 0)::BIGINT AS n_features,
+      |  coalesce(w.log_weight_q, 0)::BIGINT AS log_weight_q,
+      |  coalesce(w.log_weight_q, 0)::DOUBLE / 1000000.0 AS log_weight
+      |FROM documents d LEFT JOIN w USING (doc_id)""".stripMargin
 
   /** One hard-EM round of the unigram oracle (q224/q225): edge table
     * (every vocabulary match at every position + the 30e9 unknown

@@ -731,3 +731,58 @@ class GraphsSpec extends SparkSpec {
     }
   }
 }
+
+/** Incremental triangle maintenance (round 20, VERDICT r19 #5). */
+class TriangleAppendSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def tc(edges: org.apache.spark.sql.DataFrame) =
+    Graphs.triangleCounts(edges)
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Long)].collect().toMap
+
+  test("appendToTriangleCounts ≡ recompute on a random-ish split graph") {
+    val all = (0L until 240L).map(i => (i % 40, (i * 7 + 3) % 40))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val old = all.filter(col("src") % 5 < 4)
+    val batch = all.filter(col("src") % 5 === 4)
+    val appended = asMap(Graphs.appendToTriangleCounts(tc(old), old, batch))
+    val fresh = asMap(tc(all))
+    assert(appended == fresh,
+      s"append diverged from recompute: ${appended.toSeq.sorted
+        .zip(fresh.toSeq.sorted).filter(p => p._1 != p._2).take(5)}")
+  }
+
+  test("triangles with 2 and 3 batch edges count once; duplicate batch " +
+      "edges are no-ops; batch-only nodes appear with zeros") {
+    // old: a-b plus an isolated edge x-y; batch closes triangle abc with
+    // TWO new edges, adds triangle def with THREE new edges, repeats the
+    // stored a-b (both orientations), and adds a triangle-free edge y-z
+    val old = Seq((1L, 2L), (8L, 9L)).toDF("src", "dst")
+    val batch = Seq(
+      (2L, 3L), (3L, 1L),            // 2-batch-edge triangle 1-2-3
+      (4L, 5L), (5L, 6L), (6L, 4L),  // 3-batch-edge triangle 4-5-6
+      (1L, 2L), (2L, 1L),            // already stored, either orientation
+      (9L, 10L)                      // new node 10, no triangle
+    ).toDF("src", "dst")
+    val got = asMap(Graphs.appendToTriangleCounts(tc(old), old, batch))
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 1L, 5L -> 1L, 6L -> 1L,
+      8L -> 0L, 9L -> 0L, 10L -> 0L), s"got $got")
+    // and it matches the fresh recount exactly
+    assert(got == asMap(tc(old.unionByName(batch))))
+  }
+
+  test("appends chain: two generations of batches stay ≡ recompute") {
+    val all = (0L until 150L).map(i => (i % 25, (i * 11 + 2) % 25))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val g0 = all.filter(col("src") % 3 === 0)
+    val g1 = all.filter(col("src") % 3 === 1)
+    val g2 = all.filter(col("src") % 3 === 2)
+    val c1 = Graphs.appendToTriangleCounts(tc(g0), g0, g1)
+    val c2 = Graphs.appendToTriangleCounts(c1, g0.unionByName(g1), g2)
+    assert(asMap(c2) == asMap(tc(all)), "second-generation append diverged")
+  }
+}

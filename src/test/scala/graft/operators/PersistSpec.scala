@@ -66,6 +66,40 @@ class PersistSpec extends SparkSpec {
       s"small staged frame lost its true size: ${carried(smallCp)}")
   }
 
+  test("stats clamp preserves origin constraints (VERDICT r19): a " +
+      "clamped stage keeps its inferred not-nulls") {
+    def carried(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.analyzed.stats.sizeInBytes
+    // same tower as above, minus the limit so the join estimate squares
+    // cleanly — (i*7)%64 is a bijection mod 64, so the row count stays
+    // 64 while the carried estimate overflows within a few rounds
+    var cur = (0L until 64L).map(i => (i, (i * 7) % 64))
+      .toDF("a", "b").where(col("a").isNotNull)
+      .transform(Persist.round)
+    var sawClamp = false
+    for (_ <- 1 to 6) {
+      cur = cur.alias("l")
+        .join(cur.alias("r"), col("l.b") === col("r.a"))
+        .select(col("l.a").as("a"), col("r.b").as("b"))
+        .transform(Persist.round)
+      if (carried(cur) == BigInt(Long.MaxValue)) {
+        sawClamp = true
+        // the clamped REBUILD must carry the origin constraints: the
+        // join condition inferred isnotnull on both keys, so the staged
+        // output knows its columns are not null — losing that weakens
+        // every downstream plan of an already-degenerate stage
+        val cons = cur.queryExecution.analyzed.constraints
+        assert(cons.nonEmpty,
+          "clamped LogicalRDD rebuild dropped the origin constraints")
+        assert(cons.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.IsNotNull]),
+          s"clamped stage lost its not-null constraints: $cons")
+      }
+    }
+    assert(sawClamp,
+      "tower never tripped the clamp — the test exercises nothing")
+  }
+
   test("mid-session conf change re-targets the checkpoint dir " +
       "(ADVICE r18)") {
     val edges = (0L until 60L).map(i => (i, (i * 7) % 60))

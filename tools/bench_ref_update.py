@@ -97,6 +97,9 @@ def main():
     ap.add_argument("--min-sec", type=float, default=0.2)
     ap.add_argument("--out", default=None)
     ap.add_argument("--note", default="")
+    ap.add_argument("--drop", default="",
+        help="comma-separated queries to REMOVE from the reference "
+             "(the only way a merge may shrink the surface)")
     args = ap.parse_args()
 
     ref = json.load(open(args.ref))
@@ -116,17 +119,32 @@ def main():
     names = sorted(set().union(*[set(r["queries"]) for r in runs]))
     old_q = ref.get("queries", {})
     old_runs = ref.get("runs", {})
-    # Partial-run guard (round 19, learned the hard way): a
+    # Partial-run guard (round 19, hardened round 20 per ADVICE r19): a
     # SPARK_GRAFT_ONLY run covers a few queries, and treating its query
     # list as THE surface silently deleted every absent floor (a
-    # single-query merge reduced a 232-row reference to 1 row). A run
-    # covering less than half the reference is a partial merge: absent
-    # queries are carried through untouched, never dropped.
-    partial = old_q and len(names) < len(old_q) / 2
+    # single-query merge reduced a 232-row reference to 1 row). The r19
+    # guard only triggered below 50% coverage, leaving the 50-99% band
+    # exposed to the same hazard — now ANY merge whose input runs miss a
+    # query present in the old reference is a partial merge: absent
+    # floors are carried through untouched, never dropped (removal
+    # requires the explicit --drop flag), and full-surface totals are
+    # not appended.
+    drop = {q.strip() for q in args.drop.split(",") if q.strip()}
+    missing_drops = drop - set(old_q)
+    if missing_drops:
+        sys.exit(f"--drop names queries absent from the reference: "
+                 f"{sorted(missing_drops)}")
+    absent = set(old_q) - set(names) - drop
+    partial = bool(absent)
     if partial:
         print(f"partial input ({len(names)} of {len(old_q)} reference "
-              "queries): absent floors carried through, none dropped")
-        names = sorted(set(names) | set(old_q))
+              f"queries): {len(absent)} absent floors carried through, "
+              "none dropped (use --drop to remove a query explicitly)")
+        names = sorted((set(names) | set(old_q)) - drop)
+    elif drop:
+        names = sorted(set(names) - drop)
+    for q in sorted(drop):
+        print(f"{q}: dropped from the reference (--drop)")
     surface = len(names)
     new_q, new_runs, prov = {}, {}, {}
     counts = {"new_floor": 0, "kept": 0, "retired": 0, "reset_or_new": 0}

@@ -47,19 +47,41 @@ with tempfile.TemporaryDirectory() as d:
     assert got["run_totals_sec"] == [6.0], "partial total polluted history"
     assert got["best_sum_sec"] == 4.4
 
-    # full-surface runs still behave exactly as before (drop + totals)
-    full_run = dict(partial_run)
-    full_run["queries"] = {"q1": 0.9, "q2": 1.9, "q4": 0.1}
-    full_run["value"] = 2.9
-    json.dump(full_run, open(pp, "w"))
+    # the 50-99% band (ADVICE r19): a run covering 2 of 3 queries is
+    # STILL partial — q3's floor carries through, totals stay clean
+    band_run = dict(partial_run)
+    band_run["queries"] = {"q1": 0.9, "q2": 1.9, "q4": 0.1}
+    band_run["value"] = 2.9
+    json.dump(band_run, open(pp, "w"))
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "bench_ref_update.py"),
          rp, pp, "--label", "st", "--stale-threshold", "99", "--out", op],
         capture_output=True, text=True)
     assert out.returncode == 0, out.stderr + out.stdout
+    assert "partial input (3 of 3" in out.stdout, out.stdout
     got = json.load(open(op))
-    assert "q3" not in got["queries"], "full run must still drop q3"
-    assert got["queries"] == {"q1": 0.9, "q2": 1.9, "q4": 0.1}
-    assert got["run_totals_sec"] == [6.0, 2.9]
+    assert got["queries"] == {"q1": 0.9, "q2": 1.9, "q3": 3.0, "q4": 0.1}, \
+        got["queries"]
+    assert got["run_totals_sec"] == [6.0], "partial total polluted history"
+
+    # removal is explicit only: --drop q3 shrinks the surface, and the
+    # now-full-coverage run appends its total
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench_ref_update.py"),
+         rp, pp, "--label", "st", "--stale-threshold", "99", "--out", op,
+         "--drop", "q3"],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr + out.stdout
+    got = json.load(open(op))
+    assert got["queries"] == {"q1": 0.9, "q2": 1.9, "q4": 0.1}, got["queries"]
+    assert got["run_totals_sec"] == [6.0, 2.9], got["run_totals_sec"]
+
+    # --drop of an unknown query refuses loudly
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench_ref_update.py"),
+         rp, pp, "--label", "st", "--stale-threshold", "99", "--out", op,
+         "--drop", "q9"],
+        capture_output=True, text=True)
+    assert out.returncode != 0 and "absent from the reference" in out.stderr
 
 print("selftest_bench_ref_update: all checks pass")
