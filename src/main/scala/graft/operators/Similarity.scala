@@ -1890,4 +1890,270 @@ object Similarity {
           .otherwise(col("n_matched").cast("double") /
             col("n_exact").cast("double")), 4).as("recall"))
   }
+
+  // ───────────────────────── OPQ (Ge et al., CVPR 2013) ──────────────
+
+  /** Apply a dim×dim rotation to a vector column: y_k = Σ_j R(k)(j)·x_j
+    * (rows of `rotation` are output coordinates). The matrix ships as a
+    * literal — a few KB at any realistic dim — and the multiply is one
+    * per-row expression tree, no join, no shuffle. Output is
+    * array<double> (the PQ training input type).
+    */
+  def applyRotation(df: DataFrame, rotation: Seq[Seq[Double]],
+      vecCol: String = "embedding"): DataFrame = {
+    require(rotation.nonEmpty &&
+      rotation.forall(_.size == rotation.size),
+      s"rotation must be square, got ${rotation.size} rows of sizes " +
+        rotation.map(_.size).distinct.mkString(","))
+    df.withColumn(vecCol, transform(typedLit(rotation), row =>
+      aggregate(zip_with(row, col(vecCol).cast("array<double>"),
+        (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))
+  }
+
+  /** Relative flat-PQ reconstruction error: Σ‖x − x̂‖² / Σ‖x‖² over the
+    * frame, x̂ = the codeword reconstruction of x under `codebooks` —
+    * [[pqBatchError]] without the coarse-residual stage; the
+    * quantization-quality number the OPQ gate compares across
+    * rotations. One encode pass + one scalar collected.
+    */
+  def pqReconstructionError(emb: DataFrame, codebooks: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val (numSubspaces, subDim) = pqShape(codebooks)
+    val recon = pqReconstruct(
+      pqEncode(emb, codebooks, numSubspaces * subDim, idCol, vecCol),
+      codebooks, idCol)
+    val row = emb
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__x"))
+      .join(recon, Seq(idCol))
+      .agg(sum(l2sq(col("__x"), col("__rhat"))).as("err"),
+        sum(dot(col("__x"), col("__x"))).as("energy"))
+      .collect()(0)
+    if (row.isNullAt(1) || row.getDouble(1) == 0.0) 0.0
+    else row.getDouble(0) / row.getDouble(1)
+  }
+
+  /** Codeword reconstruction of a codes frame: (idCol, __rhat), the
+    * [[pqBatchError]] assembly shared with [[pqReconstructionError]]
+    * and the OPQ Procrustes step.
+    */
+  private def pqReconstruct(codes: DataFrame, codebooks: DataFrame,
+      idCol: String): DataFrame = {
+    val cb = broadcast(codebooks.select(col("m"), col("cid").as("code"),
+      col("__cv").cast("array<double>").as("__cw")))
+    codes
+      .select(col(idCol), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(cb, Seq("m", "code"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("__cw")))),
+        s => s.getField("__cw"))).as("__rhat"))
+  }
+
+  /** Optimized-Product-Quantization rotation (Ge et al., CVPR 2013,
+    * the non-parametric alternation §3.1) — the accuracy rung above
+    * IVFADC at IDENTICAL memory: learn an orthogonal R so that PQ on
+    * R·x destroys less energy than PQ on x (classic win: variance
+    * concentrated in one subspace is re-balanced across all of them —
+    * by AM-GM, pairing a σ_big with a σ_small in each subspace beats
+    * pairing bigs together). Alternation: (1) fix R, train codebooks
+    * on the rotated corpus; (2) fix the codes, R ← the orthogonal
+    * Procrustes solution argmin_R Σ‖R·x − x̂‖² = the polar factor of
+    * M = Σ x̂ xᵀ (computed here by the Newton polar iteration
+    * Q ← (Q + Q⁻ᵀ)/2, globally quadratically convergent for
+    * nonsingular M — Higham 1986 — on the dim×dim DRIVER-side matrix;
+    * dim² doubles is metadata, the collect-a-sketch class). Each
+    * alternation step is non-increasing in quantization error, the
+    * published guarantee.
+    *
+    * Scale shape: per iteration, one PQ train (the
+    * [[pqTrainCodebooks]] cost), one encode, and the cross-covariance
+    * aggregate — which explodes dim² products per row; at corpus scale
+    * run this on a TRAINING SAMPLE (the published practice: OPQ
+    * rotations are trained on 10⁵–10⁶ vectors, then applied
+    * everywhere), and the whole loop is sample-sized. Determinism:
+    * the cross-covariance entries are distributed double sums, so they
+    * are rounded at 10⁻⁶ before the driver-side polar iteration (the
+    * centroid-rounding convention) — the rotation is then a pure
+    * function of the rounded matrix.
+    *
+    * @return the rotation as dim rows of dim doubles — feed
+    *         [[applyRotation]] on corpus AND queries, then any PQ rung.
+    */
+  def opqRotation(emb: DataFrame, dim: Int, numSubspaces: Int = 8,
+      codebookSize: Int = 16, iterations: Int = 3, pqIterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Double]] = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(numSubspaces >= 1 && dim % numSubspaces == 0,
+      s"dim $dim must divide into numSubspaces $numSubspaces")
+    val base = emb.select(col(idCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+    // Parametric init (Ge §3.3, OPQ-P): PCA + eigenvalue allocation.
+    // Starting the alternation from identity is a SADDLE — axis-aligned
+    // codebooks are self-consistent (the Procrustes step returns ≈ I
+    // when the codes were trained at I), so the published init is what
+    // actually escapes the adversarial groupings: rotate to the
+    // principal axes, then deal the directions to subspaces balancing
+    // the per-subspace eigenvalue PRODUCTS (greedy on log-sums), so no
+    // subspace hoards the variance.
+    var r: Array[Array[Double]] = {
+      val n = base.count().toDouble
+      require(n > 0.0, "opqRotation: empty training frame")
+      val mu = new Array[Double](dim)
+      base.select(posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(round(avg(col("x")), 6).as("m"))
+        .collect().foreach(e => mu(e.getInt(0)) = e.getDouble(1))
+      // raw second moment, centered on the driver: C = S/n − μμᵀ
+      val s = Array.ofDim[Double](dim, dim)
+      base.select(posexplode(col(vecCol)).as(Seq("i", "xi")),
+          col(vecCol).as("__x"))
+        .select(col("i"), col("xi"),
+          posexplode(col("__x")).as(Seq("j", "xj")))
+        .groupBy(col("i"), col("j"))
+        .agg(round(sum(col("xi") * col("xj")), 6).as("v"))
+        .collect()
+        .foreach(e => s(e.getInt(0))(e.getInt(1)) = e.getDouble(2))
+      val cov = Array.tabulate(dim, dim)(
+        (i, j) => s(i)(j) / n - mu(i) * mu(j))
+      val (eigVals, eigVecs) = jacobiEigen(cov)
+      // deal eigen-directions (desc by eigenvalue) to subspaces,
+      // always to the subspace with the smallest log-product so far
+      val subDim = dim / numSubspaces
+      val order = eigVals.indices.sortBy(k => (-eigVals(k), k))
+      val logProd = new Array[Double](numSubspaces)
+      val fill = new Array[Int](numSubspaces)
+      val slotOf = new Array[Int](dim) // eigen rank -> output row
+      order.zipWithIndex.foreach { case (k, rank) =>
+        val s0 = (0 until numSubspaces)
+          .filter(fill(_) < subDim)
+          .minBy(ss => (logProd(ss), ss))
+        slotOf(rank) = s0 * subDim + fill(s0)
+        fill(s0) += 1
+        logProd(s0) += math.log(math.max(eigVals(k), 1e-12))
+      }
+      val init = Array.ofDim[Double](dim, dim)
+      order.zipWithIndex.foreach { case (k, rank) =>
+        for (j <- 0 until dim) init(slotOf(rank))(j) = eigVecs(j)(k)
+      }
+      init
+    }
+    for (_ <- 1 to iterations) {
+      val rotated = applyRotation(base, r.map(_.toSeq).toSeq, vecCol)
+        .transform(Persist.round) // train + encode both read it
+      val cb = pqTrainCodebooks(rotated, dim, numSubspaces, codebookSize,
+        pqIterations, idCol, vecCol)
+      val recon = pqReconstruct(
+        pqEncode(rotated, cb, dim, idCol, vecCol), cb, idCol)
+      // M[i][j] = Σ_rows x̂_i · x_j  (x = the ORIGINAL vector: R is
+      // absolute, re-solved from scratch each alternation)
+      val entries = base.join(recon, Seq(idCol))
+        .select(posexplode(col("__rhat")).as(Seq("i", "xi")),
+          col(vecCol).as("__x"))
+        .select(col("i"), col("xi"),
+          posexplode(col("__x")).as(Seq("j", "xj")))
+        .groupBy(col("i"), col("j"))
+        .agg(round(sum(col("xi") * col("xj")), 6).as("v"))
+        .collect()
+      val m = Array.ofDim[Double](dim, dim)
+      entries.foreach(e => m(e.getInt(0))(e.getInt(1)) = e.getDouble(2))
+      r = polarFactor(m)
+    }
+    r.map(_.toSeq).toSeq
+  }
+
+  /** Classic cyclic-Jacobi eigendecomposition of a symmetric matrix
+    * (driver-side, dim×dim — metadata class): returns (eigenvalues,
+    * eigenvectors as COLUMNS of the second array). Deterministic given
+    * the (rounded) input; sweeps until every off-diagonal is below
+    * 1e-12 of the norm.
+    */
+  private def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    val tol = 1e-12 * math.max(1.0,
+      math.sqrt(a.map(_.map(x => x * x).sum).sum))
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > tol && sweep < 100) {
+      off = 0.0
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > tol / n) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 // theta == 0 -> 45° rotation
+              case x => x
+            }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s0 = t * c
+          for (k <- 0 until n) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s0 * akq
+            a(k)(q) = s0 * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s0 * aqk
+            a(q)(k) = s0 * apk + c * aqk
+          }
+          for (k <- 0 until n) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s0 * vkq
+            v(k)(q) = s0 * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Orthogonal polar factor of a nonsingular square matrix by the
+    * Newton iteration Q ← (Q + Q⁻ᵀ)/2 (Higham 1986): the closest
+    * orthogonal matrix, equal to U·Vᵀ of the SVD — exactly the
+    * orthogonal-Procrustes maximizer of tr(RᵀM). Fails loudly on a
+    * singular input (a degenerate cross-covariance means the
+    * reconstruction collapsed — train on a denser sample).
+    */
+  private def polarFactor(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = m.length
+    def inverse(a: Array[Array[Double]]): Array[Array[Double]] = {
+      val w = a.map(_.clone)
+      val inv = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+      for (c <- 0 until n) {
+        val p = (c until n).maxBy(r0 => math.abs(w(r0)(c)))
+        require(math.abs(w(p)(c)) > 1e-12,
+          "opqRotation: singular cross-covariance — the Procrustes " +
+            "update is undefined; train the rotation on a denser sample")
+        if (p != c) { val t = w(p); w(p) = w(c); w(c) = t
+          val t2 = inv(p); inv(p) = inv(c); inv(c) = t2 }
+        val d = w(c)(c)
+        for (j <- 0 until n) { w(c)(j) /= d; inv(c)(j) /= d }
+        for (r0 <- 0 until n if r0 != c) {
+          val f = w(r0)(c)
+          if (f != 0.0) for (j <- 0 until n) {
+            w(r0)(j) -= f * w(c)(j); inv(r0)(j) -= f * inv(c)(j)
+          }
+        }
+      }
+      inv
+    }
+    val fro = math.sqrt(m.map(_.map(x => x * x).sum).sum)
+    require(fro > 0.0, "opqRotation: zero cross-covariance")
+    var q = m.map(_.map(_ / fro))
+    var delta = Double.MaxValue
+    var it = 0
+    while (delta > 1e-13 && it < 100) {
+      val invT = inverse(q)
+      val next = Array.tabulate(n, n)((i, j) => 0.5 * (q(i)(j) + invT(j)(i)))
+      delta = (0 until n).map(i => (0 until n)
+        .map(j => math.abs(next(i)(j) - q(i)(j))).max).max
+      q = next
+      it += 1
+    }
+    q
+  }
 }

@@ -2537,6 +2537,41 @@ object PipelineQueries {
       Dedup.exciseRepeatedSpans(repeatFixture(Tables.documents(s, d)),
         minTokens = 8)),
 
+    // OPQ rotation (round 20, VERDICT r19 #7 — Ge 2013): rotation
+    // trained on a 20% sample (parametric PCA+allocation init, one
+    // Procrustes alternation), PQ on the rotated corpus, ADC recall@5
+    // vs brute force over the ORIGINAL vectors (orthogonal rotations
+    // preserve exact-NN, so the ground truth needs no rotation).
+    // Rows-only (kmeans/eigen-valued); orthogonality + the anisotropic
+    // quantization-error win are spec-gated in OpqSpec.
+    "q239_opq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val rot = graft.operators.Similarity.opqRotation(
+        emb.filter(col("vec_id") % 5 === 0), dim = 64,
+        numSubspaces = 16, codebookSize = 32, iterations = 1,
+        pqIterations = 2)
+      val rotEmb = graft.operators.Similarity.applyRotation(emb, rot)
+      val cb = graft.operators.Similarity.pqTrainCodebooks(rotEmb, 64,
+        numSubspaces = 16, codebookSize = 32, iterations = 2)
+      val err = graft.operators.Similarity
+        .pqReconstructionError(rotEmb, cb)
+      // evidence: the same PQ budget WITHOUT the rotation — the
+      // artifact carries both errors so the win (or its absence on
+      // isotropic data) is visible, not asserted
+      val errId = graft.operators.Similarity.pqReconstructionError(emb,
+        graft.operators.Similarity.pqTrainCodebooks(emb, 64,
+          numSubspaces = 16, codebookSize = 32, iterations = 2))
+      graft.operators.Similarity.recallAtK(
+          graft.operators.Similarity.pqAdcTopK(
+            graft.operators.Similarity.pqEncode(rotEmb, cb, 64),
+            graft.operators.Similarity.applyRotation(queries, rot),
+            cb, 5),
+          graft.operators.Similarity.bruteForceTopK(emb, queries, 5))
+        .withColumn("opq_error", round(lit(err), 4))
+        .withColumn("identity_error", round(lit(errId), 4))
+    }),
+
     // Incremental triangle maintenance (round 20, VERDICT r19 #5):
     // q186's co-order graph split 80/20 by orderkey — stored counts
     // over the 80%, the 20% merged as a batch (pairs co-ordered in

@@ -280,6 +280,137 @@ object Layout {
     * per file), never data. Shared by [[compactParquet]] and
     * [[compactParquetFlat]].
     */
+  /** One [[zorderCompactN]] pass: what was touched and what was not.
+    * `rewrittenBytes` is the bytes that went through the Spark
+    * decode→sort→encode rewrite (the operator's real cost);
+    * `copiedBytes` moved as raw files (a manifest rename at real
+    * scale).
+    */
+  final case class ZorderCompactReport(
+      filesBefore: Long, appendedFiles: Long, affectedBaseFiles: Long,
+      untouchedFiles: Long, rewrittenBytes: Long, copiedBytes: Long,
+      filesAfter: Long)
+
+  /** Incremental Z-order maintenance (VERDICT r19 #4 — the OPTIMIZE
+    * ZORDER incremental form): continuous ingest appends small
+    * unsorted files into a [[zorderWriteN]] layout and immediately
+    * un-sorts it; a full rewrite at 100 TB is exactly the cost this
+    * family exists to avoid. This pass rewrites ONLY the affected key
+    * ranges: small files (< `smallBytes`, the append signature) define
+    * the dirty z-ranges, base files whose footer z-range overlaps a
+    * dirty range join them in one range-partitioned sorted rewrite,
+    * and every other base file is carried over BYTE-IDENTICAL — at
+    * cluster scale that carry-over is a manifest rename; here it is a
+    * raw filesystem copy (compact-then-swap stays the caller's publish
+    * protocol, the [[compactParquet]] contract).
+    *
+    * Why footer ranges suffice: [[zorderWriteN]] files tile the z-key
+    * space, so "overlaps a dirty range" is exactly "could interleave
+    * with appended rows in key order". Untouched files keep tiling
+    * their own ranges; the rewrite re-tiles the dirty ranges — the
+    * merged layout's skipping holds (gated quantitatively in
+    * LayoutSpec). Files containing NULL keys (a NULL in any dimension)
+    * sort outside the curve and always join the rewrite.
+    *
+    * Scale shape: the classification scan reads ONLY the dim columns
+    * (+ file path) into a file-count-sized aggregate — metadata class,
+    * like the driver inventory; the rewrite shuffles only
+    * appended + affected bytes. Returns the touched/untouched split so
+    * an ingest loop can assert its write amplification.
+    */
+  def zorderCompactN(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, dimCols: Seq[String],
+      targetBytes: Long, smallBytes: Long): ZorderCompactReport = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    require(smallBytes >= 1L, s"smallBytes must be >= 1, got $smallBytes")
+    val files = listParquetFiles(spark, inPath)
+    require(files.nonEmpty, s"no parquet files under $inPath")
+    val bytesByName = files.map(f => f._1 -> f._3).toMap
+    // per-file z ranges from one dim-column-pruned scan; nulls make a
+    // file un-rangeable -> it joins the rewrite
+    val ranges = spark.read.parquet(inPath)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as("__f"),
+        zorderKeyN(dimCols.map(col)).as("__z"))
+      .groupBy(col("__f"))
+      .agg(min(col("__z")).as("zmin"), max(col("__z")).as("zmax"),
+        sum(when(col("__z").isNull, 1).otherwise(0)).as("nulls"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))),
+        r.getLong(3) > 0L))
+    val appended = ranges.filter { case (n, _, _) =>
+      bytesByName(n) < smallBytes }
+    val base = ranges.filter { case (n, _, _) =>
+      bytesByName(n) >= smallBytes }
+    // dirty z-ranges: merged intervals of the appended files (driver
+    // side over a file-count-sized list)
+    val dirty = appended.flatMap(_._2).sortBy(_._1)
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: tail, (s2, e2)) if s2 <= e => (s, e.max(e2)) :: tail
+        case (acc, iv) => iv :: acc
+      }
+    def overlapsDirty(iv: (Long, Long)): Boolean =
+      dirty.exists(d => iv._1 <= d._2 && d._1 <= iv._2)
+    // a base file joins the rewrite if its range touches a dirty range
+    // or it carries NULL keys (un-rangeable rows sort outside the
+    // curve); appended files rewrite unconditionally
+    val (affected, untouched) = base.partition { case (_, iv, hasNull) =>
+      hasNull || iv.isEmpty || overlapsDirty(iv.get)
+    }
+    val rewriteNames = (appended.map(_._1) ++ affected.map(_._1)).toSet
+    val rewriteBytes = rewriteNames.toSeq.map(bytesByName).sum
+    val pathByName = files.map(f => f._1 -> f._2).toMap
+    if (rewriteNames.nonEmpty) {
+      val n = math.max(1L, (rewriteBytes + targetBytes - 1L) / targetBytes)
+        .min(Int.MaxValue.toLong).toInt
+      spark.read.parquet(rewriteNames.toSeq.sorted.map(pathByName): _*)
+        .withColumn("__z", zorderKeyN(dimCols.map(col)))
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.mode("overwrite").parquet(outPath)
+    }
+    // carry the untouched files over verbatim (manifest-rename class)
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(out)
+    val conf = spark.sparkContext.hadoopConfiguration
+    untouched.foreach { case (name, _, _) =>
+      val src = new org.apache.hadoop.fs.Path(pathByName(name))
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(out, name), false, conf)
+    }
+    ZorderCompactReport(
+      filesBefore = files.size.toLong,
+      appendedFiles = appended.size.toLong,
+      affectedBaseFiles = affected.size.toLong,
+      untouchedFiles = untouched.size.toLong,
+      rewrittenBytes = rewriteBytes,
+      copiedBytes = untouched.map(f => bytesByName(f._1)).sum,
+      filesAfter = listParquetFiles(spark, outPath).size.toLong)
+  }
+
+  /** Recursive per-file parquet listing: (file name, full path, bytes).
+    * Driver-side metadata, the [[compactParquet]] inventory class.
+    */
+  private def listParquetFiles(spark: org.apache.spark.sql.SparkSession,
+      p: String): Seq[(String, String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val it = fs.listFiles(root, true)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith("part-") &&
+          f.getPath.getName.endsWith(".parquet")) {
+        acc += ((f.getPath.getName, f.getPath.toString, f.getLen))
+      }
+    }
+    acc.toSeq
+  }
+
   private def inventory(spark: org.apache.spark.sql.SparkSession,
       p: String): Seq[(String, Long, Long)] = {
     val root = new org.apache.hadoop.fs.Path(p)

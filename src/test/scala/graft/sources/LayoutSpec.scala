@@ -371,4 +371,100 @@ class LayoutSpec extends SparkSpec {
     // and the layout loses no rows
     assert(spark.read.parquet(zdir).count() == 64L * 64L)
   }
+
+  test("zorderCompactN: rewrite bounded to affected ranges, untouched " +
+      "files byte-identical, rows intact, skipping preserved") {
+    // base layout: the 16x16x16 grid minus the a<4 corner and the
+    // (a=8, b=0) line; two small appends — a 4x4x4 corner cube OUTSIDE
+    // the base z-range, and the line INSIDE a base file's range (the line)
+    val base = (4 until 16).flatMap(a => (0 until 16).flatMap(b =>
+      (0 until 16).map(c => (a, b, c))))
+      .filterNot { case (a, b, _) => a == 8 && b == 0 }
+      .toDF("a", "b", "c")
+    val dir = Files.createTempDirectory("graft_zc").toString + "/t"
+    Layout.zorderWriteN(base, Seq("a", "b", "c"), dir, numFiles = 16)
+    def names(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length()).toMap
+    val baseFiles = names(dir)
+    assert(baseFiles.size == 16)
+    def overlapFrac(d: String, colName: String, v: Int): Double = {
+      val files = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val hits = files.count { f =>
+        val mm = spark.read.parquet(f)
+          .agg(min(col(colName)), max(col(colName))).collect()(0)
+        mm.getInt(0) <= v && v <= mm.getInt(1)
+      }
+      hits.toDouble / files.length
+    }
+    // skipping baseline BEFORE the appends — "preserved" is measured
+    // against this, not an absolute band (the fixture's value range is
+    // narrower than the zorderWriteN gate's full grid)
+    val baseline = Map(
+      ("a", 13) -> overlapFrac(dir, "a", 13),
+      ("b", 7) -> overlapFrac(dir, "b", 7),
+      ("c", 7) -> overlapFrac(dir, "c", 7))
+    val corner = (0 until 4).flatMap(a => (0 until 4).flatMap(b =>
+      (0 until 4).map(c => (a, b, c)))).toDF("a", "b", "c")
+    corner.coalesce(1).write.mode("append").parquet(dir)
+    val line = (0 until 16).map(c => (8, 0, c)).toDF("a", "b", "c")
+    line.coalesce(1).write.mode("append").parquet(dir)
+    val appendedNames = names(dir).keySet -- baseFiles.keySet
+    assert(appendedNames.size == 2)
+    val appendedMax = (names(dir) -- baseFiles.keySet).values.max
+    val baseMin = baseFiles.values.min
+    assert(appendedMax < baseMin,
+      s"fixture needs a size gap: appends <= $appendedMax, base >= $baseMin")
+    val out = Files.createTempDirectory("graft_zco").toString + "/t"
+    val rep = Layout.zorderCompactN(spark, dir, out, Seq("a", "b", "c"),
+      targetBytes = baseMin * 2, smallBytes = (appendedMax + baseMin) / 2)
+    assert(rep.appendedFiles == 2L)
+    // the corner sits below every base range; only the line's range
+    // drags base files in — the rewrite must stay bounded
+    assert(rep.affectedBaseFiles >= 1L && rep.affectedBaseFiles <= 4L,
+      s"rewrite not bounded to affected ranges: $rep")
+    assert(rep.untouchedFiles == 16L - rep.affectedBaseFiles)
+    assert(rep.rewrittenBytes < names(dir).values.sum / 2,
+      s"rewrote more than half the table: $rep")
+    // rows intact: compacted output == base + both appends exactly
+    val expect = base.unionByName(corner).unionByName(line)
+    val got = spark.read.parquet(out)
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "compaction lost or duplicated rows")
+    // untouched files carried byte-identical
+    val outNames = names(out)
+    val untouchedIn = baseFiles.keySet.filter(outNames.contains)
+    assert(untouchedIn.size.toLong == rep.untouchedFiles)
+    untouchedIn.take(2).foreach { n =>
+      val a = java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, n).toPath)
+      val b = java.nio.file.Files.readAllBytes(
+        new java.io.File(out, n).toPath)
+      assert(java.util.Arrays.equals(a, b), s"$n not byte-identical")
+    }
+    // skipping preserved on the MERGED layout: a point filter on every
+    // dimension excludes no more than ~one extra file's worth vs the
+    // clean pre-append layout (the rewrite adds a handful of files
+    // tiling the dirty ranges; everything else kept its footer range)
+    for (((c0, v), b0) <- baseline) {
+      val f = overlapFrac(out, c0, v)
+      assert(f <= b0 + 0.15,
+        s"skipping degraded on $c0: baseline $b0, after compact $f")
+    }
+  }
+
+  test("zorderCompactN: nothing small -> pure carry-over, zero rewrite") {
+    val df = (0 until 8).flatMap(a => (0 until 8).map(b => (a, b, a ^ b)))
+      .toDF("a", "b", "c")
+    val dir = Files.createTempDirectory("graft_zc2").toString + "/t"
+    Layout.zorderWriteN(df, Seq("a", "b", "c"), dir, numFiles = 4)
+    val out = Files.createTempDirectory("graft_zco2").toString + "/t"
+    val rep = Layout.zorderCompactN(spark, dir, out, Seq("a", "b", "c"),
+      targetBytes = 1L << 20, smallBytes = 1L)
+    assert(rep.appendedFiles == 0L && rep.affectedBaseFiles == 0L)
+    assert(rep.rewrittenBytes == 0L && rep.untouchedFiles == 4L)
+    assert(spark.read.parquet(out).count() == 64L)
+  }
 }
