@@ -383,4 +383,60 @@ object Decontaminate {
         col("__mj").as("jaccard"),
         col("__mj").isNotNull.as("contaminated"))
   }
+
+  /** ExactSubstr decontamination (round 20 — the Lee et al. 2021 §4.1
+    * matcher pointed at eval-set leakage, the FULL-guarantee sibling of
+    * [[spanDecontaminate]]'s winnowing form): report every maximal
+    * token span a corpus document shares with a benchmark document, by
+    * joining ALL aligned L-token window keys instead of winnowing's
+    * sampled fingerprints — so a leak of ≥ L tokens is caught exactly,
+    * including spans inside the winnowing miss band (shorter than
+    * w+k−1 chars). Same-offset matched windows merge into maximal
+    * spans ([[Dedup.repeatedSpans]]'s island rule: equal window
+    * lengths make coverage ends monotone, so windows chain iff the
+    * start gap is ≤ L).
+    *
+    * Output: (idCol, benchIdCol, doc_start_tok, bench_start_tok,
+    * span_tokens, n_windows), token positions 1-based.
+    *
+    * Scale shape: the benchmark side is eval-set-bounded — its window
+    * frame broadcasts; the corpus explodes hashed 60-bit keys once
+    * (window strings never shuffle) and the candidate frame is bounded
+    * by true key overlap with the benchmark, never all-pairs. Island
+    * windows partition by (doc, bench, offset) — group size is the
+    * pair's matched windows.
+    */
+  def exactSubstrContamination(docs: DataFrame, benchmark: DataFrame,
+      minTokens: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id", benchIdCol: String = "bench_id")
+      : DataFrame = {
+    require(minTokens >= 2,
+      s"a 1-token threshold reports every shared word, got $minTokens")
+    val cw = Dedup.tokenWindows(docs, minTokens, textCol, idCol)
+      .select(col("__id").as("__did"), col("__p").as("__pd"), col("__key"))
+    val bw = broadcast(
+      Dedup.tokenWindows(benchmark, minTokens, textCol, benchIdCol)
+        .select(col("__id").as("__bid"), col("__p").as("__pb"),
+          col("__key")))
+    val matches = cw.join(bw, Seq("__key"))
+      .select(col("__did"), col("__bid"), col("__pd"), col("__pb"),
+        (col("__pd") - col("__pb")).as("__off"))
+    val w = Window.partitionBy(col("__did"), col("__bid"), col("__off"))
+      .orderBy(col("__pd").asc)
+    matches
+      .withColumn("__brk",
+        when(col("__pd") - lag(col("__pd"), 1).over(w) <= minTokens, 0)
+          .otherwise(1))
+      .withColumn("__g", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__did"), col("__bid"), col("__off"), col("__g"))
+      .agg(min(col("__pd")).as("doc_start_tok"),
+        min(col("__pb")).as("bench_start_tok"),
+        (max(col("__pd")) - min(col("__pd")) + minTokens)
+          .as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+      .select(col("__did").as(idCol), col("__bid").as(benchIdCol),
+        col("doc_start_tok"), col("bench_start_tok"), col("span_tokens"),
+        col("n_windows"))
+  }
 }

@@ -801,7 +801,7 @@ object Dedup {
     * [[repeatedSpans]] / [[exciseRepeatedSpans]]. (id, pos 1-based,
     * key); documents shorter than L emit nothing.
     */
-  private def tokenWindows(df: DataFrame, minTokens: Int,
+  private[operators] def tokenWindows(df: DataFrame, minTokens: Int,
       textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("__id"),
         TextAnalysis.tokens(col(textCol)).as("__t"))

@@ -2572,6 +2572,17 @@ object PipelineQueries {
         .withColumn("identity_error", round(lit(errId), 4))
     }),
 
+    // ExactSubstr decontamination (round 20 — Lee et al. 2021 §4.1
+    // pointed at eval leakage, the full-guarantee sibling of q158's
+    // winnowing spans): every maximal ≥8-token span a corpus document
+    // shares with the q158 benchmark excerpts, from ALL aligned window
+    // keys instead of sampled fingerprints. FULL value oracle.
+    "q240_exact_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontaminate.exactSubstrContamination(
+        docs, spanBenchFixture(docs), minTokens = 8)
+    }),
+
     // Incremental triangle maintenance (round 20, VERDICT r19 #5):
     // q186's co-order graph split 80/20 by orderkey — stored counts
     // over the 80%, the 20% merged as a batch (pairs co-ordered in
@@ -8375,7 +8386,59 @@ object PipelineQueries {
 
     // q238 = the full-graph q186 recount — the append gate IS
     // equivalence with recomputation.
-    "q238_incremental_triangles" -> TriangleOracleSql
+    "q238_incremental_triangles" -> TriangleOracleSql,
+
+    // q240 = the q236 window/island replay joined across the corpus ×
+    // q158-benchmark boundary, islands per (doc, bench, offset).
+    "q240_exact_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bench_id,
+        |    'zq ' || substr(text, 31, 220) AS btext
+        |  FROM documents WHERE doc_id % 22 = 0 AND length(text) >= 300),
+        |ct AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |bt AS (
+        |  SELECT bench_id,
+        |    list_filter(string_split_regex(btext, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM bench),
+        |cw AS (
+        |  SELECT doc_id, e.p AS pd, e.key AS key FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+        |      i -> struct_pack(p := i,
+        |        key := ('0x' || substr(md5(
+        |          array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT)))
+        |      AS e
+        |    FROM ct)),
+        |bw AS (
+        |  SELECT bench_id, e.p AS pb, e.key AS key FROM (
+        |    SELECT bench_id, unnest(list_transform(range(1, len(toks) - 6),
+        |      i -> struct_pack(p := i,
+        |        key := ('0x' || substr(md5(
+        |          array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT)))
+        |      AS e
+        |    FROM bt)),
+        |m AS (
+        |  SELECT cw.doc_id, bw.bench_id, cw.pd, bw.pb,
+        |    cw.pd - bw.pb AS offs
+        |  FROM cw JOIN bw USING (key)),
+        |b AS (
+        |  SELECT *, CASE WHEN pd - lag(pd) OVER (
+        |      PARTITION BY doc_id, bench_id, offs ORDER BY pd) <= 8
+        |    THEN 0 ELSE 1 END AS brk
+        |  FROM m),
+        |g AS (
+        |  SELECT *, sum(brk) OVER (
+        |      PARTITION BY doc_id, bench_id, offs ORDER BY pd) AS grp
+        |  FROM b)
+        |SELECT doc_id, bench_id, min(pd)::INT AS doc_start_tok,
+        |  min(pb)::INT AS bench_start_tok,
+        |  (max(pd) - min(pd) + 8)::INT AS span_tokens,
+        |  count(*)::BIGINT AS n_windows
+        |FROM g GROUP BY doc_id, bench_id, offs, grp""".stripMargin
   )
 
   /** The full-graph triangle oracle (q186's degree-ordered orientation

@@ -4233,3 +4233,37 @@ class OpqSpec extends SparkSpec {
     }
   }
 }
+
+/** ExactSubstr decontamination (round 20): hand positions, the
+  * full-guarantee complement of the winnowing span decontaminator.
+  */
+class ExactDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactSubstrContamination: hand-checked excerpt positions") {
+    val docs = Seq(
+      (1L, "w1 w2 aa bb cc dd ee ff w3"),
+      (2L, "nothing shared at all right here")).toDF("doc_id", "text")
+    val bench = Seq((10L, "zz aa bb cc dd ee ff")).toDF("bench_id", "text")
+    val out = Decontaminate.exactSubstrContamination(docs, bench,
+        minTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5))).toSet
+    // shared run "aa bb cc dd ee ff": doc tokens 3..8, bench 2..7 —
+    // 4 aligned L=3 windows at one offset merge into one span
+    assert(out == Set((1L, 10L, 3, 2, 6, 4L)), s"got $out")
+  }
+
+  test("exactSubstrContamination catches a 3-token leak below the " +
+      "winnowing guarantee; clean docs report nothing") {
+    val docs = Seq(
+      (1L, "some document text quick brown foxes and other words"),
+      (2L, "completely clean content")).toDF("doc_id", "text")
+    val bench = Seq((9L, "eval item mentioning quick brown foxes only"))
+      .toDF("bench_id", "text")
+    val out = Decontaminate.exactSubstrContamination(docs, bench,
+        minTokens = 3)
+      .select("doc_id", "span_tokens").as[(Long, Int)].collect().toSet
+    assert(out == Set((1L, 3)), s"got $out")
+  }
+}
