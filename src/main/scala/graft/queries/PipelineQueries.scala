@@ -2519,6 +2519,28 @@ object PipelineQueries {
         n = 100)
     }),
 
+    // The DSIR mixing loop END TO END (round 20 — the verdict's literal
+    // "plan → weights → materialized mix" phrasing): DSIR-select the
+    // 150 most target-like documents, re-plan the q101 domain mix over
+    // THAT selection, and materialize its epoch copies — one chained
+    // value oracle covering features → log-ratios → weights → Gumbel
+    // top-k → mix plan → epoch materialization.
+    "q241_dsir_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sel = Sampling.dsirResample(
+        Sampling.dsirWeights(docs,
+          docs.filter(col("source").isin("src0", "src1")), buckets = 256),
+        n = 150)
+      val selected = docs.join(sel.select(col("doc_id")), Seq("doc_id"),
+        "semi")
+      val plan = Sampling.domainMixPlan(selected, "source",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        targets = Map("src0" -> 0.3, "src1" -> 0.2) ++
+          (2 to 11).map(i => s"src$i" -> 0.05).toMap)
+      Sampling.materializeMix(selected.select(col("doc_id"),
+        col("source")), "source", plan, "doc_id")
+    }),
+
     // ExactSubstr repeated spans (round 20, VERDICT r19 #2 — Lee et al.
     // 2021 §4.1, the full-guarantee class winnowing only samples):
     // every 9th doc carries a shared 12-token boilerplate tail, every
@@ -8320,6 +8342,57 @@ object PipelineQueries {
         |    AS rank
         |  FROM k)
         |WHERE rank <= 100""".stripMargin),
+
+    // q241 = q235's selection chain + q101/q121's mix arithmetic over
+    // the selected subset — the whole DSIR loop in one replay.
+    "q241_dsir_mix" -> (DsirWeightsCtes +
+      """,
+        |wf AS (
+        |""".stripMargin + DsirWeightsSelect +
+      """),
+        |kk AS (
+        |  SELECT doc_id, round((log_weight_q::DOUBLE / 1000000.0
+        |    - ln(-ln(((('0x' || substr(md5(doc_id::VARCHAR || ':dsir'),
+        |        1, 15))::BIGINT % 10000)::DOUBLE + 0.5) / 10000.0)))
+        |    * 1000000.0)::BIGINT AS key_q
+        |  FROM wf),
+        |sel AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY key_q DESC, doc_id) AS rn
+        |    FROM kk)
+        |  WHERE rn <= 150),
+        |st AS (
+        |  SELECT d.doc_id, d.source,
+        |    list_filter(string_split_regex(d.text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents d JOIN sel USING (doc_id)),
+        |perdom AS (
+        |  SELECT source, sum(len(toks))::BIGINT AS tokens
+        |  FROM st GROUP BY 1),
+        |tot AS (SELECT sum(tokens)::BIGINT AS total FROM perdom),
+        |wt AS (
+        |  SELECT source,
+        |    round(least(
+        |      (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+        |        WHEN 'src2' THEN 0.05 WHEN 'src3' THEN 0.05
+        |        WHEN 'src4' THEN 0.05 WHEN 'src5' THEN 0.05
+        |        WHEN 'src6' THEN 0.05 WHEN 'src7' THEN 0.05
+        |        WHEN 'src8' THEN 0.05 WHEN 'src9' THEN 0.05
+        |        WHEN 'src10' THEN 0.05 WHEN 'src11' THEN 0.05
+        |        ELSE 0.0 END::DOUBLE)
+        |      / (tokens::DOUBLE / total::DOUBLE), 4.0), 6) AS sw
+        |  FROM perdom, tot),
+        |c AS (
+        |  SELECT st.doc_id, st.source,
+        |    (floor(sw)::INT + CASE WHEN
+        |      (('0x' || substr(md5(st.doc_id::VARCHAR || ':epoch'),
+        |        1, 15))::BIGINT % 10000)::DOUBLE
+        |        < (sw - floor(sw)) * 10000
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM st JOIN wt USING (source))
+        |SELECT doc_id, source, unnest(range(1, copies + 1))::INT AS epoch
+        |FROM c WHERE copies > 0""".stripMargin),
 
     // q236 = the ExactSubstr window/count/island replay: 8-token window
     // keys over the planted fixture, HAVING count > 1, lag-break island
