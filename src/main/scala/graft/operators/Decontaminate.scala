@@ -23,6 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** Conf key for the benchmark-side broadcast gate (bytes). */
+  val BroadcastThresholdKey = "spark.graft.decontaminate.broadcastThresholdBytes"
+
+  /** Size-gated broadcast hint for the benchmark side (round 21,
+    * VERDICT r20 #2): every screen here force-broadcast its benchmark
+    * derivation, which is right for eval sets ("small BY DEFINITION")
+    * but OOMs the broadcast against a multi-GB eval-suite union — worst
+    * at [[exactSubstrContamination]], whose window frame is one row per
+    * benchmark TOKEN (~10–20× benchmark bytes). The hint now applies
+    * only when Catalyst's size estimate for the benchmark subplan sits
+    * under `spark.graft.decontaminate.broadcastThresholdBytes` (default
+    * 512 MB — inside every executor-memory posture this library
+    * documents); above it the join runs as a plain shuffle join on the
+    * same keys — identical rows, no 8 GB broadcast wall. The estimate
+    * is driver-side metadata (no job); fixtures sit far below the
+    * default, so gate-scale plans are unchanged.
+    */
+  private[operators] def maybeBroadcast(df: DataFrame): DataFrame = {
+    val threshold = df.sparkSession.conf
+      .getOption(BroadcastThresholdKey).map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= threshold) broadcast(df) else df
+  }
+
   /** Ids of documents sharing ≥ 1 shingle with the benchmark — the
     * contamination-sized frame both public forms (and
     * [[Curation.curate]]'s broadcast-side flag) build on.
@@ -37,7 +62,7 @@ object Decontaminate {
     docs
       .select(col(idCol), explode(graft.functions.ShingleFunctions
         .wordShingles(col(textCol), n)).as("__g"))
-      .join(broadcast(bench), Seq("__g"), "left_semi")
+      .join(maybeBroadcast(bench), Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()
   }
 
@@ -73,7 +98,7 @@ object Decontaminate {
     docs
       .select(col(idCol), explode(graft.functions.ShingleFunctions
         .wordShingles(col(textCol), n)).as("__g"))
-      .join(broadcast(bench), Seq("__g"))
+      .join(maybeBroadcast(bench), Seq("__g"))
       .select(col(idCol), col(benchIdCol)).distinct()
   }
 
@@ -129,7 +154,7 @@ object Decontaminate {
     val dot = Similarity.dot _
     val corpus = emb.select(col(idCol), col(vecCol).as("__v"),
       sqrt(dot(col(vecCol), col(vecCol))).as("__vn"))
-    val bench = broadcast(benchEmb.select(col(benchIdCol),
+    val bench = maybeBroadcast(benchEmb.select(col(benchIdCol),
       col(vecCol).as("__bv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("__bn")))
     corpus.join(bench)
@@ -200,7 +225,7 @@ object Decontaminate {
           .winnowFingerprintPositions(col(textCol), k, w)).as("e"))
       .select(col(id), col("e.fp").as("f"), col("e.pos").as(p))
     val matches = fps(docs, idCol, "pa")
-      .join(broadcast(fps(benchmark, benchIdCol, "pb")), Seq("f"))
+      .join(maybeBroadcast(fps(benchmark, benchIdCol, "pb")), Seq("f"))
       .select(col(idCol), col(benchIdCol), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("__off"))
     val wOrd = Window
@@ -365,7 +390,7 @@ object Decontaminate {
       textCol: String = "text", idCol: String = "doc_id",
       benchIdCol: String = "bench_id", threshold: Double = 0.8,
       k: Int = 32, bands: Int = 16): DataFrame = {
-    val index = broadcast(
+    val index = maybeBroadcast(
       Dedup.minhashCorpusIndex(benchmark, textCol, benchIdCol, k))
     val pairs = Dedup.incrementalMinhashDedup(docs, index, textCol, idCol,
       threshold, k, bands)
@@ -414,7 +439,7 @@ object Decontaminate {
       s"a 1-token threshold reports every shared word, got $minTokens")
     val cw = Dedup.tokenWindows(docs, minTokens, textCol, idCol)
       .select(col("__id").as("__did"), col("__p").as("__pd"), col("__key"))
-    val bw = broadcast(
+    val bw = maybeBroadcast(
       Dedup.tokenWindows(benchmark, minTokens, textCol, benchIdCol)
         .select(col("__id").as("__bid"), col("__p").as("__pb"),
           col("__key")))

@@ -89,26 +89,33 @@ object Graphs {
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("__qh")).as("__ar"))
         .transform(Persist.round)
-      val aTot = araw.agg(sum(col("__ar"))).collect()(0).getLong(0)
+      // L1 normalizers as 1-row aggregates cross-joined into the score
+      // update instead of collected (round 21, the [[prRounds]] fusion):
+      // each was a separate Spark job per half-iteration; the long→
+      // double cast and the division are the same IEEE operations the
+      // collected-literal form performed, so scores are bit-identical.
+      val aTot = araw.agg(sum(col("__ar")).as("__at"))
       val withAuth = scores.drop("auth")
         .join(araw, Seq("node"), "left")
+        .crossJoin(aTot)
         .withColumn("auth",
           coalesce(col("__ar"), lit(0L)).cast("double") /
-            lit(aTot.toDouble))
-        .drop("__ar").transform(Persist.round)
+            col("__at").cast("double"))
+        .drop("__ar", "__at").transform(Persist.round)
       val hraw = withAuth.select(col("node").as("__dst"),
           round(col("auth") * lit(scale)).cast("long").as("__qa"))
         .join(e, Seq("__dst"))
         .groupBy(col("__src").as("node"))
         .agg(sum(col("__qa")).as("__hr"))
         .transform(Persist.round)
-      val hTot = hraw.agg(sum(col("__hr"))).collect()(0).getLong(0)
+      val hTot = hraw.agg(sum(col("__hr")).as("__ht"))
       scores = withAuth.drop("hub")
         .join(hraw, Seq("node"), "left")
+        .crossJoin(hTot)
         .withColumn("hub",
           coalesce(col("__hr"), lit(0L)).cast("double") /
-            lit(hTot.toDouble))
-        .drop("__hr")
+            col("__ht").cast("double"))
+        .drop("__hr", "__ht")
         .select(col("node"), col("hub"), col("auth"))
         .transform(Persist.round)
     }
@@ -420,17 +427,26 @@ object Graphs {
           round(col("rank") / col("__outdeg").cast("double") * lit(scale))
             .cast("long").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__cs"))
-      val dangScaled = withDeg.where(col("__outdeg").isNull)
+      // dangling mass as a 1-row aggregate CROSS-JOINED into the rank
+      // update instead of collected per round (round 21): the collect
+      // was a second Spark job per iteration re-running the ranks⋈deg
+      // join; fused, each round is ONE action (the checkpoint). The
+      // long→double cast and the /scale/n association are the exact
+      // IEEE operations the collected-literal form performed on the
+      // driver, so every rank is bit-identical and the oracle replay
+      // is unchanged.
+      val dang = withDeg.where(col("__outdeg").isNull)
         .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")),
-          lit(0L)))
-        .collect()(0).getLong(0)
+          lit(0L)).as("__dang"))
       // association order mirrored literally by the oracle:
       // (1-d)/n + d * (cs/scale + (dang/scale)/n)
       ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(dang)
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__cs"), lit(0L)).cast("double") / lit(scale) +
-              lit((dangScaled.toDouble / scale) / n))).as("rank"))
+              (col("__dang").cast("double") / lit(scale)) / lit(n)))
+            .as("rank"))
         .transform(Persist.round)
     }
     ranks
@@ -523,15 +539,19 @@ object Graphs {
             (col("__w").cast("double") / col("__outw").cast("double")) *
             lit(scale)).cast("long").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__cs"))
-      val dangScaled = withW.where(col("__outw").isNull)
+      // fused 1-row dangling aggregate (round 21; see [[prRounds]]) —
+      // same IEEE cast/divide chain as the collected literal, one
+      // action per round instead of two
+      val dang = withW.where(col("__outw").isNull)
         .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")),
-          lit(0L)))
-        .collect()(0).getLong(0)
+          lit(0L)).as("__dang"))
       ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(dang)
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__cs"), lit(0L)).cast("double") / lit(scale) +
-              lit((dangScaled.toDouble / scale) / n))).as("rank"))
+              (col("__dang").cast("double") / lit(scale)) / lit(n)))
+            .as("rank"))
         .transform(Persist.round)
     }
     ranks
@@ -608,15 +628,17 @@ object Graphs {
             (col("__w").cast("double") / col("__outw").cast("double")) *
             lit(scale)).cast("long").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__cs"))
-      val dangScaled = withW.where(col("__outw").isNull)
+      // fused 1-row dangling aggregate (round 21; see [[prRounds]])
+      val dang = withW.where(col("__outw").isNull)
         .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")),
-          lit(0L)))
-        .collect()(0).getLong(0)
+          lit(0L)).as("__dang"))
       ranks = pref.join(contrib, Seq("node"), "left")
+        .crossJoin(dang)
         .select(col("node"),
           (lit(1.0 - damping) * col("__p") + lit(damping) *
             (coalesce(col("__cs"), lit(0L)).cast("double") / lit(scale) +
-              lit(dangScaled.toDouble / scale) * col("__p"))).as("rank"))
+              (col("__dang").cast("double") / lit(scale)) * col("__p")))
+            .as("rank"))
         .transform(Persist.round)
     }
     ranks
@@ -692,17 +714,19 @@ object Graphs {
           round(col("rank") / col("__outdeg").cast("double") * lit(scale))
             .cast("long").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__cs"))
-      val dangScaled = withDeg.where(col("__outdeg").isNull)
+      // fused 1-row dangling aggregate (round 21; see [[prRounds]])
+      val dang = withDeg.where(col("__outdeg").isNull)
         .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")),
-          lit(0L)))
-        .collect()(0).getLong(0)
+          lit(0L)).as("__dang"))
       // association order mirrored literally by the oracle:
       // (1-d)*p + d * (cs/scale + (dang/scale)*p)
       ranks = pref.join(contrib, Seq("node"), "left")
+        .crossJoin(dang)
         .select(col("node"),
           (lit(1.0 - damping) * col("__p") + lit(damping) *
             (coalesce(col("__cs"), lit(0L)).cast("double") / lit(scale) +
-              lit(dangScaled.toDouble / scale) * col("__p"))).as("rank"))
+              (col("__dang").cast("double") / lit(scale)) * col("__p")))
+            .as("rank"))
         .transform(Persist.round)
     }
     ranks
@@ -939,8 +963,24 @@ object Graphs {
       // jump: component := relaxed(relaxed(node)). __rc is always a
       // real node id (labels only ever hold node ids), so the lookup
       // hits; left + coalesce is belt-and-braces, not a semantic.
-      val next = relaxed.alias("l")
+      // Round 21: the jump runs TWICE per round (label-table self-
+      // composition squared — reach ~4× per round instead of ~2×, so
+      // the round count drops from ~log2 to ~log4 of the diameter:
+      // q208's giant component converges in 9 rounds instead of 17).
+      // Soundness is the same argument applied twice: a jumped label
+      // is still the id of a reachable node, so min-reachable is
+      // preserved and the FIXPOINT — the only thing the oracle gates —
+      // is unchanged. Each extra jump is one node-keyed (long, long)
+      // self-join; the expensive graph hop above runs half as often.
+      val j1 = relaxed.alias("l")
         .join(relaxed.select(col("node").as("__t"), col("__rc").as("__tc"))
+          .alias("p"), col("l.__rc") === col("p.__t"), "left")
+        .select(col("l.node").as("node"), col("l.__old").as("__old"),
+          least(col("l.__rc"), coalesce(col("p.__tc"), col("l.__rc")))
+            .as("__rc"))
+        .transform(Persist.round)
+      val next = j1.alias("l")
+        .join(j1.select(col("node").as("__t"), col("__rc").as("__tc"))
           .alias("p"), col("l.__rc") === col("p.__t"), "left")
         .select(col("l.node").as("node"),
           least(col("l.__rc"), coalesce(col("p.__tc"), col("l.__rc")))

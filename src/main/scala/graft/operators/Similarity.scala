@@ -505,11 +505,16 @@ object Similarity {
     var cents = materialize(subs.join(broadcast(initIds), Seq("nid"))
       .select(col("m"), col("cid"), col("__v").as("__cv")))
     for (_ <- 1 to iterations) {
-      val assigned = subs.join(broadcast(cents), Seq("m"))
-        .withColumn("__d", l2sq(col("__v"), col("__cv")))
-        .groupBy(col("nid"), col("m"))
-        .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"),
-          first(col("__v")).as("__v"))
+      // per-row argmin through the codegen'd kernel against the
+      // driver-local codebooks (round 21) — the K-way join explosion
+      // and its (nid, m) assignment shuffle are gone; each sweep is
+      // one exploded scan feeding the (m, cid, pos) mean aggregate
+      // directly
+      val cbArr = localCodebookArray(cents)
+      val assigned = subs.select(col("m"),
+        graft.functions.PqFunctions
+          .pqNearestCode(col("__v"), col("m"), cbArr).as("cid"),
+        col("__v"))
       val means = assigned
         .select(col("m"), col("cid"),
           posexplode(col("__v")).as(Seq("pos", "x")))
@@ -540,15 +545,18 @@ object Similarity {
     val (numSubspaces, subDim) = pqShape(codebooks)
     require(numSubspaces * subDim == dim,
       s"codebooks are ${numSubspaces}×$subDim, vectors dim $dim")
-    subVectors(emb, idCol, vecCol, numSubspaces, subDim)
-      .join(broadcast(codebooks), Seq("m"))
-      .withColumn("__d", l2sq(col("__v"), col("__cv")))
-      .groupBy(col("nid"), col("m"))
-      .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("code"))
-      .groupBy(col("nid"))
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-        s => s.getField("code")).as("codes"))
-      .select(col("nid").as(idCol), col("codes"))
+    // one shuffle-free scan (round 21): the whole codes array is
+    // assembled per row by the codegen'd [[graft.functions
+    // .PqFunctions.pqCodes]] kernel — the explode → K-way join →
+    // two-level groupBy re-assembly produced the same array with two
+    // shuffles. The vector expression is evaluated exactly ONCE per
+    // row (the CollapseProject hazard an expression-level argmin
+    // tripped: an upstream OPQ rotation re-evaluated per lambda
+    // reference). Same ragged-vector fail-loud, same distance
+    // arithmetic and tie-break, so every code is unchanged.
+    val cbArr = localCodebookArray(codebooks)
+    emb.select(col(idCol),
+      graft.functions.PqFunctions.pqCodes(col(vecCol), cbArr).as("codes"))
   }
 
   /** Asymmetric-distance (ADC) cosine top-k over PQ codes — [[ivfTopK]]'s
@@ -669,6 +677,77 @@ object Similarity {
     (row.getInt(0) + 1, row.getInt(1))
   }
 
+  // ---------------------------------------------- local-literal argmin
+  // (round 21): the PQ/kmeans assignment stages used to JOIN the corpus
+  // against a broadcast codebook frame — a K-way row explosion
+  // (N×M rows become N×M×K) followed by a (nid, m)-keyed shuffle whose
+  // only job was to undo the explosion with min_by/max_by. The
+  // codebooks are K×M-row DRIVER frames by construction (the documented
+  // collect-a-sketch class — [[pqTrainCodebooks]] materializes every
+  // sweep, [[IvfPqIndex.codebooks]] is metadata), so the argmin can run
+  // PER ROW against a nested array literal instead: no explosion, no
+  // assignment shuffle, one scan. The distance expression ([[l2sq]] on
+  // the same dot kernel) and the (distance, cid) struct ordering are
+  // byte-for-byte the ones min_by compared, so every assignment — and
+  // therefore every code, reconstruction, and recall artifact — is
+  // unchanged.
+
+  /** Codebook frame (m, cid, __cv) → driver-side nested array with
+    * cbs(m)(cid) = codeword (the [[graft.functions.PqFunctions]] kernel
+    * metadata). Codeword values ride the exact float→double widening
+    * the join path's `cast("array<double>")` performed.
+    */
+  private def localCodebookArray(codebooks: DataFrame)
+      : Array[Array[Array[Double]]] = {
+    val rows = codebooks.select(col("m").cast("int"), col("cid").cast("int"),
+      col("__cv").cast("array<double>")).collect()
+    require(rows.nonEmpty, "pq: empty codebook frame")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val arr = Array.fill(m)(new Array[Array[Double]](k))
+    rows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    arr.foreach(_.foreach(v => require(v != null,
+      "pq: codebook frame is missing (m, cid) entries")))
+    arr
+  }
+
+  /** [[localCodebookArray]] as a nested literal column — for the
+    * per-row codeword LOOKUP ([[pqReconstruct]]), where `element_at`
+    * on a literal is O(1) and the codes input is a plain attribute.
+    */
+  private def codebookLit(codebooks: DataFrame): Column = {
+    val nested: Seq[Seq[Seq[Double]]] =
+      localCodebookArray(codebooks).toSeq.map(_.toSeq.map(_.toSeq))
+    typedLit(nested)
+  }
+
+  /** Centroid frame (cid, __cv) → array<struct<cid, __cv>> literal for
+    * the cosine argmax stages ([[assignNearest]]/[[kmeansCentroids]]);
+    * cids are vector ids (not 0..K−1), so the array carries them
+    * explicitly rather than by position.
+    */
+  private def centroidLit(cents: DataFrame): Column = {
+    val fields = cents.schema.fieldNames
+    require(fields.contains("cid") && fields.contains("__cv"),
+      s"ivf: centroid frame must carry (cid, __cv), got ${fields.toSeq}")
+    val rows = cents.select(col("cid"), col("__cv").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, "ivf: empty centroid frame")
+    array(rows.map { r =>
+      struct(lit(r.get(0)).as("cid"), typedLit(r.getSeq[Double](1)).as("__cv"))
+    }.toIndexedSeq: _*)
+  }
+
+  /** argmax_cid cosine(v, centroid) with ties to the lowest cid — the
+    * literal-centroid form of `max_by(cid, struct(cosine, -cid))`:
+    * array_max over struct(cosine, −cid) compares exactly the ordering
+    * max_by compared, then the cid is recovered by negating back.
+    */
+  private def nearestCentroid(cbArr: Column, v: Column): Column =
+    array_max(transform(cbArr, e =>
+      struct(cosine(v, e.getField("__cv")).as("s"),
+        (e.getField("cid") * lit(-1)).as("nc")))).getField("nc") * lit(-1)
+
   /** Distance-to-centroid outlier scoring — the embedding-space health
     * check a curation pipeline runs before training (CLIP-filtering
     * shape: vectors far from the corpus center are mislabeled, noise, or
@@ -736,12 +815,14 @@ object Similarity {
     // per-sweep plan at exactly one `emb` scan + one local build side,
     // independent of the iteration count.
     for (_ <- 1 to iterations) {
+      // per-row argmax against the literal centroid array (round 21;
+      // see [[assignNearest]]) — the C-way join explosion and the
+      // (nid)-keyed assignment shuffle are gone; each sweep is one
+      // scan feeding the (cid, pos) mean aggregate directly
+      val cbArr = centroidLit(cents)
       val assigned = emb.select(col(idCol).as("nid"), col(vecCol).as("__v"))
-        .join(broadcast(cents))
-        .withColumn("__cs", cosine(col("__v"), col("__cv")))
-        .groupBy(col("nid"))
-        .agg(max_by(col("cid"), struct(col("__cs"), -col("cid"))).as("cid"),
-          first(col("__v")).as("__v"))
+        .select(col("nid"), nearestCentroid(cbArr, col("__v")).as("cid"),
+          col("__v"))
       val means = assigned
         .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -886,14 +967,18 @@ object Similarity {
     * quiet NaN.
     */
   private def assignNearest(emb: DataFrame, cents: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
+      idCol: String, vecCol: String): DataFrame = {
+    // per-row cosine argmax against the literal centroid array
+    // (round 21): the unkeyed broadcast join exploded every vector C
+    // ways and shuffled (neighbor_id)-keyed groups back together just
+    // to undo it; same cosine arithmetic, same (sim, −cid) tie-break,
+    // zero shuffles
+    val cbArr = centroidLit(cents)
     emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
       .filter(dot(col("__v"), col("__v")) > 0)
-      .join(broadcast(cents))
-      .withColumn("__cs", cosine(col("__v"), col("__cv")))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(col("cid"), struct(col("__cs"), -col("cid"))).as("cid"),
-        first(col("__v")).as("__v"))
+      .select(col("neighbor_id"),
+        nearestCentroid(cbArr, col("__v")).as("cid"), col("__v"))
+  }
 
   /** One corpus (or batch) pass turning vectors into int8 list entries
     * under a FIXED centroid set — the shared assignment stage of
@@ -1909,9 +1994,13 @@ object Similarity {
       rotation.forall(_.size == rotation.size),
       s"rotation must be square, got ${rotation.size} rows of sizes " +
         rotation.map(_.size).distinct.mkString(","))
+    // row · vec through the codegen'd dot kernel (round 21): the
+    // zip_with+aggregate formulation is interpreted — per-element
+    // lambda dispatch and boxing, dim² applications per row — and the
+    // kernel is documented bit-identical to it (same left-to-right
+    // double accumulation), so every rotated coordinate is unchanged.
     df.withColumn(vecCol, transform(typedLit(rotation), row =>
-      aggregate(zip_with(row, col(vecCol).cast("array<double>"),
-        (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))
+      dot(row, col(vecCol).cast("array<double>"))))
   }
 
   /** Relative flat-PQ reconstruction error: Σ‖x − x̂‖² / Σ‖x‖² over the
@@ -1942,15 +2031,15 @@ object Similarity {
     */
   private def pqReconstruct(codes: DataFrame, codebooks: DataFrame,
       idCol: String): DataFrame = {
-    val cb = broadcast(codebooks.select(col("m"), col("cid").as("code"),
-      col("__cv").cast("array<double>").as("__cw")))
-    codes
-      .select(col(idCol), posexplode(col("codes")).as(Seq("m", "code")))
-      .join(cb, Seq("m", "code"))
-      .groupBy(col(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("m"), col("__cw")))),
-        s => s.getField("__cw"))).as("__rhat"))
+    // per-row codeword lookup against the literal codebooks (round 21):
+    // the explode → broadcast join → collect_list re-assembly produced
+    // the same flatten-in-m-order array with one shuffle; identical
+    // codeword doubles (same float→double widening), zero shuffles.
+    val cbLit = codebookLit(codebooks)
+    codes.select(col(idCol),
+      flatten(transform(col("codes"),
+        (code, m) => element_at(element_at(cbLit, m + 1), code + 1)))
+        .as("__rhat"))
   }
 
   /** Optimized-Product-Quantization rotation (Ge et al., CVPR 2013,
@@ -2001,22 +2090,40 @@ object Similarity {
     // the per-subspace eigenvalue PRODUCTS (greedy on log-sums), so no
     // subspace hoards the variance.
     var r: Array[Array[Double]] = {
-      val n = base.count().toDouble
+      // count + dim validation in ONE pass (ADVICE r20: a short vector
+      // silently left zero rows in the covariance — degenerate PCA far
+      // from the cause — and a long one threw an opaque driver-side
+      // ArrayIndexOutOfBounds; fail loudly here instead)
+      val hdr = base.agg(count(lit(1)),
+        min(size(col(vecCol))), max(size(col(vecCol)))).collect()(0)
+      val n = hdr.getLong(0).toDouble
       require(n > 0.0, "opqRotation: empty training frame")
+      require(hdr.getInt(1) == dim && hdr.getInt(2) == dim,
+        s"opqRotation: expected dim-$dim vectors, got sizes " +
+          s"${hdr.getInt(1)}..${hdr.getInt(2)}")
       val mu = new Array[Double](dim)
       base.select(posexplode(col(vecCol)).as(Seq("i", "x")))
         .groupBy(col("i")).agg(round(avg(col("x")), 6).as("m"))
         .collect().foreach(e => mu(e.getInt(0)) = e.getDouble(1))
-      // raw second moment, centered on the driver: C = S/n − μμᵀ
+      // raw second moment, centered on the driver: C = S/n − μμᵀ.
+      // Row i's sums Σ xi·x_j come from ONE posexplode with dim sum
+      // columns (round 21) — the earlier explode-of-the-explode
+      // materialized N×dim² rows to express the same multiply-adds;
+      // this shape runs the identical arithmetic over N×dim rows
+      // (entries are 10⁻⁶-rounded either way before the driver eigen
+      // step, the documented determinism edge).
       val s = Array.ofDim[Double](dim, dim)
+      val sCols = (0 until dim).map(j =>
+        round(sum(col("xi") * col("__x")(j)), 6).as(s"c$j"))
       base.select(posexplode(col(vecCol)).as(Seq("i", "xi")),
           col(vecCol).as("__x"))
-        .select(col("i"), col("xi"),
-          posexplode(col("__x")).as(Seq("j", "xj")))
-        .groupBy(col("i"), col("j"))
-        .agg(round(sum(col("xi") * col("xj")), 6).as("v"))
+        .groupBy(col("i"))
+        .agg(sCols.head, sCols.tail: _*)
         .collect()
-        .foreach(e => s(e.getInt(0))(e.getInt(1)) = e.getDouble(2))
+        .foreach { e =>
+          val i = e.getInt(0)
+          (0 until dim).foreach(j => s(i)(j) = e.getDouble(j + 1))
+        }
       val cov = Array.tabulate(dim, dim)(
         (i, j) => s(i)(j) / n - mu(i) * mu(j))
       val (eigVals, eigVecs) = jacobiEigen(cov)
@@ -2049,17 +2156,22 @@ object Similarity {
       val recon = pqReconstruct(
         pqEncode(rotated, cb, dim, idCol, vecCol), cb, idCol)
       // M[i][j] = Σ_rows x̂_i · x_j  (x = the ORIGINAL vector: R is
-      // absolute, re-solved from scratch each alternation)
+      // absolute, re-solved from scratch each alternation) — the same
+      // single-explode + dim-sum-columns shape as the covariance pass
+      // above (round 21: no N×dim² row materialization)
+      val mCols = (0 until dim).map(j =>
+        round(sum(col("xi") * col("__x")(j)), 6).as(s"c$j"))
       val entries = base.join(recon, Seq(idCol))
         .select(posexplode(col("__rhat")).as(Seq("i", "xi")),
           col(vecCol).as("__x"))
-        .select(col("i"), col("xi"),
-          posexplode(col("__x")).as(Seq("j", "xj")))
-        .groupBy(col("i"), col("j"))
-        .agg(round(sum(col("xi") * col("xj")), 6).as("v"))
+        .groupBy(col("i"))
+        .agg(mCols.head, mCols.tail: _*)
         .collect()
       val m = Array.ofDim[Double](dim, dim)
-      entries.foreach(e => m(e.getInt(0))(e.getInt(1)) = e.getDouble(2))
+      entries.foreach { e =>
+        val i = e.getInt(0)
+        (0 until dim).foreach(j => m(i)(j) = e.getDouble(j + 1))
+      }
       r = polarFactor(m)
     }
     r.map(_.toSeq).toSeq

@@ -325,18 +325,26 @@ object Layout {
     require(smallBytes >= 1L, s"smallBytes must be >= 1, got $smallBytes")
     val files = listParquetFiles(spark, inPath)
     require(files.nonEmpty, s"no parquet files under $inPath")
-    val bytesByName = files.map(f => f._1 -> f._3).toMap
-    // per-file z ranges from one dim-column-pruned scan; nulls make a
-    // file un-rangeable -> it joins the rewrite
-    val ranges = spark.read.parquet(inPath)
-      .select(element_at(split(col("_metadata.file_path"), "/"), -1)
-          .as("__f"),
+    // keyed by NORMALIZED FULL PATH, not basename (ADVICE r20: nested /
+    // hive-partitioned inputs can repeat part-file basenames, silently
+    // collapsing map entries and mis-classifying sizes); `new Path`
+    // canonicalizes the scheme form so `_metadata.file_path`
+    // ("file:///…") and the listing ("file:/…") key identically
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toString
+    val bytesByName = files.map(f => norm(f._2) -> f._3).toMap
+    // per-file z ranges from one dim-column-pruned scan over the SAME
+    // explicit file list the inventory saw (ADVICE r20: a directory
+    // read does not recurse into nested non-hive subdirs, so nested
+    // files would be sized but never classified); nulls make a file
+    // un-rangeable -> it joins the rewrite
+    val ranges = spark.read.parquet(files.map(_._2): _*)
+      .select(col("_metadata.file_path").as("__f"),
         zorderKeyN(dimCols.map(col)).as("__z"))
       .groupBy(col("__f"))
       .agg(min(col("__z")).as("zmin"), max(col("__z")).as("zmax"),
         sum(when(col("__z").isNull, 1).otherwise(0)).as("nulls"))
       .collect()
-      .map(r => (r.getString(0),
+      .map(r => (norm(r.getString(0)),
         if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))),
         r.getLong(3) > 0L))
     val appended = ranges.filter { case (n, _, _) =>
@@ -360,26 +368,37 @@ object Layout {
     }
     val rewriteNames = (appended.map(_._1) ++ affected.map(_._1)).toSet
     val rewriteBytes = rewriteNames.toSeq.map(bytesByName).sum
-    val pathByName = files.map(f => f._1 -> f._2).toMap
+    // clear outPath UP FRONT (ADVICE r20): the pure carry-over path
+    // (nothing small) previously left pre-existing files in place,
+    // duplicating rows on a reused output directory — now both paths
+    // start from a clean directory, matching [[compactParquet]]'s
+    // always-overwrite contract
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(out)) fs.delete(out, true)
     if (rewriteNames.nonEmpty) {
       val n = math.max(1L, (rewriteBytes + targetBytes - 1L) / targetBytes)
         .min(Int.MaxValue.toLong).toInt
-      spark.read.parquet(rewriteNames.toSeq.sorted.map(pathByName): _*)
+      spark.read.parquet(rewriteNames.toSeq.sorted: _*)
         .withColumn("__z", zorderKeyN(dimCols.map(col)))
         .repartitionByRange(n, col("__z"))
         .sortWithinPartitions(col("__z"))
         .drop("__z")
         .write.mode("overwrite").parquet(outPath)
     }
-    // carry the untouched files over verbatim (manifest-rename class)
-    val out = new org.apache.hadoop.fs.Path(outPath)
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // carry the untouched files over verbatim (manifest-rename class),
+    // preserving each file's path RELATIVE to the input root (ADVICE
+    // r20: flattening nested layouts risked destination collisions)
     fs.mkdirs(out)
     val conf = spark.sparkContext.hadoopConfiguration
+    val rootUri = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(inPath)).toUri
     untouched.foreach { case (name, _, _) =>
-      val src = new org.apache.hadoop.fs.Path(pathByName(name))
-      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-        new org.apache.hadoop.fs.Path(out, name), false, conf)
+      val src = new org.apache.hadoop.fs.Path(name)
+      val rel = rootUri.relativize(fs.makeQualified(src).toUri).getPath
+      val dst = new org.apache.hadoop.fs.Path(out, rel)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
     }
     ZorderCompactReport(
       filesBefore = files.size.toLong,

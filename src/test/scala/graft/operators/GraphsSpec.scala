@@ -536,10 +536,13 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       7L -> 7L, 9L -> 7L), s"got $got")
-    // a diameter bigger than maxRounds must throw, not mislabel
+    // a diameter too deep for maxRounds must throw, not mislabel —
+    // with the round-21 double jump a round covers ~4×(reach+1) label
+    // distance, so 2 rounds reach ≤ 20 hops and a 39-hop chain cannot
+    // converge
     intercept[IllegalStateException] {
       Graphs.connectedComponents(
-        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
+        (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst"),
         maxRounds = 2).collect()
     }
     intercept[IllegalArgumentException] {

@@ -2461,6 +2461,43 @@ class DecontaminateSpec extends SparkSpec {
       .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSeq
     assert(out == Seq((1L, Some(30L), Some(1.0), true)))
   }
+
+  test("broadcast size gate (round 21): an oversized benchmark falls " +
+      "back to a shuffle join with byte-identical output") {
+    val docs = corpus.toDF("doc_id", "text")
+    val bdf = bench.toDF("text")
+    val bid = Seq((7L, bench.head._1)).toDF("bench_id", "text")
+    def plans(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val key = graft.operators.Decontaminate.BroadcastThresholdKey
+    // broadcast path (default): benchmark-side hint present
+    val b = graft.operators.Decontaminate.flagContaminated(docs, bdf, n = 8)
+    assert(plans(b).contains("BroadcastExchange"),
+      "default (small benchmark) keeps the broadcast plan")
+    val bRows = b.as[(Long, Boolean)].collect().toMap
+    val sRows =
+      try {
+        spark.conf.set(key, "0") // force every benchmark "oversized"
+        // a hinted broadcast ignores autoBroadcastJoinThreshold, so
+        // disabling the AUTO threshold isolates exactly what the gate
+        // controls: with the hint gone, no broadcast join may remain
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val s = graft.operators.Decontaminate
+          .flagContaminated(docs, bdf, n = 8)
+        assert(!plans(s).contains("BroadcastHashJoin"),
+          s"benchmark join still hint-broadcast under $key=0:\n${plans(s)}")
+        val es = graft.operators.Decontaminate.exactSubstrContamination(
+          docs, bid, minTokens = 5)
+        assert(!plans(es).contains("BroadcastHashJoin"),
+          "exactSubstr window join still hint-broadcast under the gate")
+        assert(es.count() >= 1, "the shuffle path still finds the leak")
+        s.as[(Long, Boolean)].collect().toMap
+      } finally {
+        spark.conf.unset(key)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    assert(sRows == bRows, "shuffle path must be byte-identical")
+  }
 }
 
 class QualityCanonicalSpec extends SparkSpec {

@@ -467,4 +467,38 @@ class LayoutSpec extends SparkSpec {
     assert(rep.rewrittenBytes == 0L && rep.untouchedFiles == 4L)
     assert(spark.read.parquet(out).count() == 64L)
   }
+
+  test("zorderCompactN: reused output dir is cleared on the pure " +
+      "carry-over path; duplicate basenames in nested input keep their " +
+      "relative paths (ADVICE r20)") {
+    val df = (0 until 8).flatMap(a => (0 until 8).map(b => (a, b, a ^ b)))
+      .toDF("a", "b", "c")
+    val dir = Files.createTempDirectory("graft_zc3").toString + "/t"
+    Layout.zorderWriteN(df, Seq("a", "b", "c"), dir, numFiles = 2)
+    // duplicate the two part files under a nested subdir with the SAME
+    // basenames — the basename-keyed classification used to collapse
+    // these map entries; rows double, so the output must carry 128
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sub = new org.apache.hadoop.fs.Path(dir, "nested")
+    fs.mkdirs(sub)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(sub, st.getPath.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+    val out = Files.createTempDirectory("graft_zco3").toString + "/t"
+    // plant a stale file in the output dir: the carry-over path must
+    // clear it, not mix it into the compacted layout
+    spark.range(5).toDF("a").withColumn("b", lit(0))
+      .withColumn("c", lit(0)).write.parquet(out)
+    val rep = Layout.zorderCompactN(spark, dir, out, Seq("a", "b", "c"),
+      targetBytes = 1L << 20, smallBytes = 1L)
+    assert(rep.filesBefore == 4L && rep.untouchedFiles == 4L,
+      s"4 distinct files classified (not basename-collapsed): $rep")
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .count() == 128L, "all 4 carried files present, stale file gone")
+  }
 }
