@@ -1736,10 +1736,13 @@ object PipelineQueries {
     // plan (same operator, same oracle, kept gate-sized — the q139
     // fixture-cap discipline).
     "q186_triangle_count" -> ((s, d) => {
+      // li materialized once (round 21): the co-order self-join reads
+      // it on both sides — one lineitem scan instead of two
       val li = Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 25)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .transform(graft.operators.Persist.round)
       val co = li.alias("x").join(li.alias("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
@@ -1918,10 +1921,12 @@ object PipelineQueries {
     // undefined coefficient → NULL, the three-valued contract q184
     // would flag, made explicit here.
     "q192_clustering_coeff" -> ((s, d) => {
+      // li materialized once (round 21; the q186 move)
       val li = Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 25)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .transform(graft.operators.Persist.round)
       val co = li.alias("x").join(li.alias("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
@@ -1982,10 +1987,12 @@ object PipelineQueries {
     // cascades at both scales; 272 / 2425 nodes peeled). The density
     // membership a hub can't fake with bought degree.
     "q194_kcore" -> ((s, d) => {
+      // li materialized once (round 21; the q186 move)
       val li = Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 25)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .transform(graft.operators.Persist.round)
       val co = li.alias("x").join(li.alias("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
@@ -2218,7 +2225,10 @@ object PipelineQueries {
     // Component census (round 17): q208's labels joined back to the
     // edge list — nodes, edges, and exact-ratio density per component.
     "q213_component_stats" -> ((s, d) => {
+      // edges feed the component fixpoint AND the per-component edge
+      // count — materialized once (round 21)
       val edges = coOrderEdges(s, d)
+        .transform(graft.operators.Persist.round)
       val comp = graft.operators.Graphs.connectedComponents(edges,
         maxRounds = 40)
       val nodes = comp.groupBy(col("component"))
@@ -2612,13 +2622,18 @@ object PipelineQueries {
     // the FULL-graph q186 recount, so the gate is literally
     // "append ≡ recompute".
     "q238_incremental_triangles" -> ((s, d) => {
+      // the (ok, pk) base is materialized ONCE (round 21): `old` feeds
+      // both the stored recount and the append's anti-join side, and
+      // each edgesOf half re-ran the lineitem scan + distinct — four
+      // lineitem passes collapse to one
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .transform(graft.operators.Persist.round)
       def edgesOf(filter: Column): DataFrame = {
-        val li = Tables.lineitem(s, d)
-          .filter(col("l_quantity") >= 25)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .filter(filter)
-        li.alias("x").join(li.alias("y"),
+        val h = li.filter(filter)
+        h.alias("x").join(h.alias("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       }
@@ -2682,6 +2697,10 @@ object PipelineQueries {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
       .filter(okFilter) // q230/q236's 80/20 orderkey split rides here
+      // materialized once (round 21): the self-join below reads it on
+      // BOTH sides — without this every edges materialization ran the
+      // lineitem scan + distinct twice
+      .transform(graft.operators.Persist.round)
     li.alias("x").join(li.alias("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("src"), col("y.pk").as("dst"))
