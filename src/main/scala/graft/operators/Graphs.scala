@@ -94,7 +94,15 @@ object Graphs {
       // each was a separate Spark job per half-iteration; the long→
       // double cast and the division are the same IEEE operations the
       // collected-literal form performed, so scores are bit-identical.
-      val aTot = araw.agg(sum(col("__ar")).as("__at"))
+      // fail-loud on an empty aggregate (ADVICE r21): the collected
+      // form's getLong(0) threw on a NULL sum (empty edge set); the
+      // fused form would silently NULL every score. The guard runs on
+      // the 1-row frame only — zero per-edge cost.
+      def failLoud(tot: Column, what: String): Column =
+        when(tot.isNull, raise_error(
+          lit(s"hits: empty $what aggregate (no edges?)"))).otherwise(tot)
+      val aTot = araw.agg(sum(col("__ar")).as("__t"))
+        .select(failLoud(col("__t"), "auth").as("__at"))
       val withAuth = scores.drop("auth")
         .join(araw, Seq("node"), "left")
         .crossJoin(aTot)
@@ -108,7 +116,8 @@ object Graphs {
         .groupBy(col("__src").as("node"))
         .agg(sum(col("__qa")).as("__hr"))
         .transform(Persist.round)
-      val hTot = hraw.agg(sum(col("__hr")).as("__ht"))
+      val hTot = hraw.agg(sum(col("__hr")).as("__t"))
+        .select(failLoud(col("__t"), "hub").as("__ht"))
       scores = withAuth.drop("hub")
         .join(hraw, Seq("node"), "left")
         .crossJoin(hTot)

@@ -805,9 +805,15 @@ object Sampling {
         s"$smoothing")
     val feats = dsirFeatures(corpus, idCol, textCol, buckets)
       .transform(Persist.round) // read twice: corpus counts + weight join
+    // both bucket tables are read twice (their 1-row total + the ratio
+    // join) — materialize the bucket-cardinality aggregates (round 22):
+    // without this the TARGET corpus was scanned+hashed once per read,
+    // and the corpus bucket aggregate re-shuffled the feature frame
     val qc = feats.groupBy(col("bucket")).agg(sum(col("__cnt")).as("__qc"))
+      .transform(Persist.round)
     val pc = dsirFeatures(target, idCol, textCol, buckets)
       .groupBy(col("bucket")).agg(sum(col("__cnt")).as("__pc"))
+      .transform(Persist.round)
     val qTotRow = qc.agg(sum(col("__qc"))).collect()(0)
     val pTotRow = pc.agg(sum(col("__pc"))).collect()(0)
     require(!qTotRow.isNullAt(0),

@@ -183,10 +183,17 @@ object Search {
     val idfQ = round(log(lit(1.0) +
       col("__n").cast("double") / col("__df").cast("double")) *
       lit(idfScale.toDouble)).cast("long")
+    // the weighted postings feed the norm aggregate AND both self-join
+    // sides — materialize ONCE (round 22; the q238 repeated-branch
+    // discipline): without this each of the three reads re-derived the
+    // index pipeline (for an inline-built shingle index, a full
+    // shingling + (term, doc) shuffle per read). Narrow (term, id, w_q)
+    // rows — the operator's own documented shuffle payload.
     val w = index.join(dfKept, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("term"), col(idCol).as("id"),
         (col("tf") * idfQ).as("__w"))
+      .transform(Persist.round)
     val norms = w.groupBy(col("id"))
       .agg(sum(col("__w") * col("__w")).as("__norm2"))
     w.as("a").join(w.as("b"),

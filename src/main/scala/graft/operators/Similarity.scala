@@ -535,6 +535,11 @@ object Similarity {
     * cid — deterministic re-encode). One exploded corpus scan + a
     * broadcast codebook join; codes are computed ONCE and stored — the
     * whole point is that queries then never touch the float vectors.
+    *
+    * Null semantics (ADVICE r21, documented contract): a NULL embedding
+    * yields NULL codes (the kernel is null-intolerant), and downstream
+    * ADC/top-k drops those rows — embeddings tables carry no null
+    * vectors by construction. A RAGGED vector still fails loudly.
     */
   def pqEncode(
       emb: DataFrame,
@@ -721,32 +726,39 @@ object Similarity {
     typedLit(nested)
   }
 
-  /** Centroid frame (cid, __cv) → array<struct<cid, __cv>> literal for
-    * the cosine argmax stages ([[assignNearest]]/[[kmeansCentroids]]);
-    * cids are vector ids (not 0..K−1), so the array carries them
-    * explicitly rather than by position.
+  /** argmax_cid cosine(v, centroid) with ties to the lowest cid over a
+    * collected centroid frame (cid, __cv) — `max_by(cid,
+    * struct(cosine, -cid))` as the codegen'd
+    * [[graft.functions.NearestCentroidExpr]] kernel (round 22; ADVICE
+    * r21: the prior per-centroid `struct(lit, typedLit)` literal array
+    * bloated the plan toward the 64KB codegen method limit, and the
+    * `transform` lambda re-evaluated a DERIVED vector input — e.g.
+    * [[pqReconstruct]]'s output under [[kmeansCentroids]] — once per
+    * centroid, the CollapseProject hazard). Centroids ride the exact
+    * float→double widening the join path's `cast("array<double>")`
+    * performed; cids are vector ids (not 0..K−1), integral by
+    * construction, compared as longs for the tie-break and cast back to
+    * the frame's cid type so downstream schemas are unchanged.
     */
-  private def centroidLit(cents: DataFrame): Column = {
+  private def nearestCentroid(cents: DataFrame, v: Column): Column = {
     val fields = cents.schema.fieldNames
     require(fields.contains("cid") && fields.contains("__cv"),
       s"ivf: centroid frame must carry (cid, __cv), got ${fields.toSeq}")
+    val cidType = cents.schema("cid").dataType
     val rows = cents.select(col("cid"), col("__cv").cast("array<double>"))
       .collect()
     require(rows.nonEmpty, "ivf: empty centroid frame")
-    array(rows.map { r =>
-      struct(lit(r.get(0)).as("cid"), typedLit(r.getSeq[Double](1)).as("__cv"))
-    }.toIndexedSeq: _*)
+    val cids = rows.map(r => r.get(0) match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+      case s: java.lang.Short => s.longValue
+      case o => throw new IllegalArgumentException(
+        s"ivf: integral cid required, got ${Option(o).map(_.getClass)}")
+    }).toSeq
+    val cvs = rows.map(r => r.getSeq[Double](1)).toSeq
+    graft.functions.PqFunctions.nearestCentroidId(v, cids, cvs)
+      .cast(cidType)
   }
-
-  /** argmax_cid cosine(v, centroid) with ties to the lowest cid — the
-    * literal-centroid form of `max_by(cid, struct(cosine, -cid))`:
-    * array_max over struct(cosine, −cid) compares exactly the ordering
-    * max_by compared, then the cid is recovered by negating back.
-    */
-  private def nearestCentroid(cbArr: Column, v: Column): Column =
-    array_max(transform(cbArr, e =>
-      struct(cosine(v, e.getField("__cv")).as("s"),
-        (e.getField("cid") * lit(-1)).as("nc")))).getField("nc") * lit(-1)
 
   /** Distance-to-centroid outlier scoring — the embedding-space health
     * check a curation pipeline runs before training (CLIP-filtering
@@ -815,13 +827,14 @@ object Similarity {
     // per-sweep plan at exactly one `emb` scan + one local build side,
     // independent of the iteration count.
     for (_ <- 1 to iterations) {
-      // per-row argmax against the literal centroid array (round 21;
-      // see [[assignNearest]]) — the C-way join explosion and the
-      // (nid)-keyed assignment shuffle are gone; each sweep is one
-      // scan feeding the (cid, pos) mean aggregate directly
-      val cbArr = centroidLit(cents)
+      // per-row argmax against the codegen'd centroid kernel (rounds
+      // 21/22; see [[assignNearest]]) — the C-way join explosion and
+      // the (nid)-keyed assignment shuffle are gone; each sweep is one
+      // scan feeding the (cid, pos) mean aggregate directly, and the
+      // kernel evaluates a derived vecCol (e.g. [[pqReconstruct]]'s
+      // output) ONCE per row instead of once per centroid
       val assigned = emb.select(col(idCol).as("nid"), col(vecCol).as("__v"))
-        .select(col("nid"), nearestCentroid(cbArr, col("__v")).as("cid"),
+        .select(col("nid"), nearestCentroid(cents, col("__v")).as("cid"),
           col("__v"))
       val means = assigned
         .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
@@ -968,16 +981,15 @@ object Similarity {
     */
   private def assignNearest(emb: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    // per-row cosine argmax against the literal centroid array
-    // (round 21): the unkeyed broadcast join exploded every vector C
-    // ways and shuffled (neighbor_id)-keyed groups back together just
-    // to undo it; same cosine arithmetic, same (sim, −cid) tie-break,
+    // per-row cosine argmax via the codegen'd centroid kernel (rounds
+    // 21/22): the unkeyed broadcast join exploded every vector C ways
+    // and shuffled (neighbor_id)-keyed groups back together just to
+    // undo it; same cosine arithmetic, same (sim, −cid) tie-break,
     // zero shuffles
-    val cbArr = centroidLit(cents)
     emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
       .filter(dot(col("__v"), col("__v")) > 0)
       .select(col("neighbor_id"),
-        nearestCentroid(cbArr, col("__v")).as("cid"), col("__v"))
+        nearestCentroid(cents, col("__v")).as("cid"), col("__v"))
   }
 
   /** One corpus (or batch) pass turning vectors into int8 list entries

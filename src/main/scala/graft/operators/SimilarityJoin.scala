@@ -45,11 +45,10 @@ import org.apache.spark.sql.functions._
   *    surfaces hot tokens, which AQE's skew-join split handles
   *    without a semantic trade (unlike LSH's maxBucket cap, exactness
   *    forbids dropping them).
-  *  - The set projection is evaluated once per pass (prefix pass +
-  *    one per verify side) rather than materialized — the same
-  *    deliberate trade as [[Dedup.minhashNearDupPairs]]: per-row
-  *    codegen'd shingling at scan speed beats caching a corpus-wide
-  *    array-per-doc frame.
+  *  - The set projection is materialized ONCE (round 22) and read by
+  *    all four passes (frequency aggregate, prefix pass, both verify
+  *    sides) — measured 4 shingling passes slower than one staging at
+  *    every gate scale; see the note at the `sets` definition.
   *
   * Determinism: the threshold quantizes to parts-per-million and every
   * filter cross-multiplies longs (⌈t·|x|⌉ = (t_ppm·|x| + 10⁶ − 1) div
@@ -80,10 +79,19 @@ object SimilarityJoin {
     val tPpm = math.round(threshold * 1e6)
     val M = 1000000L
 
+    // the set projection feeds FOUR reads — the token-frequency
+    // aggregate, the prefix pass, and both verify sides — materialize
+    // once (round 22, VERDICT r21 #4; reverses the round-17
+    // shingle-at-scan-speed trade, measured 4 shingling passes slower
+    // than one materialization at every gate scale). At 100 TB the
+    // staging is executor-local blocks (or the reliable checkpoint dir
+    // via spark.graft.checkpointDir), spilling to disk — still one
+    // corpus-wide write against three saved shingling scans.
     val sets = df.select(col(idCol).as("id"),
         array_distinct(col(setCol)).as("t"))
       .withColumn("len", size(col("t")).cast("long"))
       .filter(col("len") > 0)
+      .transform(Persist.round)
 
     // corpus frequency per token — the prefix order's sort key
     val tok = sets.select(explode(col("t")).as("tk"))

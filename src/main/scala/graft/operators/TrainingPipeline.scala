@@ -141,13 +141,24 @@ object TrainingPipeline {
     val split = Sampling.leakageSafeSplit(
       kept.select(col(idCol), col(domainCol), col(textCol)), clusters, idCol)
     val train = split.filter(col("split") === "train")
-    // Stage 3 — mix plan on observed TRAIN token shares, materialized
+    // Stage 3 — mix plan on observed TRAIN token shares, materialized.
+    // The plan aggregate, the mix rows, and the token join all read the
+    // train side: materialize ONE narrow (id, domain, n_tokens)
+    // projection (round 22) instead of re-running the curation join +
+    // cluster join + split hashing once per consumer (3 full pipeline
+    // executions at gate scale; 3 corpus re-scans at 100 TB). Token
+    // counts are a pure function of the text, computed once here —
+    // values identical to the per-consumer recomputation.
     val tokens = TextAnalysis.tokenCount(col(textCol)).cast("long")
-    val plan = Sampling.domainMixPlan(train, domainCol, tokens, targets)
+    val trainTok = train
+      .select(col(idCol), col(domainCol), tokens.as("n_tokens"))
+      .transform(Persist.round)
+    val plan = Sampling.domainMixPlan(trainTok, domainCol,
+      col("n_tokens"), targets)
     val mix = Sampling.materializeMix(
-      train.select(col(idCol), col(domainCol)), domainCol, plan, idCol)
+      trainTok.select(col(idCol), col(domainCol)), domainCol, plan, idCol)
     // token counts join the (doc, epoch) rows as a narrow pair frame
-    mix.join(train.select(col(idCol), tokens.as("n_tokens")), Seq(idCol))
+    mix.join(trainTok.select(col(idCol), col("n_tokens")), Seq(idCol))
   }
 
   /** [[corpusToShards]]' fine-tuning sibling (VERDICT r15 #3): the SAME

@@ -1720,7 +1720,7 @@ object PipelineQueries {
         .withColumn("bkv_len", length(col("c_name")))
       val pairs = graft.operators.Linkage.matchPairs(recs, "c_custkey",
         Seq("c_nationkey", "c_mktsegment", "bkv_len"),
-        verify = levenshtein(col("a.c_name"), col("b.c_name")) <= 2 &&
+        verify = levenshtein(col("a.c_name"), col("b.c_name"), 2) >= 0 &&
           col("a.c_acctbal") === col("b.c_acctbal"))
       graft.operators.Linkage.resolveEntities(recs, "c_custkey", pairs)
     }),
@@ -1761,7 +1761,7 @@ object PipelineQueries {
       val recs = linkageRecords(s, d)
       val pairs = graft.operators.Linkage.sortedNeighborhoodPairs(recs,
         "c_custkey", col("c_name"), window = 8,
-        verify = levenshtein(col("a.c_name"), col("b.c_name")) <= 2 &&
+        verify = levenshtein(col("a.c_name"), col("b.c_name"), 2) >= 0 &&
           col("a.c_acctbal") === col("b.c_acctbal"))
       graft.operators.Linkage.resolveEntities(recs, "c_custkey", pairs)
     }),
@@ -1781,7 +1781,7 @@ object PipelineQueries {
       val recs = linkageRecords(s, d)
         .withColumn("bkv_len", length(col("c_name")))
         .localCheckpoint() // feeds counts + both candidate generators
-      val verify = levenshtein(col("a.c_name"), col("b.c_name")) <= 2 &&
+      val verify = levenshtein(col("a.c_name"), col("b.c_name"), 2) >= 0 &&
         col("a.c_acctbal") === col("b.c_acctbal")
       val cust = Tables.customer(s, d)
       val truth = cust.filter(col("c_custkey") % 20 === 3)
@@ -1865,7 +1865,7 @@ object PipelineQueries {
       val Linkage = graft.operators.Linkage
       val recs = linkageRecords(s, d)
         .withColumn("bkv_len", length(col("c_name")))
-      val verify = levenshtein(col("a.c_name"), col("b.c_name")) <= 2 &&
+      val verify = levenshtein(col("a.c_name"), col("b.c_name"), 2) >= 0 &&
         col("a.c_acctbal") === col("b.c_acctbal")
       val blocks = Seq("c_nationkey", "c_mktsegment", "bkv_len")
       val ents = Linkage.resolveEntities(recs, "c_custkey",
@@ -1903,7 +1903,7 @@ object PipelineQueries {
     "q191_sn_multipass" -> ((s, d) => {
       val Linkage = graft.operators.Linkage
       val recs = linkageRecords(s, d)
-      val verify = levenshtein(col("a.c_name"), col("b.c_name")) <= 2 &&
+      val verify = levenshtein(col("a.c_name"), col("b.c_name"), 2) >= 0 &&
         col("a.c_acctbal") === col("b.c_acctbal")
       val p1 = Linkage.sortedNeighborhoodPairs(recs, "c_custkey",
         col("c_name"), window = 8, verify = verify)
@@ -1970,7 +1970,7 @@ object PipelineQueries {
       graft.operators.Linkage.fsWeightedPairs(recs, "c_custkey",
           Seq("c_nationkey", "bkv_len"),
           fields = Seq(
-            (levenshtein(col("a.c_name"), col("b.c_name")) <= 2,
+            (levenshtein(col("a.c_name"), col("b.c_name"), 2) >= 0,
               0.95, 0.01),
             (col("a.c_acctbal") === col("b.c_acctbal"), 0.9, 0.0001),
             (col("a.c_mktsegment") === col("b.c_mktsegment"),
@@ -2034,7 +2034,10 @@ object PipelineQueries {
     // division (hash-exact both engines).
     "q196_bm25_search" -> ((s, d) => {
       import s.implicits._
+      // inline-built index materialized once (round 22, the q203 move):
+      // bm25TopK reads it ~4× (stats, df table, postings, query terms)
       val idx = graft.operators.Search.textIndex(Tables.documents(s, d))
+        .transform(graft.operators.Persist.round)
       val qs = Bm25Queries.toDF("query_id", "query_text")
       graft.operators.Search.bm25TopK(idx, qs, k = 5)
         .select(col("query_id"), col("doc_id"), col("score_q"),
@@ -2126,7 +2129,11 @@ object PipelineQueries {
     // longs before the multiply, so norms and dots are exact integer
     // sums and cosine is one cross-engine-identical double expression.
     "q203_tfidf_cosine" -> ((s, d) => {
+      // inline-built index materialized once (round 22): the pair op
+      // reads its index 3× (N, df table, weighted postings) — each read
+      // previously re-ran the shingling + (term, doc) shuffle
       val idx = graft.operators.Search.shingleIndex(Tables.documents(s, d))
+        .transform(graft.operators.Persist.round)
       graft.operators.Search.tfidfCosinePairs(idx, 0.3)
     }),
 
@@ -2187,7 +2194,10 @@ object PipelineQueries {
     // heaviest shingles — integer-ranked (w_q longs), ties to the
     // lexicographically first term.
     "q209_keywords" -> ((s, d) => {
+      // inline-built index materialized once (round 22, the q203 move):
+      // topKeywords reads it 3× (N, df table, the ranked join)
       val idx = graft.operators.Search.shingleIndex(Tables.documents(s, d))
+        .transform(graft.operators.Persist.round)
       graft.operators.Search.topKeywords(idx, k = 5)
     }),
 
@@ -2275,7 +2285,13 @@ object PipelineQueries {
         .select((col("doc_id") + 700000).as("doc_id"),
           concat(col("text"), lit(" zz9")).as("text"))
       val corpus = base.unionByName(twins)
+      // both inline-built indexes materialized once (round 22): bm25
+      // reads its index ~4× (corpus stats, df table, postings, query
+      // terms) and the pair op 3× — the before plan carried 57 parquet
+      // scans of the documents table, each re-running tokenization or
+      // shingling + the (term, doc) shuffle
       val idx = graft.operators.Search.textIndex(corpus)
+        .transform(graft.operators.Persist.round)
       val qdocs = base.filter(col("doc_id") < 8)
         .select(col("doc_id").as("query_id"), col("text").as("query_text"))
       val lex = graft.operators.Search.bm25TopK(idx, qdocs, k = 10)
@@ -2283,6 +2299,7 @@ object PipelineQueries {
         .withColumn("rank", row_number().over(w))
         .select(col("query_id"), col("doc_id"), col("rank"))
       val sidx = graft.operators.Search.shingleIndex(corpus)
+        .transform(graft.operators.Persist.round)
       val spairs = graft.operators.Search.tfidfCosinePairs(sidx, 0.5)
       val ssym = spairs
         .select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"),
@@ -2498,10 +2515,25 @@ object PipelineQueries {
     // the full-graph reachability closure: the gate asserts the append
     // is bit-identical to a fresh re-cluster.
     "q230_incremental_components" -> ((s, d) => {
+      // one lineitem scan (round 22): the stored 80% graph and the 20%
+      // ingest batch both derive from the SAME persisted (ok, pk) base
+      // — coOrderEdges(filter) ran the scan + distinct once per side
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .transform(graft.operators.Persist.round)
+      def edges(f: org.apache.spark.sql.Column) = {
+        val side = li.filter(f)
+        side.alias("x").join(side.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+          .distinct()
+      }
       val labels = graft.operators.Graphs.connectedComponents(
-        coOrderEdges(s, d, col("ok") % 10 < 8), maxRounds = 40)
+        edges(col("ok") % 10 < 8), maxRounds = 40)
       graft.operators.Graphs.appendToComponents(labels,
-        coOrderEdges(s, d, col("ok") % 10 >= 8), maxRounds = 40)
+        edges(col("ok") % 10 >= 8), maxRounds = 40)
     }),
 
     // DSIR importance weights (round 20, VERDICT r18 #7 / r19 #1 —
@@ -2583,7 +2615,12 @@ object PipelineQueries {
         emb.filter(col("vec_id") % 5 === 0), dim = 64,
         numSubspaces = 16, codebookSize = 32, iterations = 1,
         pqIterations = 2)
+      // rotated corpus materialized once (round 22): codebook training
+      // (2 Lloyd sweeps), the reconstruction error, and the encode each
+      // scan it — every scan re-applied the dim² rotation kernel
+      // (4096 mult-adds/row) before this
       val rotEmb = graft.operators.Similarity.applyRotation(emb, rot)
+        .transform(graft.operators.Persist.round)
       val cb = graft.operators.Similarity.pqTrainCodebooks(rotEmb, 64,
         numSubspaces = 16, codebookSize = 32, iterations = 2)
       val err = graft.operators.Similarity

@@ -323,6 +323,23 @@ object Layout {
       targetBytes: Long, smallBytes: Long): ZorderCompactReport = {
     require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
     require(smallBytes >= 1L, s"smallBytes must be >= 1, got $smallBytes")
+    // outPath is cleared up front (below), so an in-place or nested
+    // invocation would destroy the input before anything is read
+    // (ADVICE r21): reject outPath == inPath and either nesting
+    locally {
+      val conf = spark.sparkContext.hadoopConfiguration
+      def qual(p: String) = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).makeQualified(hp).toUri.getPath
+          .stripSuffix("/")
+      }
+      val in = qual(inPath)
+      val outq = qual(outPath)
+      require(in != outq && !outq.startsWith(in + "/") &&
+          !in.startsWith(outq + "/"),
+        s"zorderCompactN: outPath must not equal or nest with inPath " +
+          s"(in=$in, out=$outq)")
+    }
     val files = listParquetFiles(spark, inPath)
     require(files.nonEmpty, s"no parquet files under $inPath")
     // keyed by NORMALIZED FULL PATH, not basename (ADVICE r20: nested /

@@ -328,4 +328,67 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(row.getSeq[Int](1) == Seq(64, -127))
     assert(row.getDouble(2) == 64.0 * 64 + 127.0 * 127)
   }
+
+  test("nearestCentroidId ≡ array_max(struct(cosine, -cid)) HOF form") {
+    // the exact round-21 HOF formulation the round-22 kernel replaces:
+    // parity must hold bit-for-bit, including the lowest-cid tie-break;
+    // the zero-norm-centroid degenerate must keep the ANSI fail-loud
+    val cids = Seq(7L, 3L, 11L)
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0))
+    def hof(v: org.apache.spark.sql.Column, cs: Seq[Long],
+        vs: Seq[Seq[Double]]) = {
+      val arr = array(cs.zip(vs).map { case (c, cv) =>
+        struct(lit(c).as("cid"), typedLit(cv).as("__cv"))
+      }: _*)
+      array_max(transform(arr, e =>
+        struct((VectorFunctions.dotProduct(v, e.getField("__cv")) /
+          (sqrt(VectorFunctions.dotProduct(v, v)) *
+            sqrt(VectorFunctions.dotProduct(e.getField("__cv"),
+              e.getField("__cv"))))).as("s"),
+          (e.getField("cid") * lit(-1)).as("nc")))).getField("nc") * lit(-1)
+    }
+    val df = Seq(
+      Seq(2.0f, 0.1f),   // nearest: (1,0) -> cid 7
+      Seq(0.1f, 2.0f),   // nearest: (0,1) -> cid 3
+      Seq(3.0f, 3.0f),   // nearest: (1,1) -> cid 11
+      Seq(1.0f, -1.0f)). // same |cos| to 7 and 3: exercises comparisons
+      toDF("v")
+    val both = df.select(
+      PqFunctions.nearestCentroidId($"v", cids, cents).as("k"),
+      hof($"v", cids, cents).as("h")).collect()
+    both.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"kernel vs HOF: $r")
+    }
+    assert(both.map(_.getLong(0)).toSeq == Seq(7L, 3L, 11L, 7L))
+    // exact-tie tie-break: two IDENTICAL centroids -> lowest cid wins,
+    // matching max_by(struct(cosine, -cid))
+    val tie = df.limit(1).select(PqFunctions.nearestCentroidId($"v",
+      Seq(9L, 4L), Seq(Seq(1.0, 0.5), Seq(1.0, 0.5))).as("t")).collect()
+    assert(tie(0).getLong(0) == 4L)
+    // zero-norm centroid: ANSI division-by-zero stays fail-loud (the
+    // HOF form threw SparkArithmeticException under ANSI)
+    val e = intercept[Exception] {
+      df.select(PqFunctions.nearestCentroidId($"v",
+        Seq(1L, 2L), Seq(Seq(1.0, 0.0), Seq(0.0, 0.0)))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("zero"))
+  }
+
+  test("pq/centroid kernels compare structurally (ADVICE r21 equals)") {
+    // Seq-backed fields: two independently built but identical
+    // expressions must be semantically equal, so subexpression
+    // elimination and exchange reuse can fire
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val attr = AttributeReference("v", ArrayType(DoubleType, false))()
+    def cb() = PqFunctions.deep(
+      Array(Array(Array(1.0, 2.0), Array(3.0, 4.0))))
+    val a = PqCodesExpr(attr, cb())
+    val b = PqCodesExpr(attr, cb())
+    assert(a == b)
+    assert(a.semanticEquals(b))
+    val c = NearestCentroidExpr(attr, Seq(1L), Seq(Seq(1.0)))
+    val d = NearestCentroidExpr(attr, Seq(1L), Seq(Seq(1.0)))
+    assert(c == d && c.semanticEquals(d))
+  }
 }

@@ -501,4 +501,23 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.option("recursiveFileLookup", "true").parquet(out)
       .count() == 128L, "all 4 carried files present, stale file gone")
   }
+
+  test("zorderCompactN: in-place / nested invocations are rejected " +
+      "before anything is deleted (ADVICE r21)") {
+    val df = (0 until 4).map(a => (a, a, a)).toDF("a", "b", "c")
+    val dir = Files.createTempDirectory("graft_zc4").toString + "/t"
+    Layout.zorderWriteN(df, Seq("a", "b", "c"), dir, numFiles = 1)
+    def rejected(out: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Layout.zorderCompactN(spark, dir, out, Seq("a", "b", "c"),
+          targetBytes = 1L << 20, smallBytes = 1L)
+      }
+      assert(e.getMessage.contains("must not equal or nest"))
+    }
+    rejected(dir)                  // in-place
+    rejected(dir + "/sub")         // output nested under input
+    rejected(dir.stripSuffix("/t")) // input nested under output
+    // the input survived every rejection
+    assert(spark.read.parquet(dir).count() == 4L)
+  }
 }
