@@ -806,14 +806,15 @@ object Sampling {
     val feats = dsirFeatures(corpus, idCol, textCol, buckets)
       .transform(Persist.round) // read twice: corpus counts + weight join
     // both bucket tables are read twice (their 1-row total + the ratio
-    // join) — materialize the bucket-cardinality aggregates (round 22):
-    // without this the TARGET corpus was scanned+hashed once per read,
-    // and the corpus bucket aggregate re-shuffled the feature frame
+    // join). Round 22 MEASURED checkpointing them and reverted it: the
+    // two extra eager jobs cost more at every gate scale than the
+    // re-aggregation they save (q234/q235/q241 ~1.6-1.8× slower with the
+    // checkpoints, interleaved A/B) — the re-read re-aggregates the
+    // already-persisted `feats`, and the target re-scan is one
+    // map-side-combined pass.
     val qc = feats.groupBy(col("bucket")).agg(sum(col("__cnt")).as("__qc"))
-      .transform(Persist.round)
     val pc = dsirFeatures(target, idCol, textCol, buckets)
       .groupBy(col("bucket")).agg(sum(col("__cnt")).as("__pc"))
-      .transform(Persist.round)
     val qTotRow = qc.agg(sum(col("__qc"))).collect()(0)
     val pTotRow = pc.agg(sum(col("__pc"))).collect()(0)
     require(!qTotRow.isNullAt(0),

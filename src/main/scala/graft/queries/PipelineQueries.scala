@@ -2615,12 +2615,12 @@ object PipelineQueries {
         emb.filter(col("vec_id") % 5 === 0), dim = 64,
         numSubspaces = 16, codebookSize = 32, iterations = 1,
         pqIterations = 2)
-      // rotated corpus materialized once (round 22): codebook training
-      // (2 Lloyd sweeps), the reconstruction error, and the encode each
-      // scan it — every scan re-applied the dim² rotation kernel
-      // (4096 mult-adds/row) before this
+      // NOT checkpointed — round 22 measured materializing the rotated
+      // corpus (it is scanned ~5×) and REVERTED it: q239 ran 1.7-3.5×
+      // slower with the checkpoint (interleaved A/B) — re-applying the
+      // codegen'd rotation at scan speed beats staging + re-reading the
+      // rotated arrays at this scale
       val rotEmb = graft.operators.Similarity.applyRotation(emb, rot)
-        .transform(graft.operators.Persist.round)
       val cb = graft.operators.Similarity.pqTrainCodebooks(rotEmb, 64,
         numSubspaces = 16, codebookSize = 32, iterations = 2)
       val err = graft.operators.Similarity
