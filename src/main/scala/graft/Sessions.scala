@@ -17,6 +17,14 @@ import org.apache.spark.sql.SparkSession
   *    scheduling overhead.
   *  - UTC timezone: pins year()/month()/date_format so results match the
   *    DuckDB oracle regardless of host timezone (SURVEY.md §7.4).
+  *  - `spark.sql.join.preferSortMergeJoin` stays at the Spark DEFAULT
+  *    (true). Round 22 measured flipping it: node-keyed mid-size joins
+  *    won 0.5-0.9× (pagerank/window families), but the LSH band
+  *    self-joins and media/pipeline compositions lost 3-6× — shuffled
+  *    hash qualifies on SIZE ESTIMATES (< threshold × partitions), which
+  *    are wildly wrong after multi-stage derivations, and a mis-sized
+  *    hash build turns into GC churn that degrades the whole suite
+  *    (full-suite 347 s → 515 s). Do not re-flip without per-join hints.
   */
 object Sessions {
   def local(cpus: String, appName: String): SparkSession =
